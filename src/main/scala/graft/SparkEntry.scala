@@ -1,13 +1,236 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.engine.TpchStar
+import graft.plan.{Diagnosis, PlanError}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each expressed through the engine's public layers (name grammars →
+  * CubeQuery → CubePlanner → DataFrame) rather than ad-hoc DataFrame code,
+  * so the correctness gate exercises the real engine path end-to-end.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------- parse helpers
+  private def die(m: String): Nothing = throw PlanError(m)
+  private def drill(s: String): Drilldown = Drilldown.parse(s).fold(die, identity)
+  private def cut(s: String): CutSpec = CutSpec.parse(s).fold(die, identity)
+  private def mea(s: String): MeasureName = MeasureName.parse(s).fold(die, identity)
+  private def prop(s: String): PropertyName = PropertyName.parse(s).fold(die, identity)
+  private def filterQ(s: String): FilterQuery = FilterQuery.parse(s).fold(die, identity)
+  private def topQ(s: String): TopQuery = TopQuery.parse(s).fold(die, identity)
+  private def growthQ(s: String): GrowthQuery = GrowthQuery.parse(s).fold(die, identity)
+  private def rcaQ(s: String): RcaQuery = RcaQuery.parse(s).fold(die, identity)
+  private def rateQ(s: String): RateQuery = RateQuery.parse(s).fold(die, identity)
+
+  private def run(q: CubeQuery)(spark: SparkSession, sfDir: String): DataFrame =
+    TpchStar.planner(sfDir).plan(spark, q)
+  private def runDM(q: CubeQuery)(spark: SparkSession, sfDir: String): DataFrame =
+    TpchStar.plannerDM(sfDir).plan(spark, q)
+
+  // oracle SQL join fragments (DuckDB, on the driver's parquet views)
+  private val GEO =
+    "lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"
+  private val CUST =
+    "lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    run(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag"), drill("Line Status.Line Status")),
+      measures = Seq(mea("Quantity"), mea("Revenue"), mea("Row Count"))
+    ))(spark, "/root/testdata/sf0.001")
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = olapQueries
+
+  private lazy val olapQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #1/#4/#9: fact scan + projection + one-shuffle aggregation
+    "q01_agg" -> run(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag"), drill("Line Status.Line Status")),
+      measures = Seq(mea("Quantity"), mea("Extended Price"), mea("Revenue"), mea("Row Count")))),
+    // #2/#8: dim subquery scan + dim join (snowflake supplier→nation→region)
+    "q02_dim_join" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity"), mea("Revenue")))),
+    "q03_multi_dim" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Region"), drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity"), mea("Row Count")))),
+    // #5: include cut (dim-side filter, pushes to scan / semi-join)
+    "q04_cut_in" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      cuts = Seq(cut("Geography.Region.0,2")),
+      measures = Seq(mea("Quantity")))),
+    "q05_cut_exclude" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      cuts = Seq(cut("~Geography.Region.1")),
+      measures = Seq(mea("Quantity")))),
+    // #6: LIKE-mode cut
+    "q06_cut_like" -> run(CubeQuery(
+      drilldowns = Seq(drill("Customer.Segment")),
+      cuts = Seq(cut("*Customer.Segment.IN")),
+      measures = Seq(mea("Quantity")))),
+    // #11: HAVING-style measure filter with .and. second constraint
+    "q07_having" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity"), mea("Row Count")),
+      filters = Seq(filterQ("Quantity.gt.60000.and.lt.100000000")))),
+    // #12: top-k per group (window row_number over WindowGroupLimit)
+    "q08_top" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Region"), drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      top = Some(topQ("2,Geography.Region,Quantity,desc")))),
+    // #13: top_where pre-filter
+    "q09_top_where" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Region"), drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      top = Some(topQ("3,Geography.Region,Quantity,desc")),
+      topWhere = Some(TopWhereQuery.parse("Quantity,gt.50000").fold(die, identity)))),
+    // #14/#15: sort + limit/offset
+    "q10_sort_limit" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      sort = Some(SortQuery.parse("Quantity.desc").fold(die, identity)),
+      limit = Some(LimitQuery.parse("5").fold(die, identity)))),
+    "q11_limit_offset" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      limit = Some(LimitQuery.parse("3,7").fold(die, identity)))),
+    // #20: parents expansion (ancestor level columns, same dim row)
+    "q12_parents" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      parents = true)),
+    // #21: properties (extra attribute columns per drilldown)
+    "q13_props" -> run(CubeQuery(
+      drilldowns = Seq(drill("Part.Part")),
+      properties = Seq(prop("Part.Part.Part Type"), prop("Part.Part.Part Size")),
+      measures = Seq(mea("Quantity")))),
+    // #3: inline-table dim source (LocalRelation)
+    "q14_inline" -> run(CubeQuery(
+      drilldowns = Seq(drill("Return Class.Return Class")),
+      measures = Seq(mea("Quantity"), mea("Revenue")))),
+    // #17: growth (lag window replaces groupArray/arrayMap/ARRAY JOIN)
+    "q15_growth" -> run(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year"), drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      growth = Some(growthQ("Ship Date.Year,Quantity")))),
+    // #18: RCA ((a/b)/(c/d) via three window sums over one aggregate)
+    "q16_rca" -> run(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(rcaQ("Geography.Nation,Part.Brand,Quantity")))),
+    // #19: rate (share of measure attributable to listed members)
+    "q17_rate" -> run(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      rate = Some(rateQ("Geography.Region.0,2")))),
+    // §2.2: weighted aggregators
+    "q18_weighted" -> run(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Weighted Avg Price"), mea("Weighted Discount")))),
+    // §2.2: MOE aggregator
+    "q19_moe" -> run(CubeQuery(
+      drilldowns = Seq(drill("Line Status.Line Status")),
+      measures = Seq(mea("Quantity MOE")))),
+    // §2.2 + #10: grouped median via hidden drilldown (two-pass)
+    "q20_median" -> run(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Median Order Quantity"), mea("Quantity")))),
+    // #16: sparse + plain avg/min/max
+    "q21_sparse_avg" -> run(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Avg Discount"), mea("Max Price"), mea("Min Price")),
+      sparse = true)),
+    // #23: implicit default-member cut (SalesDM cube)
+    "q22_default_member" -> runDM(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")))),
+    "q23_exclude_default" -> runDM(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      excludeDefaultMembers = true)),
+    // degenerate (fact-table) time dim, two levels
+    "q24_year_month" -> run(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year"), drill("Ship Date.Month")),
+      measures = Seq(mea("Quantity"), mea("Row Count")))),
+    // #22: members enumeration
+    "q25_members" -> ((spark: SparkSession, sfDir: String) =>
+      TpchStar.planner(sfDir).members(spark,
+        LevelName.parse("Geography.Nation").fold(die, identity))),
+    // #7: cut-only query (semi-join pushdown, global aggregate)
+    "q26_cut_only" -> run(CubeQuery(
+      cuts = Seq(cut("Geography.Region.3")),
+      measures = Seq(mea("Quantity")))),
+    // #5 on a degenerate dim: cut pushed straight into the fact scan
+    "q27_degenerate_cut" -> run(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      cuts = Seq(cut("Ship Date.Year.1996,1997")),
+      measures = Seq(mea("Quantity")))),
+    // §3.4 /diagnosis: referential-integrity data QA
+    "q28_diagnosis" -> ((spark: SparkSession, sfDir: String) =>
+      Diagnosis.run(spark, TpchStar.salesCube, new TpchStar.Resolver(sfDir)))
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag AS "Return Flag", l_linestatus AS "Line Status", sum(l_quantity) AS "Quantity", sum(l_extendedprice) AS "Extended Price", sum(l_extendedprice * (1 - l_discount)) AS "Revenue", count(l_orderkey) AS "Row Count" FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_dim_join" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity", sum(l_extendedprice * (1 - l_discount)) AS "Revenue" FROM $GEO GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q03_multi_dim" ->
+      s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity", count(l_orderkey) AS "Row Count" FROM $GEO GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q04_cut_in" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (0, 2) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q05_cut_exclude" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey NOT IN (1) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q06_cut_like" ->
+      s"""SELECT c_mktsegment AS "Segment", sum(l_quantity) AS "Quantity" FROM $CUST WHERE c_mktsegment LIKE '%IN%' GROUP BY 1 ORDER BY 1""",
+    "q07_having" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity", count(l_orderkey) AS "Row Count" FROM $GEO GROUP BY 1, 2 HAVING sum(l_quantity) > 60000 AND sum(l_quantity) < 100000000 ORDER BY 1, 2""",
+    "q08_top" ->
+      s"""WITH a AS (SELECT r_regionkey AS "Region ID", r_name AS "Region", n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3, 4) SELECT * FROM a QUALIFY row_number() OVER (PARTITION BY "Region ID" ORDER BY "Quantity" DESC, "Region" ASC, "Nation ID" ASC, "Nation" ASC) <= 2 ORDER BY "Region ID" ASC, "Quantity" DESC""",
+    "q09_top_where" ->
+      s"""WITH a AS (SELECT r_regionkey AS "Region ID", r_name AS "Region", n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3, 4) SELECT * FROM a WHERE "Quantity" > 50000 QUALIFY row_number() OVER (PARTITION BY "Region ID" ORDER BY "Quantity" DESC, "Region" ASC, "Nation ID" ASC, "Nation" ASC) <= 3 ORDER BY "Region ID" ASC, "Quantity" DESC""",
+    "q10_sort_limit" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2 ORDER BY "Quantity" DESC, 1, 2 LIMIT 5""",
+    "q11_limit_offset" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 7 OFFSET 3""",
+    "q12_parents" ->
+      s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    "q13_props" ->
+      """SELECT p_partkey AS "Part ID", p_name AS "Part", p_type AS "Part Type", p_size AS "Part Size", sum(l_quantity) AS "Quantity" FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    "q14_inline" ->
+      """SELECT class_idx AS "Return Class ID", class_name AS "Return Class", sum(l_quantity) AS "Quantity", sum(l_extendedprice * (1 - l_discount)) AS "Revenue" FROM lineitem JOIN (VALUES ('A', 'Returned', 1), ('N', 'Kept', 2), ('R', 'Refused', 3)) AS rc(flag, class_name, class_idx) ON l_returnflag = rc.flag GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q15_growth" ->
+      s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3) SELECT "Nation ID", "Nation", "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Nation ID" ORDER BY "Year") ORDER BY "Nation ID", "Nation", "Year"""",
+    "q16_rca" ->
+      s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3) SELECT "Nation ID", "Nation", "Brand", (a / sum(a) OVER (PARTITION BY "Brand")) / (sum(a) OVER (PARTITION BY "Nation ID") / sum(a) OVER ()) AS "Quantity RCA", "Quantity" FROM a ORDER BY "Nation ID", "Nation", "Brand"""",
+    "q17_rate" ->
+      s"""WITH b AS (SELECT year(l_shipdate) AS "Year", r_regionkey AS rk, sum(l_quantity) AS m FROM $GEO GROUP BY 1, 2) SELECT "Year", sum(m) AS "Quantity", sum(CASE WHEN rk IN (0, 2) THEN m END) / sum(m) AS "Rate" FROM b GROUP BY 1 HAVING sum(CASE WHEN rk IN (0, 2) THEN m END) IS NOT NULL ORDER BY 1""",
+    "q18_weighted" ->
+      """SELECT l_returnflag AS "Return Flag", sum(l_extendedprice * l_quantity) / sum(l_quantity) AS "Weighted Avg Price", sum(l_discount * l_quantity) AS "Weighted Discount" FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q19_moe" ->
+      """SELECT l_linestatus AS "Line Status", 1.645 * sqrt(sum(pow(l_quantity / 1.645, 2))) AS "Quantity MOE" FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q20_median" ->
+      """WITH p AS (SELECT l_returnflag AS f, l_orderkey AS o, sum(l_quantity) AS m FROM lineitem GROUP BY 1, 2) SELECT f AS "Return Flag", median(m) AS "Median Order Quantity", sum(m) AS "Quantity" FROM p GROUP BY 1 ORDER BY 1""",
+    "q21_sparse_avg" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", avg(l_discount) AS "Avg Discount", max(l_extendedprice) AS "Max Price", min(l_extendedprice) AS "Min Price" FROM $GEO GROUP BY 1, 2 HAVING avg(l_discount) IS NOT NULL AND max(l_extendedprice) IS NOT NULL AND min(l_extendedprice) IS NOT NULL ORDER BY 1, 2""",
+    "q22_default_member" ->
+      """SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1 ORDER BY 1""",
+    "q23_exclude_default" ->
+      """SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q24_year_month" ->
+      """SELECT year(l_shipdate) AS "Year", month(l_shipdate) AS "Month", sum(l_quantity) AS "Quantity", count(l_orderkey) AS "Row Count" FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q25_members" ->
+      """SELECT DISTINCT n_nationkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""",
+    "q26_cut_only" ->
+      s"""SELECT sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey = 3""",
+    "q27_degenerate_cut" ->
+      """SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity" FROM lineitem WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1 ORDER BY 1""",
+    "q28_diagnosis" ->
+      """SELECT * FROM (SELECT 'MissingDimensionIDs' AS check_name, 'Customer' AS dimension, (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey = l_orderkey))::BIGINT AS n UNION ALL SELECT 'MissingDimensionIDs', 'Geography', (SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE s_suppkey = l_suppkey))::BIGINT UNION ALL SELECT 'MissingDimensionIDs', 'Part', (SELECT count(DISTINCT l_partkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Customer', (SELECT count(*) FROM (SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 HAVING count(*) > 1))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Geography', (SELECT count(*) FROM (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 HAVING count(*) > 1))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Part', (SELECT count(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1))::BIGINT) ORDER BY 1, 2"""
+  )
 }

@@ -1,0 +1,137 @@
+package graft.plan
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Aggregator → Catalyst expression factories.
+  *
+  * Single-pass (exact) forms are used everywhere except when a
+  * BasicGroupedMedian forces the reference's explicit two-pass scheme
+  * (tesseract-clickhouse/src/sql/aggregator.rs:28-223). Catalyst's
+  * HashAggregate already performs partial/final aggregation physically, so
+  * the reference's pass-1-at-fact-grain exists only as the hidden-drilldown
+  * staging here.
+  */
+object AggExprs {
+
+  /** Guarded expression for the `custom` aggregator template: `{}` is the
+    * measure column. The reference string-splices raw SQL
+    * (aggregator.rs:94-97); we parse with Catalyst after an allow-list check
+    * so no untrusted SQL can smuggle in subqueries or side effects. */
+  def customExpr(template: String, colName: String): Column = {
+    val ok = template.forall(c =>
+      c.isLetterOrDigit || " _{}()*/+-.,".contains(c))
+    require(ok, s"custom aggregator template contains disallowed characters: $template")
+    require(!template.toLowerCase.matches(".*\\b(select|from|join|union)\\b.*"),
+      s"custom aggregator template may not embed SQL clauses: $template")
+    expr(template.replace("{}", s"`$colName`"))
+  }
+
+  private def c(name: String): Column = col(s"`$name`")
+
+  /** Exact single-pass aggregation expression for one measure. */
+  def single(m: Measure): Column = {
+    val v = c(m.column)
+    m.aggregator match {
+      case Aggregator.Sum   => sum(v)
+      case Aggregator.Count => count(v)
+      case Aggregator.Avg   => avg(v)
+      case Aggregator.Max   => max(v)
+      case Aggregator.Min   => min(v)
+      case Aggregator.WeightedSum(w) => sum(v * c(w))
+      case Aggregator.WeightedAvg(w) => sum(v * c(w)) / sum(c(w))
+      case Aggregator.Moe(cv) => lit(cv) * sqrt(sum(pow(v / lit(cv), 2)))
+      case Aggregator.ReplicateWeightMoe(cv, df, secs) =>
+        val terms = secs.map(s => pow(sum(v) - sum(c(s)), 2)).reduce(_ + _)
+        lit(cv) * sqrt(lit(df / secs.length) * terms)
+      case Aggregator.WeightedAverageMoe(cv, df, pw, sws) =>
+        val pAvg  = sum(v * c(pw)) / sum(c(pw))
+        val terms = sws.map(s => pow(pAvg - sum(v * c(s)) / sum(c(s)), 2)).reduce(_ + _)
+        lit(cv) * sqrt(lit(df / sws.length) * terms)
+      case Aggregator.Custom(t) => customExpr(t, m.column)
+      case Aggregator.BasicGroupedMedian(_, _) =>
+        throw new IllegalArgumentException(
+          "BasicGroupedMedian requires the two-pass path (hidden drilldown)")
+    }
+  }
+
+  /** Pass 1 (hidden-drilldown grain): named partial aggregates. */
+  def pass1(m: Measure, i: Int): Seq[(String, Column)] = {
+    val v = c(m.column)
+    m.aggregator match {
+      case Aggregator.Sum   => Seq(s"__m$i" -> sum(v))
+      case Aggregator.Count => Seq(s"__m$i" -> count(v))
+      case Aggregator.Avg   => Seq(s"__m$i" -> avg(v))
+      case Aggregator.Max   => Seq(s"__m$i" -> max(v))
+      case Aggregator.Min   => Seq(s"__m$i" -> min(v))
+      case Aggregator.BasicGroupedMedian(groupAgg, _) =>
+        val e = groupAgg.toLowerCase match {
+          case "sum" => sum(v);   case "count" => count(v)
+          case "avg" => avg(v);   case "max"   => max(v)
+          case "min" => min(v)
+          case other => throw new IllegalArgumentException(s"unsupported group_aggregator '$other'")
+        }
+        Seq(s"__m$i" -> e)
+      case Aggregator.WeightedSum(w) => Seq(s"__m$i" -> sum(v * c(w)))
+      case Aggregator.WeightedAvg(w) =>
+        Seq(s"__m${i}_num" -> sum(v * c(w)), s"__m${i}_den" -> sum(c(w)))
+      case Aggregator.Moe(cv) => Seq(s"__m$i" -> sum(pow(v / lit(cv), 2)))
+      case Aggregator.ReplicateWeightMoe(_, _, secs) =>
+        (s"__m${i}_p" -> sum(v)) +:
+          secs.zipWithIndex.map { case (s, n) => s"__m${i}_s$n" -> sum(c(s)) }
+      case Aggregator.WeightedAverageMoe(_, _, pw, sws) =>
+        Seq(s"__m${i}_pnum" -> sum(v * c(pw)), s"__m${i}_pden" -> sum(c(pw))) ++
+          sws.zipWithIndex.flatMap { case (s, n) =>
+            Seq(s"__m${i}_snum$n" -> sum(v * c(s)), s"__m${i}_sden$n" -> sum(c(s)))
+          }
+      case Aggregator.Custom(t) => Seq(s"__m$i" -> customExpr(t, m.column))
+    }
+  }
+
+  /** Pass 2 (final grain): combine the pass-1 partials
+    * (aggregator.rs:157-223 semantics; count re-aggregates as sum). */
+  def pass2(m: Measure, i: Int): Column = m.aggregator match {
+    case Aggregator.Sum   => sum(c(s"__m$i"))
+    case Aggregator.Count => sum(c(s"__m$i"))
+    case Aggregator.Avg   => avg(c(s"__m$i"))
+    case Aggregator.Max   => max(c(s"__m$i"))
+    case Aggregator.Min   => min(c(s"__m$i"))
+    case Aggregator.BasicGroupedMedian(_, _) => expr(s"median(`__m$i`)")
+    case Aggregator.WeightedSum(_) => sum(c(s"__m$i"))
+    case Aggregator.WeightedAvg(_) => sum(c(s"__m${i}_num")) / sum(c(s"__m${i}_den"))
+    case Aggregator.Moe(cv) => lit(cv) * sqrt(sum(c(s"__m$i")))
+    case Aggregator.ReplicateWeightMoe(cv, df, secs) =>
+      val terms = secs.indices
+        .map(n => pow(sum(c(s"__m${i}_p")) - sum(c(s"__m${i}_s$n")), 2))
+        .reduce(_ + _)
+      lit(cv) * sqrt(lit(df / secs.length) * terms)
+    case Aggregator.WeightedAverageMoe(cv, df, _, sws) =>
+      val pAvg = sum(c(s"__m${i}_pnum")) / sum(c(s"__m${i}_pden"))
+      val terms = sws.indices
+        .map(n => pow(pAvg - sum(c(s"__m${i}_snum$n")) / sum(c(s"__m${i}_sden$n")), 2))
+        .reduce(_ + _)
+      lit(cv) * sqrt(lit(df / sws.length) * terms)
+    case Aggregator.Custom(t) => customExpr(t, s"__m$i")
+  }
+
+  /** Columns of the source relation an aggregator reads. */
+  def inputColumns(m: Measure): Seq[String] = m.aggregator match {
+    case Aggregator.WeightedSum(w)                      => Seq(m.column, w)
+    case Aggregator.WeightedAvg(w)                      => Seq(m.column, w)
+    case Aggregator.ReplicateWeightMoe(_, _, secs)      => m.column +: secs
+    case Aggregator.WeightedAverageMoe(_, _, pw, sws)   => (m.column +: pw +: sws)
+    case Aggregator.Custom(t)                           =>
+      // a template may reference further source columns by name
+      m.column +: "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(t).toSeq
+        .filterNot(AggFunctionNames.contains)
+    case _                                              => Seq(m.column)
+  }
+
+  private val AggFunctionNames: Set[String] = Set(
+    "sum", "count", "avg", "min", "max", "abs", "sqrt", "pow", "power",
+    "exp", "ln", "log", "log10", "round", "floor", "ceil", "median",
+    "stddev", "variance", "coalesce", "case", "when", "then", "else",
+    "end", "cast", "as", "double", "bigint", "int", "float", "and",
+    "or", "not", "if", "nullif", "greatest", "least")
+}

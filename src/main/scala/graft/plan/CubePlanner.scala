@@ -1,0 +1,635 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** Resolves a schema table to a DataFrame (parquet path, registered view,
+  * or anything else the engine knows how to read). */
+trait TableResolver {
+  def resolve(spark: SparkSession, table: TableDef): DataFrame
+}
+
+final case class PlanError(message: String) extends RuntimeException(message)
+
+/** Compiles a resolved [[CubeQuery]] into one declarative DataFrame plan.
+  *
+  * Replaces the reference's SQL-string generator stack
+  * (tesseract-clickhouse/src/sql/) with a Catalyst logical plan:
+  * cuts become dim-side filters (pushed to the parquet scans), dim joins are
+  * plain equi-joins Catalyst can broadcast, the two-pass aggregation
+  * collapses into one `groupBy` (partial/final aggregation is physical), and
+  * growth/RCA/top-k become window functions.
+  *
+  * Scale notes (designed for a multi-executor cluster, tested on local[N]):
+  *   - every filter/projection is declarative, so predicate pushdown, column
+  *     pruning, partition pruning, and runtime (DPP/bloom) filters all apply;
+  *   - dim tables join via equi-join on the fk — small dims broadcast
+  *     automatically (AQE), large dims shuffle on the join key only;
+  *   - cut-only dims join `left_semi`, which never widens rows;
+  *   - aggregation shuffles once, on the drilldown grain.
+  */
+final class CubePlanner(val cube: Cube, resolver: TableResolver) {
+  import CubePlanner._
+
+  // ---------------------------------------------------------------- public
+
+  def plan(spark: SparkSession, q: CubeQuery): DataFrame = {
+    validate(q)
+    if (q.rca.isDefined) planRca(spark, q)
+    else if (q.rate.isDefined) planRate(spark, q)
+    else planStandard(spark, q)
+  }
+
+  /** Distinct members of one level (reference lib.rs:211-322). */
+  def members(spark: SparkSession, ln: LevelName, locale: Option[String] = None): DataFrame = {
+    val (dim, hier, idx) = resolveLevel(ln)
+    val level = hier.levels(idx)
+    val src = dimSource(spark, dim, hier)
+    val nameCol = captionColumn(level, locale).orElse(level.nameColumn)
+    val cols = (Seq(level.keyColumn) ++ nameCol).distinct.map(cq)
+    src.select(cols: _*).distinct().orderBy(cq(level.keyColumn).asc)
+  }
+
+  // ------------------------------------------------------------ validation
+
+  private def validate(q: CubeQuery): Unit = {
+    if (q.measures.isEmpty) fail("must have at least one measure")
+    if (q.drilldowns.isEmpty && q.cuts.isEmpty && q.rca.isEmpty && q.rate.isEmpty)
+      fail("must have at least one drilldown or cut")
+    q.measures.foreach(m => cube.measure(m.name).getOrElse(fail(s"measure '${m.name}' not found")))
+    (q.drilldowns.map(_.levelName) ++ q.cuts.map(_.levelName)).foreach(resolveLevel)
+    q.properties.foreach { p =>
+      val (_, hier, idx) = resolveLevel(p.levelName)
+      val lvl = hier.levels(idx)
+      if (!lvl.properties.exists(_.name == p.property))
+        fail(s"property '${p.property}' not found on level '${p.levelName}'")
+      if (!q.drilldowns.exists(_.levelName == p.levelName))
+        fail(s"property '${p}' must match a drilldown in the query")
+    }
+    q.growth.foreach { g =>
+      if (!q.drilldowns.contains(g.timeDrill)) fail("growth time drilldown must be in drilldowns")
+      if (!q.measures.exists(_.name == g.mea.name)) fail("growth measure must be in measures")
+    }
+    q.rca.foreach { r =>
+      val d2dim = r.drill2.levelName.dimension
+      if (q.cuts.exists(_.levelName.dimension == d2dim))
+        fail("cuts on the second RCA drilldown's dimension are not allowed")
+    }
+    q.rate.foreach { _ =>
+      if (q.measures.length != 1) fail("rate requires exactly one measure")
+      val agg = cube.measure(q.measures.head.name).get.aggregator
+      if (agg != Aggregator.Sum && agg != Aggregator.Count)
+        fail("rate requires a sum or count measure")
+    }
+  }
+
+  // -------------------------------------------------------------- standard
+
+  private def planStandard(spark: SparkSession, q: CubeQuery): DataFrame = {
+    val outs    = outLevels(q.drilldowns, q.parents, q.properties, q.captions)
+    val headers = drillHeaders(outs)
+    val meas    = q.measures.map(m => cube.measure(m.name).get -> m.name)
+
+    val src = buildSource(spark, outs, q.cuts, q, hiddenFor(meas.map(_._1)))
+    var df  = aggregate(src, groupHeaders(outs), meas, hiddenFor(meas.map(_._1)).map(_.keyHeader))
+
+    val meaNames = meas.map(_._2)
+    q.growth match {
+      case Some(g) =>
+        val (gdf, order) = applyGrowth(df, q, g, outs, meaNames)
+        df = applyOptions(gdf, q, order._1, order._2, calcCols(q))
+        df.select(order._3.map(cq): _*)
+      case None =>
+        df = applyOptions(df, q, headers, meaNames, calcCols(q))
+        df.select((headers ++ meaNames).map(cq): _*)
+    }
+  }
+
+  // ---------------------------------------------------------------- growth
+
+  /** Period-over-period growth via `lag` over a window partitioned by the
+    * non-time drills (replaces the reference's groupArray/arrayMap/ARRAY JOIN
+    * pivot — tesseract-clickhouse/src/sql/growth.rs:14-157).
+    * growth = m_diff / (m - m_diff) with NULL for the first period; the
+    * reference emits `m_diff/0` when the previous value is <= 0, which maps
+    * to NULL under Spark's non-ANSI division. */
+  private def applyGrowth(
+      df: DataFrame, q: CubeQuery, g: GrowthQuery,
+      outs: Seq[OutLevel], meaNames: Seq[String])
+    : (DataFrame, (Seq[String], Seq[String], Seq[String])) = {
+
+    val (tDim, tHier, tIdx) = resolveLevel(g.timeDrill.levelName)
+    val timeOuts  = outs.filter(o => o.dim.name == tDim.name && o.hier.name == tHier.name)
+    val otherOuts = outs.filterNot(o => o.dim.name == tDim.name && o.hier.name == tHier.name)
+    val timeKeyCols  = timeOuts.map(_.keyHeader)
+    val timeHeaders  = drillHeaders(timeOuts)
+    val otherHeaders = drillHeaders(otherOuts)
+
+    val w = Window
+      .partitionBy(otherOuts.map(o => cq(o.keyHeader)): _*)
+      .orderBy(timeKeyCols.map(c => cq(c).asc): _*)
+
+    val m     = cq(g.mea.name)
+    val prev  = lag(m, 1).over(w)
+    val mDiff = m - prev
+    val growthCol = when(prev > lit(0), mDiff / prev).otherwise(mDiff / lit(0.0))
+
+    val gdf = df
+      .withColumn(s"${g.mea.name} Growth", growthCol)
+      .withColumn(s"${g.mea.name} Growth Value", mDiff)
+
+    // header reordering (lib.rs:731-766): time drills move to the back;
+    // growth measure moves to the back of the measures, then Growth cols.
+    val otherMeas = meaNames.filterNot(_ == g.mea.name)
+    val finalCols = otherHeaders ++ timeHeaders ++ otherMeas ++
+      Seq(g.mea.name, s"${g.mea.name} Growth", s"${g.mea.name} Growth Value")
+    (gdf, (otherHeaders ++ timeHeaders, otherMeas :+ g.mea.name, finalCols))
+  }
+
+  // ------------------------------------------------------------------- rca
+
+  /** RCA = (a/b)/(c/d) over one aggregated frame + three window sums
+    * (replaces tesseract-clickhouse/src/sql/rca.rs:50-283's groupArray
+    * pivot). Cuts on drill_1's dimension apply only to a and c, so b and d
+    * keep the full denominators (rca.rs:100-127); external cuts apply
+    * everywhere (pushed to the fact scan). */
+  private def planRca(spark: SparkSession, q: CubeQuery): DataFrame = {
+    val r = q.rca.get
+    val extOuts = outLevels(q.drilldowns, q.parents, q.properties, q.captions)
+    val d1Outs  = outLevels(Seq(r.drill1), q.parents, Nil, q.captions)
+    val d2Outs  = outLevels(Seq(r.drill2), q.parents, Nil, q.captions)
+    val allOuts = extOuts ++ d1Outs ++ d2Outs
+
+    val d1dim = r.drill1.levelName.dimension
+    val (internalCuts, externalCuts) = q.cuts.partition(_.levelName.dimension == d1dim)
+
+    val rcaMea  = cube.measure(r.mea.name).getOrElse(fail(s"rca measure '${r.mea.name}' not found"))
+    val meas    = (rcaMea -> RcaA) +: q.measures.map(m => cube.measure(m.name).get -> m.name)
+
+    val src  = buildSource(spark, allOuts, externalCuts, q, Nil)
+    val base = aggregate(src, groupHeaders(allOuts), meas, Nil)
+
+    val extKeys = extOuts.map(o => cq(o.keyHeader))
+    val wExtD2  = Window.partitionBy(extKeys ++ d2Outs.map(o => cq(o.keyHeader)): _*)
+    val wExt    = Window.partitionBy(extKeys: _*)
+
+    // b and d are computed before internal cuts filter the frame
+    var df = base
+      .withColumn(RcaB, sum(cq(RcaA)).over(wExtD2))
+      .withColumn(RcaD, sum(cq(RcaA)).over(wExt))
+
+    internalCuts.foreach { cut =>
+      val (_, hier, idx) = resolveLevel(cut.levelName)
+      val lvl = hier.levels(idx)
+      val header = allOuts.find(o => o.level.name == lvl.name && o.dim.name == cut.levelName.dimension)
+        .map(_.keyHeader)
+        .getOrElse(fail(s"internal RCA cut level '${cut.levelName}' must be drill_1"))
+      df = df.where(cutPredicate(df, header, cut))
+    }
+
+    val wExtD1 = Window.partitionBy(extKeys ++ d1Outs.map(o => cq(o.keyHeader)): _*)
+    df = df.withColumn(RcaC, sum(cq(RcaA)).over(wExtD1))
+
+    val rcaName = s"${r.mea.name} RCA"
+    df = df.withColumn(rcaName, (cq(RcaA) / cq(RcaB)) / (cq(RcaC) / cq(RcaD)))
+
+    val drillHeads = drillHeaders(extOuts) ++ drillHeaders(d1Outs) ++ drillHeaders(d2Outs)
+    val debugCols  = if (q.debug) Seq(RcaA, RcaB, RcaC, RcaD) else Nil
+    val meaNames   = rcaName +: q.measures.map(_.name)
+
+    df = applyOptions(df, q, drillHeads, meaNames, Map("rca" -> rcaName))
+    df.select((drillHeads ++ debugCols ++ meaNames).map(cq): _*)
+  }
+
+  // ------------------------------------------------------------------ rate
+
+  /** Rate = share of the measure attributable to the listed members of one
+    * level: aggregate once at (drills + rate level), then a second group-by
+    * computes member-sum / total (replaces rate.rs:16-94's groupArray pivot).
+    * Groups with no member rows drop out, as in the reference. */
+  private def planRate(spark: SparkSession, q: CubeQuery): DataFrame = {
+    val r = q.rate.get
+    val baseDrills = q.drilldowns.filterNot(_.levelName == r.levelName) :+ Drilldown(r.levelName)
+    val outsAll  = outLevels(baseDrills, q.parents, q.properties, q.captions)
+    val outsOrig = outLevels(q.drilldowns.filterNot(_.levelName == r.levelName), q.parents, q.properties, q.captions)
+    val rateOut  = outsAll.last
+
+    val mea     = cube.measure(q.measures.head.name).get
+    val meaName = q.measures.head.name
+
+    val src  = buildSource(spark, outsAll, q.cuts, q, Nil)
+    val base = aggregate(src, groupHeaders(outsAll), Seq(mea -> "__m"), Nil)
+
+    val rateKey   = cq(rateOut.keyHeader)
+    val keyDt     = base.schema(rateOut.keyHeader).dataType
+    val memberLits = r.values.map(v => lit(typedMember(keyDt, v)))
+    val isMember  = rateKey.isin(memberLits: _*)
+
+    val headers = drillHeaders(outsOrig)
+    var df = base
+      .groupBy(groupHeaders(outsOrig).map(cq): _*)
+      .agg(
+        sum(cq("__m")).as(meaName),
+        sum(when(isMember, cq("__m"))).as("__part"))
+      .where(cq("__part").isNotNull)
+      .withColumn("Rate", cq("__part") / cq(meaName))
+
+    df = applyOptions(df, q, headers, Seq(meaName, "Rate"), calcCols(q))
+    df.select((headers ++ Seq(meaName, "Rate")).map(cq): _*)
+  }
+
+  // ---------------------------------------------------------- output model
+
+  /** One level to project: its dim/hier, the output header names for the key
+    * and (optional) name columns, and property (header, source column). */
+  private case class OutLevel(
+      dim: Dimension, hier: Hierarchy, level: Level,
+      keyHeader: String, nameHeader: Option[String],
+      nameSourceColumn: Option[String],
+      props: Seq[(String, String)]) // header -> source column
+
+  private def resolveLevel(ln: LevelName): (Dimension, Hierarchy, Int) =
+    cube.findLevel(ln).getOrElse(fail(s"level '$ln' not found in cube '${cube.name}'"))
+
+  private def captionColumn(level: Level, locale: Option[String]): Option[String] =
+    locale.flatMap(loc => level.properties.find(_.captionSet.contains(loc)).map(_.column))
+
+  /** Header naming rules (reference lib.rs:1046-1184): a level with a name
+    * column emits "{Level} ID" (key) + "{Level}" (name); otherwise just
+    * "{Level}". parents=true expands all ancestor levels. Duplicate headers
+    * are disambiguated with the dimension name. */
+  private def outLevels(
+      drills: Seq[Drilldown], parents: Boolean,
+      props: Seq[PropertyName], captions: Seq[PropertyName]): Seq[OutLevel] = {
+
+    val raw: Seq[OutLevel] = drills.flatMap { d =>
+      val (dim, hier, idx) = resolveLevel(d.levelName)
+      val levelIdxs = if (parents) 0 to idx else Seq(idx)
+      levelIdxs.map { i =>
+        val lvl = hier.levels(i)
+        val myProps = props.filter(p => p.levelName == d.levelName && hier.levels(idx).name == lvl.name)
+          .map { p =>
+            val pd = lvl.properties.find(_.name == p.property)
+              .getOrElse(fail(s"property '${p.property}' not on level '${lvl.name}'"))
+            pd.name -> pd.column
+          }
+        val capCol = captions.find(c => c.levelName == d.levelName && hier.levels(idx).name == lvl.name)
+          .flatMap(c => lvl.properties.find(_.name == c.property).map(_.column))
+        val nameSource = capCol.orElse(lvl.nameColumn)
+        OutLevel(dim, hier, lvl,
+          keyHeader  = if (nameSource.isDefined) s"${lvl.name} ID" else lvl.name,
+          nameHeader = nameSource.map(_ => lvl.name),
+          nameSourceColumn = nameSource,
+          props = myProps)
+      }
+    }.distinct
+
+    // disambiguate duplicate headers with the dimension name
+    val all = raw.flatMap(o => o.keyHeader +: o.nameHeader.toSeq)
+    val dupes = all.groupBy(identity).collect { case (h, hs) if hs.size > 1 => h }.toSet
+    if (dupes.isEmpty) raw
+    else raw.map { o =>
+      val k = if (dupes.contains(o.keyHeader)) s"${o.dim.name} ${o.keyHeader}" else o.keyHeader
+      val n = o.nameHeader.map(n => if (dupes.contains(n)) s"${o.dim.name} $n" else n)
+      o.copy(keyHeader = k, nameHeader = n)
+    }
+  }
+
+  /** Output column order: per level, key header then name header then props. */
+  private def drillHeaders(outs: Seq[OutLevel]): Seq[String] =
+    outs.flatMap(o => (o.keyHeader +: o.nameHeader.toSeq) ++ o.props.map(_._1))
+
+  /** Grouping columns = all projected drill columns. */
+  private def groupHeaders(outs: Seq[OutLevel]): Seq[String] = drillHeaders(outs)
+
+  /** Hidden drilldowns for BasicGroupedMedian measures
+    * (reference lib.rs:533-554). */
+  private def hiddenFor(meas: Seq[Measure]): Seq[OutLevel] =
+    meas.collect { case Measure(_, _, Aggregator.BasicGroupedMedian(_, groupDim), _, _) =>
+      val ln = LevelName.parse(groupDim).fold(m => fail(m), identity)
+      outLevels(Seq(Drilldown(ln)), parents = false, Nil, Nil)
+    }.flatten.distinct
+
+  // ---------------------------------------------------------------- source
+
+  private def dimSource(spark: SparkSession, dim: Dimension, hier: Hierarchy): DataFrame =
+    hier.inlineTable match {
+      case Some(it) => inlineTableDF(spark, it)
+      case None =>
+        hier.table match {
+          case Some(t) => resolver.resolve(spark, t)
+          case None    => resolver.resolve(spark, cube.table) // degenerate: level cols on fact
+        }
+    }
+
+  private def isDegenerate(hier: Hierarchy): Boolean =
+    hier.table.isEmpty && hier.inlineTable.isEmpty
+
+  /** Builds the joined+filtered pre-aggregation frame with all drill columns
+    * aliased to their final header names plus the raw measure input columns.
+    *
+    * Join strategy: dims contributing output columns are inner-joined on
+    * fk == pk (Catalyst broadcasts small sides; at scale this also enables
+    * DPP/bloom runtime filters on the fact scan). Cut-only dims join
+    * left_semi, which neither widens rows nor adds columns. */
+  private def buildSource(
+      spark: SparkSession,
+      outs: Seq[OutLevel],
+      cuts: Seq[CutSpec],
+      q: CubeQuery,
+      hidden: Seq[OutLevel]): DataFrame = {
+
+    var fact = resolver.resolve(spark, cube.table)
+    val allOuts = outs ++ hidden
+
+    // effective cuts: query cuts + default-member cuts of unmentioned dims
+    val mentioned: Set[String] =
+      (allOuts.map(_.dim.name) ++ cuts.map(_.levelName.dimension) ++
+        q.rca.toSeq.flatMap(r => Seq(r.drill1, r.drill2).map(_.levelName.dimension)) ++
+        q.rate.map(_.levelName.dimension).toSeq).toSet
+
+    val defaultCuts: Seq[CutSpec] =
+      if (q.excludeDefaultMembers) Nil
+      else cube.dimensions.filterNot(d => mentioned.contains(d.name)).flatMap { dim =>
+        val hier = dim.hierarchies.find(h => dim.defaultHierarchy.forall(_ == h.name))
+          .getOrElse(dim.hierarchies.head)
+        hier.defaultMember.flatMap { dm =>
+          CutSpec.parse(dm).toOption.orElse {
+            // "Level.member" shorthand relative to this dim/hier
+            val i = dm.lastIndexOf('.')
+            if (i < 0) None
+            else Some(CutSpec(LevelName(dim.name, hier.name, dm.take(i)), Seq(dm.drop(i + 1))))
+          }
+        }
+      }
+
+    val allCuts = cuts ++ defaultCuts
+    val byDim: Map[(String, String), Seq[CutSpec]] =
+      allCuts.groupBy { c => val (d, h, _) = resolveLevel(c.levelName); (d.name, h.name) }
+
+    val outByDim: Map[(String, String), Seq[OutLevel]] =
+      allOuts.groupBy(o => (o.dim.name, o.hier.name))
+
+    val touched = (byDim.keySet ++ outByDim.keySet).toSeq.sortBy(_.toString)
+
+    var pkIdx = 0
+    touched.foreach { case key @ (dimName, hierName) =>
+      val dim  = cube.dimension(dimName).get
+      val hier = dim.hierarchies.find(_.name == hierName).get
+      val dimOuts = outByDim.getOrElse(key, Nil)
+      val dimCuts = byDim.getOrElse(key, Nil)
+
+      if (isDegenerate(hier)) {
+        // level columns live on the fact table: filter + alias in place
+        dimCuts.foreach { cut =>
+          val lvl = hier.levels((resolveLevel(cut.levelName)._3))
+          fact = fact.where(cutPredicate(fact, lvl.keyColumn, cut))
+        }
+        dimOuts.foreach { o =>
+          fact = fact.withColumn(o.keyHeader, cq(o.level.keyColumn))
+          o.nameSourceColumn.foreach(nc => fact = fact.withColumn(o.nameHeader.get, cq(nc)))
+          o.props.foreach { case (h, src) => fact = fact.withColumn(h, cq(src)) }
+        }
+      } else {
+        var dimDF = dimSource(spark, dim, hier)
+        dimCuts.foreach { cut =>
+          val lvl = hier.levels(resolveLevel(cut.levelName)._3)
+          dimDF = dimDF.where(cutPredicate(dimDF, lvl.keyColumn, cut))
+        }
+        val fk = dim.foreignKey.getOrElse(fail(s"dimension '${dim.name}' has no foreign key"))
+        val pkAlias = s"__pk_$pkIdx"; pkIdx += 1
+        if (dimOuts.isEmpty) {
+          val sel = dimDF.select(cq(hier.primaryKey).as(pkAlias))
+          fact = fact.join(sel, fact(fk) === sel(pkAlias), "left_semi")
+        } else {
+          val aliases =
+            cq(hier.primaryKey).as(pkAlias) +:
+              dimOuts.flatMap { o =>
+                Seq(cq(o.level.keyColumn).as(o.keyHeader)) ++
+                  o.nameSourceColumn.map(nc => cq(nc).as(o.nameHeader.get)) ++
+                  o.props.map { case (h, src) => cq(src).as(h) }
+              }
+          val sel = dimDF.select(aliases: _*)
+          fact = fact.join(sel, fact(fk) === sel(pkAlias), "inner").drop(pkAlias)
+        }
+      }
+    }
+
+    // multi-hierarchy dims absent from the query: semijoin on the default
+    // hierarchy's pk keeps the fact grain consistent with the reference's
+    // empty-member cut (primary_agg.rs:139-146)
+    cube.dimensions
+      .filterNot(d => mentioned.contains(d.name))
+      .filter(_.hierarchies.length > 1)
+      .foreach { dim =>
+        val hier = dim.hierarchies.find(h => dim.defaultHierarchy.contains(h.name))
+          .getOrElse(dim.hierarchies.head)
+        if (!isDegenerate(hier)) {
+          val fk = dim.foreignKey.getOrElse(fail(s"dimension '${dim.name}' has no foreign key"))
+          val sel = dimSource(spark, dim, hier).select(cq(hier.primaryKey).as("__dh_pk"))
+          fact = fact.join(sel, fact(fk) === sel("__dh_pk"), "left_semi")
+        }
+      }
+
+    // project only what aggregation needs: drill headers + measure inputs
+    val measureCols: Seq[String] = {
+      val qMeas = q.measures.map(m => cube.measure(m.name).get) ++
+        q.rca.map(r => cube.measure(r.mea.name).get).toSeq
+      qMeas.flatMap(AggExprs.inputColumns).distinct
+    }
+    val headerCols = drillHeaders(allOuts)
+    fact.select((headerCols ++ measureCols.filterNot(headerCols.contains)).map(cq): _*)
+  }
+
+  // ------------------------------------------------------------- aggregate
+
+  private def aggregate(
+      src: DataFrame,
+      groupCols: Seq[String],
+      meas: Seq[(Measure, String)],
+      hiddenCols: Seq[String]): DataFrame = {
+
+    val needsTwoPass = meas.exists(_._1.aggregator.isInstanceOf[Aggregator.BasicGroupedMedian])
+    if (!needsTwoPass) {
+      val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) }
+      src.groupBy(groupCols.map(cq): _*).agg(aggs.head, aggs.tail: _*)
+    } else {
+      // reference two-pass: pass 1 at (drills + hidden group_dimension)
+      // grain, pass 2 re-aggregates at drill grain (aggregator.rs:28-223)
+      val p1 = meas.zipWithIndex.flatMap { case ((m, _), i) =>
+        AggExprs.pass1(m, i).map { case (n, e) => e.as(n) }
+      }
+      val s1 = src.groupBy((groupCols ++ hiddenCols).distinct.map(cq): _*).agg(p1.head, p1.tail: _*)
+      val p2 = meas.zipWithIndex.map { case ((m, out), i) => AggExprs.pass2(m, i).as(out) }
+      s1.groupBy(groupCols.map(cq): _*).agg(p2.head, p2.tail: _*)
+    }
+  }
+
+  // --------------------------------------------------------------- options
+
+  private def calcCols(q: CubeQuery): Map[String, String] =
+    q.growth.map(g => "growth" -> s"${g.mea.name} Growth").toMap ++
+      q.rca.map(r => "rca" -> s"${r.mea.name} RCA").toMap
+
+  private def meaOrCalcCol(mc: MeaOrCalc, calcs: Map[String, String]): Column = mc match {
+    case MeaOrCalc.Mea(m)     => cq(m.name)
+    case MeaOrCalc.RcaCalc    => cq(calcs.getOrElse("rca", fail("no rca calculation in query")))
+    case MeaOrCalc.GrowthCalc => cq(calcs.getOrElse("growth", fail("no growth calculation in query")))
+  }
+
+  private def constraintPred(c: Column, k: Constraint): Column = k.comparison match {
+    case Comparison.Eq  => c === lit(k.n)
+    case Comparison.Neq => c =!= lit(k.n)
+    case Comparison.Lt  => c < lit(k.n)
+    case Comparison.Lte => c <= lit(k.n)
+    case Comparison.Gt  => c > lit(k.n)
+    case Comparison.Gte => c >= lit(k.n)
+  }
+
+  /** Wrapping options applied after aggregation/calculation, in the
+    * reference's order (options.rs): top_where → top (windowed row_number
+    * replaces ClickHouse `LIMIT n BY`) → HAVING filters + sparse → sort →
+    * limit/offset. */
+  private def applyOptions(
+      df0: DataFrame, q: CubeQuery,
+      drillHeaderCols: Seq[String], meaNames: Seq[String],
+      calcs: Map[String, String]): DataFrame = {
+
+    var df = df0
+
+    q.top.foreach { top =>
+      q.topWhere.foreach { tw =>
+        df = df.where(constraintPred(meaOrCalcCol(tw.byMeaOrCalc, calcs), tw.constraint))
+      }
+      val (_, hier, idx) = resolveLevel(top.byDimension)
+      val lvl = hier.levels(idx)
+      val byHeader = drillHeaderCols
+        .find(h => h == s"${lvl.name} ID" || h == lvl.name)
+        .getOrElse(fail(s"top by-level '${top.byDimension}' must be a drilldown"))
+      val sortCols = top.sortMeaOrCalc.map(meaOrCalcCol(_, calcs))
+      val ordered = top.sortDirection match {
+        case SortDirection.Asc  => sortCols.map(_.asc)
+        case SortDirection.Desc => sortCols.map(_.desc)
+      }
+      // extra drill-col tiebreakers make top-k deterministic (the reference
+      // inherits ClickHouse's arbitrary tie order)
+      val tiebreak = drillHeaderCols.filterNot(_ == byHeader).map(cq(_).asc)
+      val w = Window.partitionBy(cq(byHeader)).orderBy(ordered ++ tiebreak: _*)
+      df = df.withColumn("__rn", row_number().over(w)).where(cq("__rn") <= top.n).drop("__rn")
+    }
+
+    // HAVING-style measure filters + sparse, in the final wrapper
+    val filterPreds = q.filters.map { f =>
+      val c  = meaOrCalcCol(f.byMeaOrCalc, calcs)
+      val p1 = constraintPred(c, f.constraint)
+      (f.operator, f.constraint2) match {
+        case (Some(FilterOp.And), Some(c2)) => p1 && constraintPred(c, c2)
+        case (Some(FilterOp.Or), Some(c2))  => p1 || constraintPred(c, c2)
+        case _                              => p1
+      }
+    }
+    val sparsePreds = if (q.sparse) meaNames.map(cq(_).isNotNull) else Nil
+    (filterPreds ++ sparsePreds).reduceOption(_ && _).foreach(p => df = df.where(p))
+
+    // final ordering: explicit sort > top's by-col > drill columns asc
+    val sortCols: Seq[Column] = q.sort match {
+      case Some(s) =>
+        val c = meaOrCalcCol(s.measure, calcs)
+        val head = s.direction match {
+          case SortDirection.Asc => c.asc; case SortDirection.Desc => c.desc
+        }
+        head +: drillHeaderCols.map(cq(_).asc)
+      case None =>
+        q.top match {
+          case Some(top) =>
+            val (_, hier, idx) = resolveLevel(top.byDimension)
+            val lvl = hier.levels(idx)
+            val byHeader = drillHeaderCols.find(h => h == s"${lvl.name} ID" || h == lvl.name).get
+            cq(byHeader).asc +: top.sortMeaOrCalc.map(meaOrCalcCol(_, calcs).desc)
+          case None => drillHeaderCols.map(cq(_).asc)
+        }
+    }
+    if (sortCols.nonEmpty) df = df.orderBy(sortCols: _*)
+
+    q.limit.foreach { l =>
+      l.offset.foreach(o => df = df.offset(o.toInt))
+      df = df.limit(l.n.toInt)
+    }
+    df
+  }
+
+  // ------------------------------------------------------------------ cuts
+
+  private def cutPredicate(df: DataFrame, colName: String, cut: CutSpec): Column = {
+    val kc = cq(colName)
+    if (cut.forMatch) {
+      // LIKE-mode cuts (query_ir.rs:193-216): include ORs `like %m%`,
+      // exclude ANDs `not like %m%`
+      val likes = cut.members.map(m => kc.cast(StringType).contains(m))
+      cut.mask match {
+        case Mask.Include => likes.reduce(_ || _)
+        case Mask.Exclude => likes.map(!_).reduce(_ && _)
+      }
+    } else {
+      val dt = df.schema.find(_.name == colName)
+        .getOrElse(fail(s"cut column '$colName' not found")).dataType
+      val vals = cut.members.map(m => lit(typedMember(dt, m)))
+      cut.mask match {
+        case Mask.Include => kc.isin(vals: _*)
+        case Mask.Exclude => !kc.isin(vals: _*)
+      }
+    }
+  }
+}
+
+object CubePlanner {
+  private val RcaA = "__rca_a"
+  private val RcaB = "__rca_b"
+  private val RcaC = "__rca_c"
+  private val RcaD = "__rca_d"
+
+  private[plan] def fail(msg: String): Nothing = throw PlanError(msg)
+
+  /** Backtick-quoted column ref — headers contain spaces ("Year ID"). */
+  private[plan] def cq(name: String): Column = col(s"`$name`")
+
+  /** Cut members become typed literals matching the key column's type —
+    * no string splicing, so the reference's member-cache injection defense
+    * (handlers/util.rs:133-146) is unnecessary. */
+  private[plan] def typedMember(dt: DataType, s: String): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType => s.trim.toLong
+    case FloatType | DoubleType                        => s.trim.toDouble
+    case _: DecimalType                                => BigDecimal(s.trim)
+    case BooleanType                                   => s.trim.toBoolean
+    case DateType                                      => java.sql.Date.valueOf(s.trim)
+    case _                                             => s
+  }
+
+  /** Inline schema tables become LocalRelations
+    * (reference compiles them to `select … union all …`, schema.rs:448-486). */
+  def inlineTableDF(spark: SparkSession, it: InlineTable): DataFrame = {
+    val stringSchema = StructType(it.columns.map(c => StructField(c.name, StringType)))
+    val rows = it.rows.map(r => Row.fromSeq(r))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), stringSchema)
+    val casted = it.columns.map { c =>
+      val target: Option[DataType] = c.castType.map {
+        case "Int8" | "Int16" | "Int32"            => IntegerType
+        case "Int64" | "UInt64"                    => LongType
+        case "UInt8" | "UInt16" | "UInt32"         => LongType
+        case "Float32"                             => FloatType
+        case "Float64"                             => DoubleType
+        case other                                 => fail(s"unsupported inline cast type '$other'")
+      }
+      target match {
+        case Some(t) => col(c.name).cast(t).as(c.name)
+        case None if c.columnType == MemberType.NonText => col(c.name).cast(LongType).as(c.name)
+        case None => col(c.name)
+      }
+    }
+    raw.select(casted: _*)
+  }
+}
