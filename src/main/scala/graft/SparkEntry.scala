@@ -177,9 +177,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
-      """SELECT l_returnflag AS "Return Flag", l_linestatus AS "Line Status", sum(l_quantity) AS "Quantity", sum(l_extendedprice) AS "Extended Price", sum(l_extendedprice * (1 - l_discount)) AS "Revenue", count(l_orderkey) AS "Row Count" FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+      """SELECT l_returnflag AS "Return Flag", l_linestatus AS "Line Status", sum(l_quantity) AS "Quantity", sum(l_extendedprice) AS "Extended Price", CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS VARCHAR) AS DOUBLE) AS "Revenue", count(l_orderkey) AS "Row Count" FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_dim_join" ->
-      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity", sum(l_extendedprice * (1 - l_discount)) AS "Revenue" FROM $GEO GROUP BY 1, 2 ORDER BY 1, 2""",
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity", CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS VARCHAR) AS DOUBLE) AS "Revenue" FROM $GEO GROUP BY 1, 2 ORDER BY 1, 2""",
     "q03_multi_dim" ->
       s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity", count(l_orderkey) AS "Row Count" FROM $GEO GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q04_cut_in" ->
@@ -203,7 +203,7 @@ object SparkEntry {
     "q13_props" ->
       """SELECT p_partkey AS "Part ID", p_name AS "Part", p_type AS "Part Type", p_size AS "Part Size", sum(l_quantity) AS "Quantity" FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
     "q14_inline" ->
-      """SELECT class_idx AS "Return Class ID", class_name AS "Return Class", sum(l_quantity) AS "Quantity", sum(l_extendedprice * (1 - l_discount)) AS "Revenue" FROM lineitem JOIN (VALUES ('A', 'Returned', 1), ('N', 'Kept', 2), ('R', 'Refused', 3)) AS rc(flag, class_name, class_idx) ON l_returnflag = rc.flag GROUP BY 1, 2 ORDER BY 1, 2""",
+      """SELECT class_idx AS "Return Class ID", class_name AS "Return Class", sum(l_quantity) AS "Quantity", CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS VARCHAR) AS DOUBLE) AS "Revenue" FROM lineitem JOIN (VALUES ('A', 'Returned', 1), ('N', 'Kept', 2), ('R', 'Refused', 3)) AS rc(flag, class_name, class_idx) ON l_returnflag = rc.flag GROUP BY 1, 2 ORDER BY 1, 2""",
     "q15_growth" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3) SELECT "Nation ID", "Nation", "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Nation ID" ORDER BY "Year") ORDER BY "Nation ID", "Nation", "Year"""",
     "q16_rca" ->

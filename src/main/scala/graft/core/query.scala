@@ -21,12 +21,13 @@ object Comparison {
 
 final case class Constraint(comparison: Comparison, n: Double)
 object Constraint {
-  /** `gt.42`, `gt..2` (leading-dot float) — query.rs:205-223 */
+  /** `gt.42`, `gt..2` (leading-dot float), `gt.-5` / `lt.-0.5` (negative
+    * thresholds — growth is routinely negative) — query.rs:205-223. */
   def parse(s: String): Either[String, Constraint] = s.split("\\.", 2) match {
-    case Array(cmp, n) =>
+    case Array(cmp, n) if n.nonEmpty =>
       for {
         c <- Comparison.parse(cmp)
-        v <- try Right(("0" + n).toDouble) catch { case _: NumberFormatException => Left(s"bad number '$n'") }
+        v <- try Right(n.toDouble) catch { case _: NumberFormatException => Left(s"bad number '$n'") }
       } yield Constraint(c, v)
     case _ => Left(s"could not parse constraint '$s'")
   }

@@ -106,7 +106,11 @@ object TpchStar {
   private val measures = Seq(
     Measure("Quantity", "l_quantity", Aggregator.Sum),
     Measure("Extended Price", "l_extendedprice", Aggregator.Sum),
-    Measure("Revenue", "l_extendedprice", Aggregator.Custom("sum({} * (1 - l_discount))")),
+    // Revenue sums in DECIMAL so partial-sum order can't flip the result hash
+    // (decimal addition is associative; double addition is not), then casts
+    // back to double for a stable output schema. Mirrored in the oracle SQL.
+    Measure("Revenue", "l_extendedprice", Aggregator.Custom(
+      "cast(sum(cast({} as decimal(18,6)) * (1 - cast(l_discount as decimal(8,6)))) as double)")),
     Measure("Avg Discount", "l_discount", Aggregator.Avg),
     Measure("Row Count", "l_orderkey", Aggregator.Count),
     Measure("Max Price", "l_extendedprice", Aggregator.Max),

@@ -115,23 +115,19 @@ object AggExprs {
     case Aggregator.Custom(t) => customExpr(t, s"__m$i")
   }
 
-  /** Columns of the source relation an aggregator reads. */
-  def inputColumns(m: Measure): Seq[String] = m.aggregator match {
+  /** Columns of the source relation an aggregator reads. `sourceColumns` is
+    * the set of columns actually present on the fact frame: Custom-template
+    * identifiers are intersected with it, so function names never leak into
+    * the pre-aggregation select and a column that happens to share a function
+    * name (e.g. `count`) is still carried. */
+  def inputColumns(m: Measure, sourceColumns: Set[String]): Seq[String] = m.aggregator match {
     case Aggregator.WeightedSum(w)                      => Seq(m.column, w)
     case Aggregator.WeightedAvg(w)                      => Seq(m.column, w)
     case Aggregator.ReplicateWeightMoe(_, _, secs)      => m.column +: secs
     case Aggregator.WeightedAverageMoe(_, _, pw, sws)   => (m.column +: pw +: sws)
     case Aggregator.Custom(t)                           =>
-      // a template may reference further source columns by name
-      m.column +: "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(t).toSeq
-        .filterNot(AggFunctionNames.contains)
+      m.column +: "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(t).toSeq.distinct
+        .filter(sourceColumns.contains)
     case _                                              => Seq(m.column)
   }
-
-  private val AggFunctionNames: Set[String] = Set(
-    "sum", "count", "avg", "min", "max", "abs", "sqrt", "pow", "power",
-    "exp", "ln", "log", "log10", "round", "floor", "ceil", "median",
-    "stddev", "variance", "coalesce", "case", "when", "then", "else",
-    "end", "cast", "as", "double", "bigint", "int", "float", "and",
-    "or", "not", "if", "nullif", "greatest", "least")
 }

@@ -74,9 +74,15 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
       if (!q.measures.exists(_.name == g.mea.name)) fail("growth measure must be in measures")
     }
     q.rca.foreach { r =>
-      val d2dim = r.drill2.levelName.dimension
-      if (q.cuts.exists(_.levelName.dimension == d2dim))
-        fail("cuts on the second RCA drilldown's dimension are not allowed")
+      // only cuts on drill_2's own level are invalid (lib.rs:486-498 rejects
+      // by column); other levels of that dimension cut the fact normally
+      val (d2d, d2h, d2i) = resolveLevel(r.drill2.levelName)
+      val d2lvl = d2h.levels(d2i).name
+      q.cuts.foreach { c =>
+        val (cd, ch, ci) = resolveLevel(c.levelName)
+        if (cd.name == d2d.name && ch.name == d2h.name && ch.levels(ci).name == d2lvl)
+          fail("cuts on the second RCA drilldown level are not allowed")
+      }
     }
     q.rate.foreach { _ =>
       if (q.measures.length != 1) fail("rate requires exactly one measure")
@@ -100,10 +106,10 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     q.growth match {
       case Some(g) =>
         val (gdf, order) = applyGrowth(df, q, g, outs, meaNames)
-        df = applyOptions(gdf, q, order._1, order._2, calcCols(q))
+        df = applyOptions(gdf, q, outs, order._1, order._2, calcCols(q))
         df.select(order._3.map(cq): _*)
       case None =>
-        df = applyOptions(df, q, headers, meaNames, calcCols(q))
+        df = applyOptions(df, q, outs, headers, meaNames, calcCols(q))
         df.select((headers ++ meaNames).map(cq): _*)
     }
   }
@@ -128,6 +134,10 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     val timeHeaders  = drillHeaders(timeOuts)
     val otherHeaders = drillHeaders(otherOuts)
 
+    // With only the time drilldown this window has no partition keys and runs
+    // in one task — acceptable by construction: the input here is already
+    // aggregated to the time grain, so its cardinality is bounded by the
+    // number of periods (years/months), not by the fact row count.
     val w = Window
       .partitionBy(otherOuts.map(o => cq(o.keyHeader)): _*)
       .orderBy(timeKeyCols.map(c => cq(c).asc): _*)
@@ -151,11 +161,20 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
 
   // ------------------------------------------------------------------- rca
 
-  /** RCA = (a/b)/(c/d) over one aggregated frame + three window sums
-    * (replaces tesseract-clickhouse/src/sql/rca.rs:50-283's groupArray
-    * pivot). Cuts on drill_1's dimension apply only to a and c, so b and d
-    * keep the full denominators (rca.rs:100-127); external cuts apply
-    * everywhere (pushed to the fact scan). */
+  /** RCA = (a/b)/(c/d) over one aggregated frame (replaces
+    * tesseract-clickhouse/src/sql/rca.rs:50-283's groupArray pivot).
+    *
+    * b, c, d are re-aggregations of the base frame joined back on their own
+    * grain — NOT window sums: a window partitioned by few (or zero) keys
+    * funnels the entire frame through one task, which dies at scale, while
+    * these equi-joins shuffle on the group keys (and the global `d` is a
+    * single broadcast row). The base aggregate is persisted so the fact is
+    * scanned once, not once per denominator.
+    *
+    * Cuts whose level is drill_1 itself apply only to a and c, so b and d
+    * keep the full denominators (rca.rs:100-127); all other cuts — including
+    * cuts on *other levels* of drill_1's dimension — are ordinary external
+    * cuts pushed to the fact scan. */
   private def planRca(spark: SparkSession, q: CubeQuery): DataFrame = {
     val r = q.rca.get
     val extOuts = outLevels(q.drilldowns, q.parents, q.properties, q.captions)
@@ -163,35 +182,53 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     val d2Outs  = outLevels(Seq(r.drill2), q.parents, Nil, q.captions)
     val allOuts = extOuts ++ d1Outs ++ d2Outs
 
-    val d1dim = r.drill1.levelName.dimension
-    val (internalCuts, externalCuts) = q.cuts.partition(_.levelName.dimension == d1dim)
+    // internal = the cut level is one of drill_1's output levels (by resolved
+    // level, not by dimension name — rca.rs:100-127 classifies by column)
+    val d1Levels = d1Outs.map(o => (o.dim.name, o.hier.name, o.level.name)).toSet
+    val (internalCuts, externalCuts) = q.cuts.partition { c =>
+      val (d, h, i) = resolveLevel(c.levelName)
+      d1Levels.contains((d.name, h.name, h.levels(i).name))
+    }
 
     val rcaMea  = cube.measure(r.mea.name).getOrElse(fail(s"rca measure '${r.mea.name}' not found"))
     val meas    = (rcaMea -> RcaA) +: q.measures.map(m => cube.measure(m.name).get -> m.name)
 
     val src  = buildSource(spark, allOuts, externalCuts, q, Nil)
     val base = aggregate(src, groupHeaders(allOuts), meas, Nil)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val extKeys = extOuts.map(o => cq(o.keyHeader))
-    val wExtD2  = Window.partitionBy(extKeys ++ d2Outs.map(o => cq(o.keyHeader)): _*)
-    val wExt    = Window.partitionBy(extKeys: _*)
+    val extKeys = extOuts.map(_.keyHeader)
+    val d1Keys  = d1Outs.map(_.keyHeader)
+    val d2Keys  = d2Outs.map(_.keyHeader)
+
+    def sumOver(src: DataFrame, keys: Seq[String], out: String): DataFrame =
+      if (keys.isEmpty) src.agg(sum(cq(RcaA)).as(out))
+      else src.groupBy(keys.map(cq): _*).agg(sum(cq(RcaA)).as(out))
+
+    // null-safe equi-join back on the re-aggregation grain (window
+    // partitioning groups NULL keys together; <=> preserves that semantic)
+    def joinBack(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+      if (keys.isEmpty) l.crossJoin(broadcast(r))
+      else {
+        val rr = keys.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"__rj $k"))
+        val cond = keys.map(k => l(k) <=> rr(s"__rj $k")).reduce(_ && _)
+        l.join(rr, cond, "inner").drop(keys.map(k => s"__rj $k"): _*)
+      }
 
     // b and d are computed before internal cuts filter the frame
-    var df = base
-      .withColumn(RcaB, sum(cq(RcaA)).over(wExtD2))
-      .withColumn(RcaD, sum(cq(RcaA)).over(wExt))
+    var df = joinBack(base, sumOver(base, extKeys ++ d2Keys, RcaB), extKeys ++ d2Keys)
+    df = joinBack(df, sumOver(base, extKeys, RcaD), extKeys)
 
     internalCuts.foreach { cut =>
-      val (_, hier, idx) = resolveLevel(cut.levelName)
-      val lvl = hier.levels(idx)
-      val header = allOuts.find(o => o.level.name == lvl.name && o.dim.name == cut.levelName.dimension)
+      val (cd, ch, ci) = resolveLevel(cut.levelName)
+      val header = allOuts
+        .find(o => o.dim.name == cd.name && o.hier.name == ch.name && o.level.name == ch.levels(ci).name)
         .map(_.keyHeader)
         .getOrElse(fail(s"internal RCA cut level '${cut.levelName}' must be drill_1"))
       df = df.where(cutPredicate(df, header, cut))
     }
 
-    val wExtD1 = Window.partitionBy(extKeys ++ d1Outs.map(o => cq(o.keyHeader)): _*)
-    df = df.withColumn(RcaC, sum(cq(RcaA)).over(wExtD1))
+    df = joinBack(df, sumOver(df, extKeys ++ d1Keys, RcaC), extKeys ++ d1Keys)
 
     val rcaName = s"${r.mea.name} RCA"
     df = df.withColumn(rcaName, (cq(RcaA) / cq(RcaB)) / (cq(RcaC) / cq(RcaD)))
@@ -200,7 +237,7 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     val debugCols  = if (q.debug) Seq(RcaA, RcaB, RcaC, RcaD) else Nil
     val meaNames   = rcaName +: q.measures.map(_.name)
 
-    df = applyOptions(df, q, drillHeads, meaNames, Map("rca" -> rcaName))
+    df = applyOptions(df, q, allOuts, drillHeads, meaNames, Map("rca" -> rcaName))
     df.select((drillHeads ++ debugCols ++ meaNames).map(cq): _*)
   }
 
@@ -237,7 +274,7 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
       .where(cq("__part").isNotNull)
       .withColumn("Rate", cq("__part") / cq(meaName))
 
-    df = applyOptions(df, q, headers, Seq(meaName, "Rate"), calcCols(q))
+    df = applyOptions(df, q, outsOrig, headers, Seq(meaName, "Rate"), calcCols(q))
     df.select((headers ++ Seq(meaName, "Rate")).map(cq): _*)
   }
 
@@ -317,7 +354,7 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
 
   private def dimSource(spark: SparkSession, dim: Dimension, hier: Hierarchy): DataFrame =
     hier.inlineTable match {
-      case Some(it) => inlineTableDF(spark, it)
+      case Some(it) => broadcast(inlineTableDF(spark, it))
       case None =>
         hier.table match {
           case Some(t) => resolver.resolve(spark, t)
@@ -343,6 +380,7 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
       hidden: Seq[OutLevel]): DataFrame = {
 
     var fact = resolver.resolve(spark, cube.table)
+    val factColumns = fact.columns.toSet
     val allOuts = outs ++ hidden
 
     // effective cuts: query cuts + default-member cuts of unmentioned dims
@@ -438,7 +476,7 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     val measureCols: Seq[String] = {
       val qMeas = q.measures.map(m => cube.measure(m.name).get) ++
         q.rca.map(r => cube.measure(r.mea.name).get).toSeq
-      qMeas.flatMap(AggExprs.inputColumns).distinct
+      qMeas.flatMap(AggExprs.inputColumns(_, factColumns)).distinct
     }
     val headerCols = drillHeaders(allOuts)
     fact.select((headerCols ++ measureCols.filterNot(headerCols.contains)).map(cq): _*)
@@ -453,6 +491,9 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
       hiddenCols: Seq[String]): DataFrame = {
 
     val needsTwoPass = meas.exists(_._1.aggregator.isInstanceOf[Aggregator.BasicGroupedMedian])
+    if (needsTwoPass && meas.exists(_._1.aggregator.isInstanceOf[Aggregator.Custom]))
+      fail("custom-template measures cannot combine with grouped-median measures " +
+        "in one query (the template would re-apply to partial sums); run them separately")
     if (!needsTwoPass) {
       val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) }
       src.groupBy(groupCols.map(cq): _*).agg(aggs.head, aggs.tail: _*)
@@ -493,8 +534,17 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     * reference's order (options.rs): top_where → top (windowed row_number
     * replaces ClickHouse `LIMIT n BY`) → HAVING filters + sparse → sort →
     * limit/offset. */
+  /** Resolves a level reference to its output key header via the OutLevel
+    * list (robust to duplicate-header disambiguation prefixes). */
+  private def levelKeyHeader(outs: Seq[OutLevel], ln: LevelName): String = {
+    val (d, h, i) = resolveLevel(ln)
+    outs.find(o => o.dim.name == d.name && o.hier.name == h.name && o.level.name == h.levels(i).name)
+      .map(_.keyHeader)
+      .getOrElse(fail(s"level '$ln' must be a drilldown of the query"))
+  }
+
   private def applyOptions(
-      df0: DataFrame, q: CubeQuery,
+      df0: DataFrame, q: CubeQuery, outs: Seq[OutLevel],
       drillHeaderCols: Seq[String], meaNames: Seq[String],
       calcs: Map[String, String]): DataFrame = {
 
@@ -504,11 +554,7 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
       q.topWhere.foreach { tw =>
         df = df.where(constraintPred(meaOrCalcCol(tw.byMeaOrCalc, calcs), tw.constraint))
       }
-      val (_, hier, idx) = resolveLevel(top.byDimension)
-      val lvl = hier.levels(idx)
-      val byHeader = drillHeaderCols
-        .find(h => h == s"${lvl.name} ID" || h == lvl.name)
-        .getOrElse(fail(s"top by-level '${top.byDimension}' must be a drilldown"))
+      val byHeader = levelKeyHeader(outs, top.byDimension)
       val sortCols = top.sortMeaOrCalc.map(meaOrCalcCol(_, calcs))
       val ordered = top.sortDirection match {
         case SortDirection.Asc  => sortCols.map(_.asc)
@@ -545,10 +591,8 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
       case None =>
         q.top match {
           case Some(top) =>
-            val (_, hier, idx) = resolveLevel(top.byDimension)
-            val lvl = hier.levels(idx)
-            val byHeader = drillHeaderCols.find(h => h == s"${lvl.name} ID" || h == lvl.name).get
-            cq(byHeader).asc +: top.sortMeaOrCalc.map(meaOrCalcCol(_, calcs).desc)
+            cq(levelKeyHeader(outs, top.byDimension)).asc +:
+              top.sortMeaOrCalc.map(meaOrCalcCol(_, calcs).desc)
           case None => drillHeaderCols.map(cq(_).asc)
         }
     }
@@ -608,13 +652,16 @@ object CubePlanner {
     case _                                             => s
   }
 
-  /** Inline schema tables become LocalRelations
-    * (reference compiles them to `select … union all …`, schema.rs:448-486). */
+  /** Inline schema tables become true LocalRelations
+    * (reference compiles them to `select … union all …`, schema.rs:448-486).
+    * A LocalRelation (unlike an RDD-backed frame) carries exact stats, so the
+    * 3-row dim always auto-broadcasts instead of risking a sort-merge join
+    * that would shuffle the whole fact on a low-cardinality skewed key. */
   def inlineTableDF(spark: SparkSession, it: InlineTable): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val stringSchema = StructType(it.columns.map(c => StructField(c.name, StringType)))
-    val rows = it.rows.map(r => Row.fromSeq(r))
     val raw = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), stringSchema)
+      it.rows.map(r => Row.fromSeq(r)).asJava, stringSchema)
     val casted = it.columns.map { c =>
       val target: Option[DataType] = c.castType.map {
         case "Int8" | "Int16" | "Int32"            => IntegerType
