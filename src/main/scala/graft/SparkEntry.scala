@@ -44,7 +44,8 @@ object SparkEntry {
 
   // --------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = olapQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    olapQueries ++ graft.pipeline.PipelineOps.queries
 
   private lazy val olapQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #1/#4/#9: fact scan + projection + one-shuffle aggregation
@@ -170,14 +171,33 @@ object SparkEntry {
       measures = Seq(mea("Quantity")))),
     // §3.4 /diagnosis: referential-integrity data QA
     "q28_diagnosis" -> ((spark: SparkSession, sfDir: String) =>
-      Diagnosis.run(spark, TpchStar.salesCube, new TpchStar.Resolver(sfDir)))
+      Diagnosis.run(spark, TpchStar.salesCube, new TpchStar.Resolver(sfDir))),
+    // §2.2: replicate-weight MOE (reference moe.md derivation)
+    "q29_rw_moe" -> run(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Quantity RW MOE")))),
+    // §2.2: weighted-average MOE (reference weighted_avg.md derivation)
+    "q30_wavg_moe" -> run(CubeQuery(
+      drilldowns = Seq(drill("Line Status.Line Status")),
+      measures = Seq(mea("Price WAvg MOE"))))
   )
 
   // ------------------------------------------------------------ oracle SQL
 
-  def oracleSql: Map[String, String] = Map(
+  // decimal-exact oracle fragments: sums run in DECIMAL, the final cast to
+  // DOUBLE goes through VARCHAR so DuckDB correctly-rounds exactly like
+  // JVM BigDecimal.doubleValue
+  private def d2d(e: String): String = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+  private val QD = "CAST(l_quantity AS DECIMAL(12,6))"
+  // 24 digits (not 18): keeps DuckDB's decimal products in INT128 — it
+  // refuses to auto-widen an INT64×INT64 product that might overflow
+  private val PD = "CAST(l_extendedprice AS DECIMAL(24,6))"
+  private val DD = "CAST(l_discount AS DECIMAL(8,6))"
+  private val TD = "CAST(l_tax AS DECIMAL(8,6))"
+
+  def oracleSql: Map[String, String] = graft.pipeline.PipelineOracles.oracleSql ++ Map(
     "q01_agg" ->
-      """SELECT l_returnflag AS "Return Flag", l_linestatus AS "Line Status", sum(l_quantity) AS "Quantity", sum(l_extendedprice) AS "Extended Price", CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS VARCHAR) AS DOUBLE) AS "Revenue", count(l_orderkey) AS "Row Count" FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+      s"""SELECT l_returnflag AS "Return Flag", l_linestatus AS "Line Status", sum(l_quantity) AS "Quantity", ${d2d(s"sum($PD)")} AS "Extended Price", CAST(CAST(sum($PD * (1 - $DD)) AS VARCHAR) AS DOUBLE) AS "Revenue", count(l_orderkey) AS "Row Count" FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_dim_join" ->
       s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity", CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS VARCHAR) AS DOUBLE) AS "Revenue" FROM $GEO GROUP BY 1, 2 ORDER BY 1, 2""",
     "q03_multi_dim" ->
@@ -211,13 +231,13 @@ object SparkEntry {
     "q17_rate" ->
       s"""WITH b AS (SELECT year(l_shipdate) AS "Year", r_regionkey AS rk, sum(l_quantity) AS m FROM $GEO GROUP BY 1, 2) SELECT "Year", sum(m) AS "Quantity", sum(CASE WHEN rk IN (0, 2) THEN m END) / sum(m) AS "Rate" FROM b GROUP BY 1 HAVING sum(CASE WHEN rk IN (0, 2) THEN m END) IS NOT NULL ORDER BY 1""",
     "q18_weighted" ->
-      """SELECT l_returnflag AS "Return Flag", sum(l_extendedprice * l_quantity) / sum(l_quantity) AS "Weighted Avg Price", sum(l_discount * l_quantity) AS "Weighted Discount" FROM lineitem GROUP BY 1 ORDER BY 1""",
+      s"""SELECT l_returnflag AS "Return Flag", ${d2d(s"sum($PD * $QD)")} / ${d2d(s"sum($QD)")} AS "Weighted Avg Price", ${d2d(s"sum($DD * $QD)")} AS "Weighted Discount" FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q19_moe" ->
-      """SELECT l_linestatus AS "Line Status", 1.645 * sqrt(sum(pow(l_quantity / 1.645, 2))) AS "Quantity MOE" FROM lineitem GROUP BY 1 ORDER BY 1""",
+      """SELECT l_linestatus AS "Line Status", 1.645 * sqrt(sum(l_quantity * l_quantity) / (1.645 * 1.645)) AS "Quantity MOE" FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q20_median" ->
       """WITH p AS (SELECT l_returnflag AS f, l_orderkey AS o, sum(l_quantity) AS m FROM lineitem GROUP BY 1, 2) SELECT f AS "Return Flag", median(m) AS "Median Order Quantity", sum(m) AS "Quantity" FROM p GROUP BY 1 ORDER BY 1""",
     "q21_sparse_avg" ->
-      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", avg(l_discount) AS "Avg Discount", max(l_extendedprice) AS "Max Price", min(l_extendedprice) AS "Min Price" FROM $GEO GROUP BY 1, 2 HAVING avg(l_discount) IS NOT NULL AND max(l_extendedprice) IS NOT NULL AND min(l_extendedprice) IS NOT NULL ORDER BY 1, 2""",
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", ${d2d("sum(CAST(l_discount AS DECIMAL(18,9)))")} / count(l_discount) AS "Avg Discount", max(l_extendedprice) AS "Max Price", min(l_extendedprice) AS "Min Price" FROM $GEO GROUP BY 1, 2 HAVING ${d2d("sum(CAST(l_discount AS DECIMAL(18,9)))")} / count(l_discount) IS NOT NULL AND max(l_extendedprice) IS NOT NULL AND min(l_extendedprice) IS NOT NULL ORDER BY 1, 2""",
     "q22_default_member" ->
       """SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1 ORDER BY 1""",
     "q23_exclude_default" ->
@@ -230,6 +250,10 @@ object SparkEntry {
       s"""SELECT sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey = 3""",
     "q27_degenerate_cut" ->
       """SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity" FROM lineitem WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1 ORDER BY 1""",
+    "q29_rw_moe" ->
+      s"""WITH a AS (SELECT l_returnflag, ${d2d(s"sum($QD) - sum($TD)")} AS d0, ${d2d(s"sum($QD) - sum($DD)")} AS d1 FROM lineitem GROUP BY 1) SELECT l_returnflag AS "Return Flag", 1.645 * sqrt(2.0 * (d0 * d0 + d1 * d1)) AS "Quantity RW MOE" FROM a ORDER BY 1""",
+    "q30_wavg_moe" ->
+      s"""WITH a AS (SELECT l_linestatus, ${d2d(s"sum($PD * $QD)")} / ${d2d(s"sum($QD)")} AS pavg, ${d2d(s"sum($PD * $TD)")} / ${d2d(s"sum($TD)")} AS savg0, ${d2d(s"sum($PD * $DD)")} / ${d2d(s"sum($DD)")} AS savg1 FROM lineitem GROUP BY 1) SELECT l_linestatus AS "Line Status", 1.645 * sqrt(2.0 * ((pavg - savg0) * (pavg - savg0) + (pavg - savg1) * (pavg - savg1))) AS "Price WAvg MOE" FROM a ORDER BY 1""",
     "q28_diagnosis" ->
       """SELECT * FROM (SELECT 'MissingDimensionIDs' AS check_name, 'Customer' AS dimension, (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey = l_orderkey))::BIGINT AS n UNION ALL SELECT 'MissingDimensionIDs', 'Geography', (SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE s_suppkey = l_suppkey))::BIGINT UNION ALL SELECT 'MissingDimensionIDs', 'Part', (SELECT count(DISTINCT l_partkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Customer', (SELECT count(*) FROM (SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 HAVING count(*) > 1))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Geography', (SELECT count(*) FROM (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 HAVING count(*) > 1))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Part', (SELECT count(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1))::BIGINT) ORDER BY 1, 2"""
   )

@@ -28,10 +28,16 @@ object TpchStar {
     def resolve(spark: SparkSession, table: TableDef): DataFrame = table.name match {
       case "lineitem" =>
         // degenerate time levels are derived columns on the fact scan;
-        // cast to long so the oracle (DuckDB year()==BIGINT) type-matches
+        // cast to long so the oracle (DuckDB year()==BIGINT) type-matches.
+        // *_dec columns back the weighted/MOE measures: DECIMAL sums are
+        // associative, so results can't flap with partial-sum order.
         p(spark, "lineitem")
           .withColumn("l_shipyear", year(col("l_shipdate")).cast("long"))
           .withColumn("l_shipmonth", month(col("l_shipdate")).cast("long"))
+          .withColumn("l_price_dec", col("l_extendedprice").cast("decimal(18,6)"))
+          .withColumn("l_qty_dec", col("l_quantity").cast("decimal(12,6)"))
+          .withColumn("l_disc_dec", col("l_discount").cast("decimal(8,6)"))
+          .withColumn("l_tax_dec", col("l_tax").cast("decimal(8,6)"))
       case "supplier_geo" =>
         // supplier → nation → region denormalized; Region/Nation levels are
         // low-cardinality so the joined view broadcasts at any scale
@@ -103,21 +109,28 @@ object TpchStar {
         levels = Seq(Level("Return Class", "class_idx",
           nameColumn = Some("class_name"), keyType = MemberType.NonText))))))
 
+  // Determinism rule for every measure over non-integer-valued doubles:
+  // sum in DECIMAL (associative — immune to partial-sum order), divide /
+  // sqrt in double only at the end. l_quantity is integer-valued so its
+  // double sums are already exact; l_extendedprice/l_discount/l_tax are not.
   private val measures = Seq(
     Measure("Quantity", "l_quantity", Aggregator.Sum),
-    Measure("Extended Price", "l_extendedprice", Aggregator.Sum),
-    // Revenue sums in DECIMAL so partial-sum order can't flip the result hash
-    // (decimal addition is associative; double addition is not), then casts
-    // back to double for a stable output schema. Mirrored in the oracle SQL.
+    Measure("Extended Price", "l_extendedprice", Aggregator.Custom(
+      "cast(sum(cast({} as decimal(18,6))) as double)")),
     Measure("Revenue", "l_extendedprice", Aggregator.Custom(
       "cast(sum(cast({} as decimal(18,6)) * (1 - cast(l_discount as decimal(8,6)))) as double)")),
-    Measure("Avg Discount", "l_discount", Aggregator.Avg),
+    Measure("Avg Discount", "l_discount", Aggregator.Custom(
+      "cast(sum(cast({} as decimal(18,9))) as double) / count({})")),
     Measure("Row Count", "l_orderkey", Aggregator.Count),
     Measure("Max Price", "l_extendedprice", Aggregator.Max),
     Measure("Min Price", "l_extendedprice", Aggregator.Min),
-    Measure("Weighted Avg Price", "l_extendedprice", Aggregator.WeightedAvg("l_quantity")),
-    Measure("Weighted Discount", "l_discount", Aggregator.WeightedSum("l_quantity")),
+    Measure("Weighted Avg Price", "l_price_dec", Aggregator.WeightedAvg("l_qty_dec")),
+    Measure("Weighted Discount", "l_disc_dec", Aggregator.WeightedSum("l_qty_dec")),
     Measure("Quantity MOE", "l_quantity", Aggregator.Moe(1.645)),
+    Measure("Quantity RW MOE", "l_qty_dec",
+      Aggregator.ReplicateWeightMoe(1.645, 4.0, Seq("l_tax_dec", "l_disc_dec"))),
+    Measure("Price WAvg MOE", "l_price_dec",
+      Aggregator.WeightedAverageMoe(1.645, 4.0, "l_qty_dec", Seq("l_tax_dec", "l_disc_dec"))),
     Measure("Median Order Quantity", "l_quantity",
       Aggregator.BasicGroupedMedian("sum", "Customer.Customer.Order")))
 

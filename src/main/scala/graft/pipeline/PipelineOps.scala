@@ -1,0 +1,353 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the driver's `documents`,
+  * `embeddings`, and `events` tables — the operator families a 100 TB
+  * LLM-data pipeline needs (dedup, similarity search, text analysis),
+  * expressed as declarative Spark plans.
+  *
+  * Cross-engine determinism (every op is DuckDB-oracle checked byte-exact):
+  *   - all hashes are md5-derived integers ([[Hashing]]), never
+  *     murmur3/xxhash (engine-private);
+  *   - embeddings are quantized to int64 before any arithmetic, so dot
+  *     products and norms are exact; doubles appear only in final
+  *     divisions/sqrt of exact integers (IEEE-deterministic);
+  *   - no double value is ever summed across rows (summation order is
+  *     partition-dependent); sums are over int64 or DECIMAL.
+  *
+  * Scale notes (designed for 1000-executor clusters, tested local):
+  *   - per-document stages are embarrassingly parallel projections;
+  *   - near-dup candidate generation shuffles on (band, signature) buckets —
+  *     never an all-pairs cross join;
+  *   - ANN compares against a broadcast query set (brute) or shuffles on the
+  *     LSH bucket key (bucketed);
+  *   - all lambda work uses Catalyst higher-order functions (codegen), no
+  *     Scala/Python UDFs.
+  */
+object PipelineOps {
+  import Hashing._
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    // the driver writes events.ts as TIMESTAMP(NANOS); Spark only reads
+    // nanos as long (the ops here don't consume ts)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** First 12 hex chars of md5 as int64 (48 bits — exact in any engine). */
+  private def hex12(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 12), 16, 10) AS BIGINT)"
+
+  // ===================================================== text analysis
+
+  /** p01: per-language corpus stats — doc counts, whitespace-token counts,
+    * char counts. Single projection + one shuffle on `lang`. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("avg_tokens", col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy("lang")
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** p02: quality-signal rollup per source — stopword ratio and short-doc
+    * counts are the standard pretraining quality heuristics. Ratios divide
+    * exact int sums (never averages of per-doc doubles). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> array_contains(array(${sqlList(Stopwords)}), t)))"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("n_stop").as("sum_stop"),
+        sum(when(col("n_tokens") < 40, 1L).otherwise(0L)).as("n_short_docs"))
+      .withColumn("stop_ratio", col("sum_stop").cast("double") / col("sum_tokens").cast("double"))
+      .orderBy("source")
+
+  /** p10: language-ID by marker-token voting (fixed public stopword lists per
+    * language); emits the (actual, predicted) confusion rollup. Prediction is
+    * the max-scoring language, ties broken alphabetically, 'und' when no
+    * marker hits. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "un", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zhe", "ren"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    var df = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+    for ((l, markers) <- LangMarkers)
+      df = df.withColumn(s"score_$l",
+        expr(s"size(filter(toks, t -> array_contains(array(${sqlList(markers)}), t)))"))
+    val best = LangMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce((a, b) => greatest(a, b))
+    // alphabetic order of LangMarkers makes the first max win, matching the
+    // oracle's CASE chain
+    val pred = LangMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    df.withColumn("predicted", pred)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** p11: BPE-ish tokenization — regex token runs (letter runs, digit runs,
+    * single punctuation) versus whitespace tokens, rolled up per source. */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_bpe", regexp_count(col("text"), lit(TokenRegex)).cast("long"))
+      .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bpe").as("sum_bpe"),
+        sum("n_ws").as("sum_ws"),
+        max("n_bpe").as("max_bpe"),
+        min("n_bpe").as("min_bpe"))
+      .orderBy("source")
+
+  // ======================================================= deduplication
+
+  /** p03: exact dedup by content hash — keep the lowest doc_id per md5(text)
+    * group, report kept counts and surviving chars per source. At scale this
+    * is one shuffle on the 128-bit content hash. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** Docs with ≥2 tokens, with distinct 2-token shingles and their base
+    * hashes. Shared by minhash and exact-jaccard verification. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .withColumn("shingles",
+        expr("array_distinct(transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])))"))
+      .withColumn("hashes",
+        expr(s"array_distinct(transform(shingles, s -> ${hex12("s")} % $BaseHashMod))"))
+
+  /** p04: near-dup pairs via minhash + banded LSH, verified with exact
+    * shingle Jaccard ≥ 0.5.
+    *
+    * Candidate generation is bucketed — docs pair only within an LSH band
+    * bucket (shuffle on the band key), never via an all-pairs join — so the
+    * plan's cost is O(docs × bands + bucket collisions), the only shape that
+    * survives a 100 TB corpus. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = shingled(spark, dir)
+    val sigExprs = (0 until NumHashes).map { j =>
+      s"array_min(transform(hashes, h -> (${minhashA(j)}L * h + ${minhashB(j)}L) % ${P}L))"
+    }
+    val withSig = base.withColumn("sig", expr(s"array(${sigExprs.mkString(", ")})"))
+
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r)): _*).as("bkey"))
+    }
+    val banded = withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = base.select(col("doc_id"), col("shingles"))
+    val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** p05: 48-bit simhash over the token multiset; per-language distinct
+    * fingerprint counts (near-dups collapse onto one fingerprint). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", expr(s"transform(toks, t -> ${hex12("t")})"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(2 * aggregate(hashes, CAST(0 AS BIGINT), (a2, h) -> a2 + ((h >> b) & 1)) > size(hashes),
+          |         shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("simhash")).as("n_fingerprints"))
+      .orderBy("lang")
+
+  /** p06: character-trigram Jaccard near-dup pairs, blocked by
+    * (lang, n_chars/100) — a cheap complement to minhash that catches
+    * char-level perturbations; blocked, never all-pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .where(length(col("text")) >= 3)
+      .withColumn("block", floor(col("n_chars") / 100))
+      .withColumn("grams",
+        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))"))
+      .select(col("doc_id"), col("lang"), col("block"), col("grams"))
+    val a = grams.select(col("lang"), col("block"), col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val b = grams.select(col("lang"), col("block"), col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    a.join(b, Seq("lang", "block"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** p12: winnowing document fingerprints — 8-char-gram rolling hashes, min
+    * over each 4-gram window, distinct mins kept. The classic plagiarism /
+    * near-dup sketch (Schleimer et al., SIGMOD'03), as pure array ops. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where(length(col("text")) >= 11) // 8-gram + window of 4 needs ≥ 11 chars
+      .withColumn("kh", expr(s"transform(sequence(1, length(text) - 7), i -> ${hex12("substr(text, i, 8)")} % $BaseHashMod)"))
+      .withColumn("fps", expr("array_distinct(transform(sequence(1, size(kh) - 3), i -> array_min(slice(kh, i, 4))))"))
+      .where(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        expr("array_min(fps)").as("fp_min"),
+        expr("array_max(fps)").as("fp_max"))
+      .orderBy("doc_id")
+
+  // ==================================================== similarity search
+
+  /** Embeddings quantized to int64 (floor(x * 1e5)): dot products and norms
+    * become exact integer arithmetic, identical in any engine. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .withColumn("q", expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"))
+      .withColumn("nrm", expr("aggregate(zip_with(q, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+
+  private val dotExpr =
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** p07: brute-force cosine top-k — the exact baseline. The query set
+    * (vec_id < 10) broadcasts; each corpus partition scores independently and
+    * the only shuffle is the per-query top-k window. */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(spark, dir)
+      .select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val queries = quantized(spark, dir)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    broadcast(queries).crossJoin(corpus)
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nbr_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH bucket id: sign bits of 12 md5-derived random hyperplanes. */
+  private def bucketExpr(qCol: String): Column = {
+    val terms = (0 until LshPlanes).map { p =>
+      val ws = (0 until EmbDim).map(d => s"${planeWeight(p, d)}L").mkString(", ")
+      s"IF(aggregate(zip_with($qCol, array($ws), (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0, ${1L << p}L, 0L)"
+    }
+    expr(terms.mkString(" + "))
+  }
+
+  /** p08: LSH-bucketed ANN — candidates share a 12-bit hyperplane bucket, so
+    * the join shuffles on the bucket key instead of crossing the corpus.
+    * The scale path: recall trades against bucket width (Bands/planes). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir).withColumn("bucket", bucketExpr("q"))
+    val corpus = q.select(col("bucket"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val queries = q.where(col("vec_id") < 10)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    queries.join(corpus, "bucket")
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nbr_id"), col("bucket"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ========================================================== events/json
+
+  /** p09: typed extraction from the JSON `props` column + event rollup.
+    * Doubles sum through DECIMAL (associative) like the OLAP Revenue. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n").cast("double"))
+      .orderBy("event_type")
+
+  // ============================================================== registry
+
+  /** Pipeline entries for SparkEntry.queries. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_text_stats"    -> textStats,
+    "p02_quality"       -> quality,
+    "p03_exact_dedup"   -> exactDedup,
+    "p04_minhash_pairs" -> minhashPairs,
+    "p05_simhash"       -> simhash,
+    "p06_ngram_jaccard" -> ngramJaccard,
+    "p07_ann_brute"     -> annBrute,
+    "p08_ann_lsh"       -> annLsh,
+    "p09_events_json"   -> eventsJson,
+    "p10_langid"        -> langId,
+    "p11_token_counts"  -> tokenCounts,
+    "p12_fingerprints"  -> fingerprints)
+}

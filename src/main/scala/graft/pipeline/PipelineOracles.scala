@@ -1,0 +1,221 @@
+package graft.pipeline
+
+/** DuckDB oracle SQL for every [[PipelineOps]] entry.
+  *
+  * Generated from the same [[Hashing]] constants as the Spark plans, so the
+  * minhash permutations / LSH planes are bit-identical literals on both
+  * sides. Integer sums are CAST to BIGINT (DuckDB widens int sums to
+  * HUGEINT), and double-valued outputs are divisions/sqrt of exact integers
+  * or DECIMAL sums — the same determinism rules as the Spark side.
+  */
+object PipelineOracles {
+  import Hashing._
+
+  /** First 12 hex chars of md5(x) as BIGINT (48 bits, exact). The loop
+    * variable is namespaced so callers can embed this inside their own
+    * comprehensions without shadowing. */
+  private def hex12(x: String): String =
+    s"list_sum([ (strpos('0123456789abcdef', substr(md5($x), hx, 1)) - 1)::BIGINT * (1::BIGINT << (4*(12-hx))) FOR hx IN range(1, 13) ])"
+
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  private val p01 =
+    """WITH t AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val p02 =
+    s"""WITH t AS (
+       |  SELECT source, toks, len(toks)::BIGINT AS n_tokens,
+       |         len(list_filter(toks, t -> list_contains([${sqlList(PipelineOps.Stopwords)}], t)))::BIGINT AS n_stop
+       |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(sum(n_stop) AS BIGINT) AS sum_stop,
+       |       CAST(sum(CASE WHEN n_tokens < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+       |       CAST(CAST(sum(n_stop) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) AS stop_ratio
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  private val p03 =
+    """WITH t AS (
+      |  SELECT source, n_chars, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Shared doc → distinct shingles → distinct base hashes CTE prefix. */
+  private val shingleCtes =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS shingles
+       |  FROM t WHERE len(toks) >= 2),
+       |h AS (
+       |  SELECT doc_id, shingles,
+       |         list_distinct(list_transform(shingles, s -> ${hex12("s")} % $BaseHashMod)) AS hashes
+       |  FROM s)""".stripMargin
+
+  private val p04 = {
+    val sigs = (0 until NumHashes).map { j =>
+      s"list_min([ (${minhashA(j)} * h + ${minhashB(j)}) % $P FOR h IN hashes ])"
+    }.mkString(",\n         ")
+    s"""$shingleCtes,
+       |sig AS (SELECT doc_id, [$sigs] AS sig FROM h),
+       |banded AS (
+       |  SELECT doc_id, b, sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM banded l JOIN banded r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS inter,
+       |         len(sa.shingles)::BIGINT AS ca, len(sb.shingles)::BIGINT AS cb
+       |  FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val p05 =
+    s"""WITH t AS (
+       |  SELECT lang, list_transform(string_split(text, ' '), t -> ${hex12("t")}) AS hashes
+       |  FROM documents),
+       |f AS (
+       |  SELECT lang,
+       |         list_sum([ CASE WHEN 2 * list_sum([ ((h >> b) & 1) FOR h IN hashes ]) > len(hashes)
+       |                    THEN (1::BIGINT << b) ELSE 0::BIGINT END FOR b IN range(0, 48) ]) AS simhash
+       |  FROM t)
+       |SELECT lang, count(*)::BIGINT AS n_docs, count(DISTINCT simhash)::BIGINT AS n_fingerprints
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val p06 =
+    """WITH g AS (
+      |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
+      |         list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS grams
+      |  FROM documents WHERE len(text) >= 3),
+      |j AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+      |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) AS jaccard
+      |FROM j WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val quantCte =
+    s"""WITH qz AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_sum([x[1] * x[2] FOR x IN list_zip(q, q)]) AS nrm FROM qz)""".stripMargin
+
+  private val p07 =
+    s"""$quantCte,
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+       |         list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS dot,
+       |         a.nrm AS na, b.nrm AS nb
+       |  FROM n a CROSS JOIN n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT query_id, nbr_id,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank::BIGINT AS rank, nbr_id, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val p08 = {
+    val terms = (0 until LshPlanes).map { p =>
+      val ws = (0 until EmbDim).map(d => planeWeight(p, d).toString).mkString(", ")
+      s"CASE WHEN list_sum([x[1] * x[2] FOR x IN list_zip(q, [$ws])]) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END"
+    }.mkString("\n       + ")
+    s"""$quantCte,
+       |bk AS (SELECT vec_id, q, nrm, $terms AS bucket FROM n),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, a.bucket AS bucket,
+       |         list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS dot,
+       |         a.nrm AS na, b.nrm AS nb
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, nbr_id, bucket,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, bucket, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank::BIGINT AS rank, nbr_id, bucket, cosine FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val p09 =
+    """WITH t AS (
+      |  SELECT event_type, user_id, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+      |       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val p10 = {
+    val scores = PipelineOps.LangMarkers.map { case (l, ms) =>
+      s"len(list_filter(toks, t -> list_contains([${sqlList(ms)}], t)))::BIGINT AS score_$l"
+    }.mkString(",\n         ")
+    val best = PipelineOps.LangMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val cases = PipelineOps.LangMarkers.map { case (l, _) =>
+      s"WHEN score_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT lang, $scores
+       |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
+       |p AS (
+       |  SELECT lang, CASE $cases ELSE 'und' END AS predicted
+       |  FROM (SELECT lang, $best AS best, * FROM t))
+       |SELECT lang, predicted, count(*)::BIGINT AS n FROM p
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  private val p11 =
+    s"""WITH t AS (
+       |  SELECT source, len(regexp_extract_all(text, '${PipelineOps.TokenRegex}'))::BIGINT AS n_bpe,
+       |         len(string_split(text, ' '))::BIGINT AS n_ws
+       |  FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+       |       CAST(sum(n_ws) AS BIGINT) AS sum_ws, max(n_bpe) AS max_bpe, min(n_bpe) AS min_bpe
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  private val p12 =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         [ (${hex12("substr(text, i, 8)")})::BIGINT % $BaseHashMod FOR i IN range(1, len(text) - 6) ] AS kh
+       |  FROM documents WHERE len(text) >= 11),
+       |f AS (
+       |  SELECT doc_id,
+       |         list_distinct([ list_min(kh[i:i+3]) FOR i IN range(1, len(kh) - 2) ]) AS fps
+       |  FROM t WHERE doc_id < 100)
+       |SELECT doc_id, len(fps)::BIGINT AS n_fingerprints, list_min(fps) AS fp_min, list_max(fps) AS fp_max
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_text_stats"    -> p01,
+    "p02_quality"       -> p02,
+    "p03_exact_dedup"   -> p03,
+    "p04_minhash_pairs" -> p04,
+    "p05_simhash"       -> p05,
+    "p06_ngram_jaccard" -> p06,
+    "p07_ann_brute"     -> p07,
+    "p08_ann_lsh"       -> p08,
+    "p09_events_json"   -> p09,
+    "p10_langid"        -> p10,
+    "p11_token_counts"  -> p11,
+    "p12_fingerprints"  -> p12)
+}

@@ -39,15 +39,30 @@ object AggExprs {
       case Aggregator.Avg   => avg(v)
       case Aggregator.Max   => max(v)
       case Aggregator.Min   => min(v)
-      case Aggregator.WeightedSum(w) => sum(v * c(w))
-      case Aggregator.WeightedAvg(w) => sum(v * c(w)) / sum(c(w))
-      case Aggregator.Moe(cv) => lit(cv) * sqrt(sum(pow(v / lit(cv), 2)))
+      // Weighted/MOE forms sum FIRST and divide/sqrt AFTER, with explicit
+      // casts to double at the division points: over DECIMAL input columns
+      // the sums are exact (associative — hash-stable under any partition
+      // order) and the final double ops are IEEE-deterministic. Over double
+      // columns the casts are no-ops.
+      case Aggregator.WeightedSum(w) => sum(v * c(w)).cast("double")
+      case Aggregator.WeightedAvg(w) =>
+        sum(v * c(w)).cast("double") / sum(c(w)).cast("double")
+      // cv*sqrt(Σ(v/cv)²) ≡ cv*sqrt(Σv² / cv²): summing squares before the
+      // cv division keeps the sum exact for integer/decimal-valued columns
+      case Aggregator.Moe(cv) =>
+        lit(cv) * sqrt(sum(v * v).cast("double") / lit(cv * cv))
+      // squares via d*d, not pow(d,2): JVM Math.pow and libm pow are not
+      // guaranteed ULP-identical, IEEE multiplication is
       case Aggregator.ReplicateWeightMoe(cv, df, secs) =>
-        val terms = secs.map(s => pow(sum(v) - sum(c(s)), 2)).reduce(_ + _)
+        val terms = secs.map { s =>
+          val d = (sum(v) - sum(c(s))).cast("double"); d * d
+        }.reduce(_ + _)
         lit(cv) * sqrt(lit(df / secs.length) * terms)
       case Aggregator.WeightedAverageMoe(cv, df, pw, sws) =>
-        val pAvg  = sum(v * c(pw)) / sum(c(pw))
-        val terms = sws.map(s => pow(pAvg - sum(v * c(s)) / sum(c(s)), 2)).reduce(_ + _)
+        val pAvg = sum(v * c(pw)).cast("double") / sum(c(pw)).cast("double")
+        val terms = sws.map { s =>
+          val d = pAvg - sum(v * c(s)).cast("double") / sum(c(s)).cast("double"); d * d
+        }.reduce(_ + _)
         lit(cv) * sqrt(lit(df / sws.length) * terms)
       case Aggregator.Custom(t) => customExpr(t, m.column)
       case Aggregator.BasicGroupedMedian(_, _) =>
@@ -76,7 +91,7 @@ object AggExprs {
       case Aggregator.WeightedSum(w) => Seq(s"__m$i" -> sum(v * c(w)))
       case Aggregator.WeightedAvg(w) =>
         Seq(s"__m${i}_num" -> sum(v * c(w)), s"__m${i}_den" -> sum(c(w)))
-      case Aggregator.Moe(cv) => Seq(s"__m$i" -> sum(pow(v / lit(cv), 2)))
+      case Aggregator.Moe(_) => Seq(s"__m$i" -> sum(v * v))
       case Aggregator.ReplicateWeightMoe(_, _, secs) =>
         (s"__m${i}_p" -> sum(v)) +:
           secs.zipWithIndex.map { case (s, n) => s"__m${i}_s$n" -> sum(c(s)) }
@@ -98,19 +113,21 @@ object AggExprs {
     case Aggregator.Max   => max(c(s"__m$i"))
     case Aggregator.Min   => min(c(s"__m$i"))
     case Aggregator.BasicGroupedMedian(_, _) => expr(s"median(`__m$i`)")
-    case Aggregator.WeightedSum(_) => sum(c(s"__m$i"))
-    case Aggregator.WeightedAvg(_) => sum(c(s"__m${i}_num")) / sum(c(s"__m${i}_den"))
-    case Aggregator.Moe(cv) => lit(cv) * sqrt(sum(c(s"__m$i")))
+    case Aggregator.WeightedSum(_) => sum(c(s"__m$i")).cast("double")
+    case Aggregator.WeightedAvg(_) =>
+      sum(c(s"__m${i}_num")).cast("double") / sum(c(s"__m${i}_den")).cast("double")
+    case Aggregator.Moe(cv) =>
+      lit(cv) * sqrt(sum(c(s"__m$i")).cast("double") / lit(cv * cv))
     case Aggregator.ReplicateWeightMoe(cv, df, secs) =>
-      val terms = secs.indices
-        .map(n => pow(sum(c(s"__m${i}_p")) - sum(c(s"__m${i}_s$n")), 2))
-        .reduce(_ + _)
+      val terms = secs.indices.map { n =>
+        val d = (sum(c(s"__m${i}_p")) - sum(c(s"__m${i}_s$n"))).cast("double"); d * d
+      }.reduce(_ + _)
       lit(cv) * sqrt(lit(df / secs.length) * terms)
     case Aggregator.WeightedAverageMoe(cv, df, _, sws) =>
-      val pAvg = sum(c(s"__m${i}_pnum")) / sum(c(s"__m${i}_pden"))
-      val terms = sws.indices
-        .map(n => pow(pAvg - sum(c(s"__m${i}_snum$n")) / sum(c(s"__m${i}_sden$n")), 2))
-        .reduce(_ + _)
+      val pAvg = sum(c(s"__m${i}_pnum")).cast("double") / sum(c(s"__m${i}_pden")).cast("double")
+      val terms = sws.indices.map { n =>
+        val d = pAvg - sum(c(s"__m${i}_snum$n")).cast("double") / sum(c(s"__m${i}_sden$n")).cast("double"); d * d
+      }.reduce(_ + _)
       lit(cv) * sqrt(lit(df / sws.length) * terms)
     case Aggregator.Custom(t) => customExpr(t, s"__m$i")
   }

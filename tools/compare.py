@@ -1,70 +1,68 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's DuckDB-oracle correctness gate.
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
-Compares each <verifyOutDir>/<name> spark parquet against the oracle SQL in
-<verifyOutDir>/oracle_sql.json run by DuckDB over <sfDir>/*.parquet views.
-Columns are sorted by name, rows sorted, values hashed like the driver.
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query...]
+Reads each <outDir>/<name> parquet (Spark result) and runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir parquet
+tables, then compares rows / schema / value-hash with columns sorted by name.
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
-import hashlib
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    if len(df.columns):
-        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def value_hash(df: pd.DataFrame) -> str:
-    h = hashlib.sha256()
-    for _, row in df.iterrows():
-        for v in row:
-            if isinstance(v, float):
-                h.update(repr(v).encode())
-            else:
-                h.update(str(v).encode())
-        h.update(b"\x00")
-    return h.hexdigest()
-
 def main():
-    sf, out = sys.argv[1], sys.argv[2]
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     con = duckdb.connect()
-    con.execute("SET threads=1")  # deterministic partial-sum order in the oracle
-    for t in glob.glob(os.path.join(sf, "*.parquet")):
-        name = os.path.basename(t)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
-    bad = 0
-    for name, sql in sorted(oracle.items()):
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
         if only and name not in only:
             continue
-        spark_dir = os.path.join(out, name)
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: MISSING spark output"); n_fail += 1; continue
         try:
-            sdf = canon(pd.concat([pd.read_parquet(p) for p in
-                                   sorted(glob.glob(spark_dir + "/*.parquet"))]))
-            odf = canon(con.execute(sql).fetchdf())
+            spark_df = norm(pd.concat([pd.read_parquet(f) for f in files]))
+            ora_df = norm(con.execute(oracle[name]).fetchdf())
         except Exception as e:
-            print(f"{name}: ERROR {e}")
-            bad += 1
-            continue
-        rows = len(sdf) == len(odf)
-        schema = list(sdf.columns) == list(odf.columns)
-        hmatch = rows and schema and value_hash(sdf) == value_hash(odf)
-        status = "OK" if (rows and schema and hmatch) else "FAIL"
-        if status == "FAIL":
-            bad += 1
-        print(f"{name}: {status} rows={rows}({len(sdf)}/{len(odf)}) schema={schema} hash={hmatch}")
-        if not schema:
-            print(f"   spark={list(sdf.columns)}\n   oracle={list(odf.columns)}")
-        if rows and schema and not hmatch:
-            for c in sdf.columns:
-                if not sdf[c].equals(odf[c]):
-                    diff = (sdf[c] != odf[c])
-                    print(f"   col '{c}' differs in {diff.sum()} rows; first: "
-                          f"{sdf[c][diff].iloc[0]!r} vs {odf[c][diff].iloc[0]!r}")
-    sys.exit(1 if bad else 0)
+            print(f"{name}: ERROR {e}"); n_fail += 1; continue
+        rows = len(spark_df) == len(ora_df)
+        schema = list(spark_df.columns) == list(ora_df.columns)
+        sdt = [str(t) for t in spark_df.dtypes]; odt = [str(t) for t in ora_df.dtypes]
+        h = False
+        if rows and schema:
+            try:
+                a = json.dumps(spark_df.astype(str).values.tolist())
+                b = json.dumps(ora_df.astype(str).values.tolist())
+                h = a == b
+            except Exception as e:
+                print(f"{name}: hash err {e}")
+        ok = rows and schema and h
+        n_pass += ok; n_fail += (not ok)
+        msg = "PASS" if ok else f"FAIL rows={rows}({len(spark_df)}/{len(ora_df)}) schema={schema} hash={h}"
+        if not schema and rows:
+            msg += f" spark={list(spark_df.columns)}/{sdt} oracle={list(ora_df.columns)}/{odt}"
+        if rows and schema and not h:
+            merged = spark_df.compare(ora_df) if spark_df.shape == ora_df.shape else None
+            if merged is not None and len(merged):
+                msg += f"\n  first diffs:\n{merged.head(5)}"
+            if sdt != odt:
+                msg += f"\n  dtypes spark={sdt} oracle={odt}"
+        print(f"{name}: {msg}")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
 
-main()
+if __name__ == "__main__":
+    main()
