@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core._
 import graft.engine.TpchStar
-import graft.plan.{Diagnosis, PlanError}
+import graft.plan.{CubePlanner, Diagnosis, LogicLayer, LogicLayerQuery, NamedSet, PlanError}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each expressed through the engine's public layers (name grammars →
@@ -28,6 +28,39 @@ object SparkEntry {
     TpchStar.planner(sfDir).plan(spark, q)
   private def runDM(q: CubeQuery)(spark: SparkSession, sfDir: String): DataFrame =
     TpchStar.plannerDM(sfDir).plan(spark, q)
+
+  private val namedSets = Seq(
+    NamedSet("amer_asia", LevelName("Geography", "Geography", "Region"), Seq("1", "2")))
+  private def runLL(q: LogicLayerQuery)(spark: SparkSession, sfDir: String): DataFrame =
+    new LogicLayer(TpchStar.planner(sfDir), namedSets).plan(spark, q)
+
+  /** Runtime-loaded JSON schema (reference schema/json.rs wire format) —
+    * proves a user can declare a cube without touching Scala. */
+  private val demoSchemaJson =
+    """{
+      |  "name": "Demo",
+      |  "cubes": [{
+      |    "name": "SalesJson",
+      |    "table": {"name": "lineitem"},
+      |    "dimensions": [{
+      |      "name": "Geography",
+      |      "foreign_key": "l_suppkey",
+      |      "hierarchies": [{
+      |        "name": "Geography",
+      |        "table": {"name": "supplier_geo"},
+      |        "primary_key": "s_suppkey",
+      |        "levels": [
+      |          {"name": "Region", "key_column": "r_regionkey", "name_column": "r_name", "key_type": "nontext"},
+      |          {"name": "Nation", "key_column": "n_nationkey", "name_column": "n_name", "key_type": "nontext"}
+      |        ]
+      |      }]
+      |    }],
+      |    "measures": [
+      |      {"name": "Quantity", "column": "l_quantity", "aggregator": "sum"},
+      |      {"name": "Weighted Discount", "column": "l_disc_dec", "aggregator": {"weighted_sum": {"weight_column": "l_qty_dec"}}}
+      |    ]
+      |  }]
+      |}""".stripMargin
 
   // oracle SQL join fragments (DuckDB, on the driver's parquet views)
   private val GEO =
@@ -179,7 +212,47 @@ object SparkEntry {
     // §2.2: weighted-average MOE (reference weighted_avg.md derivation)
     "q30_wavg_moe" -> run(CubeQuery(
       drilldowns = Seq(drill("Line Status.Line Status")),
-      measures = Seq(mea("Price WAvg MOE"))))
+      measures = Seq(mea("Price WAvg MOE")))),
+    // #24: logic-layer cartesian fan-out — cuts on two levels of one
+    // dimension → two plans, cut levels auto-drilled, position-wise union
+    "q31_cut_fanout" -> runLL(LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity")))),
+    // #25: exclude= post-filter drops result rows by ID
+    "q32_exclude" -> runLL(LogicLayerQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      cuts = Seq(cut("Geography.Region.0,2")),
+      exclude = Seq(cut("Geography.Nation.5,10")),
+      measures = Seq(mea("Quantity")))),
+    // #21: captions — locale caption property replaces the name column
+    "q33_captions" -> run(CubeQuery(
+      drilldowns = Seq(drill("Part.Part")),
+      captions = Seq(prop("Part.Part.Part Caption Alt")),
+      measures = Seq(mea("Quantity")))),
+    // §1.2: runtime JSON schema → plan (reference schema/json.rs)
+    "q34_json_schema" -> ((spark: SparkSession, sfDir: String) => {
+      val cube = SchemaJson.parse(demoSchemaJson).cube("SalesJson")
+        .getOrElse(die("SalesJson cube missing"))
+      new CubePlanner(cube, new TpchStar.Resolver(sfDir)).plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Geography.Region")),
+        measures = Seq(mea("Quantity"), mea("Weighted Discount"))))
+    }),
+    // logic layer: time=Level.latest resolves to a cut on the newest member
+    "q35_time_latest" -> runLL(LogicLayerQuery(
+      drilldowns = Seq(drill("Geography.Region")),
+      measures = Seq(mea("Quantity")),
+      time = Some((LevelName.parse("Ship Date.Year").fold(die, identity), "latest")))),
+    // logic layer: member:children cut operation via the hierarchy
+    "q36_cut_children" -> runLL(LogicLayerQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      cuts = Seq(CutSpec(LevelName.parse("Geography.Region").fold(die, identity), Seq("1:children"))),
+      measures = Seq(mea("Quantity")))),
+    // logic layer: named-set substitution in cut position
+    "q37_named_set" -> runLL(LogicLayerQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      cuts = Seq(CutSpec(LevelName.parse("Geography.Region").fold(die, identity), Seq("amer_asia"))),
+      measures = Seq(mea("Quantity"))))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -250,6 +323,20 @@ object SparkEntry {
       s"""SELECT sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey = 3""",
     "q27_degenerate_cut" ->
       """SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity" FROM lineitem WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1 ORDER BY 1""",
+    "q31_cut_fanout" ->
+      s"""WITH u AS (SELECT year(l_shipdate) AS "Year", r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (0, 2) GROUP BY 1, 2, 3 UNION ALL SELECT year(l_shipdate), n_nationkey, n_name, sum(l_quantity) FROM $GEO WHERE n_nationkey IN (1, 2, 3) GROUP BY 1, 2, 3) SELECT * FROM u ORDER BY "Year", "Region ID", "Region", "Quantity"""",
+    "q32_exclude" ->
+      s"""SELECT * FROM (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (0, 2) GROUP BY 1, 2) WHERE "Nation ID" NOT IN (5, 10) ORDER BY 1, 2""",
+    "q33_captions" ->
+      """SELECT p_partkey AS "Part ID", p_brand AS "Part", sum(l_quantity) AS "Quantity" FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q34_json_schema" ->
+      s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity", ${d2d(s"sum($DD * $QD)")} AS "Weighted Discount" FROM $GEO GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q35_time_latest" ->
+      s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity" FROM $GEO WHERE year(l_shipdate) = (SELECT max(year(l_shipdate)) FROM lineitem) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q36_cut_children" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE n_nationkey IN (SELECT DISTINCT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_regionkey = 1) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q37_named_set" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (1, 2) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q29_rw_moe" ->
       s"""WITH a AS (SELECT l_returnflag, ${d2d(s"sum($QD) - sum($TD)")} AS d0, ${d2d(s"sum($QD) - sum($DD)")} AS d1 FROM lineitem GROUP BY 1) SELECT l_returnflag AS "Return Flag", 1.645 * sqrt(2.0 * (d0 * d0 + d1 * d1)) AS "Quantity RW MOE" FROM a ORDER BY 1""",
     "q30_wavg_moe" ->

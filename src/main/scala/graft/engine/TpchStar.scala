@@ -84,7 +84,11 @@ object TpchStar {
           Level("Part", "p_partkey", nameColumn = Some("p_name"), keyType = MemberType.NonText,
             properties = Seq(
               PropertyDef("Part Type", "p_type"),
-              PropertyDef("Part Size", "p_size"))))))),
+              PropertyDef("Part Size", "p_size"),
+              // caption set: an alternate display-name column selected by
+              // locale (reference schema.rs:566-589); p_brand stands in for
+              // a translated name in the fixture
+              PropertyDef("Part Caption Alt", "p_brand", captionSet = Some("alt")))))))),
     Dimension("Geography", foreignKey = Some("l_suppkey"), dimType = DimensionType.Geo,
       hierarchies = Seq(Hierarchy("Geography",
         table = Some(TableDef("supplier_geo", primaryKey = Some("s_suppkey"))),

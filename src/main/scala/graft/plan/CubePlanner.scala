@@ -53,6 +53,47 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     src.select(cols: _*).distinct().orderBy(cq(level.keyColumn).asc)
   }
 
+  /** Members related to `member` through the hierarchy: `children` (next
+    * level's keys under it), `parents` (previous level's key above it),
+    * `neighbors` (±2 in sorted member order, excluding the member itself —
+    * reference logic_layer/cache.rs:279-539, 863-904). Returns the level the
+    * members belong to plus the members. The collect is bounded by dimension
+    * cardinality (never the fact table). */
+  def relatedMembers(spark: SparkSession, ln: LevelName, member: String, op: String)
+      : (LevelName, Seq[String]) = {
+    val (dim, hier, idx) = resolveLevel(ln)
+    val src = dimSource(spark, dim, hier)
+    val key = hier.levels(idx).keyColumn
+    val dt = src.schema(key).dataType
+    def lvlName(i: Int) = LevelName(dim.name, hier.name, hier.levels(i).name)
+    def keysOf(df: DataFrame, columnName: String): Seq[Any] =
+      df.select(cq(columnName)).distinct().collect().map(_.get(0)).toSeq
+    def sorted(vs: Seq[Any]): Seq[Any] =
+      if (vs.forall(_.isInstanceOf[Number]))
+        vs.sortBy(_.asInstanceOf[Number].doubleValue)
+      else vs.sortBy(String.valueOf(_))
+    op match {
+      case "children" =>
+        if (idx + 1 >= hier.levels.length) fail(s"level '$ln' has no child level")
+        val ks = keysOf(src.where(cq(key) === lit(typedMember(dt, member))),
+          hier.levels(idx + 1).keyColumn)
+        (lvlName(idx + 1), sorted(ks).map(String.valueOf(_)))
+      case "parents" =>
+        if (idx == 0) fail(s"level '$ln' has no parent level")
+        val ks = keysOf(src.where(cq(key) === lit(typedMember(dt, member))),
+          hier.levels(idx - 1).keyColumn)
+        (lvlName(idx - 1), sorted(ks).map(String.valueOf(_)))
+      case "neighbors" =>
+        val all = sorted(keysOf(src, key))
+        val target = typedMember(dt, member)
+        val i = all.indexWhere(v => String.valueOf(v) == String.valueOf(target))
+        if (i < 0) fail(s"member '$member' not found on level '$ln'")
+        val picked = ((i - 2) to (i + 2)).filter(j => j >= 0 && j < all.length && j != i)
+        (ln, picked.map(j => String.valueOf(all(j))))
+      case other => fail(s"unknown cut operation '$other' (children|parents|neighbors)")
+    }
+  }
+
   // ------------------------------------------------------------ validation
 
   private def validate(q: CubeQuery): Unit = {

@@ -1,0 +1,162 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.core._
+
+/** The friendlier "/data" query surface (reference
+  * tesseract-server/src/handlers/logic_layer/aggregate.rs:54-920).
+  *
+  * Covers the semantics the core planner doesn't: named-set substitution,
+  * cut operations (`id:children|parents|neighbors`), `time=Level.latest`,
+  * multi-level-cut cartesian fan-out with column-wise union, and the
+  * `exclude=` post-filter.
+  */
+final case class LogicLayerQuery(
+    drilldowns: Seq[Drilldown] = Nil,
+    cuts: Seq[CutSpec] = Nil,
+    measures: Seq[MeasureName] = Nil,
+    /** `exclude=Level:id1,id2` — rows dropped from the *result* by ID. */
+    exclude: Seq[CutSpec] = Nil,
+    /** `time=Level.latest` / `time=Level.oldest`. */
+    time: Option[(LevelName, String)] = None,
+    properties: Seq[PropertyName] = Nil,
+    filters: Seq[FilterQuery] = Nil,
+    parents: Boolean = false,
+    top: Option[TopQuery] = None,
+    sort: Option[SortQuery] = None,
+    limit: Option[LimitQuery] = None,
+    sparse: Boolean = false)
+
+/** Named sets: an alias usable in cut position, expanding to members of a
+  * level (reference logic_layer/config.rs:221-268). */
+final case class NamedSet(name: String, level: LevelName, members: Seq[String])
+
+final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
+  import CubePlanner.{cq, fail}
+
+  // ------------------------------------------------------------ resolution
+
+  /** Substitutes named sets: a cut whose single member matches a set name on
+    * the set's level expands to the set's member list. */
+  private def substituteSets(cuts: Seq[CutSpec]): Seq[CutSpec] = cuts.map { c =>
+    namedSets.find(s => s.level == c.levelName &&
+        c.members.length == 1 && c.members.head == s.name) match {
+      case Some(s) => c.copy(members = s.members)
+      case None    => c
+    }
+  }
+
+  /** Resolves `member:children|parents|neighbors` cut operations through the
+    * dimension tables (reference logic_layer/cache.rs:279-539, 863-904 —
+    * there served from a startup cache; the dim scans here are
+    * dim-cardinality-bounded). */
+  private def resolveCutOps(spark: SparkSession, cuts: Seq[CutSpec]): Seq[CutSpec] =
+    cuts.map { c =>
+      c.members match {
+        case Seq(single) if single.contains(':') =>
+          val Array(member, op) = single.split(":", 2)
+          val (ln, members) = planner.relatedMembers(spark, c.levelName, member, op)
+          if (members.isEmpty) fail(s"cut op '$single' on '${c.levelName}' matched no members")
+          CutSpec(ln, members, c.mask, c.forMatch)
+        case _ => c
+      }
+    }
+
+  /** `time=Level.latest|oldest` becomes a cut on the min/max member
+    * (reference logic_layer/aggregate.rs:969-994). */
+  private def resolveTime(spark: SparkSession, t: (LevelName, String)): CutSpec = {
+    val (ln, which) = t
+    val members = planner.members(spark, ln)
+    val keyCol = members.columns.head
+    val agg = which match {
+      case "latest" => max(cq(keyCol))
+      case "oldest" => min(cq(keyCol))
+      case other    => fail(s"unknown time spec '$other' (latest|oldest)")
+    }
+    // a single scalar from a dim-bounded frame — not a fact-table collect
+    val v = members.agg(agg).head().get(0)
+    CutSpec(ln, Seq(String.valueOf(v)))
+  }
+
+  // --------------------------------------------------------------- fan-out
+
+  /** Cartesian fan-out (aggregate.rs:810-916): cuts group by dimension; each
+    * combination picks one cut per dimension; a dimension with cuts on
+    * multiple levels gets the cut level auto-added as a drilldown. */
+  def fanOut(q: LogicLayerQuery, resolvedCuts: Seq[CutSpec]): Seq[CubeQuery] = {
+    val dims = resolvedCuts.map(_.levelName.dimension).distinct
+    val byDim: Seq[Seq[CutSpec]] = dims.map(d => resolvedCuts.filter(_.levelName.dimension == d))
+    val multiLevel: Set[LevelName] =
+      byDim.filter(_.length > 1).flatten.map(_.levelName).toSet
+
+    val combos: Seq[Seq[CutSpec]] =
+      byDim.foldLeft(Seq(Seq.empty[CutSpec])) { (acc, cs) =>
+        acc.flatMap(partial => cs.map(partial :+ _))
+      }
+
+    combos.map { combo =>
+      val added = combo.collect {
+        case c if multiLevel.contains(c.levelName) => Drilldown(c.levelName)
+      }
+      CubeQuery(
+        drilldowns = q.drilldowns ++ added.filterNot(q.drilldowns.contains),
+        cuts = combo,
+        measures = q.measures,
+        properties = q.properties,
+        filters = q.filters,
+        parents = q.parents,
+        top = q.top,
+        sort = q.sort,
+        limit = q.limit,
+        sparse = q.sparse)
+    }
+  }
+
+  /** Column-wise union by position under the first result's headers;
+    * positions whose types disagree consolidate to string (reference
+    * aggregate.rs:333-534). */
+  private def consolidate(dfs: Seq[DataFrame]): DataFrame = dfs match {
+    case Seq(one) => one
+    case first +: _ =>
+      val headers = first.columns
+      dfs.foreach { d =>
+        if (d.columns.length != headers.length)
+          fail(s"fan-out result width mismatch: ${d.columns.length} vs ${headers.length}")
+      }
+      val types = headers.indices.map { i =>
+        val ts = dfs.map(_.schema.fields(i).dataType).distinct
+        if (ts.length == 1) ts.head else StringType
+      }
+      dfs.map { d =>
+        d.select(headers.indices.map(i =>
+          d.col(s"`${d.columns(i)}`").cast(types(i)).as(headers(i))): _*)
+      }.reduce(_ union _)
+  }
+
+  /** Post-aggregation row exclusion by ID column
+    * (reference aggregate.rs:131-166, 341-416). */
+  private def applyExclude(df: DataFrame, excludes: Seq[CutSpec]): DataFrame =
+    excludes.foldLeft(df) { (d, ex) =>
+      val lvl = ex.levelName.level
+      val header = Seq(s"$lvl ID", lvl).find(d.columns.contains)
+        .getOrElse(fail(s"exclude level '$lvl' is not a result column"))
+      val dt = d.schema(header).dataType
+      val vals = ex.members.map(m => lit(CubePlanner.typedMember(dt, m)))
+      d.where(!cq(header).isin(vals: _*))
+    }
+
+  // ---------------------------------------------------------------- public
+
+  def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
+    val timeCut = q.time.map(resolveTime(spark, _)).toSeq
+    val cuts = resolveCutOps(spark, substituteSets(q.cuts)) ++ timeCut
+    val dfs = fanOut(q, cuts).map(planner.plan(spark, _))
+    val merged = consolidate(dfs)
+    val out = applyExclude(merged, q.exclude)
+    // the union of independently-ordered sub-results is unordered; re-sort
+    // on all columns for a deterministic response
+    if (dfs.length > 1) out.orderBy(out.columns.map(c => cq(c).asc): _*) else out
+  }
+}
