@@ -25,13 +25,11 @@ object SchemaJson {
       case Nil => fail("schema must declare at least one cube")
       case cs  => cs.map(parseCube(_, shared))
     }
-    val schema = Schema(
+    validate(Schema(
       name = str(root \ "name").getOrElse(fail("schema needs a name")),
       cubes = cubes,
       annotations = annotations(root),
-      defaultLocale = str(root \ "default_locale"))
-    validate(schema)
-    schema
+      defaultLocale = str(root \ "default_locale")))
   }
 
   // ------------------------------------------------------------ validation

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, SfDir}
+
+class HashingSpec extends AnyFunSuite {
+
+  test("md5Long matches known md5 prefixes") {
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592
+    assert(Hashing.md5Long("hello", 12) == java.lang.Long.parseLong("5d41402abc4b", 16))
+    assert(Hashing.md5Long("hello", 8) == java.lang.Long.parseLong("5d41402a", 16))
+  }
+
+  test("minhash permutation constants are in-range and odd a") {
+    assert(Hashing.minhashA.length == Hashing.NumHashes)
+    assert(Hashing.minhashB.length == Hashing.NumHashes)
+    Hashing.minhashA.foreach { a =>
+      assert(a > 0 && a < Hashing.BaseHashMod)
+      assert(a % 2 == 1, "a must be odd (invertible mod 2^k)")
+    }
+    Hashing.minhashB.foreach(b => assert(b >= 0 && b < Hashing.BaseHashMod))
+    assert(Hashing.NumHashes == Hashing.Bands * Hashing.RowsPerBand)
+  }
+
+  test("plane weights deterministic and bounded") {
+    val w = Hashing.planeWeight(3, 17)
+    assert(w == Hashing.planeWeight(3, 17))
+    for (p <- 0 until Hashing.LshPlanes; d <- 0 until Hashing.EmbDim) {
+      val x = Hashing.planeWeight(p, d)
+      assert(x >= -1000 && x <= 1000)
+    }
+  }
+}
+
+class PipelineOpsSpec extends AnyFunSuite {
+
+  test("text stats cover every language with exact totals") {
+    val rows = PipelineOps.textStats(spark, SfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    val total = rows.map(_.getLong(1)).sum
+    val nDocs = spark.read.parquet(s"$SfDir/documents.parquet").count()
+    assert(total == nDocs)
+  }
+
+  test("exact dedup never keeps more than total docs") {
+    val rows = PipelineOps.exactDedup(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_kept <= n_docs")
+      assert(r.getLong(3) >= 0)
+    }
+  }
+
+  test("minhash pairs are ordered, above threshold, and self-free") {
+    val rows = PipelineOps.minhashPairs(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("ann brute: 5 ranked neighbors per query, cosine within [-1,1] and non-increasing") {
+    val rows = PipelineOps.annBrute(spark, SfDir).collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.size == 10)
+    perQuery.values.foreach { rs =>
+      assert(rs.length == 5)
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cosines = ordered.map(_.getDouble(3))
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cosines.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+      assert(ordered.forall(_.getLong(2) != ordered.head.getLong(0)), "self excluded")
+    }
+  }
+
+  test("ann lsh candidates share the query's bucket and appear in brute results order") {
+    val rows = PipelineOps.annLsh(spark, SfDir).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).distinct.length == 1, "one bucket per query")
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("langid confusion counts cover all docs") {
+    val rows = PipelineOps.langId(spark, SfDir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == spark.read.parquet(s"$SfDir/documents.parquet").count())
+    val preds = rows.map(_.getString(1)).toSet
+    assert(preds.subsetOf(Set("de", "en", "es", "fr", "zh", "und")))
+  }
+
+  test("simhash fingerprints bounded by doc count") {
+    val rows = PipelineOps.simhash(spark, SfDir).collect()
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+}

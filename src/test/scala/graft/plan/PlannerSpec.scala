@@ -1,0 +1,193 @@
+package graft.plan
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.engine.TpchStar
+import graft.SparkTestSession.{spark, SfDir}
+
+/** Planner golden tests on the sf0.001 fixture: each expectation is computed
+  * independently with raw Spark SQL over the same parquet (never through the
+  * planner), so a planner bug can't certify itself. */
+class PlannerSpec extends AnyFunSuite {
+
+  private def planner = TpchStar.planner(SfDir)
+  private def die(m: String): Nothing = throw PlanError(m)
+  private def drill(s: String) = Drilldown.parse(s).fold(die, identity)
+  private def mea(s: String) = MeasureName.parse(s).fold(die, identity)
+  private def cut(s: String) = CutSpec.parse(s).fold(die, identity)
+
+  private lazy val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+
+  /** Key columns inherit the parquet's int32, so read numerically. */
+  private def lnum(r: Row, i: Int): Long = r.get(i).asInstanceOf[Number].longValue
+
+  test("q: plain aggregation matches raw groupBy") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Quantity"), mea("Row Count"))))
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity"), count("l_orderkey"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(df.columns.toSeq == Seq("Return Flag", "Quantity", "Row Count"))
+  }
+
+  test("headers: name column produces '{Level} ID' + '{Level}'") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity"))))
+    assert(df.columns.toSeq == Seq("Nation ID", "Nation", "Quantity"))
+  }
+
+  test("parents expands ancestor levels in order") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      parents = true))
+    assert(df.columns.toSeq == Seq("Region ID", "Region", "Nation ID", "Nation", "Quantity"))
+  }
+
+  test("cut include restricts members; exclude complements it") {
+    val all = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Geography.Region")),
+      measures = Seq(mea("Quantity")))).collect()
+    val in = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Geography.Region")),
+      cuts = Seq(cut("Geography.Region.0,2")),
+      measures = Seq(mea("Quantity")))).collect()
+    val ex = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Geography.Region")),
+      cuts = Seq(cut("~Geography.Region.0,2")),
+      measures = Seq(mea("Quantity")))).collect()
+    assert(in.map(lnum(_, 0)).toSet == Set(0L, 2L))
+    assert(ex.map(lnum(_, 0)).toSet == all.map(lnum(_, 0)).toSet -- Set(0L, 2L))
+    // a cut never changes the kept groups' aggregates
+    val byKey = all.map(r => lnum(r, 0) -> r.getDouble(2)).toMap
+    in.foreach(r => assert(r.getDouble(2) == byKey(lnum(r, 0))))
+  }
+
+  test("top-k keeps n rows per group, ordered by the measure") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Geography.Region"), drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      top = Some(TopQuery.parse("2,Geography.Region,Quantity,desc").fold(die, identity))))
+    val rows = df.collect()
+    val perRegion = rows.groupBy(lnum(_, 0))
+    assert(perRegion.values.forall(_.length <= 2))
+    // within a region the kept quantities are the region's two largest
+    val full = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Geography.Region"), drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")))).collect()
+    full.groupBy(lnum(_, 0)).foreach { case (region, frows) =>
+      val top2 = frows.map(_.getDouble(4)).sorted(Ordering[Double].reverse).take(2).toSet
+      val kept = perRegion(region).map(_.getDouble(4)).toSet
+      assert(kept == top2, s"region $region")
+    }
+  }
+
+  test("growth equals hand-computed lag difference") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      growth = Some(GrowthQuery.parse("Ship Date.Year,Quantity").fold(die, identity))))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(df.columns.toSeq == Seq("Year", "Quantity", "Quantity Growth", "Quantity Growth Value"))
+    rows.sliding(2).foreach {
+      case Array(prev, curr) =>
+        val diff = curr.getDouble(1) - prev.getDouble(1)
+        assert(math.abs(curr.getDouble(3) - diff) < 1e-9)
+        assert(math.abs(curr.getDouble(2) - diff / prev.getDouble(1)) < 1e-12)
+      case _ =>
+    }
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3), "first period has null growth")
+  }
+
+  test("rca of a single-member drill1 cut equals the uncut rca rows") {
+    val rcaQ = RcaQuery.parse("Geography.Region,Return Flag.Return Flag,Quantity").fold(die, identity)
+    val uncut = planner.plan(spark, CubeQuery(
+      measures = Seq(mea("Quantity")), rca = Some(rcaQ))).collect()
+    val cutDf = planner.plan(spark, CubeQuery(
+      measures = Seq(mea("Quantity")),
+      cuts = Seq(cut("Geography.Region.1")),
+      rca = Some(rcaQ))).collect()
+    // internal cuts filter a/c but keep b/d denominators: matching rows agree
+    val uncutMap = uncut.map(r => (lnum(r, 0), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(cutDf.nonEmpty)
+    cutDf.foreach { r =>
+      assert(math.abs(r.getDouble(3) - uncutMap((lnum(r, 0), r.getString(2)))) < 1e-9)
+    }
+  }
+
+  test("rate: member share plus total") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Quantity")),
+      rate = Some(RateQuery.parse("Geography.Region.0,2").fold(die, identity))))
+    val want = li
+      .join(spark.read.parquet(s"$SfDir/supplier.parquet"), col("l_suppkey") === col("s_suppkey"))
+      .join(spark.read.parquet(s"$SfDir/nation.parquet"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum("l_quantity").as("total"),
+        sum(when(col("n_regionkey").isin(0, 2), col("l_quantity"))).as("part"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2) / r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    got.zip(want).foreach { case ((gf, gq, gr), (wf, wq, wr)) =>
+      assert(gf == wf); assert(math.abs(gq - wq) < 1e-9); assert(math.abs(gr - wr) < 1e-12)
+    }
+  }
+
+  test("grouped median: median of per-order quantity sums") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Line Status.Line Status")),
+      measures = Seq(mea("Median Order Quantity"))))
+    val want = li.groupBy("l_linestatus", "l_orderkey")
+      .agg(sum("l_quantity").as("m"))
+      .groupBy("l_linestatus").agg(expr("median(m)"))
+      .orderBy("l_linestatus")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("validation errors surface as PlanError") {
+    intercept[PlanError] { planner.plan(spark, CubeQuery(drilldowns = Seq(drill("Geography.Nation")))) }
+    intercept[PlanError] { planner.plan(spark, CubeQuery(measures = Seq(mea("Quantity")))) }
+    intercept[PlanError] {
+      planner.plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Nope.Nope")), measures = Seq(mea("Quantity"))))
+    }
+    intercept[PlanError] {
+      planner.plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Geography.Nation")), measures = Seq(mea("Nope"))))
+    }
+  }
+
+  test("members enumeration is distinct and ordered") {
+    val m = planner.members(spark, LevelName.parse("Geography.Region").fold(die, identity)).collect()
+    val keys = m.map(lnum(_, 0)).toSeq
+    assert(keys == keys.distinct.sorted)
+  }
+
+  test("relatedMembers: children, parents, neighbors") {
+    val region = LevelName.parse("Geography.Region").fold(die, identity)
+    val nation = LevelName.parse("Geography.Nation").fold(die, identity)
+    // at sf0.001 only supplier-backed nations exist in the dim view;
+    // region 1's only such nation is 21
+    val (childLvl, children) = planner.relatedMembers(spark, region, "1", "children")
+    assert(childLvl == nation)
+    assert(children == Seq("21"))
+    val (parentLvl, parents) = planner.relatedMembers(spark, nation, "21", "parents")
+    assert(parentLvl == region)
+    assert(parents == Seq("1"))
+    val (nLvl, neighbors) = planner.relatedMembers(spark, region, "2", "neighbors")
+    assert(nLvl == region)
+    assert(neighbors == Seq("0", "1", "3", "4"))
+    intercept[PlanError] { planner.relatedMembers(spark, region, "1", "siblings") }
+  }
+}
