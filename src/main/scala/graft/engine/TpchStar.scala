@@ -145,6 +145,9 @@ object TpchStar {
     * implicit default-member cut (reference lib.rs:324-388). */
   val salesCubeDM: Cube = Cube("SalesDM", TableDef("lineitem"), dims(true), measures)
 
+  /** Full schema for the HTTP server. */
+  val schema: Schema = Schema("Tpch", Seq(salesCube, salesCubeDM))
+
   def planner(sfDir: String): CubePlanner = new CubePlanner(salesCube, new Resolver(sfDir))
   def plannerDM(sfDir: String): CubePlanner = new CubePlanner(salesCubeDM, new Resolver(sfDir))
 }

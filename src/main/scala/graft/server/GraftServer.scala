@@ -1,0 +1,304 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.plan.{CubePlanner, Diagnosis, LogicLayer, LogicLayerQuery, NamedSet, PlanError, TableResolver}
+import Format.{FormatType, SourceMetadata}
+
+/** HTTP API over the planner (reference tesseract-server routes,
+  * app.rs:106-201):
+  *
+  *   GET /                                     → status
+  *   GET /cubes                                → schema metadata
+  *   GET /cubes/{cube}                         → one cube's metadata
+  *   GET /cubes/{cube}/aggregate.{fmt}         → core aggregate API
+  *   GET /cubes/{cube}/members.{fmt}?level=    → distinct members
+  *   GET /data.{fmt}?cube=                     → logic layer (friendlier API)
+  *   GET /cubes/{cube}/diagnosis.{fmt}         → referential-integrity QA
+  *   GET /flush?secret=                        → schema reload hook
+  *
+  * Built on the JDK's HttpServer with a small thread pool: each request
+  * builds a DataFrame plan and streams it out via the Format module; Spark
+  * schedules concurrent jobs from those threads (set
+  * spark.scheduler.mode=FAIR for per-request fairness under load,
+  * mirroring the reference's 100-concurrent-request design goal).
+  */
+final class GraftServer(
+    spark: SparkSession,
+    schema: Schema,
+    resolver: TableResolver,
+    namedSets: Seq[NamedSet] = Nil,
+    flushSecret: Option[String] = None,
+    onFlush: () => Unit = () => ()) {
+
+  private val planners: Map[String, CubePlanner] =
+    schema.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
+
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // -------------------------------------------------------------- routing
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      route(path, params) match {
+        case Right((body, contentType)) => respond(ex, 200, body, contentType)
+        case Left((code, msg)) =>
+          respond(ex, code, "{\"error\":\"" + Format.jsonEscape(msg) + "\"}", "application/json")
+      }
+    } catch {
+      case e: PlanError =>
+        respond(ex, 400, "{\"error\":\"" + Format.jsonEscape(e.message) + "\"}", "application/json")
+      case e: Throwable =>
+        respond(ex, 500, "{\"error\":\"" + Format.jsonEscape(String.valueOf(e.getMessage)) + "\"}", "application/json")
+    } finally ex.close()
+
+  private def route(path: String, params: Map[String, Seq[String]])
+      : Either[(Int, String), (String, String)] = {
+    val AggRe     = "^/cubes/([^/]+)/aggregate\\.([a-z]+)$".r
+    val MembersRe = "^/cubes/([^/]+)/members\\.([a-z]+)$".r
+    val DiagRe    = "^/cubes/([^/]+)/diagnosis\\.([a-z]+)$".r
+    val CubeRe    = "^/cubes/([^/]+)$".r
+    val DataRe    = "^/data\\.([a-z]+)$".r
+
+    path match {
+      case "/" =>
+        Right(("{\"status\":\"ok\",\"name\":\"graft\",\"version\":\"0.2.0\"}", "application/json"))
+      case "/cubes" =>
+        Right((Metadata.schemaJson(schema), "application/json"))
+      case CubeRe(cube) =>
+        schema.cube(dec(cube)) match {
+          case Some(c) => Right((Metadata.cubeJson(c), "application/json"))
+          case None    => Left((404, s"cube '${dec(cube)}' not found"))
+        }
+      case AggRe(cube, fmt) =>
+        withCube(dec(cube)) { case (c, planner) =>
+          withFormat(fmt) { f =>
+            val q = QueryParams.toCubeQuery(params)
+            Right((Format.format(planner.plan(spark, q), f, Some(sourceMeta(c))), mime(f)))
+          }
+        }
+      case MembersRe(cube, fmt) =>
+        withCube(dec(cube)) { case (_, planner) =>
+          withFormat(fmt) { f =>
+            val level = params.get("level").flatMap(_.headOption)
+              .toRight((400, "members requires ?level=")).flatMap(s =>
+                LevelName.parse(s).left.map(m => (400, m)))
+            level.map { ln =>
+              val locale = params.get("locale").flatMap(_.headOption)
+              (Format.format(planner.members(spark, ln, locale), f), mime(f))
+            }
+          }
+        }
+      case DiagRe(cube, fmt) =>
+        withCube(dec(cube)) { case (c, _) =>
+          withFormat(fmt) { f =>
+            Right((Format.format(Diagnosis.run(spark, c, resolver), f), mime(f)))
+          }
+        }
+      case DataRe(fmt) =>
+        withFormat(fmt) { f =>
+          params.get("cube").flatMap(_.headOption) match {
+            case None => Left((400, "logic layer requires ?cube="))
+            case Some(cubeName) =>
+              withCube(cubeName) { case (c, planner) =>
+                val ll = new LogicLayer(planner, namedSets)
+                val q = QueryParams.toLogicLayerQuery(params, c)
+                Right((Format.format(ll.plan(spark, q), f, Some(sourceMeta(c))), mime(f)))
+              }
+          }
+        }
+      case "/flush" =>
+        val given = params.get("secret").flatMap(_.headOption)
+        if (flushSecret.isEmpty) Left((400, "flush is not configured"))
+        else if (given != flushSecret) Left((403, "bad secret"))
+        else { onFlush(); Right(("{\"status\":\"flushed\"}", "application/json")) }
+      case _ => Left((404, s"no route for '$path'"))
+    }
+  }
+
+  // -------------------------------------------------------------- helpers
+
+  private def withCube[A](name: String)(f: ((Cube, CubePlanner)) => Either[(Int, String), A])
+      : Either[(Int, String), A] =
+    schema.cube(name).map(c => (c, planners(c.name))) match {
+      case Some(cp) => f(cp)
+      case None     => Left((404, s"cube '$name' not found"))
+    }
+
+  private def withFormat[A](s: String)(f: FormatType => Either[(Int, String), A])
+      : Either[(Int, String), A] =
+    FormatType.parse(s) match {
+      case Right(fmt) => f(fmt)
+      case Left(m)    => Left((400, m))
+    }
+
+  private def sourceMeta(c: Cube): SourceMetadata =
+    SourceMetadata(c.name, c.measures.map(_.name),
+      c.annotations.map(a => a.name -> a.text).toMap)
+
+  private def mime(f: FormatType): String = f match {
+    case FormatType.Csv => "text/csv"
+    case _              => "application/json"
+  }
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  private def parseQuery(raw: String): Map[String, Seq[String]] =
+    raw.split('&').filter(_.nonEmpty).toSeq
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => dec(k.replace("+", "%20")) -> dec(v.replace("+", "%20"))
+          case Array(k)    => dec(k) -> ""
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String, contentType: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType + "; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+}
+
+/** Query-string → query model translation (reference
+  * handlers/aggregate.rs:144-266 AggregateQueryOpt). Both `drilldowns[]=a&
+  * drilldowns[]=b` and comma-joined `drilldowns=a,b` spellings are accepted
+  * for the core API's list params. */
+object QueryParams {
+  private def fail(m: String): Nothing = throw PlanError(m)
+  private def p[A](e: Either[String, A]): A = e.fold(fail, identity)
+
+  private def list(params: Map[String, Seq[String]], key: String): Seq[String] =
+    (params.getOrElse(key, Nil) ++ params.getOrElse(key + "[]", Nil)).filter(_.nonEmpty)
+
+  private def one(params: Map[String, Seq[String]], key: String): Option[String] =
+    params.get(key).flatMap(_.headOption).filter(_.nonEmpty)
+
+  private def flag(params: Map[String, Seq[String]], key: String): Boolean =
+    one(params, key).exists(v => v == "true" || v == "1")
+
+  def toCubeQuery(params: Map[String, Seq[String]]): CubeQuery = CubeQuery(
+    drilldowns = list(params, "drilldowns").map(s => p(Drilldown.parse(s))),
+    cuts = list(params, "cuts").map(s => p(CutSpec.parse(s))),
+    measures = list(params, "measures").map(s => p(MeasureName.parse(s))),
+    properties = list(params, "properties").map(s => p(PropertyName.parse(s))),
+    filters = list(params, "filters").map(s => p(FilterQuery.parse(s))),
+    captions = list(params, "captions").map(s => p(PropertyName.parse(s))),
+    parents = flag(params, "parents"),
+    top = one(params, "top").map(s => p(TopQuery.parse(s))),
+    topWhere = one(params, "top_where").map(s => p(TopWhereQuery.parse(s))),
+    sort = one(params, "sort").map(s => p(SortQuery.parse(s))),
+    limit = one(params, "limit").map(s => p(LimitQuery.parse(s))),
+    rca = one(params, "rca").map(s => p(RcaQuery.parse(s))),
+    growth = one(params, "growth").map(s => p(GrowthQuery.parse(s))),
+    rate = one(params, "rate").map(s => p(RateQuery.parse(s))),
+    debug = flag(params, "debug"),
+    sparse = flag(params, "sparse"),
+    excludeDefaultMembers = flag(params, "exclude_default_members"))
+
+  /** Logic-layer params: drilldowns are bare level names resolved against
+    * the cube; cuts arrive as `{LevelName}={members}` params
+    * (aggregate.rs:71-96 serde flatten). */
+  def toLogicLayerQuery(params: Map[String, Seq[String]], cube: Cube): LogicLayerQuery = {
+    val reserved = Set("cube", "drilldowns", "measures", "exclude", "time", "locale",
+      "properties", "filters", "parents", "top", "top_where", "sort", "limit", "sparse", "debug")
+
+    def resolveLevel(s: String): LevelName =
+      LevelName.parse(s).toOption.filter(ln => cube.findLevel(ln).isDefined).getOrElse {
+        // bare unique level name: search all dims/hiers (cache.rs:583-673)
+        val hits = for {
+          d <- cube.dimensions; h <- d.hierarchies; l <- h.levels
+          if l.name == s
+        } yield LevelName(d.name, h.name, l.name)
+        hits match {
+          case Seq(one) => one
+          case Seq()    => fail(s"level '$s' not found in cube '${cube.name}'")
+          case _        => fail(s"level '$s' is ambiguous in cube '${cube.name}'")
+        }
+      }
+
+    val cuts = params.toSeq
+      .filter { case (k, _) => !reserved.contains(k) && !k.endsWith("[]") }
+      .flatMap { case (k, vs) =>
+        scala.util.Try(resolveLevel(k)).toOption.map { ln =>
+          CutSpec(ln, vs.flatMap(_.split(',')).filter(_.nonEmpty))
+        }
+      }
+
+    LogicLayerQuery(
+      drilldowns = list(params, "drilldowns").flatMap(_.split(',')).filter(_.nonEmpty)
+        .map(s => Drilldown(resolveLevel(s))),
+      cuts = cuts,
+      measures = list(params, "measures").flatMap(_.split(',')).filter(_.nonEmpty)
+        .map(s => p(MeasureName.parse(s))),
+      exclude = list(params, "exclude").map { s =>
+        s.split(":", 2) match {
+          case Array(lvl, ids) => CutSpec(resolveLevel(lvl), ids.split(',').toSeq)
+          case _ => fail(s"malformed exclude '$s' (Level:id1,id2)")
+        }
+      },
+      time = one(params, "time").map { s =>
+        val i = s.lastIndexOf('.')
+        if (i < 0) fail(s"malformed time '$s' (Level.latest|oldest)")
+        (resolveLevel(s.take(i)), s.drop(i + 1))
+      },
+      properties = list(params, "properties").map(s => p(PropertyName.parse(s))),
+      filters = list(params, "filters").map(s => p(FilterQuery.parse(s))),
+      parents = flag(params, "parents"),
+      top = one(params, "top").map(s => p(TopQuery.parse(s))),
+      sort = one(params, "sort").map(s => p(SortQuery.parse(s))),
+      limit = one(params, "limit").map(s => p(LimitQuery.parse(s))),
+      sparse = flag(params, "sparse"))
+  }
+}
+
+/** Schema/cube metadata JSON (reference handlers/metadata.rs:27-77). */
+object Metadata {
+  import Format.jsonEscape
+
+  def schemaJson(s: Schema): String =
+    "{\"name\":\"" + jsonEscape(s.name) + "\",\"cubes\":[" +
+      s.cubes.filter(_.public).map(cubeJson).mkString(",") + "]}"
+
+  def cubeJson(c: Cube): String = {
+    val dims = c.dimensions.map { d =>
+      val hiers = d.hierarchies.map { h =>
+        val lvls = h.levels.map { l =>
+          "{\"name\":\"" + jsonEscape(l.name) + "\"" +
+            ",\"key_column\":\"" + jsonEscape(l.keyColumn) + "\"" +
+            l.nameColumn.map(n => ",\"name_column\":\"" + jsonEscape(n) + "\"").getOrElse("") +
+            ",\"properties\":[" + l.properties.map(pr =>
+              "{\"name\":\"" + jsonEscape(pr.name) + "\"}").mkString(",") + "]}"
+        }.mkString(",")
+        "{\"name\":\"" + jsonEscape(h.name) + "\",\"levels\":[" + lvls + "]}"
+      }.mkString(",")
+      "{\"name\":\"" + jsonEscape(d.name) + "\",\"type\":\"" + d.dimType.toString + "\"" +
+        ",\"hierarchies\":[" + hiers + "]}"
+    }.mkString(",")
+    val meas = c.measures.map(m =>
+      "{\"name\":\"" + jsonEscape(m.name) + "\",\"aggregator\":\"" +
+        jsonEscape(m.aggregator.toString) + "\"}").mkString(",")
+    "{\"name\":\"" + jsonEscape(c.name) + "\",\"dimensions\":[" + dims +
+      "],\"measures\":[" + meas + "]}"
+  }
+}

@@ -1,0 +1,121 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TpchStar
+import graft.SparkTestSession.{spark, SfDir}
+
+/** End-to-end HTTP contract tests against the sf0.001 fixture — the analogue
+  * of the reference's clickhouse_end_to_end.rs golden-response test. */
+class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: GraftServer = _
+  private var port: Int = 0
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    server = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir),
+      flushSecret = Some("s3cret"))
+    port = server.start()
+  }
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private def get(pathAndQuery: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("index route reports status") {
+    val (code, body) = get("/")
+    assert(code == 200)
+    assert(body.contains("\"status\":\"ok\""))
+  }
+
+  test("metadata routes list cubes, dims, measures") {
+    val (code, body) = get("/cubes")
+    assert(code == 200)
+    assert(body.contains("\"name\":\"Sales\"") && body.contains("\"name\":\"SalesDM\""))
+    val (c2, b2) = get("/cubes/Sales")
+    assert(c2 == 200)
+    assert(b2.contains("\"name\":\"Geography\"") && b2.contains("\"name\":\"Quantity\""))
+    assert(get("/cubes/Nope")._1 == 404)
+  }
+
+  test("aggregate.csv returns the golden CSV") {
+    val (code, body) = get("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity")
+    assert(code == 200)
+    val lines = body.trim.split("\n").toSeq
+    assert(lines.head == "Region ID,Region,Quantity")
+    assert(lines.length == 6) // header + 5 regions
+    // independently computed golden line for region 0
+    val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$SfDir/supplier.parquet")
+    val nat = spark.read.parquet(s"$SfDir/nation.parquet")
+    val q0 = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .where(nat("n_regionkey") === 0)
+      .agg(org.apache.spark.sql.functions.sum("l_quantity")).head().getDouble(0)
+    assert(lines(1).startsWith("0,") && lines(1).endsWith(q0.toString))
+  }
+
+  test("aggregate.jsonrecords carries data + source blocks") {
+    val (code, body) = get("/cubes/Sales/aggregate.jsonrecords?drilldowns=Return%20Flag.Return%20Flag&measures=Quantity")
+    assert(code == 200)
+    assert(body.startsWith("{\"data\":[{\"Return Flag\":"))
+    assert(body.contains("\"source\":[{\"name\":\"Sales\""))
+  }
+
+  test("aggregate.jsonarrays carries headers + rows") {
+    val (code, body) = get("/cubes/Sales/aggregate.jsonarrays?drilldowns=Geography.Region&measures=Quantity&limit=2")
+    assert(code == 200)
+    assert(body.startsWith("{\"headers\":[\"Region ID\",\"Region\",\"Quantity\"],\"data\":[["))
+    assert(body.split("\\[").length >= 4)
+  }
+
+  test("aggregate with cuts, filters, parents round-trips") {
+    val (code, body) = get("/cubes/Sales/aggregate.jsonarrays?drilldowns=Geography.Nation&cuts=Geography.Region.1&measures=Quantity&parents=true")
+    assert(code == 200)
+    assert(body.contains("\"Region ID\",\"Region\",\"Nation ID\",\"Nation\",\"Quantity\""))
+  }
+
+  test("members endpoint enumerates a level") {
+    val (code, body) = get("/cubes/Sales/members.csv?level=Geography.Region")
+    assert(code == 200)
+    val lines = body.trim.split("\n")
+    assert(lines.head == "r_regionkey,r_name")
+    assert(lines.length == 6)
+  }
+
+  test("logic layer /data accepts bare level names and Level=member cuts") {
+    val (code, body) = get("/data.jsonrecords?cube=Sales&drilldowns=Year&measures=Quantity&Region=1")
+    assert(code == 200)
+    assert(body.contains("\"Year\":"))
+    // region-1-only totals are strictly below the uncut totals
+    val (_, uncut) = get("/data.jsonrecords?cube=Sales&drilldowns=Year&measures=Quantity")
+    assert(body != uncut)
+  }
+
+  test("logic layer exclude and time params") {
+    val (code, body) = get("/data.jsonarrays?cube=Sales&drilldowns=Nation&measures=Quantity&exclude=Nation:12,20&time=Year.latest")
+    assert(code == 200)
+    assert(!body.contains("[12,") && !body.contains("[20,"))
+  }
+
+  test("diagnosis endpoint runs the QA checks") {
+    val (code, body) = get("/cubes/Sales/diagnosis.jsonrecords")
+    assert(code == 200)
+    assert(body.contains("MissingDimensionIDs") && body.contains("NonUniqueDimensionIDs"))
+  }
+
+  test("error paths: bad query 400, unknown format 400, flush auth") {
+    assert(get("/cubes/Sales/aggregate.csv?measures=Quantity")._1 == 400) // no drill/cut
+    assert(get("/cubes/Sales/aggregate.xml?drilldowns=Geography.Region&measures=Quantity")._1 == 400)
+    assert(get("/flush")._1 == 403)
+    assert(get("/flush?secret=wrong")._1 == 403)
+    assert(get("/flush?secret=s3cret")._1 == 200)
+  }
+}
