@@ -39,12 +39,19 @@ object TpchStar {
           .withColumn("l_disc_dec", col("l_discount").cast("decimal(8,6)"))
           .withColumn("l_tax_dec", col("l_tax").cast("decimal(8,6)"))
       case "supplier_geo" =>
-        // supplier → nation → region denormalized; Region/Nation levels are
-        // low-cardinality so the joined view broadcasts at any scale
-        p(spark, "supplier")
-          .join(p(spark, "nation"), col("s_nationkey") === col("n_nationkey"))
-          .join(p(spark, "region"), col("n_regionkey") === col("r_regionkey"))
+        // supplier → nation → region denormalized. The explicit broadcast
+        // hint pins this dim as the hash-join BUILD side: without it, a
+        // column-pruned fact can fall under the auto-broadcast threshold at
+        // small SF and Spark builds the hash map on the fact (BuildLeft) —
+        // backwards at any scale. The resolver is where deployment knowledge
+        // of dim sizes lives (the reference's schema writer plays this role).
+        broadcast(
+          p(spark, "supplier")
+            .join(p(spark, "nation"), col("s_nationkey") === col("n_nationkey"))
+            .join(p(spark, "region"), col("n_regionkey") === col("r_regionkey")))
       case "order_customer" =>
+        // orders/customer scale with the fact — never hinted; Catalyst/AQE
+        // picks shuffle vs broadcast from runtime stats
         p(spark, "orders")
           .join(p(spark, "customer"), col("o_custkey") === col("c_custkey"))
       case other => p(spark, other)

@@ -185,14 +185,16 @@ object PipelineOps {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = base.select(col("doc_id"), col("shingles"))
-    val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    // exact verification on the distinct *hash* sets (int64 intersects are
+    // far cheaper to shuffle and compare than shingle strings at scale)
+    val sets = base.select(col("doc_id"), col("hashes"))
+    val sa = sets.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+          (size(col("h_a")) + size(col("h_b")) - col("inter")).cast("double"))
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -215,18 +217,21 @@ object PipelineOps {
       .orderBy("lang")
 
   /** p06: character-trigram Jaccard near-dup pairs, blocked by
-    * (lang, n_chars/100) — a cheap complement to minhash that catches
-    * char-level perturbations; blocked, never all-pairs. */
+    * (lang, source, n_chars/100) — intra-source char-level dedup, the
+    * complement to cross-corpus minhash (p04). Trigram sets compare as
+    * int64 hash sets; blocking bounds candidates to same-source
+    * same-length-band docs, never all-pairs. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val blockCols = Seq("lang", "source", "block")
     val grams = docs(spark, dir)
       .where(length(col("text")) >= 3)
       .withColumn("block", floor(col("n_chars") / 100))
       .withColumn("grams",
-        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))"))
-      .select(col("doc_id"), col("lang"), col("block"), col("grams"))
-    val a = grams.select(col("lang"), col("block"), col("doc_id").as("doc_a"), col("grams").as("g_a"))
-    val b = grams.select(col("lang"), col("block"), col("doc_id").as("doc_b"), col("grams").as("g_b"))
-    a.join(b, Seq("lang", "block"))
+        expr(s"array_distinct(transform(sequence(1, length(text) - 2), i -> ${hex12("substr(text, i, 3)")}))"))
+      .select((col("doc_id") +: col("grams") +: blockCols.map(col)): _*)
+    val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: blockCols.map(col)): _*)
+    val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: blockCols.map(col)): _*)
+    a.join(b, blockCols)
       .where(col("doc_a") < col("doc_b"))
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
       .withColumn("jaccard",

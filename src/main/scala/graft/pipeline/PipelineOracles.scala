@@ -73,9 +73,9 @@ object PipelineOracles {
        |  FROM banded l JOIN banded r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
        |j AS (
        |  SELECT doc_a, doc_b,
-       |         len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS inter,
-       |         len(sa.shingles)::BIGINT AS ca, len(sb.shingles)::BIGINT AS cb
-       |  FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+       |         len(list_intersect(ha.hashes, hb.hashes))::BIGINT AS inter,
+       |         len(ha.hashes)::BIGINT AS ca, len(hb.hashes)::BIGINT AS cb
+       |  FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) AS jaccard
        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -94,18 +94,18 @@ object PipelineOracles {
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   private val p06 =
-    """WITH g AS (
-      |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
-      |         list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS grams
-      |  FROM documents WHERE len(text) >= 3),
-      |j AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
-      |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
-      |  FROM g a JOIN g b ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) AS jaccard
-      |FROM j WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.6
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
+       |         list_distinct([ (${hex12("substr(text, i, 3)")})::BIGINT FOR i IN range(1, len(text) - 1) ]) AS grams
+       |  FROM documents WHERE len(text) >= 3),
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+       |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.block = b.block AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val quantCte =
     s"""WITH qz AS (

@@ -202,20 +202,22 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
 
   // ------------------------------------------------------------------- rca
 
-  /** RCA = (a/b)/(c/d) over one aggregated frame (replaces
+  /** RCA = (a/b)/(c/d) computed from ONE grouping-sets pass (replaces
     * tesseract-clickhouse/src/sql/rca.rs:50-283's groupArray pivot).
     *
-    * b, c, d are re-aggregations of the base frame joined back on their own
-    * grain — NOT window sums: a window partitioned by few (or zero) keys
-    * funnels the entire frame through one task, which dies at scale, while
-    * these equi-joins shuffle on the group keys (and the global `d` is a
-    * single broadcast row). The base aggregate is persisted so the fact is
-    * scanned once, not once per denominator.
+    * The four aggregation grains — a=(ext,d1,d2), b=(ext,d2), c=(ext,d1),
+    * d=(ext) — are grouping sets of one `groupingSets` aggregate, so the
+    * fact is scanned and shuffled exactly once by construction (no persist,
+    * no reliance on exchange reuse, no executor memory pinned across
+    * queries). The small per-grain frames then equi-join back on their own
+    * grain keys — never window sums, whose empty/low-key partitioning
+    * funnels the frame through one task at scale.
     *
-    * Cuts whose level is drill_1 itself apply only to a and c, so b and d
-    * keep the full denominators (rca.rs:100-127); all other cuts — including
-    * cuts on *other levels* of drill_1's dimension — are ordinary external
-    * cuts pushed to the fact scan. */
+    * Cuts whose level is drill_1 itself apply only to a and c (rca.rs:
+    * 100-127): since those cuts filter on d1 *group keys*, they apply
+    * post-rollup as row filters on the a/c frames while b/d keep full
+    * denominators. All other cuts — including cuts on *other levels* of
+    * drill_1's dimension — are ordinary external cuts pushed to the scan. */
   private def planRca(spark: SparkSession, q: CubeQuery): DataFrame = {
     val r = q.rca.get
     val extOuts = outLevels(q.drilldowns, q.parents, q.properties, q.captions)
@@ -233,21 +235,41 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
 
     val rcaMea  = cube.measure(r.mea.name).getOrElse(fail(s"rca measure '${r.mea.name}' not found"))
     val meas    = (rcaMea -> RcaA) +: q.measures.map(m => cube.measure(m.name).get -> m.name)
+    if (meas.exists(_._1.aggregator.isInstanceOf[Aggregator.BasicGroupedMedian]))
+      fail("grouped-median measures cannot combine with RCA (no single-pass form)")
 
-    val src  = buildSource(spark, allOuts, externalCuts, q, Nil)
-    val base = aggregate(src, groupHeaders(allOuts), meas, Nil)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val src = buildSource(spark, allOuts, externalCuts, q, Nil)
 
+    val allCols = groupHeaders(allOuts) // keys + names + props: the a-grain
     val extKeys = extOuts.map(_.keyHeader)
     val d1Keys  = d1Outs.map(_.keyHeader)
     val d2Keys  = d2Outs.map(_.keyHeader)
 
-    def sumOver(src: DataFrame, keys: Seq[String], out: String): DataFrame =
-      if (keys.isEmpty) src.agg(sum(cq(RcaA)).as(out))
-      else src.groupBy(keys.map(cq): _*).agg(sum(cq(RcaA)).as(out))
+    val setA = allCols
+    val setB = extKeys ++ d2Keys
+    val setC = extKeys ++ d1Keys
+    val setD = extKeys
+    val sets = Seq(setA, setB, setC, setD)
 
-    // null-safe equi-join back on the re-aggregation grain (window
-    // partitioning groups NULL keys together; <=> preserves that semantic)
+    // grouping_id bit i (MSB-first over allCols) = 1 when the column is
+    // aggregated away in that grouping set
+    def gid(set: Seq[String]): Long =
+      allCols.zipWithIndex.collect {
+        case (c, i) if !set.contains(c) => 1L << (allCols.length - 1 - i)
+      }.sum
+
+    val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) } :+
+      grouping_id().as("__gid")
+    val rolled = src
+      .groupingSets(sets.map(_.map(cq)), allCols.map(cq): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    def frame(set: Seq[String], out: String): DataFrame =
+      rolled.where(cq("__gid") === gid(set))
+        .select((set.map(cq) :+ cq(RcaA).as(out)): _*)
+
+    // null-safe equi-join back on the re-aggregation grain (<=> groups NULL
+    // keys together, matching the grouping-set semantics)
     def joinBack(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
       if (keys.isEmpty) l.crossJoin(broadcast(r))
       else {
@@ -256,10 +278,11 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
         l.join(rr, cond, "inner").drop(keys.map(k => s"__rj $k"): _*)
       }
 
-    // b and d are computed before internal cuts filter the frame
-    var df = joinBack(base, sumOver(base, extKeys ++ d2Keys, RcaB), extKeys ++ d2Keys)
-    df = joinBack(df, sumOver(base, extKeys, RcaD), extKeys)
+    val aFrame = rolled.where(cq("__gid") === gid(setA)).drop("__gid")
+    var df = joinBack(aFrame, frame(setB, RcaB), setB)
+    df = joinBack(df, frame(setD, RcaD), setD)
 
+    var cFrame = frame(setC, RcaC)
     internalCuts.foreach { cut =>
       val (cd, ch, ci) = resolveLevel(cut.levelName)
       val header = allOuts
@@ -267,9 +290,10 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
         .map(_.keyHeader)
         .getOrElse(fail(s"internal RCA cut level '${cut.levelName}' must be drill_1"))
       df = df.where(cutPredicate(df, header, cut))
+      cFrame = cFrame.where(cutPredicate(cFrame, header, cut))
     }
 
-    df = joinBack(df, sumOver(df, extKeys ++ d1Keys, RcaC), extKeys ++ d1Keys)
+    df = joinBack(df, cFrame, setC)
 
     val rcaName = s"${r.mea.name} RCA"
     df = df.withColumn(rcaName, (cq(RcaA) / cq(RcaB)) / (cq(RcaC) / cq(RcaD)))
