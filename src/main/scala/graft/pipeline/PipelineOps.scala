@@ -322,6 +322,64 @@ object PipelineOps {
       .orderBy("query_id", "rank")
   }
 
+  /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
+    * minhash dedup. Candidates share a coarse 6-plane hyperplane bucket
+    * (shuffle on the bucket key, never all-pairs); survivors are exact
+    * quantized cosine ≥ 0.45 (threshold fixture-tuned: the synthetic
+    * embeddings top out near 0.51). */
+  val DedupPlanes = 6
+  val EmbDupThreshold = 0.45
+
+  private def coarseBucketExpr(qCol: String): Column = {
+    val terms = (0 until DedupPlanes).map { p =>
+      val ws = (0 until EmbDim).map(d => s"${planeWeight(p, d)}L").mkString(", ")
+      s"IF(aggregate(zip_with($qCol, array($ws), (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0, ${1L << p}L, 0L)"
+    }
+    expr(terms.mkString(" + "))
+  }
+
+  def embDedup(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir).withColumn("bucket", coarseBucketExpr("q"))
+    val a = q.select(col("bucket"), col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val b = q.select(col("bucket"), col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    a.join(b, "bucket")
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= EmbDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ============================================================ multimodal
+
+  /** p13: multimodal asset plumbing — content as an opaque BINARY column
+    * with a typed metadata struct, the schema shape image/audio/video
+    * pipelines use at scale. The decode step is a clearly-marked
+    * deterministic STUB (this container has no media libraries): "frame
+    * dims" derive from the first content bytes, the signature from md5.
+    * Everything around the stub — binary encoding, struct metadata,
+    * per-source rollup — is real, codegen-friendly column work. */
+  def multimodal(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("content", col("text").cast("binary")) // opaque asset bytes
+      .withColumn("meta", struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        expr(s"${hex12("text")}").as("sig"),
+        // STUB decode: width/height faked from leading bytes (deterministic
+        // placeholder for a real image decoder)
+        (expr("ascii(substr(text, 1, 1))") % 16 + 1).cast("long").as("width"),
+        (expr("ascii(substr(text, 2, 1))") % 16 + 1).cast("long").as("height")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("meta.n_bytes")).as("sum_bytes"),
+        countDistinct(col("meta.sig")).as("n_unique"),
+        sum(col("meta.width") * col("meta.height")).as("sum_pixels"))
+      .withColumn("avg_pixels", col("sum_pixels").cast("double") / col("n_assets").cast("double"))
+      .orderBy("source")
+
   // ========================================================== events/json
 
   /** p09: typed extraction from the JSON `props` column + event rollup.
@@ -354,5 +412,7 @@ object PipelineOps {
     "p09_events_json"   -> eventsJson,
     "p10_langid"        -> langId,
     "p11_token_counts"  -> tokenCounts,
-    "p12_fingerprints"  -> fingerprints)
+    "p12_fingerprints"  -> fingerprints,
+    "p13_multimodal"    -> multimodal,
+    "p14_emb_dedup"     -> embDedup)
 }

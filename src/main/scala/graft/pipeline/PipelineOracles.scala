@@ -205,6 +205,36 @@ object PipelineOracles {
        |SELECT doc_id, len(fps)::BIGINT AS n_fingerprints, list_min(fps) AS fp_min, list_max(fps) AS fp_max
        |FROM f ORDER BY doc_id""".stripMargin
 
+  private val p13 =
+    s"""WITH t AS (
+       |  SELECT source,
+       |         octet_length(encode(text))::BIGINT AS n_bytes,
+       |         ${hex12("text")} AS sig,
+       |         ((ascii(substr(text, 1, 1)) % 16) + 1)::BIGINT AS w,
+       |         ((ascii(substr(text, 2, 1)) % 16) + 1)::BIGINT AS h
+       |  FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       |       count(DISTINCT sig)::BIGINT AS n_unique, CAST(sum(w * h) AS BIGINT) AS sum_pixels,
+       |       CAST(CAST(sum(w * h) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_pixels
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  private val p14 = {
+    val terms = (0 until PipelineOps.DedupPlanes).map { p =>
+      val ws = (0 until EmbDim).map(d => planeWeight(p, d).toString).mkString(", ")
+      s"CASE WHEN list_sum([x[1] * x[2] FOR x IN list_zip(q, [$ws])]) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END"
+    }.mkString("\n       + ")
+    s"""$quantCte,
+       |bk AS (SELECT vec_id, q, nrm, $terms AS bucket FROM n),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS DOUBLE)
+       |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM pairs
+       |WHERE cosine >= ${PipelineOps.EmbDupThreshold}
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -217,5 +247,7 @@ object PipelineOracles {
     "p09_events_json"   -> p09,
     "p10_langid"        -> p10,
     "p11_token_counts"  -> p11,
-    "p12_fingerprints"  -> p12)
+    "p12_fingerprints"  -> p12,
+    "p13_multimodal"    -> p13,
+    "p14_emb_dedup"     -> p14)
 }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape: the input operators a
+  * production event pipeline needs — watermarked windowed aggregation and
+  * stateful sessionization — expressed with `readStream` → transforms →
+  * `writeStream`.
+  *
+  * (The reference only streams HTTP *result* blocks — format_stream.rs —
+  * so this module is part of the engine's beyond-parity streaming surface.
+  * Scale notes: windowed aggs shuffle on (window, key) with state bounded
+  * by the watermark horizon; sessionization state is per-user and expires
+  * via event-time timeout.)
+  */
+object EventStream {
+
+  /** events.parquet wire schema: ts arrives as TIMESTAMP(NANOS), which Spark
+    * reads as nanos-since-epoch long under `nanosAsLong`. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Long, totalValue: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Long, total_value: Double, open: Boolean)
+
+  /** Streaming source over a parquet events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+  }
+
+  /** Watermarked per-day/type rollup: count + DECIMAL-summed value (same
+    * determinism rule as the batch side). State for a window is dropped one
+    * hour past the watermark. */
+  def windowedStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session gap in event time. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Stateful sessionization: events of one user within a 30-minute gap
+    * merge into a session (KeyValueGroupedDataset.flatMapGroupsWithState,
+    * event-time timeout). Emits the updated open session each trigger and
+    * the closed session when the gap elapses past the watermark. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start), s.n, s.totalValue, open = false))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = Vector.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= SessionGapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.lastTs, t), s.n + 1, s.totalValue + e.value))
+                case Some(s) => // gap exceeded: close the old session, open a new one
+                  out :+= Session(userId, new java.sql.Timestamp(s.start), s.n, s.totalValue, open = false)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + SessionGapMs)
+              out :+= Session(userId, new java.sql.Timestamp(s.start), s.n, s.totalValue, open = true)
+            }
+            out.iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, SfDir}
+
+class EventStreamSpec extends AnyFunSuite {
+
+  test("file-stream windowed stats equal the batch computation over events.parquet") {
+    val stream = EventStream.windowedStats(EventStream.readEvents(spark, SfDir))
+    val q = stream.writeStream
+      .format("memory").queryName("win_stats").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_stats")
+        .select("day", "event_type", "n", "sum_value")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1.getTime, t._2))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val want = spark.read.schema(EventStream.eventSchema)
+        .parquet(s"$SfDir/events.parquet")
+        .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1.getTime, t._2))
+      assert(got.nonEmpty)
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
+  test("sessionization merges within the gap and splits across it") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionize(input.toDS())
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("update").start()
+    try {
+      def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+      // user 1: two events 10 min apart (one session), then one 90 min later
+      // (new session); user 2: a single event
+      input.addData(
+        EventStream.Event(1L, ts(0), "view", 1.0),
+        EventStream.Event(1L, ts(10), "click", 2.0),
+        EventStream.Event(2L, ts(5), "view", 5.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(1L, ts(100), "purchase", 7.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      // batch 1: user1 open session (2 events, 3.0), user2 open session
+      assert(rows.contains((1L, ts(0), 2L, 3.0, true)))
+      assert(rows.contains((2L, ts(5), 1L, 5.0, true)))
+      // batch 2: user1's first session closed at the gap, new session opened
+      assert(rows.contains((1L, ts(0), 2L, 3.0, false)))
+      assert(rows.contains((1L, ts(100), 1L, 7.0, true)))
+    } finally q.stop()
+  }
+}
