@@ -33,10 +33,15 @@ final class GraftServer(
     resolver: TableResolver,
     namedSets: Seq[NamedSet] = Nil,
     flushSecret: Option[String] = None,
-    onFlush: () => Unit = () => ()) {
+    onFlush: () => Unit = () => (),
+    jwtSecret: Option[String] = None) {
 
   private val planners: Map[String, CubePlanner] =
     schema.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
+
+  /** JWT auth levels (auth.rs) + LRU response cache (util.rs:152-216). */
+  val auth = new Auth(jwtSecret)
+  private val cache = new ResponseCache()
 
   private var server: HttpServer = _
 
@@ -56,10 +61,24 @@ final class GraftServer(
     try {
       val path = ex.getRequestURI.getPath
       val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      route(path, params) match {
-        case Right((body, contentType)) => respond(ex, 200, body, contentType)
-        case Left((code, msg)) =>
-          respond(ex, code, "{\"error\":\"" + Format.jsonEscape(msg) + "\"}", "application/json")
+      val token = Option(ex.getRequestHeaders.getFirst("x-tesseract-jwt-token"))
+        .orElse(params.get("token").flatMap(_.headOption))
+      // response cache: query routes only, keyed by normalized request
+      // (token excluded from the key, checked per request)
+      val cacheable = path.contains("/aggregate.") || path.startsWith("/data.") ||
+        path.contains("/members.")
+      val ck = cache.key(path, params - "token")
+      val cached = if (cacheable) cache.get(ck) else None
+      cached match {
+        case Some((body, ct)) => respond(ex, 200, body, ct)
+        case None =>
+          route(path, params, token) match {
+            case Right((body, contentType)) =>
+              if (cacheable) cache.put(ck, (body, contentType))
+              respond(ex, 200, body, contentType)
+            case Left((code, msg)) =>
+              respond(ex, code, "{\"error\":\"" + Format.jsonEscape(msg) + "\"}", "application/json")
+          }
       }
     } catch {
       case e: PlanError =>
@@ -68,7 +87,7 @@ final class GraftServer(
         respond(ex, 500, "{\"error\":\"" + Format.jsonEscape(String.valueOf(e.getMessage)) + "\"}", "application/json")
     } finally ex.close()
 
-  private def route(path: String, params: Map[String, Seq[String]])
+  private def route(path: String, params: Map[String, Seq[String]], token: Option[String])
       : Either[(Int, String), (String, String)] = {
     val AggRe     = "^/cubes/([^/]+)/aggregate\\.([a-z]+)$".r
     val MembersRe = "^/cubes/([^/]+)/members\\.([a-z]+)$".r
@@ -80,21 +99,22 @@ final class GraftServer(
       case "/" =>
         Right(("{\"status\":\"ok\",\"name\":\"graft\",\"version\":\"0.2.0\"}", "application/json"))
       case "/cubes" =>
-        Right((Metadata.schemaJson(schema), "application/json"))
+        Right((Metadata.schemaJson(
+          schema.copy(cubes = schema.cubes.filter(auth.allowed(_, token)))), "application/json"))
       case CubeRe(cube) =>
-        schema.cube(dec(cube)) match {
+        schema.cube(dec(cube)).filter(auth.allowed(_, token)) match {
           case Some(c) => Right((Metadata.cubeJson(c), "application/json"))
           case None    => Left((404, s"cube '${dec(cube)}' not found"))
         }
       case AggRe(cube, fmt) =>
-        withCube(dec(cube)) { case (c, planner) =>
+        withCube(dec(cube), token) { case (c, planner) =>
           withFormat(fmt) { f =>
             val q = QueryParams.toCubeQuery(params)
             Right((Format.format(planner.plan(spark, q), f, Some(sourceMeta(c))), mime(f)))
           }
         }
       case MembersRe(cube, fmt) =>
-        withCube(dec(cube)) { case (_, planner) =>
+        withCube(dec(cube), token) { case (_, planner) =>
           withFormat(fmt) { f =>
             val level = params.get("level").flatMap(_.headOption)
               .toRight((400, "members requires ?level=")).flatMap(s =>
@@ -106,7 +126,7 @@ final class GraftServer(
           }
         }
       case DiagRe(cube, fmt) =>
-        withCube(dec(cube)) { case (c, _) =>
+        withCube(dec(cube), token) { case (c, _) =>
           withFormat(fmt) { f =>
             Right((Format.format(Diagnosis.run(spark, c, resolver), f), mime(f)))
           }
@@ -116,7 +136,7 @@ final class GraftServer(
           params.get("cube").flatMap(_.headOption) match {
             case None => Left((400, "logic layer requires ?cube="))
             case Some(cubeName) =>
-              withCube(cubeName) { case (c, planner) =>
+              withCube(cubeName, token) { case (c, planner) =>
                 val ll = new LogicLayer(planner, namedSets)
                 val q = QueryParams.toLogicLayerQuery(params, c)
                 Right((Format.format(ll.plan(spark, q), f, Some(sourceMeta(c))), mime(f)))
@@ -127,18 +147,20 @@ final class GraftServer(
         val given = params.get("secret").flatMap(_.headOption)
         if (flushSecret.isEmpty) Left((400, "flush is not configured"))
         else if (given != flushSecret) Left((403, "bad secret"))
-        else { onFlush(); Right(("{\"status\":\"flushed\"}", "application/json")) }
+        else { cache.clear(); onFlush(); Right(("{\"status\":\"flushed\"}", "application/json")) }
       case _ => Left((404, s"no route for '$path'"))
     }
   }
 
   // -------------------------------------------------------------- helpers
 
-  private def withCube[A](name: String)(f: ((Cube, CubePlanner)) => Either[(Int, String), A])
+  private def withCube[A](name: String, token: Option[String])
+      (f: ((Cube, CubePlanner)) => Either[(Int, String), A])
       : Either[(Int, String), A] =
-    schema.cube(name).map(c => (c, planners(c.name))) match {
-      case Some(cp) => f(cp)
-      case None     => Left((404, s"cube '$name' not found"))
+    schema.cube(name) match {
+      case Some(c) if !auth.allowed(c, token) => Left((401, s"not authorized for cube '$name'"))
+      case Some(c) => f((c, planners(c.name)))
+      case None    => Left((404, s"cube '$name' not found"))
     }
 
   private def withFormat[A](s: String)(f: FormatType => Either[(Int, String), A])
@@ -276,9 +298,11 @@ object QueryParams {
 object Metadata {
   import Format.jsonEscape
 
+  /** Callers pass a schema already filtered to the cubes the request may
+    * see (GraftServer's auth gate). */
   def schemaJson(s: Schema): String =
     "{\"name\":\"" + jsonEscape(s.name) + "\",\"cubes\":[" +
-      s.cubes.filter(_.public).map(cubeJson).mkString(",") + "]}"
+      s.cubes.map(cubeJson).mkString(",") + "]}"
 
   def cubeJson(c: Cube): String = {
     val dims = c.dimensions.map { d =>

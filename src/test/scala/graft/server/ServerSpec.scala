@@ -118,4 +118,31 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/flush?secret=wrong")._1 == 403)
     assert(get("/flush?secret=s3cret")._1 == 200)
   }
+
+  test("JWT auth levels gate non-public cubes") {
+    val privCube = TpchStar.salesCube.copy(name = "Private", public = false, minAuthLevel = 2)
+    val schema = graft.core.Schema("T2", Seq(TpchStar.salesCube, privCube))
+    val srv = new GraftServer(spark, schema, new TpchStar.Resolver(SfDir),
+      jwtSecret = Some("jwt-secret-0123456789abcdef-0123456789abcdef"))
+    val p2 = srv.start()
+    try {
+      def g(path: String): (Int, String) = {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$p2$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val q = "/cubes/Private/aggregate.csv?drilldowns=Geography.Region&measures=Quantity"
+      assert(g(q)._1 == 401, "no token")
+      val low = srv.auth.mint(1).get
+      assert(g(s"$q&token=$low")._1 == 401, "level below min_auth_level")
+      val high = srv.auth.mint(2).get
+      assert(g(s"$q&token=$high")._1 == 200, "level clears min_auth_level")
+      // metadata hides the private cube without a token
+      assert(!g("/cubes")._2.contains("\"Private\""))
+      assert(g(s"/cubes?token=$high")._2.contains("\"Private\""))
+      // public cubes stay reachable without a token
+      assert(g("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity")._1 == 200)
+    } finally srv.stop()
+  }
 }
