@@ -35,6 +35,11 @@ object Hashing {
   val Bands     = 16
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** LSH band buckets larger than this are dropped before pairing —
+    * low-information collisions whose O(n²) pair blowup is the LSH skew
+    * failure mode; near-dups still collide in other bands. */
+  val MaxBucketSize = 64
+
   /** Permutation h_j(x) = (a_j * x + b_j) mod P, constants md5-derived. */
   val minhashA: IndexedSeq[Long] = (0 until NumHashes).map(j => (md5Long(s"graft_a$j", 8) % BaseHashMod) | 1L)
   val minhashB: IndexedSeq[Long] = (0 until NumHashes).map(j => md5Long(s"graft_b$j", 8) % BaseHashMod)

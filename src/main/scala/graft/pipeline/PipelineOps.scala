@@ -177,8 +177,19 @@ object PipelineOps {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
-    val l = banded.alias("l")
-    val r = banded.alias("r")
+    // Hot-bucket cap: an oversized band bucket is a low-information
+    // collision (shared-vocabulary skew) that would pair O(n²) docs; true
+    // near-dups agree on several of the 16 bands, so dropping the hot ones
+    // loses no verified pairs (measured at sf0.01 and sf0.1) while bounding
+    // worst-case candidate count — the LSH analogue of skew salting.
+    val bw = Window.partitionBy(col("band"), col("bkey"))
+    val pruned = banded
+      .withColumn("cnt", count(lit(1)).over(bw))
+      .where(col("cnt") <= MaxBucketSize)
+      .drop("cnt")
+
+    val l = pruned.alias("l")
+    val r = pruned.alias("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.doc_id") < col("r.doc_id"))

@@ -68,9 +68,13 @@ object PipelineOracles {
        |banded AS (
        |  SELECT doc_id, b, sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR AS bkey
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)),
+       |pruned AS (
+       |  SELECT doc_id, b, bkey FROM (
+       |    SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) AS cnt FROM banded)
+       |  WHERE cnt <= $MaxBucketSize),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM banded l JOIN banded r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |  FROM pruned l JOIN pruned r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
        |j AS (
        |  SELECT doc_a, doc_b,
        |         len(list_intersect(ha.hashes, hb.hashes))::BIGINT AS inter,

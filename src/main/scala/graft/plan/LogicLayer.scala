@@ -36,6 +36,15 @@ final case class NamedSet(name: String, level: LevelName, members: Seq[String])
 final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
   import CubePlanner.{cq, fail}
 
+  /** Member cache (reference logic_layer/cache.rs:168-904 builds these maps
+    * at startup): cut-op and time-member resolutions are dim-bounded scans,
+    * memoized per LogicLayer instance. Cleared via /flush re-creating the
+    * layer. */
+  private val memberCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cached[A <: AnyRef](key: String)(f: => A): A =
+    memberCache.computeIfAbsent(key, _ => f).asInstanceOf[A]
+
   // ------------------------------------------------------------ resolution
 
   /** Substitutes named sets: a cut whose single member matches a set name on
@@ -57,7 +66,9 @@ final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
       c.members match {
         case Seq(single) if single.contains(':') =>
           val Array(member, op) = single.split(":", 2)
-          val (ln, members) = planner.relatedMembers(spark, c.levelName, member, op)
+          val (ln, members) = cached(s"op:${c.levelName}:$member:$op") {
+            planner.relatedMembers(spark, c.levelName, member, op)
+          }
           if (members.isEmpty) fail(s"cut op '$single' on '${c.levelName}' matched no members")
           CutSpec(ln, members, c.mask, c.forMatch)
         case _ => c
@@ -68,16 +79,18 @@ final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
     * (reference logic_layer/aggregate.rs:969-994). */
   private def resolveTime(spark: SparkSession, t: (LevelName, String)): CutSpec = {
     val (ln, which) = t
-    val members = planner.members(spark, ln)
-    val keyCol = members.columns.head
-    val agg = which match {
-      case "latest" => max(cq(keyCol))
-      case "oldest" => min(cq(keyCol))
-      case other    => fail(s"unknown time spec '$other' (latest|oldest)")
+    val member = cached(s"time:$ln:$which") {
+      val members = planner.members(spark, ln)
+      val keyCol = members.columns.head
+      val agg = which match {
+        case "latest" => max(cq(keyCol))
+        case "oldest" => min(cq(keyCol))
+        case other    => fail(s"unknown time spec '$other' (latest|oldest)")
+      }
+      // a single scalar from a dim-bounded frame — not a fact-table collect
+      String.valueOf(members.agg(agg).head().get(0))
     }
-    // a single scalar from a dim-bounded frame — not a fact-table collect
-    val v = members.agg(agg).head().get(0)
-    CutSpec(ln, Seq(String.valueOf(v)))
+    CutSpec(ln, Seq(member))
   }
 
   // --------------------------------------------------------------- fan-out

@@ -38,6 +38,9 @@ final class GraftServer(
 
   private val planners: Map[String, CubePlanner] =
     schema.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
+  // one LogicLayer per cube so its member cache persists across requests
+  private val logicLayers: Map[String, LogicLayer] =
+    planners.map { case (n, p) => n -> new LogicLayer(p, namedSets) }
 
   /** JWT auth levels (auth.rs) + LRU response cache (util.rs:152-216). */
   val auth = new Auth(jwtSecret)
@@ -136,8 +139,8 @@ final class GraftServer(
           params.get("cube").flatMap(_.headOption) match {
             case None => Left((400, "logic layer requires ?cube="))
             case Some(cubeName) =>
-              withCube(cubeName, token) { case (c, planner) =>
-                val ll = new LogicLayer(planner, namedSets)
+              withCube(cubeName, token) { case (c, _) =>
+                val ll = logicLayers(c.name)
                 val q = QueryParams.toLogicLayerQuery(params, c)
                 Right((Format.format(ll.plan(spark, q), f, Some(sourceMeta(c))), mime(f)))
               }
