@@ -164,10 +164,11 @@ object PipelineOps {
     * survives a 100 TB corpus. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = shingled(spark, dir)
-    val sigExprs = (0 until NumHashes).map { j =>
-      s"array_min(transform(hashes, h -> (${minhashA(j)}L * h + ${minhashB(j)}L) % ${P}L))"
-    }
-    val withSig = base.withColumn("sig", expr(s"array(${sigExprs.mkString(", ")})"))
+    // native codegen expression: ONE traversal of the hash array computes
+    // all 32 permutation minima (the composable array_min(transform(...))
+    // spelling re-walks the array per permutation)
+    val withSig = base.withColumn("sig",
+      graft.functions.MinHashSig(col("hashes"), minhashA, minhashB, P))
 
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
