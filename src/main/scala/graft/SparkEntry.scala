@@ -302,7 +302,7 @@ object SparkEntry {
     "q16_rca" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3) SELECT "Nation ID", "Nation", "Brand", (a / sum(a) OVER (PARTITION BY "Brand")) / (sum(a) OVER (PARTITION BY "Nation ID") / sum(a) OVER ()) AS "Quantity RCA", "Quantity" FROM a ORDER BY "Nation ID", "Nation", "Brand"""",
     "q17_rate" ->
-      s"""WITH b AS (SELECT year(l_shipdate) AS "Year", r_regionkey AS rk, sum(l_quantity) AS m FROM $GEO GROUP BY 1, 2) SELECT "Year", sum(m) AS "Quantity", sum(CASE WHEN rk IN (0, 2) THEN m END) / sum(m) AS "Rate" FROM b GROUP BY 1 HAVING sum(CASE WHEN rk IN (0, 2) THEN m END) IS NOT NULL ORDER BY 1""",
+      s"""SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity", sum(CASE WHEN r_regionkey IN (0, 2) THEN l_quantity END) / sum(l_quantity) AS "Rate" FROM $GEO GROUP BY 1 HAVING sum(CASE WHEN r_regionkey IN (0, 2) THEN l_quantity END) IS NOT NULL ORDER BY 1""",
     "q18_weighted" ->
       s"""SELECT l_returnflag AS "Return Flag", ${d2d(s"sum($PD * $QD)")} / ${d2d(s"sum($QD)")} AS "Weighted Avg Price", ${d2d(s"sum($DD * $QD)")} AS "Weighted Discount" FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q19_moe" ->

@@ -334,6 +334,55 @@ object PipelineOps {
       .orderBy("query_id", "rank")
   }
 
+  /** p15: IVF (inverted-file) ANN — the scale path beyond LSH: a coarse
+    * quantizer of [[IvfCentroids]] centroids (here the lowest-id vectors, a
+    * deterministic stand-in for trained k-means centers — the
+    * assignment/probe machinery is what matters), every corpus vector
+    * assigned to its nearest centroid, queries probing the
+    * [[IvfProbes]] nearest inverted lists only. Centroids broadcast;
+    * the search shuffles on the centroid id, never crossing the corpus. */
+  val IvfCentroids = 16
+  val IvfProbes    = 2
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+    val cents = n.where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
+
+    // nearest-centroid ranking, shared by assignment (rank 1) and query
+    // probes (rank <= IvfProbes)
+    def centRank(src: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      src.select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", expr(dotExpr))
+        .withColumn("ccos",
+          col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        .withColumn("crn", row_number().over(w))
+    }
+
+    val assigned = centRank(n).where(col("crn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("cid"))
+    val probes = centRank(n.where(col("vec_id") < 10)).where(col("crn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cid"))
+
+    val qa = n.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val qb = n.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    probes.join(assigned, "cid")
+      .where(col("query_id") =!= col("nbr_id"))
+      .join(qa, "query_id").join(qb, "nbr_id")
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nbr_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
     * minhash dedup. Candidates share a coarse 6-plane hyperplane bucket
     * (shuffle on the bucket key, never all-pairs); survivors are exact
@@ -426,5 +475,6 @@ object PipelineOps {
     "p11_token_counts"  -> tokenCounts,
     "p12_fingerprints"  -> fingerprints,
     "p13_multimodal"    -> multimodal,
-    "p14_emb_dedup"     -> embDedup)
+    "p14_emb_dedup"     -> embDedup,
+    "p15_ann_ivf"       -> annIvf)
 }

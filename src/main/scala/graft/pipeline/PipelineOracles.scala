@@ -239,6 +239,32 @@ object PipelineOracles {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  private val p15 =
+    s"""$quantCte,
+       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < ${PipelineOps.IvfCentroids}),
+       |cranked AS (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qc)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC, c.cid ASC) AS crn
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id AS nbr_id, cid FROM cranked WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM cranked WHERE crn <= ${PipelineOps.IvfProbes} AND vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, a.nbr_id FROM probes p JOIN assigned a ON p.cid = a.cid
+       |  WHERE a.nbr_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qa.q, qb.q)]) AS DOUBLE)
+       |           / (sqrt(CAST(qa.nrm AS DOUBLE)) * sqrt(CAST(qb.nrm AS DOUBLE))) AS cosine
+       |  FROM cand JOIN n qa ON qa.vec_id = cand.query_id JOIN n qb ON qb.vec_id = cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank::BIGINT AS rank, nbr_id, cosine FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -253,5 +279,6 @@ object PipelineOracles {
     "p11_token_counts"  -> p11,
     "p12_fingerprints"  -> p12,
     "p13_multimodal"    -> p13,
-    "p14_emb_dedup"     -> p14)
+    "p14_emb_dedup"     -> p14,
+    "p15_ann_ivf"       -> p15)
 }

@@ -309,9 +309,12 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
   // ------------------------------------------------------------------ rate
 
   /** Rate = share of the measure attributable to the listed members of one
-    * level: aggregate once at (drills + rate level), then a second group-by
-    * computes member-sum / total (replaces rate.rs:16-94's groupArray pivot).
-    * Groups with no member rows drop out, as in the reference. */
+    * level, fused into ONE aggregation pass: the rate level's key joins in
+    * as a source column and the member share is a conditional aggregate at
+    * the original drill grain — one shuffle, versus the reference's
+    * aggregate-then-pivot (rate.rs:16-94) and a naive two-stage re-group.
+    * Only sum/count measures are valid (validated), both of which fuse
+    * exactly. Groups with no member rows drop out, as in the reference. */
   private def planRate(spark: SparkSession, q: CubeQuery): DataFrame = {
     val r = q.rate.get
     val baseDrills = q.drilldowns.filterNot(_.levelName == r.levelName) :+ Drilldown(r.levelName)
@@ -322,20 +325,27 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
     val mea     = cube.measure(q.measures.head.name).get
     val meaName = q.measures.head.name
 
-    val src  = buildSource(spark, outsAll, q.cuts, q, Nil)
-    val base = aggregate(src, groupHeaders(outsAll), Seq(mea -> "__m"), Nil)
+    val src = buildSource(spark, outsAll, q.cuts, q, Nil)
 
     val rateKey   = cq(rateOut.keyHeader)
-    val keyDt     = base.schema(rateOut.keyHeader).dataType
+    val keyDt     = src.schema(rateOut.keyHeader).dataType
     val memberLits = r.values.map(v => lit(typedMember(keyDt, v)))
     val isMember  = rateKey.isin(memberLits: _*)
 
+    val v = cq(mea.column)
+    // member-part aggregates ignore non-member rows via when(...): for sum
+    // that is sum(when(m, v)); for count, sum(when(m, 1)) — both NULL (not
+    // 0) when a group has no member rows, which drops the group below
+    val (totalAgg, partAgg) = mea.aggregator match {
+      case Aggregator.Sum   => (sum(v), sum(when(isMember, v)))
+      case Aggregator.Count => (count(v).cast("long"), sum(when(isMember.and(v.isNotNull), lit(1L))))
+      case other => fail(s"rate requires a sum or count measure, got $other")
+    }
+
     val headers = drillHeaders(outsOrig)
-    var df = base
+    var df = src
       .groupBy(groupHeaders(outsOrig).map(cq): _*)
-      .agg(
-        sum(cq("__m")).as(meaName),
-        sum(when(isMember, cq("__m"))).as("__part"))
+      .agg(totalAgg.as(meaName), partAgg.as("__part"))
       .where(cq("__part").isNotNull)
       .withColumn("Rate", cq("__part") / cq(meaName))
 

@@ -81,6 +81,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann ivf returns ranked probe-list neighbors consistent with brute force on shared candidates") {
+    val ivf = PipelineOps.annIvf(spark, SfDir).collect()
+    val brute = PipelineOps.annBrute(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length <= 3))
+    // any (query, neighbor) IVF shares with brute-force top-5 must carry the
+    // identical cosine (same quantized arithmetic)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(c == r.getDouble(3))
+      }
+    }
+  }
+
   test("langid confusion counts cover all docs") {
     val rows = PipelineOps.langId(spark, SfDir).collect()
     val total = rows.map(_.getLong(2)).sum

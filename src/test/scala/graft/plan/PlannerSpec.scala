@@ -174,6 +174,46 @@ class PlannerSpec extends AnyFunSuite {
     assert(keys == keys.distinct.sorted)
   }
 
+  test("multi-hierarchy dim: non-default hierarchy drills; absent dim semijoins on default hierarchy") {
+    val multiPart = Dimension("Part", foreignKey = Some("l_partkey"),
+      defaultHierarchy = Some("By Brand"),
+      hierarchies = Seq(
+        Hierarchy("By Brand", table = Some(TableDef("part", primaryKey = Some("p_partkey"))),
+          primaryKey = "p_partkey",
+          levels = Seq(Level("Brand", "p_brand"))),
+        Hierarchy("By Size", table = Some(TableDef("part", primaryKey = Some("p_partkey"))),
+          primaryKey = "p_partkey",
+          levels = Seq(Level("Part Size", "p_size", keyType = MemberType.NonText)))))
+    val cube = TpchStar.salesCube.copy(
+      name = "SalesMH",
+      dimensions = TpchStar.salesCube.dimensions.filterNot(_.name == "Part") :+ multiPart)
+    val mh = new CubePlanner(cube, new graft.engine.TpchStar.Resolver(SfDir))
+
+    // drilling the non-default hierarchy resolves through its own table
+    val bySize = mh.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Part.By Size.Part Size")),
+      measures = Seq(mea("Quantity"))))
+    val wantSize = li.join(spark.read.parquet(s"$SfDir/part.parquet"),
+        li("l_partkey") === col("p_partkey"))
+      .groupBy("p_size").agg(sum("l_quantity"))
+      .orderBy("p_size")
+      .collect().map(r => (lnum(r, 0), r.getDouble(1))).toSeq
+    assert(bySize.collect().map(r => (lnum(r, 0), r.getDouble(1))).toSeq == wantSize)
+
+    // a query not touching the multi-hierarchy dim gets a default-hierarchy
+    // left-semi join (reference primary_agg.rs:139-146) — grain preserved,
+    // values unchanged when the dim is referentially complete
+    val absent = mh.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Quantity"))))
+    assert(absent.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "absent multi-hierarchy dim must semijoin on the default hierarchy pk")
+    val single = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Quantity"))))
+    assert(absent.collect().map(_.toSeq).toSeq == single.collect().map(_.toSeq).toSeq)
+  }
+
   test("relatedMembers: children, parents, neighbors") {
     val region = LevelName.parse("Geography.Region").fold(die, identity)
     val nation = LevelName.parse("Geography.Nation").fold(die, identity)
