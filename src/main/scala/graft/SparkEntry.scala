@@ -252,7 +252,19 @@ object SparkEntry {
     "q37_named_set" -> runLL(LogicLayerQuery(
       drilldowns = Seq(drill("Geography.Nation")),
       cuts = Seq(CutSpec(LevelName.parse("Geography.Region").fold(die, identity), Seq("amer_asia"))),
-      measures = Seq(mea("Quantity"))))
+      measures = Seq(mea("Quantity")))),
+    // #18 debug=true exposes the a/b/c/d denominators (rca.rs:268-273)
+    "q38_rca_debug" -> run(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(rcaQ("Geography.Nation,Part.Brand,Quantity")),
+      debug = true)),
+    // #11/#14 on the growth calc: filter and sort by `growth`
+    "q39_growth_filter" -> run(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year"), drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      growth = Some(growthQ("Ship Date.Year,Quantity")),
+      filters = Seq(filterQ("growth.lt.0")),
+      sort = Some(SortQuery.parse("growth.asc").fold(die, identity))))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -337,6 +349,10 @@ object SparkEntry {
       s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE n_nationkey IN (SELECT DISTINCT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_regionkey = 1) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q37_named_set" ->
       s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (1, 2) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q38_rca_debug" ->
+      s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS __rca_a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", __rca_a, sum(__rca_a) OVER (PARTITION BY "Brand") AS __rca_b, sum(__rca_a) OVER (PARTITION BY "Nation ID") AS __rca_c, sum(__rca_a) OVER () AS __rca_d, "Quantity" FROM a) SELECT "Nation ID", "Nation", "Brand", __rca_a, __rca_b, __rca_c, __rca_d, (__rca_a / __rca_b) / (__rca_c / __rca_d) AS "Quantity RCA", "Quantity" FROM g ORDER BY "Nation ID", "Nation", "Brand"""",
+    "q39_growth_filter" ->
+      s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Nation ID" ORDER BY "Year")) SELECT * FROM g WHERE "Quantity Growth" < 0 ORDER BY "Quantity Growth" ASC, "Nation ID", "Nation", "Year"""",
     "q29_rw_moe" ->
       s"""WITH a AS (SELECT l_returnflag, ${d2d(s"sum($QD) - sum($TD)")} AS d0, ${d2d(s"sum($QD) - sum($DD)")} AS d1 FROM lineitem GROUP BY 1) SELECT l_returnflag AS "Return Flag", 1.645 * sqrt(2.0 * (d0 * d0 + d1 * d1)) AS "Quantity RW MOE" FROM a ORDER BY 1""",
     "q30_wavg_moe" ->

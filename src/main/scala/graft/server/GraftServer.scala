@@ -60,6 +60,12 @@ final class GraftServer(
 
   // -------------------------------------------------------------- routing
 
+  /** Route result: a buffered body, or a plan streamed out chunked. */
+  private sealed trait Out
+  private final case class Body(s: String, contentType: String) extends Out
+  private final case class StreamOut(df: DataFrame, fmt: FormatType,
+      src: Option[SourceMetadata], contentType: String) extends Out
+
   private def handle(ex: HttpExchange): Unit =
     try {
       val path = ex.getRequestURI.getPath
@@ -67,7 +73,8 @@ final class GraftServer(
       val token = Option(ex.getRequestHeaders.getFirst("x-tesseract-jwt-token"))
         .orElse(params.get("token").flatMap(_.headOption))
       // response cache: query routes only, keyed by normalized request
-      // (token excluded from the key, checked per request)
+      // (token excluded from the key, checked per request); streaming
+      // responses bypass it, like the reference's streaming mode
       val cacheable = path.contains("/aggregate.") || path.startsWith("/data.") ||
         path.contains("/members.")
       val ck = cache.key(path, params - "token")
@@ -76,9 +83,19 @@ final class GraftServer(
         case Some((body, ct)) => respond(ex, 200, body, ct)
         case None =>
           route(path, params, token) match {
-            case Right((body, contentType)) =>
+            case Right(Body(body, contentType)) =>
               if (cacheable) cache.put(ck, (body, contentType))
               respond(ex, 200, body, contentType)
+            case Right(StreamOut(df, fmt, src, contentType)) =>
+              // chunked transfer: rows leave as toLocalIterator produces
+              // them — the driver never holds the full result
+              // (reference format_stream.rs semantics)
+              ex.getResponseHeaders.set("Content-Type", contentType + "; charset=utf-8")
+              ex.sendResponseHeaders(200, 0)
+              val w = new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(ex.getResponseBody, StandardCharsets.UTF_8))
+              Format.write(w, df, fmt, src)
+              w.flush(); w.close()
             case Left((code, msg)) =>
               respond(ex, code, "{\"error\":\"" + Format.jsonEscape(msg) + "\"}", "application/json")
           }
@@ -91,7 +108,11 @@ final class GraftServer(
     } finally ex.close()
 
   private def route(path: String, params: Map[String, Seq[String]], token: Option[String])
-      : Either[(Int, String), (String, String)] = {
+      : Either[(Int, String), Out] = {
+    val streaming = params.get("stream").exists(_.headOption.contains("true"))
+    def out(df: DataFrame, f: FormatType, src: Option[SourceMetadata]): Out =
+      if (streaming) StreamOut(df, f, src, mime(f))
+      else Body(Format.format(df, f, src), mime(f))
     val AggRe     = "^/cubes/([^/]+)/aggregate\\.([a-z]+)$".r
     val MembersRe = "^/cubes/([^/]+)/members\\.([a-z]+)$".r
     val DiagRe    = "^/cubes/([^/]+)/diagnosis\\.([a-z]+)$".r
@@ -100,20 +121,20 @@ final class GraftServer(
 
     path match {
       case "/" =>
-        Right(("{\"status\":\"ok\",\"name\":\"graft\",\"version\":\"0.2.0\"}", "application/json"))
+        Right(Body("{\"status\":\"ok\",\"name\":\"graft\",\"version\":\"0.2.0\"}", "application/json"))
       case "/cubes" =>
-        Right((Metadata.schemaJson(
+        Right(Body(Metadata.schemaJson(
           schema.copy(cubes = schema.cubes.filter(auth.allowed(_, token)))), "application/json"))
       case CubeRe(cube) =>
         schema.cube(dec(cube)).filter(auth.allowed(_, token)) match {
-          case Some(c) => Right((Metadata.cubeJson(c), "application/json"))
+          case Some(c) => Right(Body(Metadata.cubeJson(c), "application/json"))
           case None    => Left((404, s"cube '${dec(cube)}' not found"))
         }
       case AggRe(cube, fmt) =>
         withCube(dec(cube), token) { case (c, planner) =>
           withFormat(fmt) { f =>
             val q = QueryParams.toCubeQuery(params)
-            Right((Format.format(planner.plan(spark, q), f, Some(sourceMeta(c))), mime(f)))
+            Right(out(planner.plan(spark, q), f, Some(sourceMeta(c))))
           }
         }
       case MembersRe(cube, fmt) =>
@@ -124,14 +145,14 @@ final class GraftServer(
                 LevelName.parse(s).left.map(m => (400, m)))
             level.map { ln =>
               val locale = params.get("locale").flatMap(_.headOption)
-              (Format.format(planner.members(spark, ln, locale), f), mime(f))
+              out(planner.members(spark, ln, locale), f, None)
             }
           }
         }
       case DiagRe(cube, fmt) =>
         withCube(dec(cube), token) { case (c, _) =>
           withFormat(fmt) { f =>
-            Right((Format.format(Diagnosis.run(spark, c, resolver), f), mime(f)))
+            Right(out(Diagnosis.run(spark, c, resolver), f, None))
           }
         }
       case DataRe(fmt) =>
@@ -142,7 +163,7 @@ final class GraftServer(
               withCube(cubeName, token) { case (c, _) =>
                 val ll = logicLayers(c.name)
                 val q = QueryParams.toLogicLayerQuery(params, c)
-                Right((Format.format(ll.plan(spark, q), f, Some(sourceMeta(c))), mime(f)))
+                Right(out(ll.plan(spark, q), f, Some(sourceMeta(c))))
               }
           }
         }
@@ -150,7 +171,7 @@ final class GraftServer(
         val given = params.get("secret").flatMap(_.headOption)
         if (flushSecret.isEmpty) Left((400, "flush is not configured"))
         else if (given != flushSecret) Left((403, "bad secret"))
-        else { cache.clear(); onFlush(); Right(("{\"status\":\"flushed\"}", "application/json")) }
+        else { cache.clear(); onFlush(); Right(Body("{\"status\":\"flushed\"}", "application/json")) }
       case _ => Left((404, s"no route for '$path'"))
     }
   }
@@ -246,7 +267,8 @@ object QueryParams {
     * (aggregate.rs:71-96 serde flatten). */
   def toLogicLayerQuery(params: Map[String, Seq[String]], cube: Cube): LogicLayerQuery = {
     val reserved = Set("cube", "drilldowns", "measures", "exclude", "time", "locale",
-      "properties", "filters", "parents", "top", "top_where", "sort", "limit", "sparse", "debug")
+      "properties", "filters", "parents", "top", "top_where", "sort", "limit", "sparse",
+      "debug", "stream", "token")
 
     def resolveLevel(s: String): LevelName =
       LevelName.parse(s).toOption.filter(ln => cube.findLevel(ln).isDefined).getOrElse {

@@ -105,6 +105,14 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!body.contains("[12,") && !body.contains("[20,"))
   }
 
+  test("stream=true chunks the identical payload") {
+    val q = "/cubes/Sales/aggregate.csv?drilldowns=Geography.Nation&measures=Quantity"
+    val (c1, buffered) = get(q)
+    val (c2, streamed) = get(q + "&stream=true")
+    assert(c1 == 200 && c2 == 200)
+    assert(streamed == buffered)
+  }
+
   test("diagnosis endpoint runs the QA checks") {
     val (code, body) = get("/cubes/Sales/diagnosis.jsonrecords")
     assert(code == 200)
