@@ -458,6 +458,34 @@ object PipelineOps {
       .withColumn("avg_k", col("sum_k").cast("double") / col("n").cast("double"))
       .orderBy("event_type")
 
+  /** p16: batch sessionization — events of one user within a 30-minute gap
+    * form a session (lag → gap flag → running session id, the standard
+    * windowed-SQL shape; the streaming twin lives in
+    * [[graft.streaming.EventStream.sessionize]]). Event times compare in
+    * integer microseconds (DuckDB truncates TIMESTAMP_NS to µs on read, so
+    * the oracle-shared grain is µs); all arithmetic exact. Emits the
+    * events-per-session histogram with total duration per bucket. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("tsu", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag(col("tsu"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
+      .groupBy(col("n_events"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("duration_us")).as("sum_duration_us"))
+      .orderBy("n_events")
+  }
+
   // ============================================================== registry
 
   /** Pipeline entries for SparkEntry.queries. */
@@ -476,5 +504,6 @@ object PipelineOps {
     "p12_fingerprints"  -> fingerprints,
     "p13_multimodal"    -> multimodal,
     "p14_emb_dedup"     -> embDedup,
-    "p15_ann_ivf"       -> annIvf)
+    "p15_ann_ivf"       -> annIvf,
+    "p16_sessions"      -> sessions)
 }

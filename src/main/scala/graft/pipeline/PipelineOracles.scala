@@ -265,6 +265,27 @@ object PipelineOracles {
        |SELECT query_id, rank::BIGINT AS rank, nbr_id, cosine FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  private val p16 =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+       |l AS (
+       |  SELECT user_id, event_id, tsn,
+       |         lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+       |  FROM e),
+       |w AS (
+       |  SELECT user_id, event_id, tsn,
+       |         CASE WHEN prev IS NULL OR tsn - prev > ${PipelineOps.SessionGapUs} THEN 1 ELSE 0 END AS new_s
+       |  FROM l),
+       |s AS (
+       |  SELECT user_id, tsn,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS session_id
+       |  FROM w),
+       |g AS (
+       |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       |         (max(tsn) - min(tsn))::BIGINT AS duration_us
+       |  FROM s GROUP BY user_id, session_id)
+       |SELECT n_events, count(*)::BIGINT AS n_sessions, CAST(sum(duration_us) AS BIGINT) AS sum_duration_us
+       |FROM g GROUP BY n_events ORDER BY n_events""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -280,5 +301,6 @@ object PipelineOracles {
     "p12_fingerprints"  -> p12,
     "p13_multimodal"    -> p13,
     "p14_emb_dedup"     -> p14,
-    "p15_ann_ivf"       -> p15)
+    "p15_ann_ivf"       -> p15,
+    "p16_sessions"      -> p16)
 }
