@@ -27,6 +27,10 @@ final case class LogicLayerQuery(
     top: Option[TopQuery] = None,
     sort: Option[SortQuery] = None,
     limit: Option[LimitQuery] = None,
+    growth: Option[GrowthQuery] = None,
+    rca: Option[RcaQuery] = None,
+    rate: Option[RateQuery] = None,
+    debug: Boolean = false,
     sparse: Boolean = false)
 
 /** Named sets: an alias usable in cut position, expanding to members of a
@@ -123,6 +127,10 @@ final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
         top = q.top,
         sort = q.sort,
         limit = q.limit,
+        growth = q.growth,
+        rca = q.rca,
+        rate = q.rate,
+        debug = q.debug,
         sparse = q.sparse)
     }
   }

@@ -118,6 +118,7 @@ final class GraftServer(
     val DiagRe    = "^/cubes/([^/]+)/diagnosis\\.([a-z]+)$".r
     val CubeRe    = "^/cubes/([^/]+)$".r
     val DataRe    = "^/data\\.([a-z]+)$".r
+    val RelRe     = "^/relations\\.([a-z]+)$".r
 
     path match {
       case "/" =>
@@ -164,6 +165,43 @@ final class GraftServer(
                 val ll = logicLayers(c.name)
                 val q = QueryParams.toLogicLayerQuery(params, c)
                 Right(out(ll.plan(spark, q), f, Some(sourceMeta(c))))
+              }
+          }
+        }
+      case RelRe(fmt) =>
+        withFormat(fmt) { f =>
+          params.get("cube").flatMap(_.headOption) match {
+            case None => Left((400, "relations requires ?cube="))
+            case Some(cubeName) =>
+              withCube(cubeName, token) { case (c, planner) =>
+                // {Level}=id:op params -> rows (level, id, relation, value)
+                // (reference handlers/logic_layer/relations.rs:56-130)
+                val reserved = Set("cube", "token", "stream", "locale")
+                val rows = params.toSeq.sortBy(_._1)
+                  .filter { case (k, _) => !reserved.contains(k) }
+                  .flatMap { case (k, vs) =>
+                    val ln = LevelName.parse(k).toOption
+                      .filter(l => c.findLevel(l).isDefined)
+                      .orElse {
+                        val hits = for {
+                          d <- c.dimensions; h <- d.hierarchies; l <- h.levels
+                          if l.name == k
+                        } yield LevelName(d.name, h.name, l.name)
+                        hits.headOption
+                      }
+                      .getOrElse(throw PlanError(s"level '$k' not found in cube '$cubeName'"))
+                    vs.flatMap { v =>
+                      v.split(":", 2) match {
+                        case Array(id, op) =>
+                          val (_, members) = planner.relatedMembers(spark, ln, id, op)
+                          members.map(m => (ln.level, id, op, m))
+                        case _ => throw PlanError(s"malformed relation '$v' (id:op)")
+                      }
+                    }
+                  }
+                import spark.implicits._
+                val df = rows.toDF("level", "id", "relation", "value")
+                Right(out(df, f, None))
               }
           }
         }
@@ -268,7 +306,7 @@ object QueryParams {
   def toLogicLayerQuery(params: Map[String, Seq[String]], cube: Cube): LogicLayerQuery = {
     val reserved = Set("cube", "drilldowns", "measures", "exclude", "time", "locale",
       "properties", "filters", "parents", "top", "top_where", "sort", "limit", "sparse",
-      "debug", "stream", "token")
+      "debug", "stream", "token", "growth", "rca", "rate")
 
     def resolveLevel(s: String): LevelName =
       LevelName.parse(s).toOption.filter(ln => cube.findLevel(ln).isDefined).getOrElse {
@@ -315,6 +353,10 @@ object QueryParams {
       top = one(params, "top").map(s => p(TopQuery.parse(s))),
       sort = one(params, "sort").map(s => p(SortQuery.parse(s))),
       limit = one(params, "limit").map(s => p(LimitQuery.parse(s))),
+      growth = one(params, "growth").map(s => p(GrowthQuery.parse(s))),
+      rca = one(params, "rca").map(s => p(RcaQuery.parse(s))),
+      rate = one(params, "rate").map(s => p(RateQuery.parse(s))),
+      debug = flag(params, "debug"),
       sparse = flag(params, "sparse"))
   }
 }

@@ -113,6 +113,21 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == buffered)
   }
 
+  test("/relations resolves id:op rows") {
+    val (code, body) = get("/relations.csv?cube=Sales&Region=1:children")
+    assert(code == 200)
+    val lines = body.trim.split("\n").toSeq
+    assert(lines.head == "level,id,relation,value")
+    assert(lines.tail.nonEmpty)
+    assert(lines.tail.forall(_.startsWith("Region,1,children,")))
+  }
+
+  test("/data passes growth through the logic layer") {
+    val (code, body) = get("/data.jsonarrays?cube=Sales&drilldowns=Year&measures=Quantity&growth=Ship%20Date.Year,Quantity")
+    assert(code == 200)
+    assert(body.contains("Quantity Growth"))
+  }
+
   test("diagnosis endpoint runs the QA checks") {
     val (code, body) = get("/cubes/Sales/diagnosis.jsonrecords")
     assert(code == 200)
