@@ -37,7 +37,13 @@ final case class LogicLayerQuery(
   * level (reference logic_layer/config.rs:221-268). */
 final case class NamedSet(name: String, level: LevelName, members: Seq[String])
 
-final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
+final class LogicLayer(
+    planner: CubePlanner,
+    namedSets: Seq[NamedSet] = Nil,
+    /** Level → unique display name: output headers rename from
+      * "{Level} ID"/"{Level}" to "{unique} ID"/"{unique}" (reference
+      * logic_layer/config.rs:163-193, applied aggregate.rs:268-311). */
+    uniqueNames: Map[LevelName, String] = Map.empty) {
   import CubePlanner.{cq, fail}
 
   /** Member cache (reference logic_layer/cache.rs:168-904 builds these maps
@@ -170,6 +176,16 @@ final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
 
   // ---------------------------------------------------------------- public
 
+  /** Unique-name header substitution, applied last so exclude/sort work on
+    * canonical headers. */
+  private def applyUniqueNames(df: DataFrame): DataFrame =
+    uniqueNames.foldLeft(df) { case (d, (ln, unique)) =>
+      Seq(s"${ln.level} ID" -> s"$unique ID", ln.level -> unique)
+        .foldLeft(d) { case (dd, (from, to)) =>
+          if (dd.columns.contains(from)) dd.withColumnRenamed(from, to) else dd
+        }
+    }
+
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq
     val cuts = resolveCutOps(spark, substituteSets(q.cuts)) ++ timeCut
@@ -178,6 +194,7 @@ final class LogicLayer(planner: CubePlanner, namedSets: Seq[NamedSet] = Nil) {
     val out = applyExclude(merged, q.exclude)
     // the union of independently-ordered sub-results is unordered; re-sort
     // on all columns for a deterministic response
-    if (dfs.length > 1) out.orderBy(out.columns.map(c => cq(c).asc): _*) else out
+    applyUniqueNames(
+      if (dfs.length > 1) out.orderBy(out.columns.map(c => cq(c).asc): _*) else out)
   }
 }

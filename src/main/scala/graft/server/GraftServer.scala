@@ -34,13 +34,17 @@ final class GraftServer(
     namedSets: Seq[NamedSet] = Nil,
     flushSecret: Option[String] = None,
     onFlush: () => Unit = () => (),
-    jwtSecret: Option[String] = None) {
+    jwtSecret: Option[String] = None,
+    /** Logic-layer config (reference logic_layer/config.rs): cube-name
+      * aliases for /data, and level → unique display-name renames. */
+    cubeAliases: Map[String, String] = Map.empty,
+    uniqueNames: Map[LevelName, String] = Map.empty) {
 
   private val planners: Map[String, CubePlanner] =
     schema.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
   // one LogicLayer per cube so its member cache persists across requests
   private val logicLayers: Map[String, LogicLayer] =
-    planners.map { case (n, p) => n -> new LogicLayer(p, namedSets) }
+    planners.map { case (n, p) => n -> new LogicLayer(p, namedSets, uniqueNames) }
 
   /** JWT auth levels (auth.rs) + LRU response cache (util.rs:152-216). */
   val auth = new Auth(jwtSecret)
@@ -160,7 +164,8 @@ final class GraftServer(
         withFormat(fmt) { f =>
           params.get("cube").flatMap(_.headOption) match {
             case None => Left((400, "logic layer requires ?cube="))
-            case Some(cubeName) =>
+            case Some(rawName) =>
+              val cubeName = cubeAliases.getOrElse(rawName, rawName)
               withCube(cubeName, token) { case (c, _) =>
                 val ll = logicLayers(c.name)
                 val q = QueryParams.toLogicLayerQuery(params, c)

@@ -17,7 +17,10 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     server = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir),
-      flushSecret = Some("s3cret"))
+      flushSecret = Some("s3cret"),
+      cubeAliases = Map("sales_alias" -> "Sales"),
+      uniqueNames = Map(
+        graft.core.LevelName("Geography", "Geography", "Nation") -> "Supplier Nation"))
     port = server.start()
   }
   override def afterAll(): Unit = if (server != null) server.stop()
@@ -111,6 +114,13 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c2, streamed) = get(q + "&stream=true")
     assert(c1 == 200 && c2 == 200)
     assert(streamed == buffered)
+  }
+
+  test("logic layer cube alias and unique-name header substitution") {
+    val (code, body) = get("/data.jsonarrays?cube=sales_alias&drilldowns=Nation&measures=Quantity")
+    assert(code == 200)
+    assert(body.contains("\"Supplier Nation ID\"") && body.contains("\"Supplier Nation\""))
+    assert(!body.contains("\"Nation ID\""))
   }
 
   test("/relations resolves id:op rows") {
