@@ -152,6 +152,25 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/flush?secret=s3cret")._1 == 200)
   }
 
+  test("concurrent requests return consistent results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val paths = Seq(
+      "/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity",
+      "/cubes/Sales/aggregate.csv?drilldowns=Geography.Nation&measures=Quantity",
+      "/data.jsonrecords?cube=Sales&drilldowns=Year&measures=Quantity")
+    val serial = paths.map(p => get(p)._2)
+    val bodies = Await.result(
+      Future.sequence(Seq.fill(4)(paths).flatten.map(p => Future(get(p)))), 120.seconds)
+    bodies.grouped(paths.length).foreach { batch =>
+      batch.zip(serial).foreach { case ((code, body), expected) =>
+        assert(code == 200)
+        assert(body == expected)
+      }
+    }
+  }
+
   test("JWT auth levels gate non-public cubes") {
     val privCube = TpchStar.salesCube.copy(name = "Private", public = false, minAuthLevel = 2)
     val schema = graft.core.Schema("T2", Seq(TpchStar.salesCube, privCube))
