@@ -202,16 +202,20 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
 
   // ------------------------------------------------------------------- rca
 
-  /** RCA = (a/b)/(c/d) computed from ONE grouping-sets pass (replaces
-    * tesseract-clickhouse/src/sql/rca.rs:50-283's groupArray pivot).
+  /** RCA = (a/b)/(c/d) computed from one logical grouping-sets aggregate
+    * (replaces tesseract-clickhouse/src/sql/rca.rs:50-283's groupArray
+    * pivot).
     *
     * The four aggregation grains — a=(ext,d1,d2), b=(ext,d2), c=(ext,d1),
-    * d=(ext) — are grouping sets of one `groupingSets` aggregate, so the
-    * fact is scanned and shuffled exactly once by construction (no persist,
-    * no reliance on exchange reuse, no executor memory pinned across
-    * queries). The small per-grain frames then equi-join back on their own
-    * grain keys — never window sums, whose empty/low-key partitioning
-    * funnels the frame through one task at scale.
+    * d=(ext) — are grouping sets of one `groupingSets` aggregate; the
+    * per-grain frames then equi-join back on their own grain keys — never
+    * window sums, whose empty/low-key partitioning funnels the frame
+    * through one task at scale. Physically Catalyst currently prunes the
+    * Expand per `grouping_id` filter, yielding four independent partial-
+    * aggregated scans that run in parallel — a legitimate trade (more
+    * I/O, zero pinned memory, no shared-stage barrier); an I/O-bound
+    * deployment can persist the rolled frame instead. No executor memory
+    * is pinned across queries either way.
     *
     * Cuts whose level is drill_1 itself apply only to a and c (rca.rs:
     * 100-127): since those cuts filter on d1 *group keys*, they apply
