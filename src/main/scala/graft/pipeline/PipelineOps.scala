@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{StringHashes, SubstringHashes}
 
 /** Training-data pipeline operators over the driver's `documents`,
   * `embeddings`, and `events` tables — the operator families a 100 TB
@@ -152,8 +153,7 @@ object PipelineOps {
       .where(size(col("toks")) >= 2)
       .withColumn("shingles",
         expr("array_distinct(transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])))"))
-      .withColumn("hashes",
-        expr(s"array_distinct(transform(shingles, s -> ${hex12("s")} % $BaseHashMod))"))
+      .withColumn("hashes", array_distinct(StringHashes(col("shingles"), BaseHashMod)))
 
   /** p04: near-dup pairs via minhash + banded LSH, verified with exact
     * shingle Jaccard ≥ 0.5.
@@ -217,7 +217,7 @@ object PipelineOps {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("hashes", expr(s"transform(toks, t -> ${hex12("t")})"))
+      .withColumn("hashes", StringHashes(col("toks"), 0L))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, b) ->
           |  acc + IF(2 * aggregate(hashes, CAST(0 AS BIGINT), (a2, h) -> a2 + ((h >> b) & 1)) > size(hashes),
@@ -238,8 +238,7 @@ object PipelineOps {
     val grams = docs(spark, dir)
       .where(length(col("text")) >= 3)
       .withColumn("block", floor(col("n_chars") / 100))
-      .withColumn("grams",
-        expr(s"array_distinct(transform(sequence(1, length(text) - 2), i -> ${hex12("substr(text, i, 3)")}))"))
+      .withColumn("grams", array_distinct(SubstringHashes(col("text"), 3, 0L)))
       .select((col("doc_id") +: col("grams") +: blockCols.map(col)): _*)
     val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: blockCols.map(col)): _*)
     val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: blockCols.map(col)): _*)
@@ -260,7 +259,7 @@ object PipelineOps {
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .where(length(col("text")) >= 11) // 8-gram + window of 4 needs ≥ 11 chars
-      .withColumn("kh", expr(s"transform(sequence(1, length(text) - 7), i -> ${hex12("substr(text, i, 8)")} % $BaseHashMod)"))
+      .withColumn("kh", SubstringHashes(col("text"), 8, BaseHashMod))
       .withColumn("fps", expr("array_distinct(transform(sequence(1, size(kh) - 3), i -> array_min(slice(kh, i, 4))))"))
       .where(col("doc_id") < 100)
       .select(

@@ -50,3 +50,43 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(df.collect().head.getSeq[Long](1).forall(_ == Long.MaxValue))
   }
 }
+
+class TextHashesSpec extends AnyFunSuite {
+  private val hex12Sql = "CAST(conv(substr(md5(%s), 1, 12), 16, 10) AS BIGINT)"
+
+  test("SubstringHashes equals the composable md5/conv spelling") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "abc", "abcd").toDF("text")
+      .withColumn("native", SubstringHashes(col("text"), 3, 0L))
+      .withColumn("composed", expr(
+        s"transform(sequence(1, length(text) - 2), i -> ${hex12Sql.format("substr(text, i, 3)")})"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), r.getString(0))
+    }
+  }
+
+  test("SubstringHashes of text shorter than the window is empty (DuckDB range semantics)") {
+    import spark.implicits._
+    val df = Seq("ab", "").toDF("text")
+      .withColumn("native", SubstringHashes(col("text"), 3, 0L))
+    df.collect().foreach(r => assert(r.getSeq[Long](1).isEmpty))
+  }
+
+  test("SubstringHashes honors the modulus") {
+    import spark.implicits._
+    val rows = Seq("hello world").toDF("text")
+      .withColumn("h", SubstringHashes(col("text"), 8, Hashing.BaseHashMod))
+      .collect()
+    rows.head.getSeq[Long](1).foreach(h => assert(h >= 0 && h < Hashing.BaseHashMod))
+  }
+
+  test("StringHashes equals per-element md5Long") {
+    import spark.implicits._
+    val rows = Seq(Seq("alpha", "beta", "gamma")).toDF("xs")
+      .withColumn("h", StringHashes(col("xs"), 0L))
+      .collect()
+    val got = rows.head.getSeq[Long](1)
+    val want = Seq("alpha", "beta", "gamma").map(Hashing.md5Long(_, 12))
+    assert(got == want)
+  }
+}
