@@ -269,7 +269,12 @@ object SparkEntry {
     "q40_growth_month" -> run(CubeQuery(
       drilldowns = Seq(drill("Ship Date.Year"), drill("Ship Date.Month"), drill("Return Flag.Return Flag")),
       measures = Seq(mea("Quantity")),
-      growth = Some(growthQ("Ship Date.Month,Quantity"))))
+      growth = Some(growthQ("Ship Date.Month,Quantity")))),
+    // #12 sorted by the rca calc: top nations per brand by RCA
+    "q41_top_rca" -> run(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(rcaQ("Geography.Nation,Part.Brand,Quantity")),
+      top = Some(topQ("2,Part.Brand,rca,desc"))))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -360,6 +365,8 @@ object SparkEntry {
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Nation ID" ORDER BY "Year")) SELECT * FROM g WHERE "Quantity Growth" < 0 ORDER BY "Quantity Growth" ASC, "Nation ID", "Nation", "Year"""",
     "q40_growth_month" ->
       """WITH a AS (SELECT l_returnflag AS "Return Flag", year(l_shipdate) AS "Year", month(l_shipdate) AS "Month", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1, 2, 3) SELECT "Return Flag", "Year", "Month", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Return Flag" ORDER BY "Year", "Month") ORDER BY "Return Flag", "Year", "Month"""",
+    "q41_top_rca" ->
+      s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", (a / sum(a) OVER (PARTITION BY "Brand")) / (sum(a) OVER (PARTITION BY "Nation ID") / sum(a) OVER ()) AS "Quantity RCA", "Quantity" FROM a) SELECT * FROM g QUALIFY row_number() OVER (PARTITION BY "Brand" ORDER BY "Quantity RCA" DESC, "Nation ID" ASC, "Nation" ASC) <= 2 ORDER BY "Brand" ASC, "Quantity RCA" DESC""",
     "q29_rw_moe" ->
       s"""WITH a AS (SELECT l_returnflag, ${d2d(s"sum($QD) - sum($TD)")} AS d0, ${d2d(s"sum($QD) - sum($DD)")} AS d1 FROM lineitem GROUP BY 1) SELECT l_returnflag AS "Return Flag", 1.645 * sqrt(2.0 * (d0 * d0 + d1 * d1)) AS "Quantity RW MOE" FROM a ORDER BY 1""",
     "q30_wavg_moe" ->

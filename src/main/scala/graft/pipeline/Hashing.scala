@@ -40,6 +40,10 @@ object Hashing {
     * failure mode; near-dups still collide in other bands. */
   val MaxBucketSize = 64
 
+  /** Candidates must agree on at least this many of the 32 signature slots
+    * (estimated Jaccard ≥ 8/32) before exact verification. */
+  val MinSigMatches = 8
+
   /** Permutation h_j(x) = (a_j * x + b_j) mod P, constants md5-derived. */
   val minhashA: IndexedSeq[Long] = (0 until NumHashes).map(j => (md5Long(s"graft_a$j", 8) % BaseHashMod) | 1L)
   val minhashB: IndexedSeq[Long] = (0 until NumHashes).map(j => md5Long(s"graft_b$j", 8) % BaseHashMod)

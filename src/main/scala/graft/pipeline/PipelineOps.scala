@@ -163,7 +163,12 @@ object PipelineOps {
     * plan's cost is O(docs × bands + bucket collisions), the only shape that
     * survives a 100 TB corpus. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = shingled(spark, dir)
+    // localCheckpoint: the shingle+hash stage feeds the signature pass AND
+    // both sides of the verification join — without lineage truncation it
+    // recomputes three times (Catalyst re-optimizes each reference; only
+    // identical physical exchanges dedup). Blocks live in executor storage
+    // and are freed by the ContextCleaner once the plan is collected.
+    val base = shingled(spark, dir).localCheckpoint(false)
     // native codegen expression: ONE traversal of the hash array computes
     // all 32 permutation minima (the composable array_min(transform(...))
     // spelling re-walks the array per permutation)
@@ -197,12 +202,26 @@ object PipelineOps {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    // exact verification on the distinct *hash* sets (int64 intersects are
-    // far cheaper to shuffle and compare than shingle strings at scale)
+    // Stage 1 — signature prefilter: estimated Jaccard from the 32-slot
+    // signatures (32 longs per doc vs ~hundreds of set hashes). A true
+    // j=0.5 pair fails est >= MinSigMatches/32 with probability
+    // P[Binom(32,0.5) < 8] ≈ 2e-4; everything else is pruned before the
+    // expensive exact intersection — standard staged LSH verification.
+    val sigs = withSig.select(col("doc_id"), col("sig"))
+    val ga = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val gb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val prefiltered = cand.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("m", expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
+      .where(col("m") >= MinSigMatches)
+      .select(col("doc_a"), col("doc_b"))
+
+    // Stage 2 — exact verification on the distinct *hash* sets (int64
+    // intersects are far cheaper to shuffle and compare than shingle
+    // strings at scale)
     val sets = base.select(col("doc_id"), col("hashes"))
     val sa = sets.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    prefiltered.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /

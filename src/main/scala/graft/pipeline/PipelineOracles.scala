@@ -75,11 +75,15 @@ object PipelineOracles {
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM pruned l JOIN pruned r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |pf AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig s1 ON s1.doc_id = doc_a JOIN sig s2 ON s2.doc_id = doc_b
+       |  WHERE len(list_filter(list_zip(s1.sig, s2.sig), x -> x[1] = x[2])) >= $MinSigMatches),
        |j AS (
        |  SELECT doc_a, doc_b,
        |         len(list_intersect(ha.hashes, hb.hashes))::BIGINT AS inter,
        |         len(ha.hashes)::BIGINT AS ca, len(hb.hashes)::BIGINT AS cb
-       |  FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
+       |  FROM pf JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) AS jaccard
        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
