@@ -54,6 +54,14 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drops replayed events by id, with state bounded
+    * by the watermark horizon (the streaming twin of the batch content-hash
+    * dedup, PipelineOps.exactDedup). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session gap in event time. */
   val SessionGapMs: Long = 30 * 60 * 1000L
 

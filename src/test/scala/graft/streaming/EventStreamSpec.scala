@@ -35,6 +35,24 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.dedupEvents(df).writeStream
+      .format("memory").queryName("dedup_events").outputMode("append").start()
+    try {
+      val t = new Timestamp(1700000000000L)
+      input.addData((1L, t, 1.0), (2L, t, 2.0), (1L, t, 1.0))
+      q.processAllAvailable()
+      input.addData((2L, t, 2.0), (3L, t, 3.0)) // replay of 2 across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionization merges within the gap and splits across it") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
