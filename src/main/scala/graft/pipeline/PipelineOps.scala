@@ -128,6 +128,28 @@ object PipelineOps {
         min("n_bpe").as("min_bpe"))
       .orderBy("source")
 
+  /** p17: corpus-frequency token statistics — the two-pass TF quality
+    * signal: pass 1 builds global token frequencies (explode + count),
+    * pass 2 joins them back per document to score rare-token usage.
+    * Thresholded counts instead of log-probabilities keep the arithmetic
+    * integer-exact cross-engine (ln/log2 are not ULP-stable between
+    * libm implementations). */
+  val RareTokenThreshold = 20L
+
+  def rareTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+    val freqs = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    toks.join(freqs, "tok")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("freq") < RareTokenThreshold, 1L).otherwise(0L)).as("n_rare"),
+        countDistinct(when(col("freq") < RareTokenThreshold, col("tok"))).as("n_rare_types"))
+      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
   // ======================================================= deduplication
 
   /** p03: exact dedup by content hash — keep the lowest doc_id per md5(text)
@@ -523,5 +545,6 @@ object PipelineOps {
     "p13_multimodal"    -> multimodal,
     "p14_emb_dedup"     -> embDedup,
     "p15_ann_ivf"       -> annIvf,
-    "p16_sessions"      -> sessions)
+    "p16_sessions"      -> sessions,
+    "p17_rare_tokens"   -> rareTokens)
 }

@@ -290,6 +290,17 @@ object PipelineOracles {
        |SELECT n_events, count(*)::BIGINT AS n_sessions, CAST(sum(duration_us) AS BIGINT) AS sum_duration_us
        |FROM g GROUP BY n_events ORDER BY n_events""".stripMargin
 
+  private val p17 =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |freqs AS (SELECT tok, count(*)::BIGINT AS freq FROM toks GROUP BY tok)
+       |SELECT source, count(*)::BIGINT AS n_tokens,
+       |       CAST(sum(CASE WHEN freq < ${PipelineOps.RareTokenThreshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |       count(DISTINCT CASE WHEN freq < ${PipelineOps.RareTokenThreshold} THEN tok END)::BIGINT AS n_rare_types,
+       |       CAST(CAST(sum(CASE WHEN freq < ${PipelineOps.RareTokenThreshold} THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rare_ratio
+       |FROM toks JOIN freqs USING (tok)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -306,5 +317,6 @@ object PipelineOracles {
     "p13_multimodal"    -> p13,
     "p14_emb_dedup"     -> p14,
     "p15_ann_ivf"       -> p15,
-    "p16_sessions"      -> p16)
+    "p16_sessions"      -> p16,
+    "p17_rare_tokens"   -> p17)
 }

@@ -93,6 +93,13 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines.length == 6)
   }
 
+  test("members with a locale substitutes the caption column") {
+    val (code, body) = get("/cubes/Sales/members.csv?level=Part.Part&locale=alt")
+    assert(code == 200)
+    assert(body.trim.split("\n").head == "p_partkey,p_brand",
+      "locale 'alt' must select the caption-set column over the name column")
+  }
+
   test("logic layer /data accepts bare level names and Level=member cuts") {
     val (code, body) = get("/data.jsonrecords?cube=Sales&drilldowns=Year&measures=Quantity&Region=1")
     assert(code == 200)
