@@ -105,10 +105,15 @@ final class GraftServer(
           }
       }
     } catch {
+      // if headers already went out (a stream failed mid-write), a second
+      // sendResponseHeaders would throw from the handler — drop the
+      // connection instead, which is all HTTP allows at that point
       case e: PlanError =>
-        respond(ex, 400, "{\"error\":\"" + Format.jsonEscape(e.message) + "\"}", "application/json")
+        scala.util.Try(respond(ex, 400,
+          "{\"error\":\"" + Format.jsonEscape(e.message) + "\"}", "application/json"))
       case e: Throwable =>
-        respond(ex, 500, "{\"error\":\"" + Format.jsonEscape(String.valueOf(e.getMessage)) + "\"}", "application/json")
+        scala.util.Try(respond(ex, 500,
+          "{\"error\":\"" + Format.jsonEscape(String.valueOf(e.getMessage)) + "\"}", "application/json"))
     } finally ex.close()
 
   private def route(path: String, params: Map[String, Seq[String]], token: Option[String])
