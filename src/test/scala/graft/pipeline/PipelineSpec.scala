@@ -108,4 +108,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = PipelineOps.simhash(spark, SfDir).collect()
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
+
+  test("ngram jaccard pairs ordered and above threshold") {
+    val rows = PipelineOps.ngramJaccard(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("multimodal metadata rollup covers every doc with plausible dims") {
+    val rows = PipelineOps.multimodal(spark, SfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$SfDir/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, "sum_bytes")
+      assert(r.getLong(3) <= r.getLong(1), "n_unique <= n_assets")
+      // stub decode: width/height in [1,16] so pixels per asset in [1,256]
+      assert(r.getLong(4) >= r.getLong(1) && r.getLong(4) <= r.getLong(1) * 256)
+    }
+  }
+
+  test("session histogram accounts for every event") {
+    val rows = PipelineOps.sessions(spark, SfDir).collect()
+    val events = spark.read.parquet(s"$SfDir/events.parquet").count()
+    val accounted = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(accounted == events, "n_events * n_sessions must sum to the event count")
+  }
+
+  test("rare-token ratios within [0,1] and counts consistent") {
+    val rows = PipelineOps.rareTokens(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_rare <= n_tokens")
+      assert(r.getLong(3) <= r.getLong(2) || r.getLong(2) == 0, "types <= occurrences")
+      val ratio = r.getDouble(4)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
 }
