@@ -26,8 +26,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g heap: local[32] means up to 32 concurrent tasks sharing one
+// UnifiedMemoryManager; decimal-sum and percentile aggregates are
+// allocation-heavy and GC-starve at sbt-ish defaults. 512m code cache:
+// 58 distinct whole-stage-codegen classes evict each other at the JVM's
+// 240m default and queries fall back to the interpreter mid-run.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

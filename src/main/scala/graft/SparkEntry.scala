@@ -62,6 +62,24 @@ object SparkEntry {
       |  }]
       |}""".stripMargin
 
+  /** Runtime-loaded XML schema (reference schema/xml.rs Mondrian-style wire
+    * format) — the XML twin of [[demoSchemaJson]], exercised end-to-end. */
+  private val demoSchemaXml =
+    """<Schema name="DemoXml">
+      |  <Cube name="SalesXml">
+      |    <Table name="lineitem"/>
+      |    <Dimension name="Geography" foreign_key="l_suppkey">
+      |      <Hierarchy name="Geography" primary_key="s_suppkey">
+      |        <Table name="supplier_geo" primary_key="s_suppkey"/>
+      |        <Level name="Region" key_column="r_regionkey" name_column="r_name" key_type="nontext"/>
+      |        <Level name="Nation" key_column="n_nationkey" name_column="n_name" key_type="nontext"/>
+      |      </Hierarchy>
+      |    </Dimension>
+      |    <Measure name="Quantity" column="l_quantity" aggregator="sum"/>
+      |    <Measure name="Weighted Discount" column="l_disc_dec" aggregator="weighted_sum" weight_column="l_qty_dec"/>
+      |  </Cube>
+      |</Schema>""".stripMargin
+
   // oracle SQL join fragments (DuckDB, on the driver's parquet views)
   private val GEO =
     "lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"
@@ -270,6 +288,16 @@ object SparkEntry {
       drilldowns = Seq(drill("Ship Date.Year"), drill("Ship Date.Month"), drill("Return Flag.Return Flag")),
       measures = Seq(mea("Quantity")),
       growth = Some(growthQ("Ship Date.Month,Quantity")))),
+    // §1.2: runtime XML schema → plan (reference schema/xml.rs); cut +
+    // weighted measure through the XML-declared cube
+    "q42_xml_schema" -> ((spark: SparkSession, sfDir: String) => {
+      val cube = SchemaXml.parse(demoSchemaXml).cube("SalesXml")
+        .getOrElse(die("SalesXml cube missing"))
+      new CubePlanner(cube, new TpchStar.Resolver(sfDir)).plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Geography.Nation")),
+        cuts = Seq(cut("Geography.Region.1,3")),
+        measures = Seq(mea("Quantity"), mea("Weighted Discount"))))
+    }),
     // #12 sorted by the rca calc: top nations per brand by RCA
     "q41_top_rca" -> run(CubeQuery(
       measures = Seq(mea("Quantity")),
@@ -367,6 +395,8 @@ object SparkEntry {
       """WITH a AS (SELECT l_returnflag AS "Return Flag", year(l_shipdate) AS "Year", month(l_shipdate) AS "Month", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1, 2, 3) SELECT "Return Flag", "Year", "Month", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Return Flag" ORDER BY "Year", "Month") ORDER BY "Return Flag", "Year", "Month"""",
     "q41_top_rca" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", (a / sum(a) OVER (PARTITION BY "Brand")) / (sum(a) OVER (PARTITION BY "Nation ID") / sum(a) OVER ()) AS "Quantity RCA", "Quantity" FROM a) SELECT * FROM g QUALIFY row_number() OVER (PARTITION BY "Brand" ORDER BY "Quantity RCA" DESC, "Nation ID" ASC, "Nation" ASC) <= 2 ORDER BY "Brand" ASC, "Quantity RCA" DESC""",
+    "q42_xml_schema" ->
+      s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity", ${d2d(s"sum($DD * $QD)")} AS "Weighted Discount" FROM $GEO WHERE r_regionkey IN (1, 3) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q29_rw_moe" ->
       s"""WITH a AS (SELECT l_returnflag, ${d2d(s"sum($QD) - sum($TD)")} AS d0, ${d2d(s"sum($QD) - sum($DD)")} AS d1 FROM lineitem GROUP BY 1) SELECT l_returnflag AS "Return Flag", 1.645 * sqrt(2.0 * (d0 * d0 + d1 * d1)) AS "Quantity RW MOE" FROM a ORDER BY 1""",
     "q30_wavg_moe" ->

@@ -310,6 +310,84 @@ object PipelineOps {
         expr("array_max(fps)").as("fp_max"))
       .orderBy("doc_id")
 
+  /** p18: deterministic train/valid/test split — md5 bucket of doc_id maps
+    * each document to a split (80/10/10) with no RNG, so assignment is
+    * reproducible across runs, engines, and re-shards; per-split corpus
+    * stats. One projection + one shuffle on the 3-value split key. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", expr(s"${hex12("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("split")
+
+  /** p19: decontamination — flag corpus docs whose 2-token shingle sets
+    * overlap a "benchmark" probe set (here the shingles of the first
+    * [[ContaminationProbeDocs]] docs stand in for an eval suite). The probe
+    * set broadcasts; the corpus side explodes shingle hashes and semi-joins —
+    * at 100 TB the probe side is benchmark-sized (tiny) and the corpus scan
+    * stays embarrassingly parallel. The ratio test is cross-multiplied
+    * integer arithmetic (exact) before the display-only double divide. */
+  val ContaminationProbeDocs = 5
+  /** Flag when hits/n_grams >= this (as num/den, compared exactly).
+    * 0.4 sits in the fixture's distribution tail: the bulk of docs overlap
+    * the probe set 10-30% through shared vocabulary; >=40% marks genuine
+    * shingle-level containment. */
+  val ContaminationNum = 4
+  val ContaminationDen = 10
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val probes = sh.where(col("doc_id") < ContaminationProbeDocs)
+      .select(explode(col("hashes")).as("h")).distinct()
+    val corpus = sh.where(col("doc_id") >= ContaminationProbeDocs)
+      .select(col("doc_id"), size(col("hashes")).cast("long").as("n_grams"),
+        explode(col("hashes")).as("h"))
+    corpus.join(broadcast(probes), "h")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") * ContaminationDen >= col("n_grams") * ContaminationNum)
+      .withColumn("overlap", col("n_hits").cast("double") / col("n_grams").cast("double"))
+      .select(col("doc_id"), col("n_hits"), col("n_grams"), col("overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** p20: intra-document repetition signals (the Gopher/MassiveText
+    * repetition filters): duplicate-token and duplicate-bigram fractions per
+    * source, plus the count of docs over 20% duplicate bigrams. All ratios
+    * divide exact integer sums; the per-doc 20% test is cross-multiplied
+    * integers, never a double compare. Pure per-doc array ops + one
+    * shuffle. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_utoks", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("grams",
+        expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_ugrams", size(array_distinct(col("grams"))).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("sum_toks"),
+        sum(col("n_toks") - col("n_utoks")).as("dup_toks"),
+        sum("n_grams").as("sum_grams"),
+        sum(col("n_grams") - col("n_ugrams")).as("dup_grams"),
+        sum(when((col("n_grams") - col("n_ugrams")) * 5 > col("n_grams"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("dup_tok_ratio", col("dup_toks").cast("double") / col("sum_toks").cast("double"))
+      .withColumn("dup_gram_ratio", col("dup_grams").cast("double") / col("sum_grams").cast("double"))
+      .orderBy("source")
+
   // ==================================================== similarity search
 
   /** Embeddings quantized to int64 (floor(x * 1e5)): dot products and norms
@@ -546,5 +624,8 @@ object PipelineOps {
     "p14_emb_dedup"     -> embDedup,
     "p15_ann_ivf"       -> annIvf,
     "p16_sessions"      -> sessions,
-    "p17_rare_tokens"   -> rareTokens)
+    "p17_rare_tokens"   -> rareTokens,
+    "p18_hash_split"    -> hashSplit,
+    "p19_contamination" -> contamination,
+    "p20_repetition"    -> repetition)
 }

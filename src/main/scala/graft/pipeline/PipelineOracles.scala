@@ -301,6 +301,52 @@ object PipelineOracles {
        |FROM toks JOIN freqs USING (tok)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  private val p18 =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars, ${hex12("doc_id::VARCHAR")} % 100 AS bucket
+       |  FROM documents),
+       |s AS (
+       |  SELECT *, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+       |  FROM t)
+       |SELECT split, count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       count(DISTINCT lang)::BIGINT AS n_langs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  private val p19 =
+    s"""$shingleCtes,
+       |probe AS (
+       |  SELECT DISTINCT unnest(hashes) AS h FROM h WHERE doc_id < ${PipelineOps.ContaminationProbeDocs}),
+       |corpus AS (
+       |  SELECT doc_id, len(hashes)::BIGINT AS n_grams, unnest(hashes) AS h
+       |  FROM h WHERE doc_id >= ${PipelineOps.ContaminationProbeDocs}),
+       |hits AS (
+       |  SELECT doc_id, n_grams, count(*)::BIGINT AS n_hits
+       |  FROM corpus JOIN probe USING (h) GROUP BY doc_id, n_grams)
+       |SELECT doc_id, n_hits, n_grams, CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap
+       |FROM hits WHERE n_hits * ${PipelineOps.ContaminationDen} >= n_grams * ${PipelineOps.ContaminationNum}
+       |ORDER BY doc_id""".stripMargin
+
+  private val p20 =
+    """WITH t AS (
+      |  SELECT source, toks, len(toks)::BIGINT AS n_toks,
+      |         len(list_distinct(toks))::BIGINT AS n_utoks,
+      |         [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS grams
+      |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 2),
+      |g AS (
+      |  SELECT source, n_toks, n_utoks, len(grams)::BIGINT AS n_grams,
+      |         len(list_distinct(grams))::BIGINT AS n_ugrams
+      |  FROM t)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+      |       CAST(sum(n_toks - n_utoks) AS BIGINT) AS dup_toks,
+      |       CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+      |       CAST(sum(n_grams - n_ugrams) AS BIGINT) AS dup_grams,
+      |       CAST(sum(CASE WHEN (n_grams - n_ugrams) * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |       CAST(CAST(sum(n_toks - n_utoks) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) AS dup_tok_ratio,
+      |       CAST(CAST(sum(n_grams - n_ugrams) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_grams) AS BIGINT) AS DOUBLE) AS dup_gram_ratio
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -318,5 +364,8 @@ object PipelineOracles {
     "p14_emb_dedup"     -> p14,
     "p15_ann_ivf"       -> p15,
     "p16_sessions"      -> p16,
-    "p17_rare_tokens"   -> p17)
+    "p17_rare_tokens"   -> p17,
+    "p18_hash_split"    -> p18,
+    "p19_contamination" -> p19,
+    "p20_repetition"    -> p20)
 }

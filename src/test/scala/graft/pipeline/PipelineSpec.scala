@@ -136,6 +136,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(accounted == events, "n_events * n_sessions must sum to the event count")
   }
 
+  test("hash split partitions every doc exactly once, deterministically") {
+    val rows = PipelineOps.hashSplit(spark, SfDir).collect()
+    val splits = rows.map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$SfDir/documents.parquet").count())
+    // deterministic: a re-run assigns identically
+    val again = PipelineOps.hashSplit(spark, SfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // the 80/10/10 buckets should put the bulk in train
+    val train = rows.find(_.getString(0) == "train").map(_.getLong(1)).getOrElse(0L)
+    assert(train * 2 > total, "train majority")
+  }
+
+  test("contamination flags exclude probe docs and respect the ratio bound") {
+    val rows = PipelineOps.contamination(spark, SfDir).collect()
+    assert(rows.nonEmpty, "fixture threshold must flag at least one doc")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= PipelineOps.ContaminationProbeDocs, "probe docs excluded")
+      assert(r.getLong(1) <= r.getLong(2), "hits <= grams")
+      val minRatio = PipelineOps.ContaminationNum.toDouble / PipelineOps.ContaminationDen
+      assert(r.getDouble(3) >= minRatio && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("repetition ratios within [0,1], dup counts bounded by totals") {
+    val rows = PipelineOps.repetition(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "dup_toks <= sum_toks")
+      assert(r.getLong(5) <= r.getLong(4), "dup_grams <= sum_grams")
+      assert(r.getLong(6) <= r.getLong(1), "n_flagged <= n_docs")
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+    }
+  }
+
   test("rare-token ratios within [0,1] and counts consistent") {
     val rows = PipelineOps.rareTokens(spark, SfDir).collect()
     rows.foreach { r =>
