@@ -570,21 +570,43 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
       hiddenCols: Seq[String]): DataFrame = {
 
     val needsTwoPass = meas.exists(_._1.aggregator.isInstanceOf[Aggregator.BasicGroupedMedian])
-    if (needsTwoPass && meas.exists(_._1.aggregator.isInstanceOf[Aggregator.Custom]))
-      fail("custom-template measures cannot combine with grouped-median measures " +
-        "in one query (the template would re-apply to partial sums); run them separately")
     if (!needsTwoPass) {
       val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) }
       src.groupBy(groupCols.map(cq): _*).agg(aggs.head, aggs.tail: _*)
     } else {
+      // Custom templates can't ride the two-pass scheme (re-applying the
+      // template to partial sums is wrong, and pass-1 output drops the
+      // template's auxiliary columns — the reference's pass-2 Custom is
+      // admittedly half-implemented, aggregator.rs:200-212). Compute them in
+      // a parallel single-pass aggregate at the same drill grain and join
+      // back: both sides are post-aggregation (drill-cardinality) frames, so
+      // the join is dim-sized at any fact scale.
+      val (customMeas, tpMeas) = meas.partition(_._1.aggregator.isInstanceOf[Aggregator.Custom])
+
       // reference two-pass: pass 1 at (drills + hidden group_dimension)
       // grain, pass 2 re-aggregates at drill grain (aggregator.rs:28-223)
-      val p1 = meas.zipWithIndex.flatMap { case ((m, _), i) =>
+      val p1 = tpMeas.zipWithIndex.flatMap { case ((m, _), i) =>
         AggExprs.pass1(m, i).map { case (n, e) => e.as(n) }
       }
       val s1 = src.groupBy((groupCols ++ hiddenCols).distinct.map(cq): _*).agg(p1.head, p1.tail: _*)
-      val p2 = meas.zipWithIndex.map { case ((m, out), i) => AggExprs.pass2(m, i).as(out) }
-      s1.groupBy(groupCols.map(cq): _*).agg(p2.head, p2.tail: _*)
+      val p2 = tpMeas.zipWithIndex.map { case ((m, out), i) => AggExprs.pass2(m, i).as(out) }
+      val tp = s1.groupBy(groupCols.map(cq): _*).agg(p2.head, p2.tail: _*)
+
+      val joined =
+        if (customMeas.isEmpty) tp
+        else {
+          val cAggs = customMeas.map { case (m, out) => AggExprs.single(m).as(out) }
+          val cdf = src.groupBy(groupCols.map(cq): _*).agg(cAggs.head, cAggs.tail: _*)
+          if (groupCols.isEmpty) tp.crossJoin(cdf)
+          else {
+            // null-safe equality: a drill member can legitimately be null
+            val renamed = groupCols.foldLeft(cdf)((d, c) => d.withColumnRenamed(c, s"__ck_$c"))
+            val cond = groupCols.map(c => cq(c) <=> cq(s"__ck_$c")).reduce(_ && _)
+            tp.join(renamed, cond, "inner").drop(groupCols.map(c => s"__ck_$c"): _*)
+          }
+        }
+      // restore the caller's measure order
+      joined.select((groupCols ++ meas.map(_._2)).map(cq): _*)
     }
   }
 

@@ -155,6 +155,26 @@ class PlannerSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("grouped median + custom template in one query: columns in caller order, values match separate runs") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Median Order Quantity"), mea("Revenue"), mea("Quantity"))))
+    assert(df.columns.toSeq == Seq("Return Flag", "Median Order Quantity", "Revenue", "Quantity"))
+    def one(m: String) = planner.plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Return Flag.Return Flag")), measures = Seq(mea(m))))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val med = one("Median Order Quantity"); val rev = one("Revenue")
+    df.collect().foreach { r =>
+      assert(r.get(1) == med(r.getString(0)), "median matches solo run")
+      assert(r.get(2) == rev(r.getString(0)), "custom Revenue matches solo run")
+    }
+    // degenerate grain: no drilldowns → cross join of two single-row frames
+    val global = planner.plan(spark, CubeQuery(
+      cuts = Seq(cut("Geography.Region.3")),
+      measures = Seq(mea("Median Order Quantity"), mea("Revenue"))))
+    assert(global.count() == 1)
+  }
+
   test("validation errors surface as PlanError") {
     intercept[PlanError] { planner.plan(spark, CubeQuery(drilldowns = Seq(drill("Geography.Nation")))) }
     intercept[PlanError] { planner.plan(spark, CubeQuery(measures = Seq(mea("Quantity")))) }
