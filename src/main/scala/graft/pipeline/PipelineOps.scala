@@ -276,15 +276,25 @@ object PipelineOps {
     * same-length-band docs, never all-pairs. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val blockCols = Seq("lang", "source", "block")
+    // localCheckpoint: the gram frame feeds both join sides; without lineage
+    // truncation the per-character md5 hashing runs twice (same reasoning as
+    // minhashPairs)
     val grams = docs(spark, dir)
       .where(length(col("text")) >= 3)
       .withColumn("block", floor(col("n_chars") / 100))
       .withColumn("grams", array_distinct(SubstringHashes(col("text"), 3, 0L)))
       .select((col("doc_id") +: col("grams") +: blockCols.map(col)): _*)
+      .localCheckpoint(false)
     val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: blockCols.map(col)): _*)
     val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: blockCols.map(col)): _*)
     a.join(b, blockCols)
       .where(col("doc_a") < col("doc_b"))
+      // size-bound prune (implied by jaccard >= 0.6, so results are
+      // unchanged): |A∩B| <= min(|A|,|B|), hence J >= 0.6 needs
+      // 8*min(|A|,|B|) >= 3*(|A|+|B|) — integer-exact, skips the expensive
+      // intersect for size-mismatched pairs
+      .where(least(size(col("g_a")), size(col("g_b"))) * 8 >=
+        (size(col("g_a")) + size(col("g_b"))) * 3)
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
