@@ -305,6 +305,25 @@ object SparkEntry {
     "q43_median_custom" -> run(CubeQuery(
       drilldowns = Seq(drill("Return Flag.Return Flag")),
       measures = Seq(mea("Median Order Quantity"), mea("Revenue"), mea("Quantity")))),
+    // pre-aggregated summary routing: materialize (Nation, Year) once, then
+    // answer a Region rollup + Year cut from the summary parquet (the plan
+    // never touches the fact) — identical to the base-fact oracle
+    "q44_preagg" -> ((spark: SparkSession, sfDir: String) => {
+      val base = TpchStar.planner(sfDir)
+      val grain = Seq(
+        LevelName("Geography", "Geography", "Nation"),
+        LevelName("Ship Date", "Ship Date", "Year"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_preagg_${sfDir.hashCode.toHexString}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+        plan.Preagg.materialize(spark, base, TpchStar.salesCube, grain, path)
+      val derived = plan.Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("__summary"))
+      val summary = new CubePlanner(derived,
+        new sources.FormatResolver(Map("__summary" -> sources.SourceSpec(path))))
+      new plan.PreaggPlanner(base, summary).plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Geography.Region")),
+        cuts = Seq(cut("Ship Date.Year.1996,1997")),
+        measures = Seq(mea("Quantity"), mea("Row Count"))))
+    }),
     // #12 sorted by the rca calc: top nations per brand by RCA
     "q41_top_rca" -> run(CubeQuery(
       measures = Seq(mea("Quantity")),
@@ -402,6 +421,8 @@ object SparkEntry {
       """WITH a AS (SELECT l_returnflag AS "Return Flag", year(l_shipdate) AS "Year", month(l_shipdate) AS "Month", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1, 2, 3) SELECT "Return Flag", "Year", "Month", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Return Flag" ORDER BY "Year", "Month") ORDER BY "Return Flag", "Year", "Month"""",
     "q41_top_rca" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", (a / sum(a) OVER (PARTITION BY "Brand")) / (sum(a) OVER (PARTITION BY "Nation ID") / sum(a) OVER ()) AS "Quantity RCA", "Quantity" FROM a) SELECT * FROM g QUALIFY row_number() OVER (PARTITION BY "Brand" ORDER BY "Quantity RCA" DESC, "Nation ID" ASC, "Nation" ASC) <= 2 ORDER BY "Brand" ASC, "Quantity RCA" DESC""",
+    "q44_preagg" ->
+      s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity", count(l_orderkey) AS "Row Count" FROM $GEO WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q43_median_custom" ->
       s"""WITH p AS (SELECT l_returnflag AS f, l_orderkey AS o, sum(l_quantity) AS m FROM lineitem GROUP BY 1, 2), med AS (SELECT f, median(m) AS mo, sum(m) AS q FROM p GROUP BY 1), rev AS (SELECT l_returnflag AS f, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS VARCHAR) AS DOUBLE) AS r FROM lineitem GROUP BY 1) SELECT med.f AS "Return Flag", med.mo AS "Median Order Quantity", rev.r AS "Revenue", med.q AS "Quantity" FROM med JOIN rev ON med.f = rev.f ORDER BY 1""",
     "q42_xml_schema" ->

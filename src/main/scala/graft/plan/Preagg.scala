@@ -1,0 +1,97 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+
+/** Pre-aggregated summary tables — the OLAP "aggregate table" optimization.
+  *
+  * At 100 TB the fact scan dominates every query; most dashboard traffic
+  * drills well above the fact grain. Materializing one summary at a chosen
+  * grain (plus its functionally-dependent ancestor columns via `parents`)
+  * turns those queries into scans of a dim-cardinality parquet — typically
+  * GBs, often KBs — while queries the summary can't answer fall through to
+  * the base fact untouched.
+  *
+  * The reference has no equivalent (its deployments pre-aggregate by hand
+  * into the fact table it points at); this makes that practice an engine
+  * feature: the summary is itself a cube (grain + ancestor levels become
+  * degenerate levels on the summary table; measures re-aggregate their
+  * partials), so the ENTIRE query surface — cuts, filters, top-k, sort,
+  * growth — works against it through the unchanged [[CubePlanner]].
+  *
+  * Only losslessly re-aggregable measures ride the summary: sum→sum,
+  * count→sum, min→min, max→max. Everything else (median, MOE, custom
+  * templates, weighted forms) routes to the base fact. Determinism note: a
+  * sum-of-partial-sums has the same float-ordering profile as the base
+  * cube's direct sum — deployments needing byte-stable doubles should back
+  * such measures with DECIMAL columns, exactly as at the base grain.
+  */
+object Preagg {
+
+  /** The partial-combining aggregator for a base aggregator, when lossless. */
+  def reAggregator(a: Aggregator): Option[Aggregator] = a match {
+    case Aggregator.Sum   => Some(Aggregator.Sum)
+    case Aggregator.Count => Some(Aggregator.Sum) // partial counts re-add
+    case Aggregator.Min   => Some(Aggregator.Min)
+    case Aggregator.Max   => Some(Aggregator.Max)
+    case _                => None
+  }
+
+  def eligibleMeasures(cube: Cube): Seq[Measure] =
+    cube.measures.filter(m => reAggregator(m.aggregator).isDefined)
+
+  /** Computes and writes the summary at `grain` (one parquet per grain).
+    * `parents=true` carries every ancestor level, so any rollup at or above
+    * the grain resolves without re-joining dims. */
+  def materialize(
+      spark: SparkSession,
+      planner: CubePlanner,
+      cube: Cube,
+      grain: Seq[LevelName],
+      path: String): Unit = {
+    val meas = eligibleMeasures(cube)
+    if (meas.isEmpty) throw PlanError(s"cube '${cube.name}' has no pre-aggregable measures")
+    planner.plan(spark, CubeQuery(
+        drilldowns = grain.map(Drilldown(_)),
+        parents = true,
+        measures = meas.map(m => MeasureName(m.name))))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The summary-as-a-cube: grain + ancestor levels become degenerate levels
+    * whose key/name columns are the summary's own header columns; measures
+    * re-aggregate partials under their original names. */
+  def derivedCube(cube: Cube, grain: Seq[LevelName], summaryTable: TableDef): Cube = {
+    val dims = grain.map { ln =>
+      val (dim, hier, idx) = cube.findLevel(ln)
+        .getOrElse(throw PlanError(s"grain level '$ln' not in cube '${cube.name}'"))
+      val levels = hier.levels.take(idx + 1).map { l =>
+        val named = l.nameColumn.isDefined
+        Level(
+          name = l.name,
+          keyColumn = if (named) s"${l.name} ID" else l.name,
+          nameColumn = if (named) Some(l.name) else None,
+          keyType = l.keyType)
+      }
+      Dimension(dim.name, foreignKey = None,
+        hierarchies = Seq(Hierarchy(hier.name, primaryKey = levels.last.keyColumn, levels = levels)),
+        dimType = dim.dimType)
+    }
+    val meas = eligibleMeasures(cube).map(m =>
+      Measure(m.name, column = m.name, aggregator = reAggregator(m.aggregator).get))
+    Cube(s"${cube.name}_preagg", summaryTable, dims, meas)
+  }
+}
+
+/** Routes each query to the summary when it resolves there — drills/cuts on
+  * grain-or-ancestor levels, re-aggregable measures only — and to the base
+  * fact otherwise. Resolution IS the eligibility test: the derived cube
+  * simply doesn't contain the levels/measures the summary can't serve, so
+  * planning against it fails fast with [[PlanError]] and the query falls
+  * through (same contract as the reference's hand-built aggregate tables,
+  * minus the hand). */
+final class PreaggPlanner(base: CubePlanner, summary: CubePlanner) {
+  def plan(spark: SparkSession, q: CubeQuery): DataFrame =
+    try summary.plan(spark, q)
+    catch { case _: PlanError => base.plan(spark, q) }
+}
