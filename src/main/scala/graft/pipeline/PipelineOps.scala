@@ -354,7 +354,9 @@ object PipelineOps {
   val ContaminationDen = 10
 
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    // both the probe and corpus branches read the shingle+hash frame;
+    // truncate lineage so hashing runs once (see minhashPairs)
+    val sh = shingled(spark, dir).localCheckpoint(false)
     val probes = sh.where(col("doc_id") < ContaminationProbeDocs)
       .select(explode(col("hashes")).as("h")).distinct()
     val corpus = sh.where(col("doc_id") >= ContaminationProbeDocs)

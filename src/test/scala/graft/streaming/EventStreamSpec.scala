@@ -53,6 +53,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming summary refresh converges to the batch aggregate, one file per batch") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_refresh").toString
+    // split the fact into two files so the merge path runs across batches
+    val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .select("l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice")
+    li.repartition(2).write.mode("overwrite").parquet(s"$tmp/fact")
+    assert(Files.list(Paths.get(s"$tmp/fact")).toArray
+      .map(_.toString).count(_.endsWith(".parquet")) == 2)
+
+    val schema = li.schema
+    val store = s"$tmp/summary"
+    val q = SummaryRefresh.run(
+      spark, s"$tmp/fact", schema, store, s"$tmp/ckpt",
+      keys = Seq("l_returnflag"), meas = Seq(
+        SummaryRefresh.MeasureSpec("qty", "l_quantity", "sum"),
+        SummaryRefresh.MeasureSpec("n", "1", "sum"),
+        SummaryRefresh.MeasureSpec("max_price", "l_extendedprice", "max")))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val want = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"),
+        max("l_extendedprice").as("max_price"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("sessionization merges within the gap and splits across it") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
