@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -62,6 +62,22 @@ object TextHashKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** |A ∩ B| of two ascending-sorted distinct long arrays: one merge walk,
+    * no per-call allocation (Spark's `array_intersect` builds a hash set per
+    * invocation — per candidate PAIR in a dedup join, which dominates the
+    * verify stage). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** `substring_hashes(text, width, mod)` — md5-48bit hash of every
@@ -100,6 +116,26 @@ final case class StringHashes(child: Expression, mod: Long) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** `sorted_intersect_count(a, b)` — intersection cardinality of two
+  * ascending-sorted distinct long arrays (callers sort once per document;
+  * the join then pays O(m+n) per pair with zero allocation). */
+final case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernel.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHashKernel.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object SubstringHashes {
   def apply(text: Column, width: Int, mod: Long): Column =
     ColumnBridge.column(SubstringHashes(ColumnBridge.expression(text), width, mod))
@@ -107,4 +143,8 @@ object SubstringHashes {
 object StringHashes {
   def apply(arr: Column, mod: Long): Column =
     ColumnBridge.column(StringHashes(ColumnBridge.expression(arr), mod))
+}
+object SortedIntersectCount {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

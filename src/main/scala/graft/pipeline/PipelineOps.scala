@@ -175,7 +175,8 @@ object PipelineOps {
       .where(size(col("toks")) >= 2)
       .withColumn("shingles",
         expr("array_distinct(transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])))"))
-      .withColumn("hashes", array_distinct(StringHashes(col("shingles"), BaseHashMod)))
+      // sorted so minhash verification intersects via the native merge walk
+      .withColumn("hashes", array_sort(array_distinct(StringHashes(col("shingles"), BaseHashMod))))
 
   /** p04: near-dup pairs via minhash + banded LSH, verified with exact
     * shingle Jaccard ≥ 0.5.
@@ -244,7 +245,7 @@ object PipelineOps {
     val sa = sets.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
     prefiltered.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))).cast("long"))
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("h_a"), col("h_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("h_a")) + size(col("h_b")) - col("inter")).cast("double"))
@@ -279,10 +280,12 @@ object PipelineOps {
     // localCheckpoint: the gram frame feeds both join sides; without lineage
     // truncation the per-character md5 hashing runs twice (same reasoning as
     // minhashPairs)
+    // arrays sorted once per doc so the pair stage intersects via a native
+    // merge walk (SortedIntersectCount) instead of a per-pair hash set
     val grams = docs(spark, dir)
       .where(length(col("text")) >= 3)
       .withColumn("block", floor(col("n_chars") / 100))
-      .withColumn("grams", array_distinct(SubstringHashes(col("text"), 3, 0L)))
+      .withColumn("grams", array_sort(array_distinct(SubstringHashes(col("text"), 3, 0L))))
       .select((col("doc_id") +: col("grams") +: blockCols.map(col)): _*)
       .localCheckpoint(false)
     val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: blockCols.map(col)): _*)
@@ -295,7 +298,7 @@ object PipelineOps {
       // intersect for size-mismatched pairs
       .where(least(size(col("g_a")), size(col("g_b"))) * 8 >=
         (size(col("g_a")) + size(col("g_b"))) * 3)
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("g_a"), col("g_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))

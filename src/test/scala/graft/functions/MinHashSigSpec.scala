@@ -80,6 +80,27 @@ class TextHashesSpec extends AnyFunSuite {
     rows.head.getSeq[Long](1).foreach(h => assert(h >= 0 && h < Hashing.BaseHashMod))
   }
 
+  test("SortedIntersectCount equals array_intersect cardinality on sorted distinct arrays") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(7L), Seq(7L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      ((1L to 500L).toSeq, (250L to 750L).toSeq))
+    val df = pairs.toDF("a", "b")
+      .withColumn("native", SortedIntersectCount(col("a"), col("b")))
+      .withColumn("builtin", expr("CAST(size(array_intersect(a, b)) AS BIGINT)"))
+    df.collect().foreach(r => assert(r.getLong(2) == r.getLong(3), r.getSeq[Long](0).take(5)))
+    // interpreted eval path (outside codegen) agrees
+    val e = SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L, 4L, 6L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(2L, 4L, 6L, 8L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))
+    assert(e.eval(null) == 2L)
+  }
+
   test("StringHashes equals per-element md5Long") {
     import spark.implicits._
     val rows = Seq(Seq("alpha", "beta", "gamma")).toDF("xs")
