@@ -50,6 +50,36 @@ final class FormatResolver(
     }
 }
 
+/** Bucketed table layout — the shuffle-elision story for the biggest joins.
+  *
+  * A fact⋈fact or fact⋈large-dim join shuffles both sides on the key every
+  * query; at 100 TB that shuffle IS the query cost. Writing both tables
+  * bucketed (and sorted) on the join key makes the partitioning a stored
+  * property: Catalyst sees each side already hash-clustered and elides the
+  * Exchange (and with sortBy, the Sort) — the join runs bucket-to-bucket,
+  * embarrassingly parallel. This is the deployment-time complement to the
+  * per-query broadcast/semi-join choices in the planner. */
+object Bucketing {
+
+  /** Writes `df` as an external parquet table bucketed (and sorted) on
+    * `keys` — joins between tables sharing bucket keys + count are
+    * co-located. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      keys: Seq[String],
+      buckets: Int): Unit = {
+    require(keys.nonEmpty && buckets > 0)
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+}
+
 /** Result sinks: materialize a query result (or a cleaned corpus) to a
   * format + layout. The reference streams results out of HTTP only
   * (format_stream.rs); at pipeline scale results land back on storage, so

@@ -75,6 +75,33 @@ class SourcesSpec extends AnyFunSuite {
     intercept[PlanError] { r.resolve(spark, TableDef("nope")) }
   }
 
+  test("bucketed tables join without any exchange; results match the shuffled join") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val tmp = Files.createTempDirectory("graft_bucket").toString
+    val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$SfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    Bucketing.writeBucketed(li, "li_b", s"$tmp/li", Seq("l_orderkey"), 8)
+    Bucketing.writeBucketed(ord, "ord_b", s"$tmp/ord", Seq("o_orderkey"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the non-broadcast path
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      val got = joined.agg(sum("l_quantity")).head().getDouble(0)
+      val want = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum("l_quantity")).head().getDouble(0)
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("sink writes a lang-partitioned corpus that reads back complete") {
     val tmp = Files.createTempDirectory("graft_sink").toString
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
