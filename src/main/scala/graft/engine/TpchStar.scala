@@ -75,7 +75,10 @@ object TpchStar {
     Dimension("Ship Date", foreignKey = None, dimType = DimensionType.Time,
       hierarchies = Seq(Hierarchy("Ship Date", primaryKey = "l_shipyear",
         levels = Seq(
-          Level("Year", "l_shipyear", keyType = MemberType.NonText),
+          // Year derives from l_shipdate: cuts add a scan-pushable
+          // timestamp range next to the (opaque) year(l_shipdate) IN (...)
+          Level("Year", "l_shipyear", keyType = MemberType.NonText,
+            derivedFrom = Some(DerivedFrom("l_shipdate", "year"))),
           Level("Month", "l_shipmonth", keyType = MemberType.NonText))))),
     Dimension("Return Flag", foreignKey = None,
       hierarchies = Seq(Hierarchy("Return Flag", primaryKey = "l_returnflag",

@@ -504,6 +504,8 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
         dimCuts.foreach { cut =>
           val lvl = hier.levels((resolveLevel(cut.levelName)._3))
           fact = fact.where(cutPredicate(fact, lvl.keyColumn, cut))
+          // redundant scan-pushable range on the declared source column
+          derivedRangePredicate(fact, lvl, cut).foreach(p => fact = fact.where(p))
         }
         dimOuts.foreach { o =>
           fact = fact.withColumn(o.keyHeader, cq(o.level.keyColumn))
@@ -707,6 +709,25 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
   }
 
   // ------------------------------------------------------------------ cuts
+
+  /** For an include-cut on a level whose key derives from a date column
+    * (e.g. Year = year(l_shipdate)): the equivalent OR-of-ranges on the
+    * SOURCE column. `year(col) IN (...)` is opaque to the parquet reader;
+    * `col >= d1 AND col < d2` prunes row groups / date partitions. Returns
+    * None for exclude/LIKE cuts and unparseable members (the primary
+    * predicate alone is still correct — this one is purely additive). */
+  private def derivedRangePredicate(df: DataFrame, lvl: Level, cut: CutSpec): Option[Column] =
+    lvl.derivedFrom.filter(d => cut.mask == Mask.Include && !cut.forMatch &&
+        df.columns.contains(d.column)).flatMap { d =>
+      val years = cut.members.map(m => scala.util.Try(m.trim.toInt).toOption)
+      if (years.exists(_.isEmpty)) None
+      else Some(years.flatten.map { y =>
+        // SQL timestamp literals resolve in the SESSION timezone — the same
+        // zone year(col) evaluates under, so the range is exactly the year
+        expr(s"`${d.column}` >= timestamp'$y-01-01 00:00:00' AND " +
+          s"`${d.column}` < timestamp'${y + 1}-01-01 00:00:00'")
+      }.reduce(_ || _))
+    }
 
   private def cutPredicate(df: DataFrame, colName: String, cut: CutSpec): Column = {
     val kc = cq(colName)

@@ -1,0 +1,72 @@
+package graft.plan
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.engine.TpchStar
+import graft.SparkTestSession.{spark, SfDir}
+
+/** Plan-shape regression guards for the properties that decide whether a
+  * query survives 100 TB: filters reaching the scan, dims broadcasting,
+  * columns pruned, no single-partition windows, no accidental cross joins.
+  * These assert on the PHYSICAL plan, so an innocent-looking planner change
+  * that silently trades one of them away fails CI, not the cluster. */
+class ScaleInvariantsSpec extends AnyFunSuite {
+
+  private def die(m: String): Nothing = throw PlanError(m)
+  private def drill(s: String) = Drilldown.parse(s).fold(die, identity)
+  private def mea(s: String) = MeasureName.parse(s).fold(die, identity)
+  private def cut(s: String) = CutSpec.parse(s).fold(die, identity)
+  private val planner = TpchStar.planner(SfDir)
+
+  private def plan(q: CubeQuery): String =
+    planner.plan(spark, q).queryExecution.executedPlan.toString
+
+  test("year cut pushes a timestamp range into the parquet scan") {
+    val p = plan(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      cuts = Seq(cut("Ship Date.Year.1996,1997")),
+      measures = Seq(mea("Quantity"))))
+    // the derived year(l_shipdate) IN (...) is opaque to parquet; the
+    // redundant range on the source column must reach PushedFilters
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("snowflake dim join broadcasts (hinted build side)") {
+    val p = plan(CubeQuery(
+      drilldowns = Seq(drill("Geography.Nation")),
+      measures = Seq(mea("Quantity"))))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("fact scan prunes to the columns the query touches") {
+    val p = plan(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Quantity"))))
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    for (c <- Seq("l_extendedprice", "l_partkey", "l_shipdate", "l_tax"))
+      assert(!read.contains(c), s"unpruned column $c in: $read")
+  }
+
+  test("RCA plan has no Window operator (grouping-sets shape, no single-partition funnel)") {
+    val p = plan(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity))))
+    assert(!p.contains("Window"), "RCA must not use window sums")
+  }
+
+  test("minhash candidate generation never degenerates to a cross join") {
+    val p = graft.pipeline.PipelineOps.minhashPairs(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("cut-only dim stays a semi join (no row widening)") {
+    val p = plan(CubeQuery(
+      cuts = Seq(cut("Geography.Region.3")),
+      measures = Seq(mea("Quantity"))))
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+}
