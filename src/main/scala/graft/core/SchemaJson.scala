@@ -166,7 +166,11 @@ object SchemaJson {
         annotations = annotations(p))
     },
     keyType = str(v \ "key_type").map(MemberType.parse).getOrElse(MemberType.Text),
-    annotations = annotations(v))
+    annotations = annotations(v),
+    // engine extension (not in the reference wire format): declares the key
+    // as derived from a date column so cuts push a scan-prunable range
+    derivedFrom = str(v \ "derived_from_column").map(c =>
+      DerivedFrom(c, str(v \ "derived_from_unit").getOrElse("year"))))
 
   /** Aggregator: a plain string (`"sum"`) or an object form for the
     * parameterized aggregators (reference schema/aggregator.rs:11-93 serde). */

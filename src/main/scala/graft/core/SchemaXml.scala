@@ -120,7 +120,9 @@ object SchemaXml {
         annotations = annotations(p))
     },
     keyType = attr(n, "key_type").map(MemberType.parse).getOrElse(MemberType.Text),
-    annotations = annotations(n))
+    annotations = annotations(n),
+    derivedFrom = attr(n, "derived_from_column").map(c =>
+      DerivedFrom(c, attr(n, "derived_from_unit").getOrElse("year"))))
 
   /** XML measures spell the aggregator as a string attribute; parameterized
     * aggregators use child attributes, e.g.

@@ -83,15 +83,21 @@ object Preagg {
   }
 }
 
-/** Routes each query to the summary when it resolves there — drills/cuts on
+/** Routes each query to the first summary that resolves it — drills/cuts on
   * grain-or-ancestor levels, re-aggregable measures only — and to the base
-  * fact otherwise. Resolution IS the eligibility test: the derived cube
-  * simply doesn't contain the levels/measures the summary can't serve, so
+  * fact otherwise. Resolution IS the eligibility test: a derived cube
+  * simply doesn't contain the levels/measures its summary can't serve, so
   * planning against it fails fast with [[PlanError]] and the query falls
   * through (same contract as the reference's hand-built aggregate tables,
-  * minus the hand). */
-final class PreaggPlanner(base: CubePlanner, summary: CubePlanner) {
-  def plan(spark: SparkSession, q: CubeQuery): DataFrame =
-    try summary.plan(spark, q)
-    catch { case _: PlanError => base.plan(spark, q) }
+  * minus the hand). Order summaries smallest-first so the cheapest
+  * eligible one wins. */
+final class PreaggPlanner(base: CubePlanner, summaries: Seq[CubePlanner]) {
+  def this(base: CubePlanner, summary: CubePlanner) = this(base, Seq(summary))
+
+  def plan(spark: SparkSession, q: CubeQuery): DataFrame = {
+    for (s <- summaries)
+      try return s.plan(spark, q)
+      catch { case _: PlanError => () }
+    base.plan(spark, q)
+  }
 }

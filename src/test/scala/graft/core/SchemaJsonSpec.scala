@@ -23,6 +23,17 @@ class SchemaJsonSpec extends AnyFunSuite {
     assert(c.measures == Seq(Measure("M", "m", Aggregator.Sum)))
   }
 
+  test("derived_from_column parses into the pushdown declaration") {
+    val dims =
+      """[{"name": "Time", "hierarchies": [{
+        |  "name": "Time", "primary_key": "y",
+        |  "levels": [{"name": "Year", "key_column": "y", "key_type": "nontext",
+        |              "derived_from_column": "ship_ts"}]}]}]""".stripMargin
+    val lvl = SchemaJson.parse(cubeJson(dims)).cube("C").get
+      .dimensions.head.hierarchies.head.levels.head
+    assert(lvl.derivedFrom.contains(DerivedFrom("ship_ts", "year")))
+  }
+
   test("aggregator string forms") {
     for ((s, a) <- Seq("sum" -> Aggregator.Sum, "count" -> Aggregator.Count,
         "avg" -> Aggregator.Avg, "max" -> Aggregator.Max, "min" -> Aggregator.Min)) {

@@ -18,13 +18,14 @@ class PreaggSpec extends AnyFunSuite {
     LevelName("Geography", "Geography", "Nation"),
     LevelName("Ship Date", "Ship Date", "Year"))
 
-  private lazy val (pp, summaryPath): (PreaggPlanner, String) = {
+  private lazy val (summaryPlanner, summaryPath): (CubePlanner, String) = {
     val path = Files.createTempDirectory("graft_preagg").toString + "/sales_nation_year"
     Preagg.materialize(spark, base, TpchStar.salesCube, grain, path)
     val derived = Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("__summary"))
     val resolver = new graft.sources.FormatResolver(Map("__summary" -> graft.sources.SourceSpec(path)))
-    (new PreaggPlanner(base, new CubePlanner(derived, resolver)), path)
+    (new CubePlanner(derived, resolver), path)
   }
+  private lazy val pp = new PreaggPlanner(base, summaryPlanner)
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
@@ -72,6 +73,28 @@ class PreaggSpec extends AnyFunSuite {
       measures = Seq(mea("Quantity")),
       top = Some(TopQuery.parse("2,Geography.Region,Quantity,desc").fold(die, identity)))
     assert(rows(pp.plan(spark, q)) == rows(base.plan(spark, q)))
+  }
+
+  test("multi-summary routing picks the first eligible summary, smallest first") {
+    val tmp = Files.createTempDirectory("graft_preagg2").toString
+    // a coarser summary: Region only (cannot serve Nation drills)
+    val regionGrain = Seq(LevelName("Geography", "Geography", "Region"))
+    Preagg.materialize(spark, base, TpchStar.salesCube, regionGrain, s"$tmp/by_region")
+    val regionCube = Preagg.derivedCube(TpchStar.salesCube, regionGrain, TableDef("__r"))
+    val regionPlanner = new CubePlanner(regionCube,
+      new graft.sources.FormatResolver(Map("__r" -> graft.sources.SourceSpec(s"$tmp/by_region"))))
+    val routed = new PreaggPlanner(base, Seq(regionPlanner, summaryPlanner))
+
+    val regionQ = CubeQuery(drilldowns = Seq(drill("Geography.Region")), measures = Seq(mea("Quantity")))
+    val viaRegion = routed.plan(spark, regionQ)
+    assert(viaRegion.queryExecution.executedPlan.toString.contains("by_region"))
+    assert(rows(viaRegion) == rows(base.plan(spark, regionQ)))
+
+    val nationQ = CubeQuery(drilldowns = Seq(drill("Geography.Nation")), measures = Seq(mea("Quantity")))
+    val viaNation = routed.plan(spark, nationQ)
+    assert(viaNation.queryExecution.executedPlan.toString.contains("sales_nation_year"),
+      "Nation drill must skip the Region summary and hit the finer one")
+    assert(rows(viaNation) == rows(base.plan(spark, nationQ)))
   }
 
   test("non-reaggregable aggregators are excluded from the derived cube") {
