@@ -38,10 +38,18 @@ final class GraftServer(
     /** Logic-layer config (reference logic_layer/config.rs): cube-name
       * aliases for /data, and level → unique display-name renames. */
     cubeAliases: Map[String, String] = Map.empty,
-    uniqueNames: Map[LevelName, String] = Map.empty) {
+    uniqueNames: Map[LevelName, String] = Map.empty,
+    /** Pre-aggregated summary planners per cube (ordered smallest-first);
+      * aggregate requests route through them with base-fact fallback
+      * (graft.plan.Preagg). */
+    summaries: Map[String, Seq[CubePlanner]] = Map.empty) {
 
   private val planners: Map[String, CubePlanner] =
     schema.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
+  private val aggPlanners: Map[String, graft.plan.PreaggPlanner] =
+    planners.map { case (n, p) =>
+      n -> new graft.plan.PreaggPlanner(p, summaries.getOrElse(n, Nil))
+    }
   // one LogicLayer per cube so its member cache persists across requests
   private val logicLayers: Map[String, LogicLayer] =
     planners.map { case (n, p) => n -> new LogicLayer(p, namedSets, uniqueNames) }
@@ -141,10 +149,10 @@ final class GraftServer(
           case None    => Left((404, s"cube '${dec(cube)}' not found"))
         }
       case AggRe(cube, fmt) =>
-        withCube(dec(cube), token) { case (c, planner) =>
+        withCube(dec(cube), token) { case (c, _) =>
           withFormat(fmt) { f =>
             val q = QueryParams.toCubeQuery(params)
-            Right(out(planner.plan(spark, q), f, Some(sourceMeta(c))))
+            Right(out(aggPlanners(c.name).plan(spark, q), f, Some(sourceMeta(c))))
           }
         }
       case MembersRe(cube, fmt) =>

@@ -178,6 +178,34 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("aggregate route serves from a configured summary with identical payload") {
+    import graft.core._
+    import graft.plan.{CubePlanner, Preagg}
+    import graft.sources.{FormatResolver, SourceSpec}
+    val base = TpchStar.planner(SfDir)
+    val grain = Seq(LevelName("Geography", "Geography", "Nation"))
+    val path = java.nio.file.Files.createTempDirectory("graft_srv_preagg").toString + "/by_nation"
+    Preagg.materialize(spark, base, TpchStar.salesCube, grain, path)
+    val summary = new CubePlanner(
+      Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("__s")),
+      new FormatResolver(Map("__s" -> SourceSpec(path))))
+    val srv = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir),
+      summaries = Map("Sales" -> Seq(summary)))
+    val p2 = srv.start()
+    try {
+      def g(path: String): String = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$p2$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val q = "/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity"
+      // summary-served response must be byte-identical to the base server's
+      assert(g(q) == get(q)._2)
+      // a median measure is not on the summary: falls back to the fact
+      val m = "/cubes/Sales/aggregate.csv?drilldowns=Return Flag.Return Flag&measures=Median Order Quantity"
+        .replace(" ", "%20")
+      assert(g(m) == get(m)._2)
+    } finally srv.stop()
+  }
+
   test("JWT auth levels gate non-public cubes") {
     val privCube = TpchStar.salesCube.copy(name = "Private", public = false, minAuthLevel = 2)
     val schema = graft.core.Schema("T2", Seq(TpchStar.salesCube, privCube))
