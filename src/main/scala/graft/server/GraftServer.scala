@@ -18,7 +18,9 @@ import Format.{FormatType, SourceMetadata}
   *   GET /cubes/{cube}/aggregate.{fmt}         → core aggregate API
   *   GET /cubes/{cube}/members.{fmt}?level=    → distinct members
   *   GET /data.{fmt}?cube=                     → logic layer (friendlier API)
+  *   GET /members.{fmt}?cube=&level=           → logic-layer members (bare or unique level name)
   *   GET /cubes/{cube}/diagnosis.{fmt}         → referential-integrity QA
+  *   GET /diagnosis.{fmt}[?cube=]              → QA for one or all accessible cubes
   *   GET /flush?secret=                        → schema reload hook
   *
   * Built on the JDK's HttpServer with a small thread pool: each request
@@ -136,6 +138,8 @@ final class GraftServer(
     val CubeRe    = "^/cubes/([^/]+)$".r
     val DataRe    = "^/data\\.([a-z]+)$".r
     val RelRe     = "^/relations\\.([a-z]+)$".r
+    val AllDiagRe = "^/diagnosis\\.([a-z]+)$".r
+    val LlMembersRe = "^/members\\.([a-z]+)$".r
 
     path match {
       case "/" =>
@@ -171,6 +175,51 @@ final class GraftServer(
         withCube(dec(cube), token) { case (c, _) =>
           withFormat(fmt) { f =>
             Right(out(Diagnosis.run(spark, c, resolver), f, None))
+          }
+        }
+      // top-level diagnosis (handlers/diagnosis.rs:79-96): ?cube= picks one,
+      // otherwise every cube this token can read, tagged by cube name
+      case AllDiagRe(fmt) =>
+        withFormat(fmt) { f =>
+          import org.apache.spark.sql.functions.lit
+          params.get("cube").flatMap(_.headOption) match {
+            case Some(name) =>
+              withCube(name, token) { case (c, _) =>
+                Right(out(Diagnosis.run(spark, c, resolver), f, None))
+              }
+            case None =>
+              val cs = schema.cubes.filter(auth.allowed(_, token))
+              if (cs.isEmpty) Left((401, "no accessible cubes"))
+              else Right(out(
+                cs.map(c => Diagnosis.run(spark, c, resolver).withColumn("cube", lit(c.name))
+                  .select("cube", "check_name", "dimension", "n")).reduce(_ unionByName _),
+                f, None))
+          }
+        }
+      // logic-layer members (logic_layer/metadata.rs:47-148): the level is a
+      // bare level name or its configured unique name, plus ?locale=
+      case LlMembersRe(fmt) =>
+        withFormat(fmt) { f =>
+          (params.get("cube").flatMap(_.headOption),
+            params.get("level").flatMap(_.headOption)) match {
+            case (Some(rawName), Some(levelRef)) =>
+              val cubeName = cubeAliases.getOrElse(rawName, rawName)
+              withCube(cubeName, token) { case (c, planner) =>
+                val byUnique = uniqueNames.collectFirst {
+                  case (ln, u) if u == levelRef && c.findLevel(ln).isDefined => ln
+                }
+                val byName = (for {
+                  d <- c.dimensions; h <- d.hierarchies; l <- h.levels
+                  if l.name == levelRef
+                } yield LevelName(d.name, h.name, l.name)).headOption
+                byUnique.orElse(byName)
+                  .toRight((404, s"no level '$levelRef' in cube '$cubeName'"))
+                  .map { ln =>
+                    val locale = params.get("locale").flatMap(_.headOption)
+                    out(planner.members(spark, ln, locale), f, None)
+                  }
+              }
+            case _ => Left((400, "logic-layer members requires ?cube= and ?level="))
           }
         }
       case DataRe(fmt) =>

@@ -206,6 +206,29 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("top-level diagnosis covers all cubes; logic-layer members resolve bare and unique names") {
+    val (code, body) = get("/diagnosis.jsonrecords")
+    assert(code == 200)
+    assert(body.contains("\"cube\":\"Sales\"") && body.contains("\"cube\":\"SalesDM\""))
+    assert(body.contains("MissingDimensionIDs"))
+    val one = get("/diagnosis.jsonrecords?cube=Sales")
+    assert(one._1 == 200 && !one._2.contains("\"cube\""))
+
+    // bare level name; row count = dim-bounded members the planner reports
+    val nNations = TpchStar.planner(SfDir).members(spark,
+      graft.core.LevelName("Geography", "Geography", "Nation")).count()
+    val m1 = get("/members.csv?cube=Sales&level=Nation")
+    assert(m1._1 == 200 && m1._2.trim.split("\n").length == nNations + 1)
+    // unique name configured in beforeAll: Nation -> "Supplier Nation"
+    val m2 = get("/members.csv?cube=Sales&level=Supplier%20Nation")
+    assert(m2._2 == m1._2)
+    // alias cube name works too
+    val m3 = get("/members.csv?cube=sales_alias&level=Nation")
+    assert(m3._2 == m1._2)
+    assert(get("/members.csv?cube=Sales&level=Nope")._1 == 404)
+    assert(get("/members.csv?cube=Sales")._1 == 400)
+  }
+
   test("JWT auth levels gate non-public cubes") {
     val privCube = TpchStar.salesCube.copy(name = "Private", public = false, minAuthLevel = 2)
     val schema = graft.core.Schema("T2", Seq(TpchStar.salesCube, privCube))
