@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Integer-vector kernels for the quantized-embedding operators.
+  *
+  * The composable spelling `aggregate(zip_with(a, b, (x,y) -> x*y), 0, +)`
+  * allocates an intermediate array and runs the lambda through
+  * non-codegen'd HigherOrderFunction plumbing per ROW — in ANN scoring
+  * that's per candidate pair, millions of times. One fused loop over the
+  * two long arrays is the shape a native engine would emit. Results are
+  * bit-identical (same int64 arithmetic, same wrap semantics). */
+object VectorKernel {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var acc = 0L
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}
+
+/** `quantized_dot(a, b)` — Σ a(i)*b(i) over two int64 vectors (zip_with
+  * semantics: truncated to the shorter length). */
+final case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernel.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDot {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -410,10 +410,11 @@ object PipelineOps {
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     embs(spark, dir)
       .withColumn("q", expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"))
-      .withColumn("nrm", expr("aggregate(zip_with(q, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("nrm", graft.functions.QuantizedDot(col("q"), col("q")))
 
-  private val dotExpr =
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  // native fused int64 dot (QuantizedDot): the aggregate(zip_with(...))
+  // spelling allocates an array + runs lambda plumbing per candidate PAIR
+  private def dotCol: Column = graft.functions.QuantizedDot(col("qa"), col("qb"))
 
   /** p07: brute-force cosine top-k — the exact baseline. The query set
     * (vec_id < 10) broadcasts; each corpus partition scores independently and
@@ -428,7 +429,7 @@ object PipelineOps {
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     broadcast(queries).crossJoin(corpus)
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("cosine",
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .withColumn("rank", row_number().over(w))
@@ -437,14 +438,13 @@ object PipelineOps {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH bucket id: sign bits of 12 md5-derived random hyperplanes. */
-  private def bucketExpr(qCol: String): Column = {
-    val terms = (0 until LshPlanes).map { p =>
-      val ws = (0 until EmbDim).map(d => s"${planeWeight(p, d)}L").mkString(", ")
-      s"IF(aggregate(zip_with($qCol, array($ws), (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0, ${1L << p}L, 0L)"
-    }
-    expr(terms.mkString(" + "))
-  }
+  /** LSH bucket id: sign bits of 12 md5-derived random hyperplanes (native
+    * fused dot against the constant-folded plane vector). */
+  private def bucketExpr(qCol: String): Column =
+    (0 until LshPlanes).map { p =>
+      val ws = array((0 until EmbDim).map(d => lit(planeWeight(p, d))): _*)
+      when(graft.functions.QuantizedDot(col(qCol), ws) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** p08: LSH-bucketed ANN — candidates share a 12-bit hyperplane bucket, so
     * the join shuffles on the bucket key instead of crossing the corpus.
@@ -458,7 +458,7 @@ object PipelineOps {
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     queries.join(corpus, "bucket")
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("cosine",
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .withColumn("rank", row_number().over(w))
@@ -489,7 +489,7 @@ object PipelineOps {
         .orderBy(col("ccos").desc, col("cid").asc)
       src.select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
         .crossJoin(broadcast(cents))
-        .withColumn("cdot", expr(dotExpr))
+        .withColumn("cdot", dotCol)
         .withColumn("ccos",
           col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
         .withColumn("crn", row_number().over(w))
@@ -507,7 +507,7 @@ object PipelineOps {
     probes.join(assigned, "cid")
       .where(col("query_id") =!= col("nbr_id"))
       .join(qa, "query_id").join(qb, "nbr_id")
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("cosine",
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .withColumn("rank", row_number().over(w))
@@ -524,13 +524,11 @@ object PipelineOps {
   val DedupPlanes = 6
   val EmbDupThreshold = 0.45
 
-  private def coarseBucketExpr(qCol: String): Column = {
-    val terms = (0 until DedupPlanes).map { p =>
-      val ws = (0 until EmbDim).map(d => s"${planeWeight(p, d)}L").mkString(", ")
-      s"IF(aggregate(zip_with($qCol, array($ws), (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0, ${1L << p}L, 0L)"
-    }
-    expr(terms.mkString(" + "))
-  }
+  private def coarseBucketExpr(qCol: String): Column =
+    (0 until DedupPlanes).map { p =>
+      val ws = array((0 until EmbDim).map(d => lit(planeWeight(p, d))): _*)
+      when(graft.functions.QuantizedDot(col(qCol), ws) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   def embDedup(spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir).withColumn("bucket", coarseBucketExpr("q"))
@@ -538,7 +536,7 @@ object PipelineOps {
     val b = q.select(col("bucket"), col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nrm_b"))
     a.join(b, "bucket")
       .where(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("cosine",
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= EmbDupThreshold)

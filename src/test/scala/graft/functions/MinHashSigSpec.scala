@@ -101,6 +101,28 @@ class TextHashesSpec extends AnyFunSuite {
     assert(e.eval(null) == 2L)
   }
 
+  test("QuantizedDot equals the aggregate/zip_with spelling on in-range vectors") {
+    import spark.implicits._
+    // quantization bounds every product/norm far below 2^63 (Hashing
+    // QuantScale doc), so overflow never occurs in the operators; note the
+    // boundary semantics differ there — ANSI throws, the native kernel wraps
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      ((1L to 64L).toSeq, (1L to 64L).map(_ * 100000L)))
+      .toDF("a", "b")
+      .withColumn("native", graft.functions.QuantizedDot(col("a"), col("b")))
+      .withColumn("composed",
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    df.collect().foreach(r => assert(r.getLong(2) == r.getLong(3)))
+    val e = graft.functions.QuantizedDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(2L, 3L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(10L, 10L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))
+    assert(e.eval(null) == 50L)
+  }
+
   test("StringHashes equals per-element md5Long") {
     import spark.implicits._
     val rows = Seq(Seq("alpha", "beta", "gamma")).toDF("xs")
