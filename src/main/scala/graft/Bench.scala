@@ -12,12 +12,15 @@ import java.nio.file.{Files, Paths}
   * skip the measure expressions); failures rethrow instead of recording fake
   * timings.
   *
-  * Each query runs twice and reports the faster run: with 58 distinct plans
+  * Each query runs twice and reports the faster run: with 60+ distinct plans
   * in one JVM, a single shot mostly measures that query's Janino/JIT
   * compilation and whatever GC debt the previous queries left — run-to-run
-  * variance of 5-10x on the same plan. Min-of-2 measures the engine's
-  * steady-state cost, which is the number that extrapolates to a long-lived
-  * cluster service. */
+  * variance of 5-10x on the same plan. The two runs are separate full PASSES
+  * over the query list (not back-to-back): a transient JVM condition — a
+  * code-cache sweep, a mixed-GC spike — hits both halves of a back-to-back
+  * pair and survives the min, but by pass 2 every codegen class already
+  * exists and the heap has reached steady state, so the min measures the
+  * engine's long-lived-service cost. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,7 +45,8 @@ object Bench {
       materialize(name)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map(name => name -> math.min(timed(name), timed(name)))
+    val pass1 = names.map(name => name -> timed(name)).toMap
+    val results = names.map(name => name -> math.min(pass1(name), timed(name)))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -341,6 +341,177 @@ object PipelineOps {
         max("doc_id").as("max_doc"))
       .orderBy("split")
 
+  /** p21: sequence-packing planning — the concat-and-chop layout every LLM
+    * trainer applies before batching: documents of one shard are concatenated
+    * in doc_id order and chopped into fixed [[CtxLen]]-token context windows.
+    * Emits the per-shard packing plan stats: window count, docs split across
+    * a window boundary, fill ratio. The running-total window partitions by
+    * `source` — the shard key — so each shard packs independently and the
+    * cumsum never funnels the corpus through one task (the global-order
+    * variant would; per-shard packing is also what trainers actually do,
+    * since shards are the unit of data loading). All window/boundary math is
+    * int64 (`DIV`), exact in any engine. */
+  val CtxLen = 512L
+
+  def packing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("sum_tokens"),
+        sum(when(expr(s"(cum_before + n_toks - 1) DIV $CtxLen") >
+          expr(s"cum_before DIV $CtxLen"), 1L).otherwise(0L)).as("n_split_docs"),
+        max("n_toks").as("max_doc_tokens"))
+      .withColumn("n_windows", expr(s"(sum_tokens + ${CtxLen - 1}) DIV $CtxLen"))
+      .withColumn("fill_ratio",
+        col("sum_tokens").cast("double") / (col("n_windows") * CtxLen).cast("double"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"), col("n_windows"),
+        col("n_split_docs"), col("max_doc_tokens"), col("fill_ratio"))
+      .orderBy("source")
+  }
+
+  /** p22: domain-mixture resampling — downsample each source domain to a
+    * target rate (the DoReMi/Pile-style mixture reweighting step), with the
+    * keep/drop decision a deterministic md5 bucket of (source, doc_id): no
+    * RNG, so the sample is reproducible across runs, engines, and re-shards,
+    * and any doc's fate is auditable. Target rates here derive from the
+    * source index (a stand-in for a tuned mixture table). Pure projection +
+    * one shuffle on source. */
+  val MixBase = 30L
+  val MixStep = 3L
+  val MixMod  = 20L
+
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("sidx", regexp_extract(col("source"), "src([0-9]+)", 1).cast("long"))
+      .withColumn("rate_pct", lit(MixBase) + lit(MixStep) * (col("sidx") % MixMod))
+      .withColumn("bucket",
+        expr(s"${hex12("concat(source, ':', CAST(doc_id AS STRING))")} % 100"))
+      .groupBy("source", "rate_pct")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("bucket") < col("rate_pct"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .withColumn("achieved", col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("rate_pct"), col("n_docs"), col("n_kept"),
+        col("kept_chars"), col("achieved"))
+      .orderBy("source")
+
+  /** p23: near-dup cluster formation — connected components over the
+    * verified trigram-Jaccard pair graph ([[ngramJaccard]]), so "A~B, B~C"
+    * collapses into one keep-group even when A and C were never paired
+    * directly. Computed by iterative min-label propagation: every node
+    * starts as its own label and repeatedly takes the min of its neighbors'
+    * labels until a fixpoint — the standard Spark CC shape (each iteration
+    * is one shuffle over the edge list; lineage is truncated per iteration
+    * with an eager localCheckpoint, without which the plan doubles each
+    * round). Converges in O(component diameter) rounds; dedup components
+    * are near-cliques, so the bound is small at any corpus size (for
+    * path-shaped graphs the two-phase large-star/small-star variant drops
+    * it to O(log n)). The driver-side loop only ever collects a one-row
+    * convergence flag, never data. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
+      .orderBy("cluster_id")
+
+  /** Connected components of an undirected pair graph by min-label
+    * propagation (see [[dupClusters]] for the scale analysis). Input: two
+    * int64 columns, one row per edge; output: (node, label) with label = the
+    * component's minimum node id. Isolated nodes don't appear (every input
+    * node has ≥ 1 edge). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = stepped.where(col("label") =!= col("old")).limit(1).count() == 0
+      labels = stepped.select(col("node"), col("label"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** p24: one k-means (Lloyd) refinement step over cosine similarity — the
+    * clustering primitive under curriculum bucketing and IVF index training
+    * (p15 consumes exactly such centroids). Seeds are the [[IvfCentroids]]
+    * lowest-id vectors; the step assigns every vector to its nearest seed
+    * (broadcast centroids — the corpus never shuffles for assignment),
+    * recomputes centroids, reassigns, and reports per-cluster movement.
+    * Everything before the final cosine divides is int64-exact: centroid
+    * update uses the truncating integer mean (`sum DIV count`, identical
+    * semantics in Spark and DuckDB) — cosine is scale-invariant so the mean
+    * direction is preserved, and the division keeps centroid coordinates in
+    * the quantized range so dot products can never overflow int64 at ANY
+    * corpus size (raw sum vectors would overflow around 1e9 rows). The
+    * centroid recompute is a posexplode → (cid, dim) groupBy — 64·K rows,
+    * trivially shuffled at any scale. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+
+    // rank-1 nearest-centroid assignment against a broadcast centroid set
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      n.select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", dotCol)
+        .withColumn("ccos",
+          col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+
+    val cents0 = n.where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val a0 = assign(cents0).localCheckpoint(false)
+
+    val counts = a0.groupBy("cid").agg(count(lit(1)).as("cnt"))
+    val cents1 = a0.join(n, "vec_id")
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("s"))
+      .join(counts, "cid")
+      .groupBy("cid")
+      // sort_array on struct(pos, m) orders by pos: collect_list order is
+      // partition-dependent, the sort restores determinism
+      .agg(sort_array(collect_list(struct(col("pos"), expr("s DIV cnt").as("m")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, x -> x.m)").as("qb"))
+      .withColumn("nrm_b", graft.functions.QuantizedDot(col("qb"), col("qb")))
+    val a1 = assign(cents1)
+
+    val after = a1.groupBy("cid").agg(count(lit(1)).as("n_after"))
+    val moved = a0.as("a0").join(a1.as("a1"), "vec_id")
+      .where(col("a0.cid") =!= col("a1.cid"))
+      .groupBy(col("a0.cid")).agg(count(lit(1)).as("n_moved_out"))
+    cents0.select(col("cid"))
+      .join(counts, Seq("cid"), "left")
+      .join(after, Seq("cid"), "left")
+      .join(moved, Seq("cid"), "left")
+      .select(col("cid"), col("cnt").as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"))
+      .orderBy("cid")
+  }
+
   /** p19: decontamination — flag corpus docs whose 2-token shingle sets
     * overlap a "benchmark" probe set (here the shingles of the first
     * [[ContaminationProbeDocs]] docs stand in for an eval suite). The probe
@@ -640,5 +811,9 @@ object PipelineOps {
     "p17_rare_tokens"   -> rareTokens,
     "p18_hash_split"    -> hashSplit,
     "p19_contamination" -> contamination,
-    "p20_repetition"    -> repetition)
+    "p20_repetition"    -> repetition,
+    "p21_packing"       -> packing,
+    "p22_mixture"       -> mixture,
+    "p23_dup_clusters"  -> dupClusters,
+    "p24_kmeans"        -> kmeansStep)
 }

@@ -347,6 +347,105 @@ object PipelineOracles {
       |       CAST(CAST(sum(n_grams - n_ugrams) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_grams) AS BIGINT) AS DOUBLE) AS dup_gram_ratio
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  private val p21 = {
+    val C = PipelineOps.CtxLen
+    s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_toks,
+       |         coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       |  FROM t)
+       |SELECT source, count(*)::BIGINT AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       |       ((CAST(sum(n_toks) AS BIGINT) + ${C - 1}) // $C)::BIGINT AS n_windows,
+       |       CAST(sum(CASE WHEN (cum_before + n_toks - 1) // $C > cum_before // $C THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       |       max(n_toks) AS max_doc_tokens,
+       |       CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE)
+       |         / CAST(((CAST(sum(n_toks) AS BIGINT) + ${C - 1}) // $C) * $C AS DOUBLE) AS fill_ratio
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  private val p22 =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS sidx,
+       |         ${hex12("source || ':' || doc_id::VARCHAR")} % 100 AS bucket
+       |  FROM documents),
+       |r AS (SELECT *, ${PipelineOps.MixBase} + ${PipelineOps.MixStep} * (sidx % ${PipelineOps.MixMod}) AS rate_pct FROM t)
+       |SELECT source, rate_pct, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN bucket < rate_pct THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       |       CAST(CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS achieved
+       |FROM r GROUP BY source, rate_pct ORDER BY source""".stripMargin
+
+  /** Transitive closure via recursive CTE — the set-semantics UNION makes the
+    * iteration terminate; cluster id is the min reachable node, matching the
+    * Spark side's min-label-propagation fixpoint. */
+  private val p23 =
+    s"""WITH RECURSIVE g AS (
+       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
+       |         list_distinct([ (${hex12("substr(text, i, 3)")})::BIGINT FOR i IN range(1, len(text) - 1) ]) AS grams
+       |  FROM documents WHERE len(text) >= 3),
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+       |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.block = b.block AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |r AS (
+       |  SELECT a AS d, a AS reach FROM e
+       |  UNION
+       |  SELECT r.d, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+       |cl AS (SELECT d, min(reach) AS cluster_id FROM r GROUP BY d)
+       |SELECT cluster_id, count(*)::BIGINT AS n_members, max(d) AS max_doc
+       |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** `//` (DuckDB) and `DIV` (Spark) both truncate toward zero on BIGINT, so
+    * the integer-mean centroids are bit-identical cross-engine. */
+  private val p24 = {
+    val K = PipelineOps.IvfCentroids
+    s"""$quantCte,
+       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < $K),
+       |cr0 AS (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qc)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC, c.cid ASC) AS crn
+       |  FROM n CROSS JOIN cents c),
+       |a0 AS (SELECT vec_id, cid FROM cr0 WHERE crn = 1),
+       |counts AS (SELECT cid, count(*)::BIGINT AS cnt FROM a0 GROUP BY cid),
+       |sums AS (
+       |  SELECT a0.cid, i.i, CAST(sum(n.q[i.i]) AS BIGINT) AS s
+       |  FROM a0 JOIN n USING (vec_id) CROSS JOIN (SELECT unnest(range(1, ${EmbDim + 1})) AS i) i
+       |  GROUP BY a0.cid, i.i),
+       |newc AS (
+       |  SELECT sums.cid, list(s // cnt ORDER BY i) AS qm FROM sums JOIN counts USING (cid)
+       |  GROUP BY sums.cid, cnt),
+       |nc2 AS (SELECT cid, qm, list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) AS nm FROM newc),
+       |cr1 AS (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qm)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nm AS DOUBLE))) DESC, c.cid ASC) AS crn
+       |  FROM n CROSS JOIN nc2 c),
+       |a1 AS (SELECT vec_id, cid FROM cr1 WHERE crn = 1),
+       |moved AS (
+       |  SELECT a0.cid, count(*)::BIGINT AS n_moved_out
+       |  FROM a0 JOIN a1 USING (vec_id) WHERE a0.cid <> a1.cid GROUP BY a0.cid),
+       |after AS (SELECT cid, count(*)::BIGINT AS n_after FROM a1 GROUP BY cid)
+       |SELECT c.cid, counts.cnt AS n_before,
+       |       coalesce(after.n_after, 0)::BIGINT AS n_after,
+       |       coalesce(moved.n_moved_out, 0)::BIGINT AS n_moved_out
+       |FROM cents c
+       |LEFT JOIN counts ON counts.cid = c.cid
+       |LEFT JOIN after ON after.cid = c.cid
+       |LEFT JOIN moved ON moved.cid = c.cid
+       |ORDER BY c.cid""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -367,5 +466,9 @@ object PipelineOracles {
     "p17_rare_tokens"   -> p17,
     "p18_hash_split"    -> p18,
     "p19_contamination" -> p19,
-    "p20_repetition"    -> p20)
+    "p20_repetition"    -> p20,
+    "p21_packing"       -> p21,
+    "p22_mixture"       -> p22,
+    "p23_dup_clusters"  -> p23,
+    "p24_kmeans"        -> p24)
 }

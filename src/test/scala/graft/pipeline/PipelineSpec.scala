@@ -183,4 +183,65 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ratio >= 0.0 && ratio <= 1.0)
     }
   }
+
+  test("packing windows hold exactly the shard's tokens") {
+    val rows = PipelineOps.packing(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, sumToks, nWin, nSplit, maxToks, fill) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nWin == (sumToks + PipelineOps.CtxLen - 1) / PipelineOps.CtxLen)
+      assert(nSplit <= nDocs)
+      // a doc can cross at most ceil(len/C) boundaries; with fixture docs
+      // far under CtxLen each crosses at most one
+      assert(maxToks < PipelineOps.CtxLen, "fixture docs fit one window")
+      assert(fill > 0.0 && fill <= 1.0)
+      // every window except possibly the last is full: fill >= (nWin-1)/nWin
+      assert(fill * nWin >= nWin - 1.0)
+    }
+  }
+
+  test("mixture keeps within target rate bounds, deterministically") {
+    val rows = PipelineOps.mixture(spark, SfDir).collect()
+    rows.foreach { r =>
+      val (rate, nDocs, nKept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rate >= PipelineOps.MixBase &&
+        rate < PipelineOps.MixBase + PipelineOps.MixStep * PipelineOps.MixMod)
+      assert(nKept <= nDocs)
+    }
+    val again = PipelineOps.mixture(spark, SfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("connected components labels a path graph and separates islands") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val labels = PipelineOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dup clusters partition the paired docs, min id leads each cluster") {
+    val pairs = PipelineOps.ngramJaccard(spark, SfDir).collect()
+    val paired = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clusters = PipelineOps.dupClusters(spark, SfDir).collect()
+    assert(clusters.map(_.getLong(1)).sum == paired.size, "every paired doc in exactly one cluster")
+    clusters.foreach { r =>
+      assert(r.getLong(1) >= 2, "clusters have >= 2 members")
+      assert(r.getLong(0) < r.getLong(2), "cluster id is the min member, max_doc above it")
+    }
+  }
+
+  test("kmeans step conserves vectors and assigns from broadcast centroids") {
+    val df = PipelineOps.kmeansStep(spark, SfDir)
+    val rows = df.collect()
+    val corpus = spark.read.parquet(s"$SfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "n_before partitions the corpus")
+    assert(rows.map(_.getLong(2)).sum == corpus, "n_after partitions the corpus")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1), "moved-out bounded by cluster size"))
+    // assignment must run against broadcast centroids — the corpus never
+    // shuffles to meet them
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "centroid assignment should broadcast")
+  }
 }
