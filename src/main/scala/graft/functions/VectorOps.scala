@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -21,6 +21,26 @@ object VectorKernel {
     var i = 0; var acc = 0L
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
     acc
+  }
+
+  /** 48-bit simhash of a hash multiset: bit b set iff a strict majority of
+    * element hashes carry bit b. ONE pass over the array maintaining 48
+    * counters — the composable `aggregate(sequence(0,47), ...)` spelling
+    * walks the array 48 times through lambda plumbing. */
+  def simhash48(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val cnt = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 48) { cnt(b) += ((h >> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) { if (2 * cnt(b) > n) out |= 1L << b; b += 1 }
+    out
   }
 }
 
@@ -46,4 +66,25 @@ final case class QuantizedDot(left: Expression, right: Expression)
 object QuantizedDot {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `simhash48(hashes)` — majority-bit fingerprint of an int64 hash array. */
+final case class SimHash48(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernel.simhash48(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.VectorKernel.simhash48($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
+object SimHash48 {
+  def apply(arr: Column): Column =
+    ColumnBridge.column(SimHash48(ColumnBridge.expression(arr)))
 }

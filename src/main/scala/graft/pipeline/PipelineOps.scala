@@ -260,10 +260,10 @@ object PipelineOps {
     docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hashes", StringHashes(col("toks"), 0L))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, b) ->
-          |  acc + IF(2 * aggregate(hashes, CAST(0 AS BIGINT), (a2, h) -> a2 + ((h >> b) & 1)) > size(hashes),
-          |         shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+      // native one-pass majority-bit kernel; the composable
+      // aggregate(sequence(0,47), ...) spelling re-walks the hash array 48
+      // times per document
+      .withColumn("simhash", graft.functions.SimHash48(col("hashes")))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

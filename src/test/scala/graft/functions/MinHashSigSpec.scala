@@ -123,6 +123,23 @@ class TextHashesSpec extends AnyFunSuite {
     assert(e.eval(null) == 50L)
   }
 
+  test("SimHash48 equals the aggregate spelling and handles edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(0xffffffffffffL, 0xffffffffffffL, 0L),          // majority all-ones
+      Seq(1L, 2L, 4L),                                     // no majority bits
+      Seq(5L),                                             // single element
+      Seq.empty[Long])
+      .toDF("hashes")
+      .withColumn("native", graft.functions.SimHash48(col("hashes")))
+      .withColumn("composed", expr(
+        """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(2 * aggregate(hashes, CAST(0 AS BIGINT), (a2, h) -> a2 + ((h >> b) & 1)) > size(hashes),
+          |         shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+    df.collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    assert(df.where(col("hashes") === array()).select("native").head().getLong(0) == 0L)
+  }
+
   test("StringHashes equals per-element md5Long") {
     import spark.implicits._
     val rows = Seq(Seq("alpha", "beta", "gamma")).toDF("xs")
