@@ -231,6 +231,18 @@ object SparkEntry {
     "q30_wavg_moe" -> run(CubeQuery(
       drilldowns = Seq(drill("Line Status.Line Status")),
       measures = Seq(mea("Price WAvg MOE")))),
+    // logic-layer locale= → caption-set swap on the drilldown name column
+    "q45_ll_locale" -> runLL(LogicLayerQuery(
+      drilldowns = Seq(drill("Part.Part")),
+      cuts = Seq(cut("Geography.Region.1")),
+      locale = Some("alt"),
+      measures = Seq(mea("Quantity")))),
+    // logic-layer top= + top_where= passthrough (same semantics as q09 core)
+    "q46_ll_topwhere" -> runLL(LogicLayerQuery(
+      drilldowns = Seq(drill("Geography.Region"), drill("Geography.Nation")),
+      measures = Seq(mea("Quantity")),
+      top = Some(topQ("3,Geography.Region,Quantity,desc")),
+      topWhere = Some(TopWhereQuery.parse("Quantity,gt.50000").fold(die, identity)))),
     // #24: logic-layer cartesian fan-out — cuts on two levels of one
     // dimension → two plans, cut levels auto-drilled, position-wise union
     "q31_cut_fanout" -> runLL(LogicLayerQuery(
@@ -399,6 +411,10 @@ object SparkEntry {
       s"""SELECT sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey = 3""",
     "q27_degenerate_cut" ->
       """SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity" FROM lineitem WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1 ORDER BY 1""",
+    "q45_ll_locale" ->
+      """SELECT p_partkey AS "Part ID", p_brand AS "Part", sum(l_quantity) AS "Quantity" FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 1) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q46_ll_topwhere" ->
+      s"""WITH a AS (SELECT r_regionkey AS "Region ID", r_name AS "Region", n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3, 4) SELECT * FROM a WHERE "Quantity" > 50000 QUALIFY row_number() OVER (PARTITION BY "Region ID" ORDER BY "Quantity" DESC, "Region" ASC, "Nation ID" ASC, "Nation" ASC) <= 3 ORDER BY "Region ID" ASC, "Quantity" DESC""",
     "q31_cut_fanout" ->
       s"""WITH u AS (SELECT year(l_shipdate) AS "Year", r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (0, 2) GROUP BY 1, 2, 3 UNION ALL SELECT year(l_shipdate), n_nationkey, n_name, sum(l_quantity) FROM $GEO WHERE n_nationkey IN (1, 2, 3) GROUP BY 1, 2, 3) SELECT * FROM u ORDER BY "Year", "Region ID", "Region", "Quantity"""",
     "q32_exclude" ->

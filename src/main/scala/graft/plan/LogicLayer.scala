@@ -30,8 +30,14 @@ final case class LogicLayerQuery(
     growth: Option[GrowthQuery] = None,
     rca: Option[RcaQuery] = None,
     rate: Option[RateQuery] = None,
+    topWhere: Option[TopWhereQuery] = None,
+    /** `locale=xx` — drilldown name columns switch to the caption property
+      * whose caption_set matches (reference aggregate.rs:268-311 resolves
+      * locale against the schema's caption sets). */
+    locale: Option[String] = None,
     debug: Boolean = false,
-    sparse: Boolean = false)
+    sparse: Boolean = false,
+    excludeDefaultMembers: Boolean = false)
 
 /** Named sets: an alias usable in cut position, expanding to members of a
   * level (reference logic_layer/config.rs:221-268). */
@@ -123,23 +129,43 @@ final class LogicLayer(
       val added = combo.collect {
         case c if multiLevel.contains(c.levelName) => Drilldown(c.levelName)
       }
+      val drills = q.drilldowns ++ added.filterNot(q.drilldowns.contains)
       CubeQuery(
-        drilldowns = q.drilldowns ++ added.filterNot(q.drilldowns.contains),
+        drilldowns = drills,
         cuts = combo,
         measures = q.measures,
         properties = q.properties,
         filters = q.filters,
+        captions = localeCaptions(drills, q.locale),
         parents = q.parents,
         top = q.top,
+        topWhere = q.topWhere,
         sort = q.sort,
         limit = q.limit,
         growth = q.growth,
         rca = q.rca,
         rate = q.rate,
         debug = q.debug,
-        sparse = q.sparse)
+        sparse = q.sparse,
+        excludeDefaultMembers = q.excludeDefaultMembers)
     }
   }
+
+  /** `locale=` resolution: each drilldown whose level declares a property
+    * with a matching caption_set gets that property as its caption, swapping
+    * the display column (levels without one keep their default name column —
+    * same fallback as the reference). */
+  private def localeCaptions(drills: Seq[Drilldown], locale: Option[String]): Seq[PropertyName] =
+    locale match {
+      case None => Nil
+      case Some(loc) =>
+        drills.flatMap { d =>
+          planner.cube.findLevel(d.levelName).toSeq.flatMap { case (_, hier, idx) =>
+            hier.levels(idx).properties.filter(_.captionSet.contains(loc))
+              .map(p => PropertyName(d.levelName, p.name))
+          }
+        }
+    }
 
   /** Column-wise union by position under the first result's headers;
     * positions whose types disagree consolidate to string (reference
