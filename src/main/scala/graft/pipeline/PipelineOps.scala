@@ -788,6 +788,66 @@ object PipelineOps {
       .orderBy("n_events")
   }
 
+  // ======================================================= temporal joins
+
+  /** p25: click→view as-of attribution — each click joins the latest
+    * prior-or-simultaneous view of the same user via
+    * [[graft.operators.TemporalJoins.asofJoin]] (one shuffle on user_id,
+    * no per-key cross product — see that object's scale notes), rolled up
+    * to per-user match counts and exact integer-µs lag sums. */
+  def asofLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("tsu", expr("ts DIV 1000"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("tsu"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("tsu"))
+    graft.operators.TemporalJoins.asofJoin(
+        clicks, views, keys = Seq("user_id"), ts = "tsu",
+        payload = Seq("event_id"), tieBreak = Seq("event_id"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        sum(when(col("asof").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        coalesce(sum(col("tsu") - col("asof.ts")), lit(0L)).as("sum_lag_us"),
+        coalesce(max(col("tsu") - col("asof.ts")), lit(0L)).as("max_lag_us"))
+      .orderBy("user_id")
+  }
+
+  /** p26: purchase attribution by interval join — views within the hour
+    * before each purchase of the same user, via the bucketed equi-join of
+    * [[graft.operators.TemporalJoins.intervalJoin]] (cell width = window
+    * span → each purchase interval replicates to ≤ 2 cells; a view probes
+    * exactly 1). Purchases with zero attributable views are kept by
+    * joining the per-purchase rollup back to the purchase frame. Monetary
+    * attribution sums in DECIMAL (associative — hash-stable). */
+  val AttribWindowUs: Long = 3600L * 1000 * 1000
+
+  def intervalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("tsu", expr("ts DIV 1000"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("tsu") - AttribWindowUs).as("lo"), col("tsu").as("hi"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("tsu"), col("value"))
+
+    val perPurchase = graft.operators.TemporalJoins.intervalJoin(
+        views, purchases, keys = Seq("user_id"),
+        ptCol = "tsu", loCol = "lo", hiCol = "hi", bucketUs = AttribWindowUs)
+      .groupBy("user_id", "purchase_id")
+      .agg(
+        count(col("view_id")).as("nv"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+
+    purchases.select(col("user_id"), col("purchase_id"))
+      .join(perPurchase, Seq("user_id", "purchase_id"), "left")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("nv")), lit(0L)).as("n_attr_views"),
+        coalesce(sum(col("sv")).cast("double"), lit(0.0)).as("attr_value"))
+      .orderBy("user_id")
+  }
+
   // ============================================================== registry
 
   /** Pipeline entries for SparkEntry.queries. */
@@ -815,5 +875,7 @@ object PipelineOps {
     "p21_packing"       -> packing,
     "p22_mixture"       -> mixture,
     "p23_dup_clusters"  -> dupClusters,
-    "p24_kmeans"        -> kmeansStep)
+    "p24_kmeans"        -> kmeansStep,
+    "p25_asof"          -> asofLag,
+    "p26_interval"      -> intervalAttribution)
 }

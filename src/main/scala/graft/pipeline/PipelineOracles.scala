@@ -446,6 +446,49 @@ object PipelineOracles {
        |ORDER BY c.cid""".stripMargin
   }
 
+  /** p25: the as-of join expressed as ANSI window SQL — the running max of
+    * view timestamps in (ts, side, id) order is exactly the union+last
+    * merge-scan the Spark operator performs (views sort before clicks at
+    * equal ts: inclusive semantics). */
+  private val p25 =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |u AS (
+      |  SELECT user_id, event_id, tsu, tag,
+      |         max(CASE WHEN tag = 0 THEN tsu END)
+      |           OVER (PARTITION BY user_id ORDER BY tsu, tag, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS vts
+      |  FROM e)
+      |SELECT user_id,
+      |       count(*)::BIGINT AS n_clicks,
+      |       CAST(sum(CASE WHEN vts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |       coalesce(CAST(sum(tsu - vts) AS BIGINT), 0) AS sum_lag_us,
+      |       coalesce(CAST(max(tsu - vts) AS BIGINT), 0) AS max_lag_us
+      |FROM u WHERE tag = 1 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** p26: the interval join as a plain inequality join (the oracle can
+    * afford the per-key cross product the Spark side buckets away). */
+  private val p26 =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value, event_type FROM events),
+       |p AS (SELECT user_id, event_id AS purchase_id, tsu FROM e WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, event_id AS view_id, tsu, value FROM e WHERE event_type = 'view'),
+       |m AS (
+       |  SELECT p.user_id, p.purchase_id,
+       |         count(v.view_id)::BIGINT AS nv,
+       |         sum(CAST(v.value AS DECIMAL(18,6))) AS sv
+       |  FROM p LEFT JOIN v
+       |    ON v.user_id = p.user_id
+       |   AND v.tsu >= p.tsu - ${PipelineOps.AttribWindowUs}
+       |   AND v.tsu <= p.tsu
+       |  GROUP BY p.user_id, p.purchase_id)
+       |SELECT user_id,
+       |       count(*)::BIGINT AS n_purchases,
+       |       CAST(sum(nv) AS BIGINT) AS n_attr_views,
+       |       coalesce(CAST(CAST(sum(sv) AS VARCHAR) AS DOUBLE), 0.0) AS attr_value
+       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -470,5 +513,7 @@ object PipelineOracles {
     "p21_packing"       -> p21,
     "p22_mixture"       -> p22,
     "p23_dup_clusters"  -> p23,
-    "p24_kmeans"        -> p24)
+    "p24_kmeans"        -> p24,
+    "p25_asof"          -> p25,
+    "p26_interval"      -> p26)
 }
