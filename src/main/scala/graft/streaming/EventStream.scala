@@ -62,6 +62,29 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * attribution join (PipelineOps.intervalAttribution / p26): views in the
+    * hour before each purchase of the same user. The event-time range
+    * condition plus both watermarks let Spark bound the join state: a
+    * buffered view can be dropped once the purchase watermark passes
+    * `view.ts + 1 hour`, a purchase once the view watermark passes its ts
+    * (Structured Streaming's stream-stream inner-join state cleanup). No
+    * unbounded buffering at any scale — state is watermark-horizon-sized. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(
+        col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"), col("value"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases.select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    v.join(p,
+      expr("v_user = p_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"), col("value"))
+  }
+
   /** Session gap in event time. */
   val SessionGapMs: Long = 30 * 60 * 1000L
 

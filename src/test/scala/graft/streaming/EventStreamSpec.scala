@@ -83,6 +83,37 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stream-stream attribution join equals the batch interval join over events.parquet") {
+    val views = EventStream.readEvents(spark, SfDir).where(col("event_type") === "view")
+    val purchases = EventStream.readEvents(spark, SfDir).where(col("event_type") === "purchase")
+    val q = EventStream.attributionJoin(views, purchases).writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = spark.read.schema(EventStream.eventSchema)
+        .parquet(s"$SfDir/events.parquet")
+        .withColumn("tsu", expr("ts DIV 1000"))
+      val want = graft.operators.TemporalJoins.intervalJoin(
+          points = batch.where(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"), col("tsu")),
+          intervals = batch.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"),
+              (col("tsu") - graft.pipeline.PipelineOps.AttribWindowUs).as("lo"),
+              col("tsu").as("hi")),
+          keys = Seq("user_id"), ptCol = "tsu", loCol = "lo", hiCol = "hi",
+          bucketUs = graft.pipeline.PipelineOps.AttribWindowUs)
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("sessionization merges within the gap and splits across it") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
