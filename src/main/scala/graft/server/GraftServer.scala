@@ -373,7 +373,7 @@ object QueryParams {
   def toLogicLayerQuery(params: Map[String, Seq[String]], cube: Cube): LogicLayerQuery = {
     val reserved = Set("cube", "drilldowns", "measures", "exclude", "time", "locale",
       "properties", "filters", "parents", "top", "top_where", "sort", "limit", "sparse",
-      "debug", "stream", "token", "growth", "rca", "rate")
+      "debug", "stream", "token", "growth", "rca", "rate", "exclude_default_members")
 
     def resolveLevel(s: String): LevelName =
       LevelName.parse(s).toOption.filter(ln => cube.findLevel(ln).isDefined).getOrElse {
@@ -418,13 +418,16 @@ object QueryParams {
       filters = list(params, "filters").map(s => p(FilterQuery.parse(s))),
       parents = flag(params, "parents"),
       top = one(params, "top").map(s => p(TopQuery.parse(s))),
+      topWhere = one(params, "top_where").map(s => p(TopWhereQuery.parse(s))),
       sort = one(params, "sort").map(s => p(SortQuery.parse(s))),
       limit = one(params, "limit").map(s => p(LimitQuery.parse(s))),
       growth = one(params, "growth").map(s => p(GrowthQuery.parse(s))),
       rca = one(params, "rca").map(s => p(RcaQuery.parse(s))),
       rate = one(params, "rate").map(s => p(RateQuery.parse(s))),
+      locale = one(params, "locale"),
       debug = flag(params, "debug"),
-      sparse = flag(params, "sparse"))
+      sparse = flag(params, "sparse"),
+      excludeDefaultMembers = flag(params, "exclude_default_members"))
   }
 }
 

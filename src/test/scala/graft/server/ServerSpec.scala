@@ -139,6 +139,20 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines.tail.forall(_.startsWith("Region,1,children,")))
   }
 
+  test("/data passes locale, top_where and exclude_default_members through") {
+    val (code, body) = get("/data.jsonrecords?cube=Sales&drilldowns=Region,Part&measures=Quantity" +
+      "&locale=alt&top_where=Quantity,gt.100&top=2,Geography.Region,Quantity,desc")
+    assert(code == 200)
+    // locale=alt swaps the Part name column for its caption-set property
+    assert(body.contains("\"Part\":"))
+    // exclude_default_members on the default-member cube widens the result
+    val (c1, withDm) = get("/data.jsonrecords?cube=SalesDM&drilldowns=Year&measures=Quantity")
+    val (c2, without) = get("/data.jsonrecords?cube=SalesDM&drilldowns=Year&measures=Quantity&exclude_default_members=true")
+    assert(c1 == 200 && c2 == 200)
+    assert(withDm != without,
+      "exclude_default_members must drop the implicit default-member cut")
+  }
+
   test("/data passes growth through the logic layer") {
     val (code, body) = get("/data.jsonarrays?cube=Sales&drilldowns=Year&measures=Quantity&growth=Ship%20Date.Year,Quantity")
     assert(code == 200)
