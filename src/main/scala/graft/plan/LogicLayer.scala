@@ -49,7 +49,10 @@ final class LogicLayer(
     /** Level → unique display name: output headers rename from
       * "{Level} ID"/"{Level}" to "{unique} ID"/"{unique}" (reference
       * logic_layer/config.rs:163-193, applied aggregate.rs:268-311). */
-    uniqueNames: Map[LevelName, String] = Map.empty) {
+    uniqueNames: Map[LevelName, String] = Map.empty,
+    /** Property → unique display name (config.rs:108-127): the property
+      * header (= the property's name) renames to the unique name. */
+    uniquePropNames: Map[PropertyName, String] = Map.empty) {
   import CubePlanner.{cq, fail}
 
   /** Member cache (reference logic_layer/cache.rs:168-904 builds these maps
@@ -204,13 +207,17 @@ final class LogicLayer(
 
   /** Unique-name header substitution, applied last so exclude/sort work on
     * canonical headers. */
-  private def applyUniqueNames(df: DataFrame): DataFrame =
-    uniqueNames.foldLeft(df) { case (d, (ln, unique)) =>
+  private def applyUniqueNames(df: DataFrame): DataFrame = {
+    val leveled = uniqueNames.foldLeft(df) { case (d, (ln, unique)) =>
       Seq(s"${ln.level} ID" -> s"$unique ID", ln.level -> unique)
         .foldLeft(d) { case (dd, (from, to)) =>
           if (dd.columns.contains(from)) dd.withColumnRenamed(from, to) else dd
         }
     }
+    uniquePropNames.foldLeft(leveled) { case (d, (pn, unique)) =>
+      if (d.columns.contains(pn.property)) d.withColumnRenamed(pn.property, unique) else d
+    }
+  }
 
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq

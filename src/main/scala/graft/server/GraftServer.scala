@@ -41,10 +41,21 @@ final class GraftServer(
       * aliases for /data, and level → unique display-name renames. */
     cubeAliases: Map[String, String] = Map.empty,
     uniqueNames: Map[LevelName, String] = Map.empty,
+    /** Reference-wire-format logic-layer config JSON
+      * (graft.core.LogicLayerConfigJson): cube aliases, named sets and
+      * unique level/property names parsed from it merge with (and take
+      * precedence over) the directly-passed parameters above. */
+    llConfigJson: Option[String] = None,
     /** Pre-aggregated summary planners per cube (ordered smallest-first);
       * aggregate requests route through them with base-fact fallback
       * (graft.plan.Preagg). */
     summaries: Map[String, Seq[CubePlanner]] = Map.empty) {
+
+  private val llConf = llConfigJson.map(graft.core.LogicLayerConfigJson.parse)
+  private val allCubeAliases: Map[String, String] =
+    cubeAliases ++ llConf.map(_.cubeAliases).getOrElse(Map.empty)
+  private val allNamedSets: Seq[NamedSet] =
+    namedSets ++ llConf.map(_.namedSets).getOrElse(Nil)
 
   private val planners: Map[String, CubePlanner] =
     schema.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
@@ -54,7 +65,11 @@ final class GraftServer(
     }
   // one LogicLayer per cube so its member cache persists across requests
   private val logicLayers: Map[String, LogicLayer] =
-    planners.map { case (n, p) => n -> new LogicLayer(p, namedSets, uniqueNames) }
+    planners.map { case (n, p) =>
+      n -> new LogicLayer(p, allNamedSets,
+        uniqueNames ++ llConf.map(_.levelNamesFor(n)).getOrElse(Map.empty),
+        llConf.map(_.propertyNamesFor(n)).getOrElse(Map.empty))
+    }
 
   /** JWT auth levels (auth.rs) + LRU response cache (util.rs:152-216). */
   val auth = new Auth(jwtSecret)
@@ -203,9 +218,11 @@ final class GraftServer(
           (params.get("cube").flatMap(_.headOption),
             params.get("level").flatMap(_.headOption)) match {
             case (Some(rawName), Some(levelRef)) =>
-              val cubeName = cubeAliases.getOrElse(rawName, rawName)
+              val cubeName = allCubeAliases.getOrElse(rawName, rawName)
               withCube(cubeName, token) { case (c, planner) =>
-                val byUnique = uniqueNames.collectFirst {
+                val effNames = uniqueNames ++
+                  llConf.map(_.levelNamesFor(c.name)).getOrElse(Map.empty)
+                val byUnique = effNames.collectFirst {
                   case (ln, u) if u == levelRef && c.findLevel(ln).isDefined => ln
                 }
                 val byName = (for {
@@ -227,7 +244,7 @@ final class GraftServer(
           params.get("cube").flatMap(_.headOption) match {
             case None => Left((400, "logic layer requires ?cube="))
             case Some(rawName) =>
-              val cubeName = cubeAliases.getOrElse(rawName, rawName)
+              val cubeName = allCubeAliases.getOrElse(rawName, rawName)
               withCube(cubeName, token) { case (c, _) =>
                 val ll = logicLayers(c.name)
                 val q = QueryParams.toLogicLayerQuery(params, c)

@@ -15,12 +15,31 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var port: Int = 0
   private val client = HttpClient.newHttpClient()
 
+  /** Reference-wire-format logic-layer config (logic_layer/config.rs):
+    * aliases and unique names arrive through the JSON reader, not the
+    * direct constructor params — every alias/unique-name test below
+    * exercises LogicLayerConfigJson end to end. */
+  private val llConfig =
+    """{
+      |  "aliases": {
+      |    "cubes": [
+      |      { "name": "Sales",
+      |        "alternatives": ["sales_alias"],
+      |        "levels": [
+      |          { "current_name": "Geography.Geography.Nation",
+      |            "unique_name": "Supplier Nation" } ],
+      |        "properties": [
+      |          { "current_name": "Part.Part.Part.Part Type",
+      |            "unique_name": "Type Unique" } ] } ] },
+      |  "named_sets": [
+      |    { "level_name": "Geography.Geography.Region",
+      |      "sets": [ { "set_name": "low_regions", "values": ["0", "1"] } ] } ]
+      |}""".stripMargin
+
   override def beforeAll(): Unit = {
     server = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir),
       flushSecret = Some("s3cret"),
-      cubeAliases = Map("sales_alias" -> "Sales"),
-      uniqueNames = Map(
-        graft.core.LevelName("Geography", "Geography", "Nation") -> "Supplier Nation"))
+      llConfigJson = Some(llConfig))
     port = server.start()
   }
   override def afterAll(): Unit = if (server != null) server.stop()
@@ -151,6 +170,18 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1 == 200 && c2 == 200)
     assert(withDm != without,
       "exclude_default_members must drop the implicit default-member cut")
+  }
+
+  test("config-file named set expands in cut position; property unique name renames") {
+    val set = get("/data.jsonrecords?cube=Sales&drilldowns=Year&measures=Quantity&Region=low_regions")
+    val explicit = get("/data.jsonrecords?cube=Sales&drilldowns=Year&measures=Quantity&Region=0,1")
+    assert(set._1 == 200)
+    assert(set._2 == explicit._2, "named set must expand to its member list")
+    val (code, body) = get("/data.jsonrecords?cube=Sales&drilldowns=Part&measures=Quantity" +
+      "&properties=Part.Part.Part%20Type&Region=1")
+    assert(code == 200)
+    assert(body.contains("\"Type Unique\":") && !body.contains("\"Part Type\":"),
+      "property header must rename to its configured unique name")
   }
 
   test("/data passes growth through the logic layer") {
