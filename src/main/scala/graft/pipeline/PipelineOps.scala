@@ -788,6 +788,26 @@ object PipelineOps {
       .orderBy("n_events")
   }
 
+  /** p27: BPE merge-candidate counting — the inner step of byte-pair-
+    * encoding tokenizer training: adjacent symbol-pair frequencies over the
+    * corpus, most frequent pair = next merge. Shape: word-frequency rollup
+    * first (corpus → vocabulary, the big shuffle), then char-pair explode
+    * weighted by word count (vocabulary-sized, tiny) — the same two-level
+    * optimization real BPE trainers use, so the per-merge-iteration cost is
+    * vocab-bounded, not corpus-bounded, at any scale. */
+  val BpeTopK = 20
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(BpeTopK)
+
   // ======================================================= temporal joins
 
   /** p25: click→view as-of attribution — each click joins the latest
@@ -877,5 +897,6 @@ object PipelineOps {
     "p23_dup_clusters"  -> dupClusters,
     "p24_kmeans"        -> kmeansStep,
     "p25_asof"          -> asofLag,
-    "p26_interval"      -> intervalAttribution)
+    "p26_interval"      -> intervalAttribution,
+    "p27_bpe_merges"    -> bpeMerges)
 }

@@ -489,6 +489,15 @@ object PipelineOracles {
        |       coalesce(CAST(CAST(sum(sv) AS VARCHAR) AS DOUBLE), 0.0) AS attr_value
        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** p27: BPE pair counting — word-frequency rollup then weighted char-pair
+    * expansion, identical two-level shape to the Spark plan. */
+  private val p27 =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |words AS (SELECT w, count(*)::BIGINT AS wc FROM toks WHERE len(w) >= 2 GROUP BY w),
+       |pairs AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair, wc FROM words),
+       |agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM pairs GROUP BY pair)
+       |SELECT pair, freq FROM agg ORDER BY freq DESC, pair ASC LIMIT ${PipelineOps.BpeTopK}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -515,5 +524,6 @@ object PipelineOracles {
     "p23_dup_clusters"  -> p23,
     "p24_kmeans"        -> p24,
     "p25_asof"          -> p25,
-    "p26_interval"      -> p26)
+    "p26_interval"      -> p26,
+    "p27_bpe_merges"    -> p27)
 }
