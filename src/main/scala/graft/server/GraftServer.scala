@@ -57,19 +57,42 @@ final class GraftServer(
   private val allNamedSets: Seq[NamedSet] =
     namedSets ++ llConf.map(_.namedSets).getOrElse(Nil)
 
-  private val planners: Map[String, CubePlanner] =
-    schema.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
-  private val aggPlanners: Map[String, graft.plan.PreaggPlanner] =
-    planners.map { case (n, p) =>
+  /** Everything derived from the schema, swapped atomically by [[reload]]
+    * (the reference holds its schema in an Arc<RwLock> for the same hot
+    * reload, main.rs:127-128 + flush.rs). */
+  private final case class SchemaState(
+      schema: Schema,
+      planners: Map[String, CubePlanner],
+      aggPlanners: Map[String, graft.plan.PreaggPlanner],
+      logicLayers: Map[String, LogicLayer])
+
+  private def buildState(s: Schema): SchemaState = {
+    val planners: Map[String, CubePlanner] =
+      s.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
+    val aggPlanners = planners.map { case (n, p) =>
       n -> new graft.plan.PreaggPlanner(p, summaries.getOrElse(n, Nil))
     }
-  // one LogicLayer per cube so its member cache persists across requests
-  private val logicLayers: Map[String, LogicLayer] =
-    planners.map { case (n, p) =>
+    // one LogicLayer per cube so its member cache persists across requests
+    val logicLayers = planners.map { case (n, p) =>
       n -> new LogicLayer(p, allNamedSets,
         uniqueNames ++ llConf.map(_.levelNamesFor(n)).getOrElse(Map.empty),
         llConf.map(_.propertyNamesFor(n)).getOrElse(Map.empty))
     }
+    SchemaState(s, planners, aggPlanners, logicLayers)
+  }
+
+  @volatile private var state: SchemaState = buildState(schema)
+
+  /** Swap in a re-read schema (served by /flush through `onFlush`, or
+    * called directly). In-flight requests keep the state they resolved;
+    * new requests see the new schema. Member caches rebuild lazily; the
+    * response cache drops so no stale bodies survive the swap. */
+  def reload(newSchema: Schema): Unit = { state = buildState(newSchema); cache.clear() }
+
+  private def curSchema: Schema = state.schema
+  private def planners: Map[String, CubePlanner] = state.planners
+  private def aggPlanners: Map[String, graft.plan.PreaggPlanner] = state.aggPlanners
+  private def logicLayers: Map[String, LogicLayer] = state.logicLayers
 
   /** JWT auth levels (auth.rs) + LRU response cache (util.rs:152-216). */
   val auth = new Auth(jwtSecret)
@@ -77,8 +100,8 @@ final class GraftServer(
 
   private var server: HttpServer = _
 
-  def start(port: Int = 0): Int = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+  def start(port: Int = 0, host: String = "0.0.0.0"): Int = {
+    server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.setExecutor(Executors.newFixedThreadPool(8))
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()
@@ -161,9 +184,9 @@ final class GraftServer(
         Right(Body("{\"status\":\"ok\",\"name\":\"graft\",\"version\":\"0.2.0\"}", "application/json"))
       case "/cubes" =>
         Right(Body(Metadata.schemaJson(
-          schema.copy(cubes = schema.cubes.filter(auth.allowed(_, token)))), "application/json"))
+          curSchema.copy(cubes = curSchema.cubes.filter(auth.allowed(_, token)))), "application/json"))
       case CubeRe(cube) =>
-        schema.cube(dec(cube)).filter(auth.allowed(_, token)) match {
+        curSchema.cube(dec(cube)).filter(auth.allowed(_, token)) match {
           case Some(c) => Right(Body(Metadata.cubeJson(c), "application/json"))
           case None    => Left((404, s"cube '${dec(cube)}' not found"))
         }
@@ -203,7 +226,7 @@ final class GraftServer(
                 Right(out(Diagnosis.run(spark, c, resolver), f, None))
               }
             case None =>
-              val cs = schema.cubes.filter(auth.allowed(_, token))
+              val cs = curSchema.cubes.filter(auth.allowed(_, token))
               if (cs.isEmpty) Left((401, "no accessible cubes"))
               else Right(out(
                 cs.map(c => Diagnosis.run(spark, c, resolver).withColumn("cube", lit(c.name))
@@ -303,7 +326,7 @@ final class GraftServer(
   private def withCube[A](name: String, token: Option[String])
       (f: ((Cube, CubePlanner)) => Either[(Int, String), A])
       : Either[(Int, String), A] =
-    schema.cube(name) match {
+    curSchema.cube(name) match {
       case Some(c) if !auth.allowed(c, token) => Left((401, s"not authorized for cube '$name'"))
       case Some(c) => f((c, planners(c.name)))
       case None    => Left((404, s"cube '$name' not found"))

@@ -1,0 +1,77 @@
+package graft.server
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.core.{Schema, SchemaJson, SchemaXml}
+import graft.sources.FormatResolver
+
+/** Deployable server entrypoint — the analogue of the reference's
+  * `tesseract-server/src/main.rs:43-232`: configuration comes from
+  * environment variables (GRAFT_* mirroring the reference's TESSERACT_*),
+  * the schema file loads by extension (.xml via the XML reader, else JSON),
+  * and `/flush?secret=` re-reads the schema file and hot-swaps it.
+  *
+  *   GRAFT_SCHEMA_FILEPATH              required; .json or .xml schema
+  *   GRAFT_DATA_DIR                     required; directory of
+  *                                      `<table>.parquet` files (the
+  *                                      "database url" of this engine —
+  *                                      per-table format overrides go
+  *                                      through sources.FormatResolver)
+  *   GRAFT_ADDRESS                      host:port, default 127.0.0.1:7777
+  *   GRAFT_JWT_SECRET                   enable JWT auth
+  *   GRAFT_FLUSH_SECRET                 enable /flush
+  *   GRAFT_LOGIC_LAYER_CONFIG_FILEPATH  logic-layer config JSON
+  *   GRAFT_SPARK_MASTER                 default local[*]
+  *   GRAFT_SHUFFLE_PARTITIONS           default = executor cores
+  *
+  * The reference's TESSERACT_STREAMING_RESPONSE global switch is per-request
+  * here (`stream=true`); TESSERACT_GEOSERVICE_URL has no analogue (geo cut
+  * ops resolve through the hierarchy instead — zero-egress design).
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    def required(k: String): String = sys.env.getOrElse(k,
+      throw new IllegalArgumentException(s"$k not set"))
+
+    val schemaPath = required("GRAFT_SCHEMA_FILEPATH")
+    val dataDir    = required("GRAFT_DATA_DIR")
+    val address    = sys.env.getOrElse("GRAFT_ADDRESS", "127.0.0.1:7777")
+    val master     = sys.env.getOrElse("GRAFT_SPARK_MASTER", "local[*]")
+
+    def readSchema(): Schema = {
+      val text = Files.readString(Paths.get(schemaPath))
+      val s = if (schemaPath.endsWith(".xml")) SchemaXml.parse(text)
+              else SchemaJson.parse(text)
+      SchemaJson.validate(s)
+    }
+
+    val spark = {
+      val b = SparkSession.builder().master(master)
+        .appName("graft-server")
+        .config("spark.sql.session.timeZone", "UTC")
+        // concurrent requests share the cluster fairly, mirroring the
+        // reference's 100-concurrent-request pool design
+        .config("spark.scheduler.mode", "FAIR")
+      sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
+        .fold(b)(n => b.config("spark.sql.shuffle.partitions", n))
+        .getOrCreate()
+    }
+
+    var server: GraftServer = null
+    server = new GraftServer(
+      spark,
+      readSchema(),
+      new FormatResolver(Map.empty, fallbackParquetDir = Some(dataDir)),
+      flushSecret = sys.env.get("GRAFT_FLUSH_SECRET"),
+      // /flush re-reads the schema file and swaps it atomically
+      onFlush = () => server.reload(readSchema()),
+      jwtSecret = sys.env.get("GRAFT_JWT_SECRET"),
+      llConfigJson = sys.env.get("GRAFT_LOGIC_LAYER_CONFIG_FILEPATH")
+        .map(p => Files.readString(Paths.get(p))))
+
+    val Array(host, port) = address.split(":", 2)
+    val bound = server.start(port.toInt, host)
+    println(s"graft server listening on $host:$bound (schema: $schemaPath, data: $dataDir)")
+    Thread.currentThread.join() // serve until killed
+  }
+}

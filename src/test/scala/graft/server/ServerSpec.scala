@@ -196,6 +196,21 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.contains("MissingDimensionIDs") && body.contains("NonUniqueDimensionIDs"))
   }
 
+  test("reload hot-swaps the schema: new cube appears, old planners gone") {
+    val renamed = TpchStar.schema.copy(cubes =
+      TpchStar.schema.cubes.map(c =>
+        if (c.name == "Sales") c.copy(name = "SalesV2") else c))
+    try {
+      server.reload(renamed)
+      assert(get("/cubes/SalesV2")._1 == 200)
+      assert(get("/cubes/Sales")._1 == 404)
+      // a query against the new state plans normally (fresh member caches)
+      val (code, _) = get("/cubes/SalesV2/aggregate.csv?drilldowns=Geography.Region&measures=Quantity")
+      assert(code == 200)
+    } finally server.reload(TpchStar.schema)
+    assert(get("/cubes/Sales")._1 == 200)
+  }
+
   test("error paths: bad query 400, unknown format 400, flush auth") {
     assert(get("/cubes/Sales/aggregate.csv?measures=Quantity")._1 == 400) // no drill/cut
     assert(get("/cubes/Sales/aggregate.xml?drilldowns=Geography.Region&measures=Quantity")._1 == 400)
