@@ -69,6 +69,10 @@ object TemporalJoins {
       strict: Boolean = false,
       asofCol: String = "asof"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equality key")
+    require(!left.columns.contains(asofCol),
+      s"left already has a column named '$asofCol'; pass a different asofCol")
+    require(!left.columns.contains("__tag") && !right.columns.contains("__tag"),
+      "'__tag' is reserved by asofJoin")
 
     val rSel = right.select(
       ((keys :+ ts).map(q) ++

@@ -743,6 +743,37 @@ object PipelineOps {
       .withColumn("avg_pixels", col("sum_pixels").cast("double") / col("n_assets").cast("double"))
       .orderBy("source")
 
+  /** p28: video-style frame sampling — the explode/per-frame/re-rollup
+    * batch shape a frame-extraction pipeline has at scale: each asset
+    * yields every k-th "frame" as its own row (frame count derives from
+    * asset length; the decode itself is a deterministic STUB like p13 —
+    * container has no media libs), per-frame feature hashes compute
+    * row-parallel, then frames roll back up to asset-level signatures.
+    * The explode multiplies rows by frames-per-asset — the real resource
+    * model of video pipelines — and every stage stays a projection or
+    * one keyed shuffle. */
+  val FrameStride = 7
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("source"), col("text"),
+        explode(expr(s"sequence(0, cast(n_chars / $FrameStride as long))")).as("frame_idx"))
+      // STUB decode: the "frame" is a byte window at the sample position
+      .withColumn("frame", expr(s"substring(text, cast(frame_idx * $FrameStride + 1 as int), $FrameStride)"))
+      .withColumn("frame_sig", expr(hex12("frame")))
+      .groupBy(col("asset_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        countDistinct(col("frame_sig")).as("n_unique_frames"),
+        min(col("frame_sig")).as("min_sig"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_sampled")).as("sum_frames"),
+        sum(col("n_unique_frames")).as("sum_unique"),
+        min(col("min_sig")).as("corpus_min_sig"))
+      .orderBy("source")
+
   // ========================================================== events/json
 
   /** p09: typed extraction from the JSON `props` column + event rollup.
@@ -898,5 +929,6 @@ object PipelineOps {
     "p24_kmeans"        -> kmeansStep,
     "p25_asof"          -> asofLag,
     "p26_interval"      -> intervalAttribution,
-    "p27_bpe_merges"    -> bpeMerges)
+    "p27_bpe_merges"    -> bpeMerges,
+    "p28_frame_sample"  -> frameSample)
 }

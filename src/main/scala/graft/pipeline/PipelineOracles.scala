@@ -498,6 +498,29 @@ object PipelineOracles {
        |agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM pairs GROUP BY pair)
        |SELECT pair, freq FROM agg ORDER BY freq DESC, pair ASC LIMIT ${PipelineOps.BpeTopK}""".stripMargin
 
+  /** p28: frame sampling — explode to per-frame rows, hash, re-rollup. */
+  private val p28 = {
+    val k = PipelineOps.FrameStride
+    s"""WITH f AS (
+       |  SELECT doc_id AS asset_id, source, text,
+       |         unnest(range(0, (n_chars // $k)::BIGINT + 1)) AS frame_idx
+       |  FROM documents),
+       |h AS (
+       |  SELECT asset_id, source,
+       |         ${hex12(s"substr(text, (frame_idx * $k + 1)::INT, $k)")} AS frame_sig
+       |  FROM f),
+       |a AS (
+       |  SELECT asset_id, source, count(*)::BIGINT AS n_sampled,
+       |         count(DISTINCT frame_sig)::BIGINT AS n_unique_frames,
+       |         min(frame_sig) AS min_sig
+       |  FROM h GROUP BY asset_id, source)
+       |SELECT source, count(*)::BIGINT AS n_assets,
+       |       CAST(sum(n_sampled) AS BIGINT) AS sum_frames,
+       |       CAST(sum(n_unique_frames) AS BIGINT) AS sum_unique,
+       |       CAST(min(min_sig) AS BIGINT) AS corpus_min_sig
+       |FROM a GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -525,5 +548,6 @@ object PipelineOracles {
     "p24_kmeans"        -> p24,
     "p25_asof"          -> p25,
     "p26_interval"      -> p26,
-    "p27_bpe_merges"    -> p27)
+    "p27_bpe_merges"    -> p27,
+    "p28_frame_sample"  -> p28)
 }
