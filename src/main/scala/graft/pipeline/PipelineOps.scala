@@ -839,6 +839,34 @@ object PipelineOps {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(BpeTopK)
 
+  /** p29: KMV distinct-count sketch per event type, in its relational form
+    * (distinct hashes → k smallest per group → unbiased estimate) so DuckDB
+    * can replicate it byte-exact. The native mergeable aggregator form —
+    * the one a summary table stores so distinct counts re-aggregate across
+    * days, which exact COUNT(DISTINCT) can never do — is
+    * [[graft.functions.KmvSketch]]; KmvSketchSpec proves both forms produce
+    * the identical sketch. Estimate arithmetic is IEEE ops over exact
+    * int64s — deterministic in any engine. */
+  val KmvK = 64
+
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    events(spark, dir)
+      .select(col("event_type"), expr(hex12("cast(user_id as string)")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("rn") <= KmvK, 1L).otherwise(0L)).as("n_kept"),
+        max(when(col("rn") <= KmvK, col("h"))).as("kth"))
+      .withColumn("est",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(graft.functions.KmvSketch.HashSpace) /
+            col("kth").cast("double")))
+      .orderBy("event_type")
+  }
+
   // ======================================================= temporal joins
 
   /** p25: click→view as-of attribution — each click joins the latest
@@ -930,5 +958,6 @@ object PipelineOps {
     "p25_asof"          -> asofLag,
     "p26_interval"      -> intervalAttribution,
     "p27_bpe_merges"    -> bpeMerges,
-    "p28_frame_sample"  -> frameSample)
+    "p28_frame_sample"  -> frameSample,
+    "p29_kmv_distinct"  -> kmvDistinct)
 }

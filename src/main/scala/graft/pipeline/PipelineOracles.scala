@@ -521,6 +521,28 @@ object PipelineOracles {
        |FROM a GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** p29: relational KMV — distinct hashes, k smallest per group, unbiased
+    * (k-1)·2^48/h_(k) estimate; integer inputs keep the double math exact
+    * cross-engine. */
+  private val p29 = {
+    val k = PipelineOps.KmvK
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type, ${hex12("CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM d)
+       |SELECT event_type,
+       |       count(*)::BIGINT AS n_exact,
+       |       CAST(sum(CASE WHEN rn <= $k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(max(CASE WHEN rn <= $k THEN h END) AS BIGINT) AS kth,
+       |       CASE WHEN CAST(sum(CASE WHEN rn <= $k THEN 1 ELSE 0 END) AS BIGINT) < $k
+       |            THEN CAST(CAST(sum(CASE WHEN rn <= $k THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |            ELSE CAST(${k - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(max(CASE WHEN rn <= $k THEN h END) AS DOUBLE)
+       |       END AS est
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -549,5 +571,6 @@ object PipelineOracles {
     "p25_asof"          -> p25,
     "p26_interval"      -> p26,
     "p27_bpe_merges"    -> p27,
-    "p28_frame_sample"  -> p28)
+    "p28_frame_sample"  -> p28,
+    "p29_kmv_distinct"  -> p29)
 }
