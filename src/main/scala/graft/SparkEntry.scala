@@ -231,6 +231,11 @@ object SparkEntry {
     "q30_wavg_moe" -> run(CubeQuery(
       drilldowns = Seq(drill("Line Status.Line Status")),
       measures = Seq(mea("Price WAvg MOE")))),
+    // ApproxDistinct: mergeable KMV-sketch distinct estimate as a cube
+    // measure (deterministic md5 hash order → oracle-exact)
+    "q47_approx_distinct" -> run(CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Unique Parts"), mea("Row Count")))),
     // logic-layer locale= → caption-set swap on the drilldown name column
     "q45_ll_locale" -> runLL(LogicLayerQuery(
       drilldowns = Seq(drill("Part.Part")),
@@ -447,6 +452,8 @@ object SparkEntry {
       s"""WITH a AS (SELECT l_returnflag, ${d2d(s"sum($QD) - sum($TD)")} AS d0, ${d2d(s"sum($QD) - sum($DD)")} AS d1 FROM lineitem GROUP BY 1) SELECT l_returnflag AS "Return Flag", 1.645 * sqrt(2.0 * (d0 * d0 + d1 * d1)) AS "Quantity RW MOE" FROM a ORDER BY 1""",
     "q30_wavg_moe" ->
       s"""WITH a AS (SELECT l_linestatus, ${d2d(s"sum($PD * $QD)")} / ${d2d(s"sum($QD)")} AS pavg, ${d2d(s"sum($PD * $TD)")} / ${d2d(s"sum($TD)")} AS savg0, ${d2d(s"sum($PD * $DD)")} / ${d2d(s"sum($DD)")} AS savg1 FROM lineitem GROUP BY 1) SELECT l_linestatus AS "Line Status", 1.645 * sqrt(2.0 * ((pavg - savg0) * (pavg - savg0) + (pavg - savg1) * (pavg - savg1))) AS "Price WAvg MOE" FROM a ORDER BY 1""",
+    "q47_approx_distinct" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS f, CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), hx, 1)) - 1)::BIGINT * (1::BIGINT << (4*(12-hx))) FOR hx IN range(1, 13) ]) AS BIGINT) AS h FROM lineitem), r AS (SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h) AS rn FROM d), s AS (SELECT f, CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(max(CASE WHEN rn <= 64 THEN h END) AS BIGINT) AS kth FROM r GROUP BY f), n AS (SELECT l_returnflag AS f, count(*)::BIGINT AS rc FROM lineitem GROUP BY 1) SELECT s.f AS "Return Flag", CASE WHEN s.n_kept < 64 THEN CAST(s.n_kept AS DOUBLE) ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(s.kth AS DOUBLE) END AS "Unique Parts", n.rc AS "Row Count" FROM s JOIN n ON s.f = n.f ORDER BY 1""",
     "q28_diagnosis" ->
       """SELECT * FROM (SELECT 'MissingDimensionIDs' AS check_name, 'Customer' AS dimension, (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey = l_orderkey))::BIGINT AS n UNION ALL SELECT 'MissingDimensionIDs', 'Geography', (SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE s_suppkey = l_suppkey))::BIGINT UNION ALL SELECT 'MissingDimensionIDs', 'Part', (SELECT count(DISTINCT l_partkey) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Customer', (SELECT count(*) FROM (SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 HAVING count(*) > 1))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Geography', (SELECT count(*) FROM (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 HAVING count(*) > 1))::BIGINT UNION ALL SELECT 'NonUniqueDimensionIDs', 'Part', (SELECT count(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1))::BIGINT) ORDER BY 1, 2"""
   )

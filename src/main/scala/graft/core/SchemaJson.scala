@@ -188,7 +188,8 @@ object SchemaJson {
       def f(k: String): JValue = fields.getOrElse(k, JNothing)
       fields.keySet.intersect(Set(
         "basic_grouped_median", "weighted_sum", "weighted_average",
-        "moe", "replicate_weight_moe", "weighted_average_moe", "custom")).headOption match {
+        "moe", "replicate_weight_moe", "weighted_average_moe", "custom",
+        "approx_distinct")).headOption match {
         case Some("basic_grouped_median") =>
           val in = f("basic_grouped_median")
           Aggregator.BasicGroupedMedian(
@@ -217,6 +218,9 @@ object SchemaJson {
             arr(in \ "secondary_weight_columns").flatMap(str))
         case Some("custom") => Aggregator.Custom(str(f("custom")).getOrElse(
           str(f("custom") \ "template").getOrElse(fail("custom needs a template"))))
+        case Some("approx_distinct") =>
+          Aggregator.ApproxDistinct(
+            num(f("approx_distinct") \ "k").map(_.toInt).getOrElse(64))
         case _ => fail(s"unknown aggregator object: $obj")
       }
     case other => fail(s"unknown aggregator: $other")

@@ -60,6 +60,13 @@ object Aggregator {
   /** Expression template with `{}` as the measure column placeholder.
     * Parsed, never string-spliced; guarded by an identifier allow-list. */
   final case class Custom(template: String) extends Aggregator
+  /** Approximate COUNT(DISTINCT column) via a mergeable KMV sketch
+    * (graft.functions.KmvSketch) — beyond-parity: the reference has no
+    * distinct aggregator at all because its generated SQL would make
+    * COUNT(DISTINCT) non-pre-aggregable; the sketch form re-aggregates
+    * across summary rows. Deterministic (md5-hash order), so oracle-
+    * checkable byte-exact. */
+  final case class ApproxDistinct(k: Int = 64) extends Aggregator
 }
 
 final case class Annotation(name: String, text: String)

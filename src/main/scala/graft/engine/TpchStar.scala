@@ -146,7 +146,8 @@ object TpchStar {
     Measure("Price WAvg MOE", "l_price_dec",
       Aggregator.WeightedAverageMoe(1.645, 4.0, "l_qty_dec", Seq("l_tax_dec", "l_disc_dec"))),
     Measure("Median Order Quantity", "l_quantity",
-      Aggregator.BasicGroupedMedian("sum", "Customer.Customer.Order")))
+      Aggregator.BasicGroupedMedian("sum", "Customer.Customer.Order")),
+    Measure("Unique Parts", "l_partkey", Aggregator.ApproxDistinct(64)))
 
   /** The main Sales cube over lineitem. */
   val salesCube: Cube = Cube("Sales", TableDef("lineitem"), dims(false), measures)

@@ -30,6 +30,11 @@ object AggExprs {
 
   private def c(name: String): Column = col(s"`$name`")
 
+  /** 48-bit md5-derived hash of a column's string form — the engine-neutral
+    * hash every dedup/sketch op shares (pipeline.Hashing convention). */
+  private def hash48(colName: String): Column =
+    expr(s"CAST(conv(substr(md5(cast(`$colName` as string)), 1, 12), 16, 10) AS BIGINT)")
+
   /** Exact single-pass aggregation expression for one measure. */
   def single(m: Measure): Column = {
     val v = c(m.column)
@@ -65,6 +70,12 @@ object AggExprs {
         }.reduce(_ + _)
         lit(cv) * sqrt(lit(df / sws.length) * terms)
       case Aggregator.Custom(t) => customExpr(t, m.column)
+      // mergeable KMV sketch → unbiased estimate; hashes are the engine's
+      // 48-bit md5 ints so the whole chain is deterministic (p29 proves the
+      // relational twin byte-exact vs DuckDB)
+      case Aggregator.ApproxDistinct(k) =>
+        val build = udaf(graft.functions.KmvSketch.Build(k))
+        graft.functions.KmvSketch.estimate(build(hash48(m.column)), k)
       case Aggregator.BasicGroupedMedian(_, _) =>
         throw new IllegalArgumentException(
           "BasicGroupedMedian requires the two-pass path (hidden drilldown)")
@@ -101,6 +112,9 @@ object AggExprs {
             Seq(s"__m${i}_snum$n" -> sum(v * c(s)), s"__m${i}_sden$n" -> sum(c(s)))
           }
       case Aggregator.Custom(t) => Seq(s"__m$i" -> customExpr(t, m.column))
+      case Aggregator.ApproxDistinct(k) =>
+        val build = udaf(graft.functions.KmvSketch.Build(k))
+        Seq(s"__m$i" -> build(hash48(m.column)))
     }
   }
 
@@ -130,6 +144,12 @@ object AggExprs {
       }.reduce(_ + _)
       lit(cv) * sqrt(lit(df / sws.length) * terms)
     case Aggregator.Custom(t) => customExpr(t, s"__m$i")
+    // sketches union losslessly, so the two-pass result is IDENTICAL to the
+    // single-pass one — the property that also makes the measure servable
+    // from pre-aggregated summaries
+    case Aggregator.ApproxDistinct(k) =>
+      val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
+      graft.functions.KmvSketch.estimate(merge(c(s"__m$i")), k)
   }
 
   /** Columns of the source relation an aggregator reads. `sourceColumns` is

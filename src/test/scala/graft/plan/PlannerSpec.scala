@@ -234,6 +234,27 @@ class PlannerSpec extends AnyFunSuite {
     assert(absent.collect().map(_.toSeq).toSeq == single.collect().map(_.toSeq).toSeq)
   }
 
+  test("ApproxDistinct is invariant to the two-pass path (sketch union is lossless)") {
+    val single = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Unique Parts"))))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // adding a median measure forces the hidden-drilldown two-pass plan:
+    // pass 1 builds per-(flag, order) sketches, pass 2 merges them
+    val twoPass = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Median Order Quantity"), mea("Unique Parts"))))
+      .select("Return Flag", "Unique Parts")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(single == twoPass)
+    // sanity: estimates sit near the exact distinct counts
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("l_partkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    single.foreach { case (f, est) =>
+      assert(math.abs(est - exact(f)) / exact(f) < 0.5, s"$f: est $est vs exact ${exact(f)}")
+    }
+  }
+
   test("relatedMembers: children, parents, neighbors") {
     val region = LevelName.parse("Geography.Region").fold(die, identity)
     val nation = LevelName.parse("Geography.Nation").fold(die, identity)
