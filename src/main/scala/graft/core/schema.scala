@@ -67,6 +67,12 @@ object Aggregator {
     * across summary rows. Deterministic (md5-hash order), so oracle-
     * checkable byte-exact. */
   final case class ApproxDistinct(k: Int = 64) extends Aggregator
+  /** Internal (summary materialization): store the raw sketch array for an
+    * ApproxDistinct measure instead of its estimate. */
+  final case class KmvSketchBuild(k: Int) extends Aggregator
+  /** Internal (summary-as-a-cube): merge stored sketches, then estimate —
+    * the re-aggregation form of ApproxDistinct. */
+  final case class KmvSketchMerge(k: Int) extends Aggregator
 }
 
 final case class Annotation(name: String, text: String)

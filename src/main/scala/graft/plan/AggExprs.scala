@@ -76,6 +76,14 @@ object AggExprs {
       case Aggregator.ApproxDistinct(k) =>
         val build = udaf(graft.functions.KmvSketch.Build(k))
         graft.functions.KmvSketch.estimate(build(hash48(m.column)), k)
+      // internal pair for summary tables: materialize stores the sketch
+      // array; the derived cube merges stored sketches and estimates
+      case Aggregator.KmvSketchBuild(k) =>
+        val build = udaf(graft.functions.KmvSketch.Build(k))
+        build(hash48(m.column))
+      case Aggregator.KmvSketchMerge(k) =>
+        val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
+        graft.functions.KmvSketch.estimate(merge(c(m.column)), k)
       case Aggregator.BasicGroupedMedian(_, _) =>
         throw new IllegalArgumentException(
           "BasicGroupedMedian requires the two-pass path (hidden drilldown)")
@@ -115,6 +123,12 @@ object AggExprs {
       case Aggregator.ApproxDistinct(k) =>
         val build = udaf(graft.functions.KmvSketch.Build(k))
         Seq(s"__m$i" -> build(hash48(m.column)))
+      case Aggregator.KmvSketchBuild(k) =>
+        val build = udaf(graft.functions.KmvSketch.Build(k))
+        Seq(s"__m$i" -> build(hash48(m.column)))
+      case Aggregator.KmvSketchMerge(k) =>
+        val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
+        Seq(s"__m$i" -> merge(c(m.column)))
     }
   }
 
@@ -148,6 +162,12 @@ object AggExprs {
     // single-pass one — the property that also makes the measure servable
     // from pre-aggregated summaries
     case Aggregator.ApproxDistinct(k) =>
+      val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
+      graft.functions.KmvSketch.estimate(merge(c(s"__m$i")), k)
+    case Aggregator.KmvSketchBuild(k) =>
+      val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
+      merge(c(s"__m$i"))
+    case Aggregator.KmvSketchMerge(k) =>
       val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
       graft.functions.KmvSketch.estimate(merge(c(s"__m$i")), k)
   }

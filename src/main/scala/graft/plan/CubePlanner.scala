@@ -34,6 +34,9 @@ final case class PlanError(message: String) extends RuntimeException(message)
 final class CubePlanner(val cube: Cube, resolver: TableResolver) {
   import CubePlanner._
 
+  /** Same resolver, different cube view (Preagg plans storage variants). */
+  def withCube(c: Cube): CubePlanner = new CubePlanner(c, resolver)
+
   // ---------------------------------------------------------------- public
 
   def plan(spark: SparkSession, q: CubeQuery): DataFrame = {

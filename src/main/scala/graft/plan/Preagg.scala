@@ -34,7 +34,18 @@ object Preagg {
     case Aggregator.Count => Some(Aggregator.Sum) // partial counts re-add
     case Aggregator.Min   => Some(Aggregator.Min)
     case Aggregator.Max   => Some(Aggregator.Max)
+    // distinct counts pre-aggregate ONLY in sketch form: the summary stores
+    // the KMV sketch array, rollups merge sketches (lossless union) and
+    // estimate — exact COUNT(DISTINCT) could never ride a summary
+    case Aggregator.ApproxDistinct(k) => Some(Aggregator.KmvSketchMerge(k))
     case _                => None
+  }
+
+  /** What the summary column stores for a measure (differs from the
+    * query-time output only for sketches). */
+  private def storeAggregator(a: Aggregator): Aggregator = a match {
+    case Aggregator.ApproxDistinct(k) => Aggregator.KmvSketchBuild(k)
+    case other => other
   }
 
   def eligibleMeasures(cube: Cube): Seq[Measure] =
@@ -51,7 +62,11 @@ object Preagg {
       path: String): Unit = {
     val meas = eligibleMeasures(cube)
     if (meas.isEmpty) throw PlanError(s"cube '${cube.name}' has no pre-aggregable measures")
-    planner.plan(spark, CubeQuery(
+    // sketch measures store their raw sketch array, not the estimate —
+    // plan through a cube variant whose aggregators are the storage forms
+    val storeCube = cube.copy(measures =
+      cube.measures.map(m => m.copy(aggregator = storeAggregator(m.aggregator))))
+    planner.withCube(storeCube).plan(spark, CubeQuery(
         drilldowns = grain.map(Drilldown(_)),
         parents = true,
         measures = meas.map(m => MeasureName(m.name))))

@@ -53,6 +53,19 @@ class PreaggSpec extends AnyFunSuite {
     assert(!scan.contains("lineitem.parquet"), "plan must not scan the fact")
   }
 
+  test("ApproxDistinct rides the summary: stored sketches merge to the exact fact-side estimate") {
+    val q = CubeQuery(
+      drilldowns = Seq(drill("Geography.Region")),
+      measures = Seq(mea("Unique Parts"), mea("Quantity")))
+    val viaSummary = pp.plan(spark, q)
+    // identical values — sketch union is lossless, so rolling the per-
+    // (nation, year) sketches up to Region equals sketching the fact
+    assert(rows(viaSummary) == rows(base.plan(spark, q)))
+    val scan = viaSummary.queryExecution.executedPlan.toString
+    assert(scan.contains("sales_nation_year") && !scan.contains("lineitem.parquet"),
+      "distinct estimate must come from stored sketches, not a fact scan")
+  }
+
   test("below-grain drills and non-reaggregable measures fall back to the base fact") {
     val below = CubeQuery(
       drilldowns = Seq(drill("Geography.Supplier")),
@@ -100,7 +113,8 @@ class PreaggSpec extends AnyFunSuite {
   test("non-reaggregable aggregators are excluded from the derived cube") {
     val derived = Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("s"))
     val aggs = derived.measures.map(_.aggregator).toSet
-    assert(aggs.subsetOf(Set[Aggregator](Aggregator.Sum, Aggregator.Min, Aggregator.Max)))
+    assert(aggs.subsetOf(Set[Aggregator](Aggregator.Sum, Aggregator.Min, Aggregator.Max,
+      Aggregator.KmvSketchMerge(64))))
     assert(derived.measure("Median Order Quantity").isEmpty)
     assert(derived.measure("Revenue").isEmpty)
     assert(derived.measure("Quantity").isDefined)
