@@ -144,6 +144,8 @@ object SchemaXml {
         Aggregator.BasicGroupedMedian(
           attr(n, "group_aggregator").getOrElse(fail("basic_grouped_median needs group_aggregator")),
           attr(n, "group_dimension").getOrElse(fail("basic_grouped_median needs group_dimension")))
+      case "approx_distinct" =>
+        Aggregator.ApproxDistinct(attr(n, "k").map(_.toInt).getOrElse(64))
       case other => fail(s"unknown aggregator '$other'")
     }
     Measure(
