@@ -45,6 +45,7 @@ class SchemaXmlSpec extends AnyFunSuite {
       |    <Measure name="Price Total" column="price_total" aggregator="sum" />
       |    <Measure name="Quantity" column="quantity" aggregator="sum" />
       |    <Measure name="WQ" column="quantity" aggregator="weighted_sum" weight_column="w" />
+      |    <Measure name="UC" column="customer_id" aggregator="approx_distinct" k="32" />
       |  </Cube>
       |</Schema>""".stripMargin
 
@@ -71,8 +72,9 @@ class SchemaXmlSpec extends AnyFunSuite {
     // hierarchy primary_key defaults to the lowest level's key column
     assert(cat.hierarchies.head.primaryKey == "category_idx")
 
-    assert(c.measures.map(_.name) == Seq("Price Total", "Quantity", "WQ"))
+    assert(c.measures.map(_.name) == Seq("Price Total", "Quantity", "WQ", "UC"))
     assert(c.measures(2).aggregator == Aggregator.WeightedSum("w"))
+    assert(c.measures(3).aggregator == Aggregator.ApproxDistinct(32))
   }
 
   test("XML and JSON readers produce the same model for the same schema") {
