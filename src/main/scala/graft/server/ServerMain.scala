@@ -49,6 +49,7 @@ object ServerMain {
       val b = SparkSession.builder().master(master)
         .appName("graft-server")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
         // concurrent requests share the cluster fairly, mirroring the
         // reference's 100-concurrent-request pool design
         .config("spark.scheduler.mode", "FAIR")

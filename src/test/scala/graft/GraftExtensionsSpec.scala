@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHashSig, QuantizedDot, SimHash48, SortedIntersectCount, StringHashes, SubstringHashes}
+import graft.pipeline.Hashing
+
+/** GraftExtensions registers the native expressions as SQL functions via
+  * `spark.sql.extensions` (the shared test session boots with it) — each SQL
+  * spelling must equal its Column-API twin, and literal-argument validation
+  * must fail analysis, not return garbage. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val mod = Hashing.BaseHashMod
+
+  test("substring_hashes SQL == Column API") {
+    val df = Seq("the quick brown fox", "jumps over the lazy dog").toDF("t")
+    val viaSql = df.selectExpr(s"substring_hashes(t, 8, ${mod}L) AS h").collect()
+    val viaCol = df.select(SubstringHashes(col("t"), 8, mod).as("h")).collect()
+    assert(viaSql.map(_.getSeq[Long](0)).toSeq == viaCol.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("string_hashes SQL == Column API") {
+    val df = Seq(Seq("alpha", "beta", "gamma")).toDF("a")
+    val viaSql = df.selectExpr(s"string_hashes(a, ${mod}L) AS h").collect()
+    val viaCol = df.select(StringHashes(col("a"), mod).as("h")).collect()
+    assert(viaSql.map(_.getSeq[Long](0)).toSeq == viaCol.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("sorted_intersect_count SQL == Column API and counts correctly") {
+    val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(3L, 4L, 5L, 10L))).toDF("a", "b")
+    val n = df.selectExpr("sorted_intersect_count(a, b) AS n").as[Long].head()
+    assert(n == 2L)
+    val viaCol = df.select(SortedIntersectCount(col("a"), col("b"))).as[Long].head()
+    assert(n == viaCol)
+  }
+
+  test("minhash_sig SQL == Column API (full and prefix permutation sets)") {
+    val df = Seq(Seq(17L, 123456L, 999L, 31L)).toDF("h")
+    val full = df.selectExpr("minhash_sig(h) AS s").collect().head.getSeq[Long](0)
+    val fullCol = df.select(
+      MinHashSig(col("h"), Hashing.minhashA, Hashing.minhashB, Hashing.P).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(full == fullCol && full.length == Hashing.NumHashes)
+    val pre = df.selectExpr("minhash_sig(h, 8) AS s").collect().head.getSeq[Long](0)
+    assert(pre == full.take(8))
+  }
+
+  test("quantized_dot and simhash48 SQL == Column API") {
+    val df = Seq((Seq(2L, -3L, 4L), Seq(5L, 7L, -1L))).toDF("a", "b")
+    assert(df.selectExpr("quantized_dot(a, b) AS d").as[Long].head() == 2L * 5 - 3 * 7 - 4)
+    assert(df.selectExpr("quantized_dot(a, b) AS d").as[Long].head() ==
+      df.select(QuantizedDot(col("a"), col("b"))).as[Long].head())
+    val hs = Seq(Seq(7L, 7L, 1L)).toDF("h")
+    assert(hs.selectExpr("simhash48(h) AS s").as[Long].head() ==
+      hs.select(SimHash48(col("h"))).as[Long].head())
+  }
+
+  test("non-literal width fails analysis instead of misbehaving") {
+    val df = Seq(("abc", 2)).toDF("t", "w")
+    val e = intercept[Exception] {
+      df.selectExpr(s"substring_hashes(t, w, ${mod}L)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("registered functions run over the documents table end-to-end") {
+    val docs = spark.read.parquet(s"${SparkTestSession.SfDir}/documents.parquet")
+    val viaSql = docs
+      .selectExpr("doc_id", s"minhash_sig(substring_hashes(text, 8, ${mod}L)) AS sig")
+      .orderBy("doc_id").limit(5).collect()
+    val viaCol = docs
+      .select(col("doc_id"),
+        MinHashSig(SubstringHashes(col("text"), 8, mod),
+          Hashing.minhashA, Hashing.minhashB, Hashing.P).as("sig"))
+      .orderBy("doc_id").limit(5).collect()
+    assert(viaSql.map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq ==
+      viaCol.map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq)
+  }
+}
