@@ -36,6 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Imperative registration fallback: `spark.sql.extensions` set via
+    * `SparkSession.builder` is silently ignored when a session already
+    * exists in the JVM (`getOrCreate` reuses it), so entry points that may
+    * not own session creation call this after `getOrCreate` — idempotent
+    * (re-registering the same builder is a no-op overwrite). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), builder)
+    }
+
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", name)
 
@@ -46,6 +57,16 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"$what must be a numeric literal, got $other")
     }
+  }
+
+  /** Exact Int conversion — `substring_hashes(t, 4294967304, m)` must error,
+    * not silently truncate to width 8 (and `minhash_sig(h, 2^32+8)` must not
+    * wrap into the valid range). */
+  private def litInt(e: Expression, what: String): Int = {
+    val v = litLong(e, what)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$what out of int range: $v")
+    v.toInt
   }
 
   private def arity(n: Int, args: Seq[Expression], name: String): Seq[Expression] = {
@@ -59,7 +80,7 @@ object GraftExtensions {
     "substring_hashes" -> { raw =>
       val args = arity(3, raw, "substring_hashes")
       SubstringHashes(args(0),
-        litLong(args(1), "substring_hashes width").toInt,
+        litInt(args(1), "substring_hashes width"),
         litLong(args(2), "substring_hashes mod"))
     },
     // element-wise md5-48bit hash of a string array
@@ -78,7 +99,7 @@ object GraftExtensions {
       require(args.length == 1 || args.length == 2,
         s"minhash_sig expects 1 or 2 arguments, got ${args.length}")
       val n =
-        if (args.length == 2) litLong(args(1), "minhash_sig num_hashes").toInt
+        if (args.length == 2) litInt(args(1), "minhash_sig num_hashes")
         else Hashing.NumHashes
       require(n >= 1 && n <= Hashing.NumHashes,
         s"minhash_sig num_hashes must be in [1, ${Hashing.NumHashes}], got $n")

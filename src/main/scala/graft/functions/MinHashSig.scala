@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -26,10 +26,11 @@ final case class MinHashSig(
     child: Expression,
     a: Seq[Long],
     b: Seq[Long],
-    p: Long) extends UnaryExpression {
+    p: Long) extends UnaryExpression with ImplicitCastInputTypes {
 
   require(a.length == b.length && a.nonEmpty, "a/b coefficient lists must match")
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -3,11 +3,11 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared md5-prefix hashing kernel: first 6 digest bytes big-endian ==
@@ -83,9 +83,12 @@ object TextHashKernel {
 /** `substring_hashes(text, width, mod)` — md5-48bit hash of every
   * width-char window of the text, one fused pass. */
 final case class SubstringHashes(child: Expression, width: Int, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(width > 0, "width must be positive")
 
+  // SQL-registered path: coerce/validate at analysis time — a non-string
+  // child must fail analysis, not ClassCastException at runtime.
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -101,7 +104,9 @@ final case class SubstringHashes(child: Expression, width: Int, mod: Long)
 }
 
 /** `string_hashes(arr, mod)` — md5-48bit hash of each array element. */
-final case class StringHashes(child: Expression, mod: Long) extends UnaryExpression {
+final case class StringHashes(child: Expression, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -120,7 +125,12 @@ final case class StringHashes(child: Expression, mod: Long) extends UnaryExpress
   * ascending-sorted distinct long arrays (callers sort once per document;
   * the join then pays O(m+n) per pair with zero allocation). */
 final case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // array<int> literals coerce to array<bigint>; the kernel reads 8-byte
+  // elements, so accepting a 4-byte-element UnsafeArrayData would return
+  // garbage counts silently.
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Integer-vector kernels for the quantized-embedding operators.
   *
@@ -47,7 +47,11 @@ object VectorKernel {
 /** `quantized_dot(a, b)` — Σ a(i)*b(i) over two int64 vectors (zip_with
   * semantics: truncated to the shorter length). */
 final case class QuantizedDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // coerce array<int> → array<bigint> at analysis; the kernel reads 8-byte
+  // elements and would see garbage over a 4-byte UnsafeArrayData layout
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -69,7 +73,9 @@ object QuantizedDot {
 }
 
 /** `simhash48(hashes)` — majority-bit fingerprint of an int64 hash array. */
-final case class SimHash48(child: Expression) extends UnaryExpression {
+final case class SimHash48(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 

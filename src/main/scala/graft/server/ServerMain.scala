@@ -57,6 +57,9 @@ object ServerMain {
         .fold(b)(n => b.config("spark.sql.shuffle.partitions", n))
         .getOrCreate()
     }
+    // getOrCreate may have reused a pre-existing session, in which case the
+    // spark.sql.extensions config above never ran — register imperatively.
+    graft.GraftExtensions.register(spark)
 
     var server: GraftServer = null
     server = new GraftServer(

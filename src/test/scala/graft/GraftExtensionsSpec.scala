@@ -58,6 +58,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
       hs.select(SimHash48(col("h"))).as[Long].head())
   }
 
+  test("array<int> arguments coerce to array<bigint> (no silent garbage)") {
+    // Pre-fix these read 4-byte elements as 8-byte longs → garbage counts.
+    assert(spark.sql("SELECT sorted_intersect_count(array(1, 3), array(3)) AS n")
+      .collect().head.getLong(0) == 1L)
+    assert(spark.sql("SELECT quantized_dot(array(2, 3), array(4, 5)) AS d")
+      .collect().head.getLong(0) == 23L)
+    assert(spark.sql("SELECT simhash48(array(7, 7, 1)) AS s").collect().head.getLong(0) ==
+      spark.sql("SELECT simhash48(array(7L, 7L, 1L)) AS s").collect().head.getLong(0))
+    val viaInt = spark.sql("SELECT minhash_sig(array(17, 999), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    val viaLong = spark.sql("SELECT minhash_sig(array(17L, 999L), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(viaInt == viaLong)
+  }
+
+  test("wrong argument types fail analysis, not at runtime") {
+    val bad = Seq(
+      "SELECT sorted_intersect_count('oops', array(1L))",
+      "SELECT quantized_dot(array(1L), 42)",
+      "SELECT simhash48('nope')",
+      "SELECT substring_hashes(array('a'), 3, 1000)",
+      "SELECT string_hashes('scalar', 1000)")
+    bad.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+      assert(e.getMessage.toLowerCase.contains("type"), s"$sql: ${e.getMessage}")
+    }
+  }
+
+  test("out-of-int-range literals error instead of truncating") {
+    // 2^32+8 .toInt would silently become 8 / pass the [1,32] check
+    intercept[Exception] {
+      spark.sql(s"SELECT substring_hashes('abcdefgh', 4294967304, ${mod}L)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), 4294967304)").collect()
+    }
+  }
+
+  test("GraftExtensions.register is an idempotent imperative fallback") {
+    GraftExtensions.register(spark) // session already has them via extensions
+    GraftExtensions.register(spark) // re-register: overwrite, not error
+    assert(spark.sql("SELECT sorted_intersect_count(array(1L), array(1L)) AS n")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("non-literal width fails analysis instead of misbehaving") {
     val df = Seq(("abc", 2)).toDF("t", "w")
     val e = intercept[Exception] {
