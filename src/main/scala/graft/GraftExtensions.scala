@@ -110,6 +110,11 @@ object GraftExtensions {
       val args = arity(2, raw, "quantized_dot")
       QuantizedDot(args(0), args(1))
     },
+    // Σ (a(i)-b(i))² over two int64 quantized vectors
+    "quantized_l2sq" -> { raw =>
+      val args = arity(2, raw, "quantized_l2sq")
+      QuantizedL2Sq(args(0), args(1))
+    },
     // majority-bit 48-bit fingerprint of an int64 hash array
     "simhash48" -> { raw =>
       val args = arity(1, raw, "simhash48")

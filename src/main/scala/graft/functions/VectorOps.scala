@@ -23,6 +23,18 @@ object VectorKernel {
     acc
   }
 
+  /** Σ (a(i)-b(i))² over two int64 vectors (zip_with semantics: truncated
+    * to the shorter length). The PQ hot kernel — evaluated per (vector,
+    * subspace, centroid) during encoding and per (query, subspace, centroid)
+    * when building ADC tables; quantized components are ≤1e5 in magnitude so
+    * a 64-dim squared distance stays below 2^46, exact in int64. */
+  def l2sq(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var acc = 0L
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+
   /** 48-bit simhash of a hash multiset: bit b set iff a strict majority of
     * element hashes carry bit b. ONE pass over the array maintaining 48
     * counters — the composable `aggregate(sequence(0,47), ...)` spelling
@@ -70,6 +82,31 @@ final case class QuantizedDot(left: Expression, right: Expression)
 object QuantizedDot {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `quantized_l2sq(a, b)` — Σ (a(i)-b(i))² over two int64 vectors. */
+final case class QuantizedL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernel.l2sq($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedL2Sq {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** `simhash48(hashes)` — majority-bit fingerprint of an int64 hash array. */

@@ -150,7 +150,67 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** p31: TF-IDF top terms per document — the second classic two-pass text
+    * score after rare-token TF (p17): pass 1 builds global document
+    * frequencies, pass 2 scores each (doc, term) and ranks per document.
+    * IDF is the integer quotient `(N * 1e6) DIV df` instead of a log —
+    * rank-equivalent for fixed N, and exact in any engine (ln/log2 are not
+    * cross-engine ULP-stable). Corpus size N comes from a broadcast one-row
+    * aggregate, never a driver-side collect. Output restricted to the first
+    * [[TfIdfDocs]] docs (the per-doc ranking is the operator; the subset
+    * keeps the verified result bounded). */
+  val TfIdfScale = 1000000L
+  val TfIdfDocs  = 20
+  val TfIdfTopK  = 3
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_corpus"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.where(col("doc_id") < TfIdfDocs)
+      .join(dfreq, "tok") // global df joins the bounded tf side (broadcast-able)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr(s"(n_corpus * $TfIdfScale) DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   // ======================================================= deduplication
+
+  /** p30: repeated-span detection — the n-gram approximation of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": their suffix-array pass finds verbatim repeats;
+    * the fixed-width token-span variant is the shape that distributes).
+    * Every [[SpanLen]]-token window of every document, counted corpus-wide;
+    * spans occurring in ≥2 places are boilerplate/template candidates.
+    * Shape: explode (corpus × tokens rows) → one count shuffle with map-side
+    * partial aggregation; top spans by (freq, span) — a deterministic total
+    * order. */
+  val SpanLen  = 5
+  val SpanTopK = 20
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val mk = (0 until SpanLen).map(k => s"toks[i+$k]").mkString(", ")
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= SpanLen)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(toks) - $SpanLen), i -> concat_ws(' ', $mk))")).as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("freq") >= 2)
+      .orderBy(col("freq").desc, col("span").asc)
+      .limit(SpanTopK)
+  }
+
 
   /** p03: exact dedup by content hash — keep the lowest doc_id per md5(text)
     * group, report kept counts and surviving chars per source. At scale this
@@ -372,6 +432,34 @@ object PipelineOps {
       .select(col("source"), col("n_docs"), col("sum_tokens"), col("n_windows"),
         col("n_split_docs"), col("max_doc_tokens"), col("fill_ratio"))
       .orderBy("source")
+  }
+
+  /** p32: exact-quota stratified sampling — every (lang, source) stratum
+    * contributes exactly `ceil(n · rate)` documents (the mixture op p22 is
+    * RATE-based: each doc flips its own deterministic coin, so small strata
+    * drift from the target; eval sets and ablation corpora need exact
+    * quotas). The sample is the quota-many lowest md5-hash docs of each
+    * stratum — deterministic across runs, engines, and re-shards, and
+    * stable under corpus growth (a doc's rank only moves if new docs hash
+    * below it). Shape: one window over the stratum key (strata are many and
+    * independent, so the sort parallelizes; no global order anywhere). */
+  val StratRatePct = 20L
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val key = Window.partitionBy(col("lang"), col("source"))
+    val w = key.orderBy(col("h").asc, col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("h", expr(hex12("concat(lang, '|', source, '|', CAST(doc_id AS STRING))")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("quota", expr(s"(count(*) OVER (PARTITION BY lang, source) * $StratRatePct + 99) DIV 100"))
+      .withColumn("kept", col("rn") <= col("quota"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("sample_id_sum"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("sample_chars"))
+      .orderBy("lang", "source")
   }
 
   /** p22: domain-mixture resampling — downsample each source domain to a
@@ -817,6 +905,35 @@ object PipelineOps {
         count(lit(1)).as("n_sessions"),
         sum(col("duration_us")).as("sum_duration_us"))
       .orderBy("n_events")
+  }
+
+  /** p33: conversion-funnel analysis — per user, the first view, the first
+    * click at-or-after that view, and the first purchase at-or-after that
+    * click; users roll up by the deepest stage reached (1=view, 2=+click,
+    * 3=+purchase) with exact integer-µs stage-transition lag sums. Each
+    * stage is a groupBy on user_id + a key-aligned join — three passes, all
+    * shuffling on the same key (AQE reuses the exchange), never a window
+    * over the whole event stream. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tsu"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tsu")).as("v_ts"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("tsu") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("tsu")).as("c_ts"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("tsu") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("tsu")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("p_ts").isNotNull, 3L).when(col("c_ts").isNotNull, 2L).otherwise(1L))
+      .groupBy("stage")
+      .agg(
+        count(lit(1)).as("n_users"),
+        coalesce(sum(col("c_ts") - col("v_ts")), lit(0L)).as("sum_v2c_us"),
+        coalesce(sum(col("p_ts") - col("c_ts")), lit(0L)).as("sum_c2p_us"))
+      .orderBy("stage")
   }
 
   /** p27: BPE merge-candidate counting — the inner step of byte-pair-
