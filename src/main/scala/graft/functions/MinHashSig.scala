@@ -41,12 +41,16 @@ final case class MinHashSig(
     var i = 0
     val len = hashes.numElements()
     while (i < len) {
-      val h = hashes.getLong(i)
-      var j = 0
-      while (j < n) {
-        val v = (a(j) * h + b(j)) % p
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      // null slots are absent hashes, not zeros — reading getLong over a
+      // null UnsafeArrayData slot would fold undefined bytes into the minima
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < n) {
+          val v = (a(j) * h + b(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -68,6 +72,7 @@ final case class MinHashSig(
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |int ${i}_len = $hashes.numElements();
          |for (int $i = 0; $i < ${i}_len; $i++) {
+         |  if ($hashes.isNullAt($i)) continue;
          |  long $h = $hashes.getLong($i);
          |  for (int $j = 0; $j < $n; $j++) {
          |    long $v = ($aArr[$j] * $h + $bArr[$j]) % ${p}L;

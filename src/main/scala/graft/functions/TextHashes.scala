@@ -55,12 +55,17 @@ object TextHashKernel {
   def stringHashes(arr: ArrayData, mod: Long): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
-    var i = 0
+    var i = 0; var k = 0
     while (i < n) {
-      out(i) = hash48(arr.getUTF8String(i).getBytes, mod)
+      // null elements are dropped (no hash), matching the "nulls are
+      // absent, not empty strings" rule shared by all array kernels
+      if (!arr.isNullAt(i)) {
+        out(k) = hash48(arr.getUTF8String(i).getBytes, mod)
+        k += 1
+      }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (k == n) out else java.util.Arrays.copyOf(out, k))
   }
 
   /** |A ∩ B| of two ascending-sorted distinct long arrays: one merge walk,
@@ -71,10 +76,15 @@ object TextHashKernel {
     val n = a.numElements(); val m = b.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < n && j < m) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      // null slots can never match anything — skip without reading
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }

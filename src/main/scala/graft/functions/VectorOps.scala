@@ -14,12 +14,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * non-codegen'd HigherOrderFunction plumbing per ROW — in ANN scoring
   * that's per candidate pair, millions of times. One fused loop over the
   * two long arrays is the shape a native engine would emit. Results are
-  * bit-identical (same int64 arithmetic, same wrap semantics). */
+  * bit-identical (same int64 arithmetic, same wrap semantics).
+  *
+  * Null ELEMENTS (the array itself being null is handled by
+  * `nullIntolerant`) contribute zero: a null slot is skipped rather than
+  * read, because `getLong` over a null slot in UnsafeArrayData returns
+  * undefined bytes. For simhash the majority denominator counts only
+  * non-null elements — a null hash is absent, not a zero vote. */
 object VectorKernel {
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0; var acc = 0L
-    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -31,7 +40,12 @@ object VectorKernel {
   def l2sq(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0; var acc = 0L
-    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getLong(i) - b.getLong(i); acc += d * d
+      }
+      i += 1
+    }
     acc
   }
 
@@ -42,16 +56,19 @@ object VectorKernel {
   def simhash48(hashes: ArrayData): Long = {
     val n = hashes.numElements()
     val cnt = new Array[Int](48)
-    var i = 0
+    var i = 0; var nonNull = 0
     while (i < n) {
-      val h = hashes.getLong(i)
-      var b = 0
-      while (b < 48) { cnt(b) += ((h >> b) & 1L).toInt; b += 1 }
+      if (!hashes.isNullAt(i)) {
+        nonNull += 1
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 48) { cnt(b) += ((h >> b) & 1L).toInt; b += 1 }
+      }
       i += 1
     }
     var out = 0L
     var b = 0
-    while (b < 48) { if (2 * cnt(b) > n) out |= 1L << b; b += 1 }
+    while (b < 48) { if (2 * cnt(b) > nonNull) out |= 1L << b; b += 1 }
     out
   }
 }

@@ -158,7 +158,14 @@ object PipelineOps {
     * cross-engine ULP-stable). Corpus size N comes from a broadcast one-row
     * aggregate, never a driver-side collect. Output restricted to the first
     * [[TfIdfDocs]] docs (the per-doc ranking is the operator; the subset
-    * keeps the verified result bounded). */
+    * keeps the verified result bounded).
+    *
+    * Int64 bound: `score = tf · ((N · TfIdfScale) DIV df)` stays exact while
+    * `tf_max · N · TfIdfScale < 2^63` — with TfIdfScale = 10^6 and per-doc
+    * tf ≤ 10^4 that is corpora up to ~9×10^8 documents. Past that, lower
+    * [[TfIdfScale]] (rank order only needs enough idf resolution to split
+    * distinct df values: scale ≥ N suffices) or move the score to
+    * DECIMAL(38,0); Spark's non-ANSI int64 multiply wraps silently. */
   val TfIdfScale = 1000000L
   val TfIdfDocs  = 20
   val TfIdfTopK  = 3
@@ -1076,5 +1083,9 @@ object PipelineOps {
     "p26_interval"      -> intervalAttribution,
     "p27_bpe_merges"    -> bpeMerges,
     "p28_frame_sample"  -> frameSample,
-    "p29_kmv_distinct"  -> kmvDistinct)
+    "p29_kmv_distinct"  -> kmvDistinct,
+    "p30_dup_spans"     -> dupSpans,
+    "p31_tfidf"         -> tfidf,
+    "p32_strat_sample"  -> stratifiedSample,
+    "p33_funnel"        -> funnel)
 }

@@ -543,6 +543,82 @@ object PipelineOracles {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** p30: every SpanLen-token window counted corpus-wide; DuckDB's 1-based
+    * inclusive list slice `toks[i:i+4]` is Spark's 0-based
+    * `toks[i..i+SpanLen-1]`. */
+  private val p30 = {
+    val len = PipelineOps.SpanLen
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         unnest([array_to_string(toks[i:i+${len - 1}], ' ') FOR i IN range(1, len(toks) - ${len - 2})]) AS span
+       |  FROM t WHERE len(toks) >= $len)
+       |SELECT span, count(*)::BIGINT AS freq, count(DISTINCT doc_id)::BIGINT AS n_docs
+       |FROM s GROUP BY span HAVING count(*) >= 2
+       |ORDER BY freq DESC, span ASC LIMIT ${PipelineOps.SpanTopK}""".stripMargin
+  }
+
+  /** p31: integer-quotient idf — BIGINT `//` in DuckDB is Spark's `DIV`,
+    * so the score is the identical int64 on both sides. */
+  private val p31 = {
+    val scale = PipelineOps.TfIdfScale
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |n AS (SELECT count(*)::BIGINT AS n_corpus FROM documents),
+       |sc AS (
+       |  SELECT t.doc_id, t.tok, t.tf, d.df,
+       |         CAST(t.tf * ((n.n_corpus * $scale) // d.df) AS BIGINT) AS score
+       |  FROM tf t JOIN dfq d USING (tok) CROSS JOIN n
+       |  WHERE t.doc_id < ${PipelineOps.TfIdfDocs}),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+       |  FROM sc)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", tok, tf, df, score
+       |FROM r WHERE rnk <= ${PipelineOps.TfIdfTopK} ORDER BY doc_id, rnk""".stripMargin
+  }
+
+  /** p32: quota-many lowest-hash docs per (lang, source) stratum. */
+  private val p32 = {
+    val rate = PipelineOps.StratRatePct
+    s"""WITH t AS (
+       |  SELECT lang, source, doc_id, n_chars,
+       |         ${hex12("lang || '|' || source || '|' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY lang, source ORDER BY h ASC, doc_id ASC) AS rn,
+       |         (count(*) OVER (PARTITION BY lang, source) * $rate + 99) // 100 AS quota
+       |  FROM t)
+       |SELECT lang, source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN rn <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       |       CAST(sum(CASE WHEN rn <= quota THEN doc_id ELSE 0 END) AS BIGINT) AS sample_id_sum,
+       |       CAST(sum(CASE WHEN rn <= quota THEN n_chars ELSE 0 END) AS BIGINT) AS sample_chars
+       |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
+  /** p33: three stage aggregates chained by at-or-after joins; lags are
+    * exact integer microseconds (epoch_us == Spark's nanos DIV 1000). */
+  private val p33 =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |v AS (SELECT user_id, min(tsu) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.tsu) AS c_ts
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.tsu >= v.v_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.tsu) AS p_ts
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tsu >= c.c_ts GROUP BY e.user_id),
+      |s AS (
+      |  SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+      |         CASE WHEN p.p_ts IS NOT NULL THEN 3 WHEN c.c_ts IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |  FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id)
+      |SELECT CAST(stage AS BIGINT) AS stage, count(*)::BIGINT AS n_users,
+      |       CAST(coalesce(sum(c_ts - v_ts), 0) AS BIGINT) AS sum_v2c_us,
+      |       CAST(coalesce(sum(p_ts - c_ts), 0) AS BIGINT) AS sum_c2p_us
+      |FROM s GROUP BY stage ORDER BY stage""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -572,5 +648,9 @@ object PipelineOracles {
     "p26_interval"      -> p26,
     "p27_bpe_merges"    -> p27,
     "p28_frame_sample"  -> p28,
-    "p29_kmv_distinct"  -> p29)
+    "p29_kmv_distinct"  -> p29,
+    "p30_dup_spans"     -> p30,
+    "p31_tfidf"         -> p31,
+    "p32_strat_sample"  -> p32,
+    "p33_funnel"        -> p33)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.functions.{MinHashSig, QuantizedDot, SimHash48, SortedIntersectCount, StringHashes, SubstringHashes}
+import graft.functions.{MinHashSig, QuantizedDot, QuantizedL2Sq, SimHash48, SortedIntersectCount, StringHashes, SubstringHashes}
 import graft.pipeline.Hashing
 
 /** GraftExtensions registers the native expressions as SQL functions via
@@ -56,6 +56,54 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val hs = Seq(Seq(7L, 7L, 1L)).toDF("h")
     assert(hs.selectExpr("simhash48(h) AS s").as[Long].head() ==
       hs.select(SimHash48(col("h"))).as[Long].head())
+  }
+
+  test("quantized_l2sq SQL == Column API and computes Σ(a-b)²") {
+    val df = Seq((Seq(2L, -3L, 4L), Seq(5L, 7L, -1L))).toDF("a", "b")
+    // (2-5)² + (-3-7)² + (4-(-1))² = 9 + 100 + 25
+    assert(df.selectExpr("quantized_l2sq(a, b) AS d").as[Long].head() == 134L)
+    assert(df.selectExpr("quantized_l2sq(a, b) AS d").as[Long].head() ==
+      df.select(QuantizedL2Sq(col("a"), col("b"))).as[Long].head())
+    // zip_with semantics: truncated to the shorter length
+    assert(Seq((Seq(1L, 2L, 9L), Seq(4L))).toDF("a", "b")
+      .selectExpr("quantized_l2sq(a, b) AS d").as[Long].head() == 9L)
+    // array<int> coercion: same guard as its siblings
+    assert(spark.sql("SELECT quantized_l2sq(array(2, 3), array(4, 5)) AS d")
+      .collect().head.getLong(0) == 8L)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT quantized_l2sq(array(1L), 'oops')").collect())
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("null array ELEMENTS are skipped, never read as garbage bytes") {
+    // dot / l2sq: a null slot on either side contributes zero
+    val df = spark.sql(
+      "SELECT array(2L, NULL, 4L) AS a, array(5L, 7L, NULL) AS b")
+    assert(df.selectExpr("quantized_dot(a, b) AS d").collect().head.getLong(0) == 10L)
+    assert(df.selectExpr("quantized_l2sq(a, b) AS d").collect().head.getLong(0) == 9L)
+    // sorted_intersect_count: null slots match nothing
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L, NULL, 3L), array(NULL, 3L)) AS n")
+      .collect().head.getLong(0) == 1L)
+    // string_hashes: null strings are absent (shorter output), not hashed
+    val sh = spark.sql(
+      "SELECT string_hashes(array('alpha', NULL, 'beta'), 1000000L) AS h")
+      .collect().head.getSeq[Long](0)
+    val shDense = spark.sql(
+      "SELECT string_hashes(array('alpha', 'beta'), 1000000L) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(sh == shDense)
+    // minhash_sig: null hashes don't fold undefined bytes into the minima
+    val sig = spark.sql("SELECT minhash_sig(array(17L, NULL, 999L), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    val sigDense = spark.sql("SELECT minhash_sig(array(17L, 999L), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig == sigDense)
+    // simhash48: majority denominator counts only non-null elements
+    assert(spark.sql("SELECT simhash48(array(7L, NULL, 7L, 1L)) AS s")
+      .collect().head.getLong(0) ==
+      spark.sql("SELECT simhash48(array(7L, 7L, 1L)) AS s")
+        .collect().head.getLong(0))
   }
 
   test("array<int> arguments coerce to array<bigint> (no silent garbage)") {

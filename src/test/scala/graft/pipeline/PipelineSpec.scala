@@ -244,4 +244,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), "centroid assignment should broadcast")
   }
+
+  test("dup spans repeat at least twice, ranked by frequency") {
+    val rows = PipelineOps.dupSpans(spark, SfDir).collect()
+    assert(rows.nonEmpty && rows.length <= PipelineOps.SpanTopK)
+    rows.foreach { r =>
+      assert(r.getString(0).split(" ").length == PipelineOps.SpanLen)
+      assert(r.getLong(1) >= 2, "reported spans occur >= 2 times")
+      assert(r.getLong(2) <= r.getLong(1), "distinct docs bounded by occurrences")
+    }
+    val freqs = rows.map(_.getLong(1))
+    assert(freqs.sameElements(freqs.sorted(Ordering[Long].reverse)))
+  }
+
+  test("tfidf ranks top-k terms per doc with consistent tf/df") {
+    val rows = PipelineOps.tfidf(spark, SfDir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= PipelineOps.TfIdfTopK)
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+      // scores non-increasing down the ranks
+      val scores = rs.sortBy(_.getLong(1)).map(_.getLong(5))
+      assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(0) < PipelineOps.TfIdfDocs)
+      assert(r.getLong(3) >= 1 && r.getLong(4) >= 1, "tf and df positive")
+    }
+  }
+
+  test("stratified sample hits the exact ceil quota in every stratum") {
+    val rows = PipelineOps.stratifiedSample(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sample) = (r.getLong(2), r.getLong(3))
+      assert(sample == (n * PipelineOps.StratRatePct + 99) / 100,
+        s"stratum ${r.getString(0)}/${r.getString(1)} quota exact")
+    }
+    val again = PipelineOps.stratifiedSample(spark, SfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "deterministic")
+  }
+
+  test("funnel stages partition viewers, lags non-negative") {
+    val rows = PipelineOps.funnel(spark, SfDir).collect()
+    assert(rows.nonEmpty && rows.forall(r => Set(1L, 2L, 3L)(r.getLong(0))))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0, "at-or-after joins: lags >= 0")
+      if (r.getLong(0) == 1L) assert(r.getLong(2) == 0 && r.getLong(3) == 0)
+      if (r.getLong(0) == 2L) assert(r.getLong(3) == 0)
+    }
+  }
 }
