@@ -782,6 +782,61 @@ object PipelineOps {
       .orderBy("query_id", "rank")
   }
 
+  /** p34: product-quantization ANN (ADC scoring) — the memory-scale path
+    * past IVF: vectors split into [[PqSubspaces]] subspaces, each sub-vector
+    * replaced by the id of its nearest of [[PqCentroids]] codebook entries
+    * (codebook = the lowest-id vectors' sub-slices, the same deterministic
+    * stand-in for trained centers as p15's coarse quantizer — the
+    * encode/ADC machinery is the operator). A query never touches raw
+    * corpus vectors: it builds a (subspace × centroid) distance table from
+    * its own slices and scores every code word by table lookup — the
+    * asymmetric-distance computation of Jégou et al. 2011. At 100 TB the
+    * codes table is M bytes/vector instead of 4·dim, the ADC join
+    * broadcasts (queries × M × K rows), and the only corpus-sized shuffles
+    * are the encode groupBy and the per-query partial top-k; production
+    * composition is IVF (p15) to prune lists, then this to score them.
+    * All distances are exact int64 (quantized components ≤1e5, so a
+    * 16-wide subspace l2² ≤ 6.4e11 and the M-subspace ADC sum ≤ 2.6e12 —
+    * far inside 2^63), so ranks are engine-exact. */
+  val PqSubspaces = 4
+  val PqCentroids = 8
+  val PqTopK      = 5
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val d = EmbDim / PqSubspaces
+    // (id, m, sub): every vector exploded into its subspace slices
+    val sub = quantized(spark, dir)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    val cents = sub.where(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("cid"), col("m"), col("sub").as("subc"))
+    // per (vector, subspace, centroid) squared distance — native fused kernel
+    val dists = sub.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", graft.functions.QuantizedL2Sq(col("sub"), col("subc")))
+    // encode: nearest centroid per slot, ties to the lowest cid (struct min
+    // is a groupBy, not a window — map-side partial min per slot)
+    val codes = dists
+      .groupBy(col("vec_id").as("nbr_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("nbr_id"), col("m"), col("best.cid").as("cid"))
+    // ADC tables for the query set fall out of the same dists relation
+    val adc = dists.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+        col("dist").as("qdist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("nbr_id").asc)
+    codes.join(broadcast(adc), Seq("m", "cid"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .groupBy("query_id", "nbr_id")
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= PqTopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
     * minhash dedup. Candidates share a coarse 6-plane hyperplane bucket
     * (shuffle on the bucket key, never all-pairs); survivors are exact
@@ -1087,5 +1142,6 @@ object PipelineOps {
     "p30_dup_spans"     -> dupSpans,
     "p31_tfidf"         -> tfidf,
     "p32_strat_sample"  -> stratifiedSample,
-    "p33_funnel"        -> funnel)
+    "p33_funnel"        -> funnel,
+    "p34_ann_pq"        -> annPq)
 }

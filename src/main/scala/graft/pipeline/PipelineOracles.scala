@@ -619,6 +619,39 @@ object PipelineOracles {
       |       CAST(coalesce(sum(p_ts - c_ts), 0) AS BIGINT) AS sum_c2p_us
       |FROM s GROUP BY stage ORDER BY stage""".stripMargin
 
+  /** p34: PQ encode + ADC scoring — DuckDB's 1-based inclusive slice
+    * `q[a:b]` mirrors Spark's `slice(q, a, len)`; distances are exact int64
+    * on both sides so ranks can't flap. */
+  private val p34 = {
+    val m = PipelineOps.PqSubspaces
+    val d = Hashing.EmbDim / m
+    s"""$quantCte,
+       |mm AS (SELECT unnest(range(0, $m)) AS m),
+       |sub AS (SELECT vec_id, m, q[(m*$d+1)::INT:(m*$d+$d)::INT] AS sub FROM n CROSS JOIN mm),
+       |cents AS (SELECT vec_id AS cid, m, sub AS subc FROM sub WHERE vec_id < ${PipelineOps.PqCentroids}),
+       |dists AS (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |         CAST(list_sum([(x[1]-x[2])*(x[1]-x[2]) FOR x IN list_zip(s.sub, c.subc)]) AS BIGINT) AS dist
+       |  FROM sub s JOIN cents c ON s.m = c.m),
+       |codes AS (
+       |  SELECT vec_id AS nbr_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |adc AS (SELECT vec_id AS query_id, m, cid, dist AS qdist FROM dists WHERE vec_id < 10),
+       |approx AS (
+       |  SELECT a.query_id, c.nbr_id, CAST(sum(a.qdist) AS BIGINT) AS adist
+       |  FROM codes c JOIN adc a ON c.m = a.m AND c.cid = a.cid
+       |  WHERE a.query_id <> c.nbr_id
+       |  GROUP BY a.query_id, c.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, nbr_id ASC) AS rnk
+       |  FROM approx)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", nbr_id, adist
+       |FROM ranked WHERE rnk <= ${PipelineOps.PqTopK} ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -652,5 +685,6 @@ object PipelineOracles {
     "p30_dup_spans"     -> p30,
     "p31_tfidf"         -> p31,
     "p32_strat_sample"  -> p32,
-    "p33_funnel"        -> p33)
+    "p33_funnel"        -> p33,
+    "p34_ann_pq"        -> p34)
 }

@@ -285,6 +285,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "deterministic")
   }
 
+  test("pq ann: ranked ADC neighbors, distances non-decreasing, self-free") {
+    val df = PipelineOps.annPq(spark, SfDir)
+    val rows = df.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet.forall(_ < 10))
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.length == PipelineOps.PqTopK)
+      assert(rs.forall(_.getLong(2) != qid), "self excluded")
+      val dists = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(dists.sameElements(dists.sorted), "ADC distance ascends with rank")
+      assert(dists.forall(_ >= 0L))
+    }
+    // the ADC table must broadcast — a corpus-sized shuffle to meet a
+    // queries×M×K table would be the wrong plan at any scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "ADC lookup should broadcast")
+  }
+
   test("funnel stages partition viewers, lags non-negative") {
     val rows = PipelineOps.funnel(spark, SfDir).collect()
     assert(rows.nonEmpty && rows.forall(r => Set(1L, 2L, 3L)(r.getLong(0))))
