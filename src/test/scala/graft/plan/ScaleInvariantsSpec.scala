@@ -69,4 +69,38 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       measures = Seq(mea("Quantity"))))
     assert(p.contains("LeftSemi"), p.take(800))
   }
+
+  test("tfidf: corpus-wide df never cross-joins; corpus count broadcasts") {
+    val p = graft.pipeline.PipelineOps.tfidf(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the one-row n_corpus aggregate must broadcast, never shuffle the
+    // scored side to meet it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "n_corpus should broadcast")
+  }
+
+  test("stratified sample: windows partition by the stratum key, never empty") {
+    val df = graft.pipeline.PipelineOps.stratifiedSample(spark, SfDir)
+    val windows = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window")).mkString("\n")
+    // an empty partitionBy would funnel the corpus through one task
+    assert(!windows.contains("windowspecdefinition()"), windows)
+  }
+
+  test("funnel: three stage aggregations, no Window over the event stream") {
+    val p = graft.pipeline.PipelineOps.funnel(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "stages are groupBys, not stream-wide windows")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("pq ann: encode is a partial-agg groupBy; no cross join anywhere") {
+    val p = graft.pipeline.PipelineOps.annPq(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // struct-min encode must run as hash aggregate with map-side partials,
+    // not a row_number window per (vector, subspace)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
 }
