@@ -499,49 +499,70 @@ object PipelineOps {
   /** p23: near-dup cluster formation — connected components over the
     * verified trigram-Jaccard pair graph ([[ngramJaccard]]), so "A~B, B~C"
     * collapses into one keep-group even when A and C were never paired
-    * directly. Computed by iterative min-label propagation: every node
-    * starts as its own label and repeatedly takes the min of its neighbors'
-    * labels until a fixpoint — the standard Spark CC shape (each iteration
-    * is one shuffle over the edge list; lineage is truncated per iteration
-    * with an eager localCheckpoint, without which the plan doubles each
-    * round). Converges in O(component diameter) rounds; dedup components
-    * are near-cliques, so the bound is small at any corpus size (for
-    * path-shaped graphs the two-phase large-star/small-star variant drops
-    * it to O(log n)). The driver-side loop only ever collects a one-row
-    * convergence flag, never data. */
+    * directly. See [[connectedComponents]] for the algorithm and scale
+    * analysis. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
       .orderBy("cluster_id")
 
-  /** Connected components of an undirected pair graph by min-label
-    * propagation (see [[dupClusters]] for the scale analysis). Input: two
-    * int64 columns, one row per edge; output: (node, label) with label = the
-    * component's minimum node id. Isolated nodes don't appear (every input
-    * node has ≥ 1 edge). */
+  /** Connected components of an undirected pair graph by alternating
+    * large-star/small-star contraction (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"). Input: two int64 columns, one
+    * row per edge; output: (node, label) with label = the component's
+    * minimum node id. Isolated nodes don't appear (every input node has
+    * ≥ 1 edge).
+    *
+    * Why not min-label propagation: that converges in O(component
+    * diameter) rounds, and dup graphs at corpus scale DO grow long chains
+    * (a template drifting across scrape snapshots pairs A~A'~A''~… without
+    * ever pairing the endpoints) — a 1000-hop chain would be 1000 full-
+    * edge-list shuffles. Star contraction halves long paths every round:
+    * O(log n) rounds on ANY graph shape. Each round is two groupBy+join
+    * passes over the (always ≤ input-sized) edge list; lineage is
+    * truncated per round with an eager localCheckpoint, without which the
+    * plan doubles each round. The driver-side loop only ever collects
+    * one-row convergence counts, never data. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val nodes = pairs.select(a.as("node")).union(pairs.select(b.as("node")))
+      .distinct().localCheckpoint(true)
+    // orient every edge (u > v), drop self-loops; the invariant u > v is
+    // preserved by both phases below (they always emit (x, min-below-x))
+    var edges = pairs.select(a.as("x"), b.as("y")).where(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint(true)
+
     var converged = false
     var iter = 0
-    while (!converged && iter < 50) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    while (!converged && iter < 35) { // 2^35 nodes >> any corpus; never binding
+      // large-star: every neighbor larger than u re-attaches to
+      // m = min(Γ(u) ∪ {u}) — long paths halve here
+      val dir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lMin = dir.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = dir.join(lMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: u and all its smaller neighbors attach to their min
+      val sMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = ls.join(sMin, "u")
+      val next = withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      converged = stepped.where(col("label") =!= col("old")).limit(1).count() == 0
-      labels = stepped.select(col("node"), col("label"))
+      // fixpoint: the oriented edge set stopped changing (counts first —
+      // cheap — then an except probe only when counts agree)
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
       iter += 1
     }
-    labels
+    // converged form is a star per component: (node → root) for every
+    // non-root; roots label themselves
+    nodes.join(edges, nodes("node") === edges("u"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("label"))
   }
 
   /** p24: one k-means (Lloyd) refinement step over cosine similarity — the

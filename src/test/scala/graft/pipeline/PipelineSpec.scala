@@ -221,6 +221,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components matches union-find on adversarial graph shapes") {
+    import spark.implicits._
+    // long chain (the shape min-label propagation pays O(n) rounds for),
+    // a clique, a binary tree, and deterministic pseudo-random edges
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val clique = for (i <- 100L to 107L; j <- (i + 1) to 107L) yield (i, j)
+    val tree = (2L to 31L).map(i => (i / 2 + 200, i + 200))
+    val rand = (0 until 60).map { k =>
+      val h1 = Hashing.md5Long(s"cc-a-$k", 12); val h2 = Hashing.md5Long(s"cc-b-$k", 12)
+      (300L + (h1 % 50 + 50) % 50, 300L + (h2 % 50 + 50) % 50)
+    }.filter { case (x, y) => x != y }
+    val edges = chain ++ clique ++ tree ++ rand
+
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+
+    val got = PipelineOps.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("dup clusters partition the paired docs, min id leads each cluster") {
     val pairs = PipelineOps.ngramJaccard(spark, SfDir).collect()
     val paired = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
