@@ -994,9 +994,10 @@ object PipelineOps {
     * click at-or-after that view, and the first purchase at-or-after that
     * click; users roll up by the deepest stage reached (1=view, 2=+click,
     * 3=+purchase) with exact integer-µs stage-transition lag sums. Each
-    * stage is a groupBy on user_id + a key-aligned join — three passes, all
-    * shuffling on the same key (AQE reuses the exchange), never a window
-    * over the whole event stream. */
+    * stage is a groupBy on user_id + a key-aligned join — every shuffle in
+    * the plan hashes the same key and is bounded by the user count (the
+    * stage inputs differ, so the exchanges are distinct, just key-aligned);
+    * never a window over the whole event stream. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tsu"))
