@@ -120,7 +120,17 @@ final class GraftServer(
 
   private def handle(ex: HttpExchange): Unit =
     try {
-      val path = ex.getRequestURI.getPath
+      // format-less routes take the reference's defaults: core routes CSV
+      // (handlers/aggregate.rs:37, metadata.rs:83), logic-layer routes
+      // jsonrecords (logic_layer/aggregate.rs:58, metadata.rs:33,
+      // relations.rs:33, diagnosis.rs:34)
+      val rawPath = ex.getRequestURI.getPath
+      val path = rawPath match {
+        case "/data" | "/members" | "/relations" | "/diagnosis" => rawPath + ".jsonrecords"
+        case p if p.matches("^/cubes/[^/]+/(aggregate|members)$") => p + ".csv"
+        case p if p.matches("^/cubes/[^/]+/diagnosis$") => p + ".jsonrecords"
+        case p => p
+      }
       val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val token = Option(ex.getRequestHeaders.getFirst("x-tesseract-jwt-token"))
         .orElse(params.get("token").flatMap(_.headOption))

@@ -51,6 +51,19 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     (resp.statusCode(), resp.body())
   }
 
+  test("format-less routes serve the reference defaults (csv / jsonrecords)") {
+    val q = "drilldowns=Geography.Region&measures=Quantity"
+    val bare = get(s"/cubes/Sales/aggregate?$q")
+    val csv = get(s"/cubes/Sales/aggregate.csv?$q")
+    assert(bare._1 == 200 && bare._2 == csv._2, bare._2.take(200))
+    val llBare = get(s"/data?cube=Sales&$q")
+    val llJr = get(s"/data.jsonrecords?cube=Sales&$q")
+    assert(llBare._1 == 200 && llBare._2 == llJr._2, llBare._2.take(200))
+    val mBare = get("/cubes/Sales/members?level=Geography.Region")
+    val mCsv = get("/cubes/Sales/members.csv?level=Geography.Region")
+    assert(mBare._1 == 200 && mBare._2 == mCsv._2)
+  }
+
   test("index route reports status") {
     val (code, body) = get("/")
     assert(code == 200)
