@@ -85,6 +85,48 @@ object EventStream {
         col("p_ts"), col("v_ts"), col("value"))
   }
 
+  final case class FunnelState(vTs: Long, cTs: Long, pTs: Long)
+  final case class FunnelProgress(
+      user_id: Long, stage: Long, v2c_ms: Long, c2p_ms: Long)
+
+  /** Streaming conversion funnel — the incremental twin of the batch
+    * operator (PipelineOps.funnel / p33): per user, the first view, the
+    * first click at-or-after it, the first purchase at-or-after that,
+    * emitted as the user's current deepest stage each trigger
+    * (KeyValueGroupedDataset.mapGroupsWithState, update mode).
+    *
+    * State is three int64 timestamps per user — bytes, not buffered events
+    * — so it never grows with traffic, only with the user population (the
+    * property that makes a funnel streamable at all; buffering events per
+    * user would be watermark-unbounded). Matches the batch result exactly
+    * when each user's events arrive in event-time order across triggers
+    * (within a trigger they are sorted here); an out-of-order view arriving
+    * AFTER a later view was recorded re-anchors nothing — the incremental
+    * trade every streaming funnel makes. */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) => {
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view"     if s.vTs < 0 => s = s.copy(vTs = t)
+              case "click"    if s.vTs >= 0 && s.cTs < 0 && t >= s.vTs => s = s.copy(cTs = t)
+              case "purchase" if s.cTs >= 0 && s.pTs < 0 && t >= s.cTs => s = s.copy(pTs = t)
+              case _ => // wrong order for the funnel, or stage already filled
+            }
+          }
+          state.update(s)
+          val stage = if (s.pTs >= 0) 3L else if (s.cTs >= 0) 2L else if (s.vTs >= 0) 1L else 0L
+          FunnelProgress(userId, stage,
+            if (s.cTs >= 0) s.cTs - s.vTs else 0L,
+            if (s.pTs >= 0) s.pTs - s.cTs else 0L)
+        })
+  }
+
   /** Session gap in event time. */
   val SessionGapMs: Long = 30 * 60 * 1000L
 

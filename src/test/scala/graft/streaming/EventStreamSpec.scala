@@ -114,6 +114,54 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matches a reference fold of the real event stream") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // real events, delivered per user in event-time order (the contract
+    // under which the incremental funnel is exact), split into two triggers
+    val evs = spark.read.schema(EventStream.eventSchema)
+      .parquet(s"$SfDir/events.parquet")
+      .collect()
+      .map(r => EventStream.Event(r.getLong(2),
+        new Timestamp(r.getLong(1) / 1000000L), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.user_id, e.ts.getTime))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelStages(input.toDS()).writeStream
+      .format("memory").queryName("funnel_stages").outputMode("update").start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      // update mode emits one row per (user, trigger); the last one wins
+      val got = spark.table("funnel_stages")
+        .withColumn("seq", monotonically_increasing_id())
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+        .map { case (u, (_, st, v2c, c2p)) => (u, st, v2c, c2p) }.toSet
+
+      // driver-side reference: the same first-view/at-or-after machine
+      val want = evs.groupBy(_.user_id).map { case (u, es) =>
+        var (v, c, p) = (-1L, -1L, -1L)
+        es.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          e.event_type match {
+            case "view"     if v < 0 => v = t
+            case "click"    if v >= 0 && c < 0 && t >= v => c = t
+            case "purchase" if c >= 0 && p < 0 && t >= c => p = t
+            case _ =>
+          }
+        }
+        val stage = if (p >= 0) 3L else if (c >= 0) 2L else if (v >= 0) 1L else 0L
+        (u, stage, if (c >= 0) c - v else 0L, if (p >= 0) p - c else 0L)
+      }.toSet
+      assert(got == want)
+      assert(want.exists(_._2 == 3L), "fixture should have full conversions")
+    } finally q.stop()
+  }
+
   test("sessionization merges within the gap and splits across it") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
