@@ -536,6 +536,7 @@ object PipelineOps {
 
     var converged = false
     var iter = 0
+    var edgeCount = edges.count() // memoized across rounds: one count job each
     while (!converged && iter < 35) { // 2^35 nodes >> any corpus; never binding
       // large-star: every neighbor larger than u re-attaches to
       // m = min(Γ(u) ∪ {u}) — long paths halve here
@@ -554,9 +555,11 @@ object PipelineOps {
         .localCheckpoint(true)
       // fixpoint: the oriented edge set stopped changing (counts first —
       // cheap — then an except probe only when counts agree)
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.except(edges).limit(1).count() == 0
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     // converged form is a star per component: (node → root) for every

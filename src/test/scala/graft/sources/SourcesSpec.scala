@@ -114,4 +114,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(s"$tmp/corpus")).toArray
       .map(_.toString).exists(_.contains("lang=")), "hive-style partition dirs")
   }
+
+  test("year-partitioned fact: year cuts become partition filters, results unchanged") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB layout: the fact lands date-partitioned, so time cuts
+    // prune whole directories instead of row-filtering every file
+    val tmp = Files.createTempDirectory("graft_part").toString
+    spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .withColumn("l_shipyear", year(col("l_shipdate")).cast("long"))
+      .write.mode("overwrite").partitionBy("l_shipyear").parquet(s"$tmp/lineitem")
+
+    val base = new TpchStar.Resolver(SfDir)
+    val partRes = new graft.plan.TableResolver {
+      def resolve(s: org.apache.spark.sql.SparkSession, t: TableDef) = t.name match {
+        case "lineitem" =>
+          // partition-column values read back as int; planner cuts are long
+          s.read.parquet(s"$tmp/lineitem")
+            .withColumn("l_shipyear", col("l_shipyear").cast("long"))
+            .withColumn("l_shipmonth", month(col("l_shipdate")).cast("long"))
+            .withColumn("l_price_dec", col("l_extendedprice").cast("decimal(18,6)"))
+            .withColumn("l_qty_dec", col("l_quantity").cast("decimal(12,6)"))
+            .withColumn("l_disc_dec", col("l_discount").cast("decimal(8,6)"))
+            .withColumn("l_tax_dec", col("l_tax").cast("decimal(8,6)"))
+        case _ => base.resolve(s, t)
+      }
+    }
+    val yearQ = CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      cuts = Seq(CutSpec.parse("Ship Date.Year.1996").fold(die, identity)),
+      measures = Seq(mea("Quantity")))
+    val partPlanner = new CubePlanner(TpchStar.salesCube, partRes)
+    val df = partPlanner.plan(spark, yearQ)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("l_shipyear"), s"year cut must prune partitions:\n$pf")
+
+    val want = TpchStar.planner(SfDir).plan(spark, yearQ).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq == want.toSeq)
+  }
 }
