@@ -300,6 +300,13 @@ object SparkEntry {
       growth = Some(growthQ("Ship Date.Year,Quantity")),
       filters = Seq(filterQ("growth.lt.0")),
       sort = Some(SortQuery.parse("growth.asc").fold(die, identity)))),
+    // #17 degenerate: ONLY the time drilldown — the growth window has no
+    // partition keys and runs in one task, safe by construction because the
+    // input is already aggregated to the time grain (periods, not facts)
+    "q48_growth_timeonly" -> run(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      growth = Some(growthQ("Ship Date.Year,Quantity")))),
     // #17 with a two-level time hierarchy: lag runs over (Year, Month)
     "q40_growth_month" -> run(CubeQuery(
       drilldowns = Seq(drill("Ship Date.Year"), drill("Ship Date.Month"), drill("Return Flag.Return Flag")),
@@ -438,6 +445,8 @@ object SparkEntry {
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS __rca_a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", __rca_a, sum(__rca_a) OVER (PARTITION BY "Brand") AS __rca_b, sum(__rca_a) OVER (PARTITION BY "Nation ID") AS __rca_c, sum(__rca_a) OVER () AS __rca_d, "Quantity" FROM a) SELECT "Nation ID", "Nation", "Brand", __rca_a, __rca_b, __rca_c, __rca_d, (__rca_a / __rca_b) / (__rca_c / __rca_d) AS "Quantity RCA", "Quantity" FROM g ORDER BY "Nation ID", "Nation", "Brand"""",
     "q39_growth_filter" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Nation ID" ORDER BY "Year")) SELECT * FROM g WHERE "Quantity Growth" < 0 ORDER BY "Quantity Growth" ASC, "Nation ID", "Nation", "Year"""",
+    "q48_growth_timeonly" ->
+      """WITH a AS (SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1) SELECT "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (ORDER BY "Year") ORDER BY "Year"""",
     "q40_growth_month" ->
       """WITH a AS (SELECT l_returnflag AS "Return Flag", year(l_shipdate) AS "Year", month(l_shipdate) AS "Month", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1, 2, 3) SELECT "Return Flag", "Year", "Month", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Return Flag" ORDER BY "Year", "Month") ORDER BY "Return Flag", "Year", "Month"""",
     "q41_top_rca" ->
