@@ -101,6 +101,18 @@ class LogicLayerSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == maxYear.toLong)
   }
 
+  test("time=oldest cuts to the earliest member") {
+    val df = ll.plan(spark, LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      time = Some((ln("Ship Date.Year"), "oldest"))))
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val minYear = spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .selectExpr("min(year(l_shipdate))").head().getInt(0)
+    assert(rows.head.getLong(0) == minYear.toLong)
+  }
+
   test("children cut op equals direct cut on the child members") {
     val viaOp = ll.plan(spark, LogicLayerQuery(
       drilldowns = Seq(drill("Geography.Nation")),
