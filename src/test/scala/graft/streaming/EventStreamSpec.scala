@@ -134,13 +134,14 @@ class EventStreamSpec extends AnyFunSuite {
     try {
       input.addData(b1.toSeq: _*); q.processAllAvailable()
       input.addData(b2.toSeq: _*); q.processAllAvailable()
-      // update mode emits one row per (user, trigger); the last one wins
+      // update mode emits one row per (user, trigger); the machine is
+      // monotone (stage only deepens, lags are set-once), so the deepest
+      // stage IS the final state — no reliance on sink scan order
       val got = spark.table("funnel_stages")
-        .withColumn("seq", monotonically_increasing_id())
         .collect()
-        .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2), r.getLong(3))))
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
-        .map { case (u, (_, st, v2c, c2p)) => (u, st, v2c, c2p) }.toSet
+        .map { case (u, (st, v2c, c2p)) => (u, st, v2c, c2p) }.toSet
 
       // driver-side reference: the same first-view/at-or-after machine
       val want = evs.groupBy(_.user_id).map { case (u, es) =>
