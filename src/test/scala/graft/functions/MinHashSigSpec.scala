@@ -49,6 +49,24 @@ class MinHashSigSpec extends AnyFunSuite {
       .withColumn("sig", MinHashSig(col("hs"), minhashA, minhashB, P))
     assert(df.collect().head.getSeq[Long](1).forall(_ == Long.MaxValue))
   }
+
+  test("interpreted eval matches codegen with null slots (both skip, never read)") {
+    // the null guard lives in two separate implementations — the Scala
+    // kernel and the generated Java — so equality here is a real check
+    val viaCodegen = spark.sql("SELECT minhash_sig(array(5L, NULL, 7L)) AS s")
+      .collect().head.getSeq[Long](0)
+    val e = MinHashSig(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("hs")), minhashA, minhashB, P)
+    val interpreted = e.nullSafeEval(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](5L, null, 7L)))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .toLongArray().toSeq
+    assert(viaCodegen == interpreted)
+    val dense = spark.sql("SELECT minhash_sig(array(5L, 7L)) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(viaCodegen == dense, "null slot contributes nothing")
+  }
 }
 
 class TextHashesSpec extends AnyFunSuite {
