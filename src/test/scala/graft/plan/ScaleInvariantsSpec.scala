@@ -95,6 +95,20 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("hot aggregation path stays inside whole-stage codegen") {
+    val df = planner.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Return Flag.Return Flag")),
+      measures = Seq(mea("Quantity"), mea("Revenue"))))
+    val p = df.queryExecution.executedPlan.toString
+    // scan → project → partial agg must be fused; a non-codegen Expression
+    // in a measure would break the span and run row-at-a-time
+    assert(p.contains("WholeStageCodegen"), p.take(800))
+    // the native dedup/ANN kernels must also stay codegen'd
+    val pq = graft.pipeline.PipelineOps.annPq(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(pq.contains("WholeStageCodegen"), pq.take(800))
+  }
+
   test("pq ann: encode is a partial-agg groupBy; no cross join anywhere") {
     val p = graft.pipeline.PipelineOps.annPq(spark, SfDir)
       .queryExecution.executedPlan.toString
