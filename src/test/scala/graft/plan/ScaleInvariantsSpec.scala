@@ -99,14 +99,22 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     val df = planner.plan(spark, CubeQuery(
       drilldowns = Seq(drill("Return Flag.Return Flag")),
       measures = Seq(mea("Quantity"), mea("Revenue"))))
+    // under AQE the codegen annotation only exists on the FINAL plan —
+    // execute first, then read the adaptive plan's string
+    df.collect()
     val p = df.queryExecution.executedPlan.toString
     // scan → project → partial agg must be fused; a non-codegen Expression
-    // in a measure would break the span and run row-at-a-time
-    assert(p.contains("WholeStageCodegen"), p.take(800))
+    // in a measure would break the span and run row-at-a-time. In the
+    // simple plan format a whole-stage-codegen span prints as a `*(n)`
+    // prefix on its operators.
+    assert(p.contains("isFinalPlan=true") && p.contains("*(1)"), p.take(1200))
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")),
+      "aggregation must sit inside a codegen span:\n" + p.take(1200))
     // the native dedup/ANN kernels must also stay codegen'd
-    val pq = graft.pipeline.PipelineOps.annPq(spark, SfDir)
-      .queryExecution.executedPlan.toString
-    assert(pq.contains("WholeStageCodegen"), pq.take(800))
+    val pqDf = graft.pipeline.PipelineOps.annPq(spark, SfDir)
+    pqDf.collect()
+    val pq = pqDf.queryExecution.executedPlan.toString
+    assert(pq.contains("*(1)"), pq.take(1200))
   }
 
   test("pq ann: encode is a partial-agg groupBy; no cross join anywhere") {
