@@ -322,6 +322,28 @@ object SparkEntry {
         cuts = Seq(cut("Geography.Region.1,3")),
         measures = Seq(mea("Quantity"), mea("Weighted Discount"))))
     }),
+    // #23: multi-hierarchy dimension — drilling and cutting the NON-default
+    // hierarchy must select it by name (reference schema.rs:395-404 +
+    // default-hierarchy resolution lib.rs:94-151); the default-hierarchy
+    // semijoin for the absent-dim case is PlannerSpec's
+    "q49_multi_hierarchy" -> ((spark: SparkSession, sfDir: String) => {
+      val mh = Cube("SalesMH", TableDef("lineitem"), Seq(
+        Dimension("Ship Time", foreignKey = None, dimType = DimensionType.Time,
+          defaultHierarchy = Some("By Year"),
+          hierarchies = Seq(
+            Hierarchy("By Year", primaryKey = "l_shipyear",
+              levels = Seq(Level("Year", "l_shipyear", keyType = MemberType.NonText))),
+            Hierarchy("By Month", primaryKey = "l_shipmonth",
+              levels = Seq(Level("Month", "l_shipmonth", keyType = MemberType.NonText))))),
+        Dimension("Return Flag", foreignKey = None,
+          hierarchies = Seq(Hierarchy("Return Flag", primaryKey = "l_returnflag",
+            levels = Seq(Level("Return Flag", "l_returnflag")))))),
+        Seq(Measure("Quantity", "l_quantity", Aggregator.Sum)))
+      new CubePlanner(mh, new TpchStar.Resolver(sfDir)).plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Ship Time.By Month.Month"), drill("Return Flag.Return Flag")),
+        cuts = Seq(cut("Ship Time.By Month.Month.1,2,3")),
+        measures = Seq(mea("Quantity"))))
+    }),
     // §2.2: grouped median + custom-template measure in ONE query — the
     // two-pass frame joins a parallel single-pass custom aggregate at the
     // drill grain (the reference's pass-2 Custom is half-implemented and
@@ -445,6 +467,8 @@ object SparkEntry {
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS __rca_a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", __rca_a, sum(__rca_a) OVER (PARTITION BY "Brand") AS __rca_b, sum(__rca_a) OVER (PARTITION BY "Nation ID") AS __rca_c, sum(__rca_a) OVER () AS __rca_d, "Quantity" FROM a) SELECT "Nation ID", "Nation", "Brand", __rca_a, __rca_b, __rca_c, __rca_d, (__rca_a / __rca_b) / (__rca_c / __rca_d) AS "Quantity RCA", "Quantity" FROM g ORDER BY "Nation ID", "Nation", "Brand"""",
     "q39_growth_filter" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Nation ID" ORDER BY "Year")) SELECT * FROM g WHERE "Quantity Growth" < 0 ORDER BY "Quantity Growth" ASC, "Nation ID", "Nation", "Year"""",
+    "q49_multi_hierarchy" ->
+      """SELECT month(l_shipdate) AS "Month", l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity" FROM lineitem WHERE month(l_shipdate) IN (1, 2, 3) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q48_growth_timeonly" ->
       """WITH a AS (SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1) SELECT "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (ORDER BY "Year") ORDER BY "Year"""",
     "q40_growth_month" ->
