@@ -278,6 +278,12 @@ object PipelineOps {
     // near-dups agree on several of the 16 bands, so dropping the hot ones
     // loses no verified pairs (measured at sf0.01 and sf0.1) while bounding
     // worst-case candidate count — the LSH analogue of skew salting.
+    // Contract: a near-IDENTICAL clique larger than MaxBucketSize overflows
+    // every one of its band buckets and yields no pairs from this operator
+    // — by design. Exact duplicates belong to exactDedup (p03, run first in
+    // any real pipeline), and >64-sized shared-template clusters are the
+    // O(n²)-pair case no pairwise operator should enumerate; cluster-level
+    // dedup (p23) is the right consumer there.
     val bw = Window.partitionBy(col("band"), col("bkey"))
     val pruned = banded
       .withColumn("cnt", count(lit(1)).over(bw))
