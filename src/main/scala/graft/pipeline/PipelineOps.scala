@@ -197,25 +197,42 @@ object PipelineOps {
     * the fixed-width token-span variant is the shape that distributes).
     * Every [[SpanLen]]-token window of every document, counted corpus-wide;
     * spans occurring in ≥2 places are boilerplate/template candidates.
-    * Shape: explode (corpus × tokens rows) → one count shuffle with map-side
-    * partial aggregation; top spans by (freq, span) — a deterministic total
-    * order. */
+    * Shape: explode (corpus × tokens rows) → ONE count shuffle keyed on the
+    * spans' int64 hash (map-side partial aggregation; the raw text never
+    * shuffles) → span text joined back for the ~top-K candidates only via a
+    * broadcast; top spans by (freq, span) — a deterministic total order. */
   val SpanLen  = 5
   val SpanTopK = 20
 
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val mk = (0 until SpanLen).map(k => s"toks[i+$k]").mkString(", ")
-    docs(spark, dir)
+    val spans = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, size(toks) - $SpanLen), i -> concat_ws(' ', $mk))")).as("span"))
-      .groupBy("span")
+      .withColumn("h", xxhash64(col("span")))
+    // the corpus-wide count shuffles int64 hash keys, never the span text
+    // (~5-10× fewer shuffle bytes); distinct spans colliding on the 64-bit
+    // hash would merge counts — negligible below ~4B distinct spans and
+    // deterministic (min-span text wins) beyond
+    val counts = spans.groupBy("h")
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
       .where(col("freq") >= 2)
+    // K-th-highest frequency (TakeOrdered, one row) bounds the candidate
+    // set; >= keeps every span tied at the cutoff, a superset of the top-K
+    val cutoff = counts.orderBy(col("freq").desc).limit(SpanTopK)
+      .agg(coalesce(min(col("freq")), lit(Long.MaxValue)).as("fmin"))
+    val cand = counts.crossJoin(broadcast(cutoff)).where(col("freq") >= col("fmin"))
+    // span text rejoins for the ~K candidates only: cand broadcasts, so the
+    // corpus side filters map-side — no text ever shuffles
+    spans.join(broadcast(cand), "h")
+      .groupBy(col("h"), col("freq"), col("n_docs"))
+      .agg(min(col("span")).as("span"))
       .orderBy(col("freq").desc, col("span").asc)
       .limit(SpanTopK)
+      .select(col("span"), col("freq"), col("n_docs"))
   }
 
 
@@ -524,8 +541,9 @@ object PipelineOps {
     * diameter) rounds, and dup graphs at corpus scale DO grow long chains
     * (a template drifting across scrape snapshots pairs A~A'~A''~… without
     * ever pairing the endpoints) — a 1000-hop chain would be 1000 full-
-    * edge-list shuffles. Star contraction halves long paths every round:
-    * O(log n) rounds on ANY graph shape. Each round is two groupBy+join
+    * edge-list shuffles. Alternating star contraction contracts long paths
+    * geometrically: the proven round bound is O(log² n) on any graph shape
+    * (observed ~log n in practice). Each round is two groupBy+join
     * passes over the (always ≤ input-sized) edge list; lineage is
     * truncated per round with an eager localCheckpoint, without which the
     * plan doubles each round. The driver-side loop only ever collects
@@ -543,7 +561,12 @@ object PipelineOps {
     var converged = false
     var iter = 0
     var edgeCount = edges.count() // memoized across rounds: one count job each
-    while (!converged && iter < 35) { // 2^35 nodes >> any corpus; never binding
+    // round bound: the alternating contraction's proven bound is O(log² n)
+    // rounds (observed behavior is ~log n); 64 covers any feasible corpus
+    // with a wide margin, and a non-converged exit is made FATAL below —
+    // a non-star edge set would silently yield conflicting labels
+    val MaxRounds = 64
+    while (!converged && iter < MaxRounds) {
       // large-star: every neighbor larger than u re-attaches to
       // m = min(Γ(u) ∪ {u}) — long paths halve here
       val dir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -568,6 +591,9 @@ object PipelineOps {
       edgeCount = nextCount
       iter += 1
     }
+    // the left-join below is only correct on a star edge set; labels built
+    // from a half-contracted graph would be silently wrong, so fail loudly
+    require(converged, s"connected components did not converge in $MaxRounds rounds")
     // converged form is a star per component: (node → root) for every
     // non-root; roots label themselves
     nodes.join(edges, nodes("node") === edges("u"), "left")
@@ -578,7 +604,8 @@ object PipelineOps {
     * clustering primitive under curriculum bucketing and IVF index training
     * (p15 consumes exactly such centroids). Seeds are the [[IvfCentroids]]
     * lowest-id vectors; the step assigns every vector to its nearest seed
-    * (broadcast centroids — the corpus never shuffles for assignment),
+    * (broadcast centroids; the partial-min collapses assignment to one row
+    * per vector map-side, so the shuffle is corpus-sized, not corpus×K),
     * recomputes centroids, reassigns, and reports per-cluster movement.
     * Everything before the final cosine divides is int64-exact: centroid
     * update uses the truncating integer mean (`sum DIV count`, identical
@@ -592,19 +619,20 @@ object PipelineOps {
     val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
       .localCheckpoint(false)
 
-    // rank-1 nearest-centroid assignment against a broadcast centroid set
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid").asc)
+    // rank-1 nearest-centroid assignment against a broadcast centroid set:
+    // argmax cosine (ties → lowest cid) as min(struct(-ccos, cid)) — a
+    // map-side partial-min groupBy (the p34 encode shape). A row_number
+    // window here would materialize all corpus×K scored rows into window
+    // state before filtering rank 1 — wasteful at production K.
+    def assign(cents: DataFrame): DataFrame =
       n.select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
         .crossJoin(broadcast(cents))
         .withColumn("cdot", dotCol)
         .withColumn("ccos",
           col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
-        .withColumn("crn", row_number().over(w))
-        .where(col("crn") === 1)
-        .select(col("vec_id"), col("cid"))
-    }
+        .groupBy("vec_id")
+        .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
 
     val cents0 = n.where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
@@ -778,22 +806,27 @@ object PipelineOps {
     val cents = n.where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
 
-    // nearest-centroid ranking, shared by assignment (rank 1) and query
-    // probes (rank <= IvfProbes)
-    def centRank(src: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid").asc)
+    // per-vector centroid scores (corpus × K against the broadcast set)
+    def centScores(src: DataFrame): DataFrame =
       src.select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
         .crossJoin(broadcast(cents))
         .withColumn("cdot", dotCol)
         .withColumn("ccos",
           col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
-        .withColumn("crn", row_number().over(w))
-    }
 
-    val assigned = centRank(n).where(col("crn") === 1)
-      .select(col("vec_id").as("nbr_id"), col("cid"))
-    val probes = centRank(n.where(col("vec_id") < 10)).where(col("crn") <= IvfProbes)
+    // corpus assignment: argmax cosine (ties → lowest cid) as
+    // min(struct(-ccos, cid)) — map-side partial min, no window state
+    // holding all K scored rows per vector (the p34 encode shape)
+    val assigned = centScores(n)
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
+      .select(col("vec_id").as("nbr_id"), col("best.cid").as("cid"))
+    // query probes need top-IvfProbes, but only over the tiny query set —
+    // the window is queries × K rows, never corpus-sized
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = centScores(n.where(col("vec_id") < 10))
+      .withColumn("crn", row_number().over(pw)).where(col("crn") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("cid"))
 
     val qa = n.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
@@ -868,25 +901,87 @@ object PipelineOps {
   }
 
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
-    * minhash dedup. Candidates share a coarse 6-plane hyperplane bucket
-    * (shuffle on the bucket key, never all-pairs); survivors are exact
-    * quantized cosine ≥ 0.45 (threshold fixture-tuned: the synthetic
-    * embeddings top out near 0.51). */
-  val DedupPlanes = 6
-  val EmbDupThreshold = 0.45
+    * minhash dedup, with the same two scale guards as p04:
+    *
+    *   - **Banded buckets whose cardinality grows with the corpus.**
+    *     [[DedupBands]] independent hyperplane signatures, each
+    *     [[dedupBits]]`(n)` = ceil(log2(n / [[DedupTargetBucket]])) sign
+    *     bits wide (clamped to [[[DedupMinBits]], [[DedupMaxBits]]]), so the
+    *     join key space scales with n and expected bucket occupancy stays
+    *     ~[[DedupTargetBucket]] — candidate volume is O(n · bands · target),
+    *     never O(n²/2^fixed). The count that sizes the bits is a parquet
+    *     row-count metadata read, not a data scan.
+    *   - **Hot-bucket cap.** Buckets over [[Hashing.MaxBucketSize]] are
+    *     low-information collisions (a dense direction of the embedding
+    *     space); dropping them bounds worst-case pair blow-up exactly like
+    *     p04's band cap — oversized near-identical cliques are p23's job
+    *     (cluster-level dedup), not a pairwise enumerator's.
+    *
+    * Standard LSH recall applies: borderline pairs (cosine ≈ threshold)
+    * collide with probability (1 − θ/π)^bits per band, while true
+    * near-duplicates (cosine → 1) are caught with high probability across
+    * the [[DedupBands]] bands. Survivors are exact quantized cosine ≥
+    * [[EmbDupThreshold]] (threshold fixture-tuned: the synthetic embeddings
+    * top out near 0.51). */
+  val DedupBands        = 3
+  val DedupMinBits      = 4
+  val DedupMaxBits      = 40
+  val DedupTargetBucket = 8
+  val EmbDupThreshold   = 0.45
 
-  private def coarseBucketExpr(qCol: String): Column =
-    (0 until DedupPlanes).map { p =>
-      val ws = array((0 until EmbDim).map(d => lit(planeWeight(p, d))): _*)
-      when(graft.functions.QuantizedDot(col(qCol), ws) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Band b's plane i — indices disjoint from p08's planes 0..11. */
+  def dedupPlaneIdx(b: Int, i: Int): Int = 64 + b * DedupMaxBits + i
+
+  /** Smallest k with 2^k · target ≥ n (= ceil(log2(n/target))), clamped.
+    * Integer loop, so it agrees exactly with the oracle's ceil(log2(...)). */
+  def dedupBits(nVec: Long): Int = {
+    var k = DedupMinBits
+    while (k < DedupMaxBits && (1L << k) * DedupTargetBucket < nVec) k += 1
+    k
+  }
+
+  /** Banded bucket keys over a quantized frame, one row per (vec, band). */
+  private def dedupBanded(q: DataFrame, nbits: Int): DataFrame = {
+    val bandCols = (0 until DedupBands).map { b =>
+      val bkey = (0 until nbits).map { i =>
+        val ws = array((0 until EmbDim).map(d => lit(planeWeight(dedupPlaneIdx(b, i), d))): _*)
+        when(graft.functions.QuantizedDot(col("q"), ws) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b.toLong).as("band"), bkey.as("bkey"))
+    }
+    q.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Standalone banding pass — exposed for the scale invariants spec
+    * (key-cardinality growth + cap). */
+  private[graft] def embDedupBuckets(spark: SparkSession, dir: String): DataFrame =
+    dedupBanded(quantized(spark, dir), dedupBits(embs(spark, dir).count()))
 
   def embDedup(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir).withColumn("bucket", coarseBucketExpr("q"))
-    val a = q.select(col("bucket"), col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("nrm_a"))
-    val b = q.select(col("bucket"), col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nrm_b"))
-    a.join(b, "bucket")
-      .where(col("vec_a") < col("vec_b"))
+    // the quantized frame feeds the banding pass AND both sides of the
+    // verification join — truncate lineage so hashing runs once
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+
+    val banded = dedupBanded(q, dedupBits(embs(spark, dir).count()))
+    val bw = Window.partitionBy(col("band"), col("bkey"))
+    val pruned = banded
+      .withColumn("cnt", count(lit(1)).over(bw))
+      .where(col("cnt") <= MaxBucketSize)
+      .drop("cnt")
+
+    val l = pruned.alias("l")
+    val r = pruned.alias("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+
+    val qa = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val qb = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    cand.join(qa, "vec_a").join(qb, "vec_b")
       .withColumn("dot", dotCol)
       .withColumn("cosine",
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
@@ -1007,9 +1102,13 @@ object PipelineOps {
     * the plan hashes the same key and is bounded by the user count (the
     * stage inputs differ, so the exchanges are distinct, just key-aligned);
     * never a window over the whole event stream. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tsu"))
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tsu")))
+
+  /** Funnel body over a (user_id, event_type, tsu) frame — split out so the
+    * spec can drive it with fixtures that stop users at every stage. */
+  private[graft] def funnelStages(e: DataFrame): DataFrame = {
     val v = e.where(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("tsu")).as("v_ts"))
     val c = e.where(col("event_type") === "click")

@@ -227,17 +227,37 @@ object PipelineOracles {
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
   private val p14 = {
-    val terms = (0 until PipelineOps.DedupPlanes).map { p =>
-      val ws = (0 until EmbDim).map(d => planeWeight(p, d).toString).mkString(", ")
-      s"CASE WHEN list_sum([x[1] * x[2] FOR x IN list_zip(q, [$ws])]) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END"
-    }.mkString("\n       + ")
+    // adaptive bits-per-band: smallest k with 2^k * target >= n (clamped) —
+    // ceil(log2(n/target)), exactly PipelineOps.dedupBits
+    val nbitsSql =
+      s"least(${PipelineOps.DedupMaxBits}, greatest(${PipelineOps.DedupMinBits}, " +
+        s"CAST(ceil(log2(count(*) / ${PipelineOps.DedupTargetBucket}.0)) AS INT)))"
+    // one banded signature per band: bit i contributes 2^i iff i < nbits and
+    // the band's plane-i dot is positive (the guard makes the static SQL
+    // adaptive to the corpus size the same way the Spark side is)
+    val bandSelects = (0 until PipelineOps.DedupBands).map { b =>
+      val terms = (0 until PipelineOps.DedupMaxBits).map { i =>
+        val ws = (0 until EmbDim).map(d => planeWeight(PipelineOps.dedupPlaneIdx(b, i), d).toString).mkString(", ")
+        s"CASE WHEN $i < p.nbits AND list_sum([x[1] * x[2] FOR x IN list_zip(q, [$ws])]) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END"
+      }.mkString("\n       + ")
+      s"SELECT vec_id, ${b}::BIGINT AS band, $terms AS bkey FROM n CROSS JOIN p"
+    }.mkString("\n UNION ALL\n")
     s"""$quantCte,
-       |bk AS (SELECT vec_id, q, nrm, $terms AS bucket FROM n),
+       |p AS (SELECT $nbitsSql AS nbits FROM embeddings),
+       |banded AS ($bandSelects),
+       |capped AS (
+       |  SELECT vec_id, band, bkey FROM (
+       |    SELECT vec_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS cnt FROM banded)
+       |  WHERE cnt <= ${Hashing.MaxBucketSize}),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id < r.vec_id),
        |pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT cand.vec_a, cand.vec_b,
        |         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS DOUBLE)
        |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b)
        |SELECT vec_a, vec_b, cosine FROM pairs
        |WHERE cosine >= ${PipelineOps.EmbDupThreshold}
        |ORDER BY vec_a, vec_b""".stripMargin

@@ -124,7 +124,11 @@ final class GraftServer(
       // (handlers/aggregate.rs:37, metadata.rs:83), logic-layer routes
       // jsonrecords (logic_layer/aggregate.rs:58, metadata.rs:33,
       // relations.rs:33, diagnosis.rs:34)
-      val rawPath = ex.getRequestURI.getPath
+      // trailing-slash normalization first (the reference wraps unmatched
+      // routes in actix's NormalizePath, so `/data/` serves like `/data`)
+      val rawPath0 = ex.getRequestURI.getPath
+      val rawPath =
+        if (rawPath0.length > 1 && rawPath0.endsWith("/")) rawPath0.dropRight(1) else rawPath0
       val path = rawPath match {
         case "/data" | "/members" | "/relations" | "/diagnosis" => rawPath + ".jsonrecords"
         case p if p.matches("^/cubes/[^/]+/(aggregate|members)$") => p + ".csv"

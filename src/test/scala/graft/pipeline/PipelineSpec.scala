@@ -343,4 +343,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       if (r.getLong(0) == 2L) assert(r.getLong(3) == 0)
     }
   }
+
+  test("funnel: every stage branch exercised (users stopping at each stage)") {
+    // the sf fixture collapses to one stage row, so ordering violations and
+    // partial-funnel lag zeroing need a purpose-built event set
+    import spark.implicits._
+    val e = Seq(
+      (1L, "view", 100L),                                              // stops at view
+      (2L, "view", 100L), (2L, "click", 150L),                         // stops at click
+      (3L, "view", 100L), (3L, "click", 120L), (3L, "purchase", 200L), // full funnel
+      (4L, "click", 50L), (4L, "view", 100L),                          // click BEFORE view: not a stage-2 user
+      (5L, "view", 100L), (5L, "click", 150L), (5L, "purchase", 140L)  // purchase before click: stays stage 2
+    ).toDF("user_id", "event_type", "tsu")
+    val byStage = PipelineOps.funnelStages(e).collect().map(r => r.getLong(0) -> r).toMap
+    assert(byStage.keySet == Set(1L, 2L, 3L), "all three stages populated")
+    val s1 = byStage(1L)
+    assert(s1.getLong(1) == 2 && s1.getLong(2) == 0 && s1.getLong(3) == 0,
+      "users 1 and 4 stop at view with zeroed lags")
+    val s2 = byStage(2L)
+    assert(s2.getLong(1) == 2 && s2.getLong(2) == 100 && s2.getLong(3) == 0,
+      "users 2 and 5 stop at click (v2c 50 each); c2p zeroed")
+    val s3 = byStage(3L)
+    assert(s3.getLong(1) == 1 && s3.getLong(2) == 20 && s3.getLong(3) == 80,
+      "user 3 completes: v2c 20, c2p 80")
+  }
 }

@@ -117,6 +117,25 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(pq.contains("*(1)"), pq.take(1200))
   }
 
+  test("emb dedup: bucket key space grows with the corpus; hot buckets capped") {
+    import graft.pipeline.PipelineOps
+    // bits-per-band scale with corpus size — the fixed-cardinality-bucket
+    // failure mode (max parallelism 2^k, O(n²/2^k) pairs) cannot recur
+    assert(PipelineOps.dedupBits(500) < PipelineOps.dedupBits(2000))
+    assert(PipelineOps.dedupBits(1L << 20) < PipelineOps.dedupBits(1L << 30))
+    // observed join-key cardinality grows between fixture scales
+    val small = PipelineOps.embDedupBuckets(spark, "/root/testdata/sf0.01")
+      .select("band", "bkey").distinct().count()
+    val large = PipelineOps.embDedupBuckets(spark, "/root/testdata/sf0.1")
+      .select("band", "bkey").distinct().count()
+    assert(large > small, s"bucket key cardinality must grow with the corpus: $small -> $large")
+    // the corpus self-join is guarded by the hot-bucket cap (window count
+    // filter) and never degenerates to a cross join
+    val p = PipelineOps.embDedup(spark, SfDir).queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "hot-bucket cap window missing:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("pq ann: encode is a partial-agg groupBy; no cross join anywhere") {
     val p = graft.pipeline.PipelineOps.annPq(spark, SfDir)
       .queryExecution.executedPlan.toString
@@ -124,5 +143,20 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     // struct-min encode must run as hash aggregate with map-side partials,
     // not a row_number window per (vector, subspace)
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("ivf/k-means: corpus assignment is a partial-min groupBy, not a window") {
+    // k-means has NO window at all — both assignment passes are min-struct
+    // aggregates; a row_number assignment would hold corpus×K rows in
+    // window state
+    val km = graft.pipeline.PipelineOps.kmeansStep(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!km.contains("Window"), "k-means assignment must not use a window:\n" + km.take(800))
+    // ivf keeps windows only for the tiny query-side top-k (probes + final
+    // rank): exactly two, never one per corpus vector assignment
+    val ivf = graft.pipeline.PipelineOps.annIvf(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    val windows = ivf.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(windows <= 2, s"ivf should window only the query side ($windows):\n" + ivf.take(800))
   }
 }

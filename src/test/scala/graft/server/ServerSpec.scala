@@ -64,6 +64,17 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mBare._1 == 200 && mBare._2 == mCsv._2)
   }
 
+  test("trailing-slash requests normalize to their slash-free route") {
+    // the reference serves these via actix NormalizePath; they must not 404
+    val q = "drilldowns=Geography.Region&measures=Quantity"
+    val slashed = get(s"/cubes/Sales/aggregate/?$q")
+    assert(slashed._1 == 200 && slashed._2 == get(s"/cubes/Sales/aggregate?$q")._2,
+      slashed._2.take(200))
+    val llSlashed = get(s"/data/?cube=Sales&$q")
+    assert(llSlashed._1 == 200 && llSlashed._2 == get(s"/data?cube=Sales&$q")._2)
+    assert(get("/cubes/")._1 == 200)
+  }
+
   test("index route reports status") {
     val (code, body) = get("/")
     assert(code == 200)
