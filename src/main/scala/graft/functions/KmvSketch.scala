@@ -1,9 +1,15 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** K-minimum-values (KMV) distinct-count sketch — the mergeable sketch
   * family the brief's "novel sketch" slot calls for, and the pattern that
@@ -70,26 +76,88 @@ object KmvSketch {
     if (o == out.length) out else java.util.Arrays.copyOf(out, o)
   }
 
+  /** Shared scaffolding for the two sketch aggregates below. They are
+    * native `TypedImperativeAggregate`s rather than `udaf(Aggregator)`
+    * wrappers: both run under ObjectHashAggregateExec either way (an
+    * object-state aggregate can't live in an unsafe row buffer), but the
+    * native form evaluates its input with `child.eval` directly and
+    * serializes partials as packed little-endian longs — no
+    * ExpressionEncoder round-trip per input row or per shuffle buffer,
+    * which is the q47/q44 constant factor. State stays ≤ k longs. */
+  sealed abstract class KmvAgg extends TypedImperativeAggregate[Array[Long]]
+      with UnaryLike[Expression] {
+    def k: Int
+    final override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+    final override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] =
+      union(buffer, input, k)
+    final override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+    final override def serialize(buffer: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buffer.length * 8)
+      var i = 0
+      while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+      bb.array()
+    }
+    final override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val out = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+      out
+    }
+    final override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    final override def nullable: Boolean = false
+  }
+
   /** Sketch builder over pre-hashed int64 input (one hash per element). */
-  final case class Build(k: Int = DefaultK) extends Aggregator[Long, Array[Long], Array[Long]] {
-    def zero: Array[Long] = Array.emptyLongArray
-    def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h, k)
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = union(a, b, k)
-    def finish(buf: Array[Long]): Array[Long] = buf
-    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  final case class Build(
+      child: Expression,
+      k: Int = DefaultK,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends KmvAgg {
+    override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) buffer else insert(buffer, v.asInstanceOf[Long], k)
+    }
+    override def withNewMutableAggBufferOffset(n: Int): Build = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): Build = copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): Build = copy(child = newChild)
+    override def prettyName: String = "kmv_build"
   }
 
   /** Re-aggregates stored sketches (the summary-table rollup path). */
-  final case class MergeSketches(k: Int = DefaultK)
-      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
-    def zero: Array[Long] = Array.emptyLongArray
-    def reduce(buf: Array[Long], s: Array[Long]): Array[Long] = union(buf, s, k)
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = union(a, b, k)
-    def finish(buf: Array[Long]): Array[Long] = buf
-    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  final case class MergeSketches(
+      child: Expression,
+      k: Int = DefaultK,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends KmvAgg {
+    override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) return buffer
+      val ad = v.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      // stored sketches are sorted-distinct non-null; tolerate null slots
+      // from a containsNull=true parquet schema by skipping them
+      val tmp = new Array[Long](n)
+      var i = 0; var m = 0
+      while (i < n) {
+        if (!ad.isNullAt(i)) { tmp(m) = ad.getLong(i); m += 1 }
+        i += 1
+      }
+      union(buffer, if (m == n) tmp else java.util.Arrays.copyOf(tmp, m), k)
+    }
+    override def withNewMutableAggBufferOffset(n: Int): MergeSketches = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): MergeSketches = copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): MergeSketches = copy(child = newChild)
+    override def prettyName: String = "kmv_merge"
   }
+
+  /** Aggregate column: sketch of a pre-hashed int64 column. */
+  def buildCol(hashes: Column, k: Int = DefaultK): Column =
+    ColumnBridge.column(Build(ColumnBridge.expression(hashes), k).toAggregateExpression())
+
+  /** Aggregate column: union of stored sketch columns (array<bigint>). */
+  def mergeCol(sketches: Column, k: Int = DefaultK): Column =
+    ColumnBridge.column(MergeSketches(ColumnBridge.expression(sketches), k).toAggregateExpression())
 
   /** Distinct-count estimate from a sketch column (array<bigint>).
     * Exact below k; (k-1)·2^48 / h_(k) at k. */

@@ -74,16 +74,15 @@ object AggExprs {
       // 48-bit md5 ints so the whole chain is deterministic (p29 proves the
       // relational twin byte-exact vs DuckDB)
       case Aggregator.ApproxDistinct(k) =>
-        val build = udaf(graft.functions.KmvSketch.Build(k))
-        graft.functions.KmvSketch.estimate(build(hash48(m.column)), k)
+        graft.functions.KmvSketch.estimate(
+          graft.functions.KmvSketch.buildCol(hash48(m.column), k), k)
       // internal pair for summary tables: materialize stores the sketch
       // array; the derived cube merges stored sketches and estimates
       case Aggregator.KmvSketchBuild(k) =>
-        val build = udaf(graft.functions.KmvSketch.Build(k))
-        build(hash48(m.column))
+        graft.functions.KmvSketch.buildCol(hash48(m.column), k)
       case Aggregator.KmvSketchMerge(k) =>
-        val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
-        graft.functions.KmvSketch.estimate(merge(c(m.column)), k)
+        graft.functions.KmvSketch.estimate(
+          graft.functions.KmvSketch.mergeCol(c(m.column), k), k)
       case Aggregator.BasicGroupedMedian(_, _) =>
         throw new IllegalArgumentException(
           "BasicGroupedMedian requires the two-pass path (hidden drilldown)")
@@ -121,14 +120,11 @@ object AggExprs {
           }
       case Aggregator.Custom(t) => Seq(s"__m$i" -> customExpr(t, m.column))
       case Aggregator.ApproxDistinct(k) =>
-        val build = udaf(graft.functions.KmvSketch.Build(k))
-        Seq(s"__m$i" -> build(hash48(m.column)))
+        Seq(s"__m$i" -> graft.functions.KmvSketch.buildCol(hash48(m.column), k))
       case Aggregator.KmvSketchBuild(k) =>
-        val build = udaf(graft.functions.KmvSketch.Build(k))
-        Seq(s"__m$i" -> build(hash48(m.column)))
+        Seq(s"__m$i" -> graft.functions.KmvSketch.buildCol(hash48(m.column), k))
       case Aggregator.KmvSketchMerge(k) =>
-        val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
-        Seq(s"__m$i" -> merge(c(m.column)))
+        Seq(s"__m$i" -> graft.functions.KmvSketch.mergeCol(c(m.column), k))
     }
   }
 
@@ -162,14 +158,13 @@ object AggExprs {
     // single-pass one — the property that also makes the measure servable
     // from pre-aggregated summaries
     case Aggregator.ApproxDistinct(k) =>
-      val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
-      graft.functions.KmvSketch.estimate(merge(c(s"__m$i")), k)
+      graft.functions.KmvSketch.estimate(
+        graft.functions.KmvSketch.mergeCol(c(s"__m$i"), k), k)
     case Aggregator.KmvSketchBuild(k) =>
-      val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
-      merge(c(s"__m$i"))
+      graft.functions.KmvSketch.mergeCol(c(s"__m$i"), k)
     case Aggregator.KmvSketchMerge(k) =>
-      val merge = udaf(graft.functions.KmvSketch.MergeSketches(k))
-      graft.functions.KmvSketch.estimate(merge(c(s"__m$i")), k)
+      graft.functions.KmvSketch.estimate(
+        graft.functions.KmvSketch.mergeCol(c(s"__m$i"), k), k)
   }
 
   /** Columns of the source relation an aggregator reads. `sourceColumns` is

@@ -64,7 +64,40 @@ final class GraftServer(
       schema: Schema,
       planners: Map[String, CubePlanner],
       aggPlanners: Map[String, graft.plan.PreaggPlanner],
-      logicLayers: Map[String, LogicLayer])
+      logicLayers: Map[String, LogicLayer],
+      /** First duplicate logic-layer name, as (cube, name) — when set, the
+        * whole logic-layer route family is disabled (see [[llDuplicate]]). */
+      llAmbiguity: Option[(String, String)])
+
+  /** Load-time gate mirroring the reference's has_unique_levels_properties
+    * (tesseract-core/src/lib.rs:168-209, wired at app.rs:156-201): within a
+    * cube, every level name and every property name must be unique, or
+    * bare-name resolution on /data, /members and /relations is ill-defined
+    * — the reference then swaps the entire logic-layer route family for an
+    * error handler while /cubes/{c}/aggregate keeps serving. One deviation:
+    * a collision that the logic-layer config renames away (unique level /
+    * property names, logic_layer/config.rs) checks under its configured
+    * alias, because our resolution honors those aliases — so a config that
+    * disambiguates re-enables the layer. */
+  private def llDuplicate(s: Schema): Option[(String, String)] =
+    s.cubes.iterator.flatMap { c =>
+      val levelAlias = uniqueNames ++ llConf.map(_.levelNamesFor(c.name)).getOrElse(Map.empty)
+      val propAlias = llConf.map(_.propertyNamesFor(c.name)).getOrElse(Map.empty)
+      val seenLevels = scala.collection.mutable.HashSet[String]()
+      val seenProps = scala.collection.mutable.HashSet[String]()
+      for {
+        d <- c.dimensions.iterator; h <- d.hierarchies.iterator; l <- h.levels.iterator
+        ln = LevelName(d.name, h.name, l.name)
+        dup <- {
+          val eff = levelAlias.getOrElse(ln, l.name)
+          (if (seenLevels.add(eff)) Iterator.empty else Iterator.single(eff)) ++
+            l.properties.iterator.flatMap { p =>
+              val pe = propAlias.getOrElse(PropertyName(ln, p.name), p.name)
+              if (seenProps.add(pe)) Iterator.empty else Iterator.single(pe)
+            }
+        }
+      } yield (c.name, dup)
+    }.nextOption()
 
   private def buildState(s: Schema): SchemaState = {
     val planners: Map[String, CubePlanner] =
@@ -78,7 +111,7 @@ final class GraftServer(
         uniqueNames ++ llConf.map(_.levelNamesFor(n)).getOrElse(Map.empty),
         llConf.map(_.propertyNamesFor(n)).getOrElse(Map.empty))
     }
-    SchemaState(s, planners, aggPlanners, logicLayers)
+    SchemaState(s, planners, aggPlanners, logicLayers, llDuplicate(s))
   }
 
   @volatile private var state: SchemaState = buildState(schema)
@@ -251,7 +284,7 @@ final class GraftServer(
       // logic-layer members (logic_layer/metadata.rs:47-148): the level is a
       // bare level name or its configured unique name, plus ?locale=
       case LlMembersRe(fmt) =>
-        withFormat(fmt) { f =>
+        llEnabled { withFormat(fmt) { f =>
           (params.get("cube").flatMap(_.headOption),
             params.get("level").flatMap(_.headOption)) match {
             case (Some(rawName), Some(levelRef)) =>
@@ -275,9 +308,9 @@ final class GraftServer(
               }
             case _ => Left((400, "logic-layer members requires ?cube= and ?level="))
           }
-        }
+        }}
       case DataRe(fmt) =>
-        withFormat(fmt) { f =>
+        llEnabled { withFormat(fmt) { f =>
           params.get("cube").flatMap(_.headOption) match {
             case None => Left((400, "logic layer requires ?cube="))
             case Some(rawName) =>
@@ -288,9 +321,9 @@ final class GraftServer(
                 Right(out(ll.plan(spark, q), f, Some(sourceMeta(c))))
               }
           }
-        }
+        }}
       case RelRe(fmt) =>
-        withFormat(fmt) { f =>
+        llEnabled { withFormat(fmt) { f =>
           params.get("cube").flatMap(_.headOption) match {
             case None => Left((400, "relations requires ?cube="))
             case Some(cubeName) =>
@@ -325,7 +358,7 @@ final class GraftServer(
                 Right(out(df, f, None))
               }
           }
-        }
+        }}
       case "/flush" =>
         val given = params.get("secret").flatMap(_.headOption)
         if (flushSecret.isEmpty) Left((400, "flush is not configured"))
@@ -336,6 +369,18 @@ final class GraftServer(
   }
 
   // -------------------------------------------------------------- helpers
+
+  /** Gate for the logic-layer route family: with an ambiguous schema the
+    * reference serves a duplicate-name error from every /data, /members and
+    * /relations route (handlers/logic_layer/mod.rs:22-95) while the core
+    * /cubes/... routes keep working; we use 400 (config-fixable) with the
+    * reference's debug-mode message. */
+  private def llEnabled[A](f: => Either[(Int, String), A]): Either[(Int, String), A] =
+    state.llAmbiguity match {
+      case Some((cube, name)) =>
+        Left((400, s"Logic Layer duplicate name: '$name' in cube '$cube'. Level/property name must be unique."))
+      case None => f
+    }
 
   private def withCube[A](name: String, token: Option[String])
       (f: ((Cube, CubePlanner)) => Either[(Int, String), A])

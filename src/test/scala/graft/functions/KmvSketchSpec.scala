@@ -37,8 +37,7 @@ class KmvSketchSpec extends AnyFunSuite {
 
   test("native aggregator matches the relational KMV (p29) sketch tail") {
     val k = graft.pipeline.PipelineOps.KmvK
-    val build = udaf(KmvSketch.Build(k))
-    val got = eventsHashed.groupBy("event_type").agg(build(col("h")).as("sk"))
+    val got = eventsHashed.groupBy("event_type").agg(KmvSketch.buildCol(col("h"), k).as("sk"))
       .select(col("event_type"), size(col("sk")).as("n_kept"), element_at(col("sk"), -1).as("kth"))
       .collect().map(r => r.getString(0) -> ((r.getInt(1).toLong, r.getLong(2)))).toMap
 
@@ -50,8 +49,8 @@ class KmvSketchSpec extends AnyFunSuite {
 
   test("per-day sketches merged == one sketch over everything (pre-agg path)") {
     val k = 32
-    val build = udaf(KmvSketch.Build(k))
-    val mergeS = udaf(KmvSketch.MergeSketches(k))
+    def build(c: org.apache.spark.sql.Column) = KmvSketch.buildCol(c, k)
+    def mergeS(c: org.apache.spark.sql.Column) = KmvSketch.mergeCol(c, k)
     val withDay = eventsHashed.withColumn("day", expr("ts DIV 86400000000000"))
 
     val perDay = withDay.groupBy("event_type", "day").agg(build(col("h")).as("sk"))
@@ -65,7 +64,7 @@ class KmvSketchSpec extends AnyFunSuite {
 
   test("estimate is exact below k and within KMV error bounds at k") {
     val k = 64
-    val build = udaf(KmvSketch.Build(k))
+    def build(c: org.apache.spark.sql.Column) = KmvSketch.buildCol(c, k)
     // small group: fewer than k distinct values -> exact
     val small = Seq.tabulate(40)(i => ("g", (i % 17).toLong)).toDF("g", "v")
       .withColumn("h", expr("CAST(conv(substr(md5(cast(v as string)), 1, 12), 16, 10) AS BIGINT)"))

@@ -4,6 +4,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Dimension, Hierarchy, Level, LevelName}
 import graft.engine.TpchStar
 import graft.SparkTestSession.{spark, SfDir}
 
@@ -311,6 +312,46 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m3._2 == m1._2)
     assert(get("/members.csv?cube=Sales&level=Nope")._1 == 404)
     assert(get("/members.csv?cube=Sales")._1 == 400)
+  }
+
+  test("ambiguous level names disable the logic layer, not the core routes") {
+    // reference parity: a repeated level name inside a cube makes bare-name
+    // resolution ill-defined, so the whole /data|/members|/relations family
+    // errors at load time (lib.rs:168-209 + app.rs:156-201) while
+    // /cubes/{c}/aggregate keeps serving; a unique-name config that renames
+    // the clash re-enables the layer
+    val clash = Dimension("Line Status Copy", foreignKey = None,
+      hierarchies = Seq(Hierarchy("Line Status Copy", primaryKey = "l_linestatus",
+        levels = Seq(Level("Line Status", "l_linestatus")))))
+    val amb = TpchStar.schema.copy(cubes = TpchStar.schema.cubes.map {
+      case c if c.name == "Sales" => c.copy(dimensions = c.dimensions :+ clash)
+      case c => c
+    })
+    def getFrom(p: Int, pathAndQuery: String): (Int, String) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$p$pathAndQuery")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val q = "drilldowns=Geography.Region&measures=Quantity"
+    val ambSrv = new GraftServer(spark, amb, new TpchStar.Resolver(SfDir))
+    val ambPort = ambSrv.start()
+    try {
+      val data = getFrom(ambPort, s"/data?cube=Sales&$q")
+      assert(data._1 == 400 && data._2.contains("duplicate name"), data.toString.take(300))
+      assert(getFrom(ambPort, "/members?cube=Sales&level=Region")._1 == 400)
+      assert(getFrom(ambPort, "/relations?cube=Sales")._1 == 400)
+      // core routes unaffected
+      assert(getFrom(ambPort, s"/cubes/Sales/aggregate.csv?$q")._1 == 200)
+      assert(getFrom(ambPort, "/cubes")._1 == 200)
+    } finally ambSrv.stop()
+    val fixedSrv = new GraftServer(spark, amb, new TpchStar.Resolver(SfDir),
+      uniqueNames = Map(
+        LevelName("Line Status Copy", "Line Status Copy", "Line Status") -> "Line Status Copy"))
+    val fixedPort = fixedSrv.start()
+    try assert(getFrom(fixedPort, s"/data?cube=Sales&$q")._1 == 200,
+      "a disambiguating unique-name config re-enables the logic layer")
+    finally fixedSrv.stop()
   }
 
   test("JWT auth levels gate non-public cubes") {
