@@ -24,6 +24,21 @@ object SparkEntry {
   private def rcaQ(s: String): RcaQuery = RcaQuery.parse(s).fold(die, identity)
   private def rateQ(s: String): RateQuery = RateQuery.parse(s).fold(die, identity)
 
+  /** Multi-hierarchy cube shared by q49/q50: Ship Time carries By Year
+    * (default) and By Month hierarchies over degenerate fact columns. */
+  private lazy val salesMH: Cube = Cube("SalesMH", TableDef("lineitem"), Seq(
+    Dimension("Ship Time", foreignKey = None, dimType = DimensionType.Time,
+      defaultHierarchy = Some("By Year"),
+      hierarchies = Seq(
+        Hierarchy("By Year", primaryKey = "l_shipyear",
+          levels = Seq(Level("Year", "l_shipyear", keyType = MemberType.NonText))),
+        Hierarchy("By Month", primaryKey = "l_shipmonth",
+          levels = Seq(Level("Month", "l_shipmonth", keyType = MemberType.NonText))))),
+    Dimension("Return Flag", foreignKey = None,
+      hierarchies = Seq(Hierarchy("Return Flag", primaryKey = "l_returnflag",
+        levels = Seq(Level("Return Flag", "l_returnflag")))))),
+    Seq(Measure("Quantity", "l_quantity", Aggregator.Sum)))
+
   private def run(q: CubeQuery)(spark: SparkSession, sfDir: String): DataFrame =
     TpchStar.planner(sfDir).plan(spark, q)
   private def runDM(q: CubeQuery)(spark: SparkSession, sfDir: String): DataFrame =
@@ -327,22 +342,23 @@ object SparkEntry {
     // default-hierarchy resolution lib.rs:94-151); the default-hierarchy
     // semijoin for the absent-dim case is PlannerSpec's
     "q49_multi_hierarchy" -> ((spark: SparkSession, sfDir: String) => {
-      val mh = Cube("SalesMH", TableDef("lineitem"), Seq(
-        Dimension("Ship Time", foreignKey = None, dimType = DimensionType.Time,
-          defaultHierarchy = Some("By Year"),
-          hierarchies = Seq(
-            Hierarchy("By Year", primaryKey = "l_shipyear",
-              levels = Seq(Level("Year", "l_shipyear", keyType = MemberType.NonText))),
-            Hierarchy("By Month", primaryKey = "l_shipmonth",
-              levels = Seq(Level("Month", "l_shipmonth", keyType = MemberType.NonText))))),
-        Dimension("Return Flag", foreignKey = None,
-          hierarchies = Seq(Hierarchy("Return Flag", primaryKey = "l_returnflag",
-            levels = Seq(Level("Return Flag", "l_returnflag")))))),
-        Seq(Measure("Quantity", "l_quantity", Aggregator.Sum)))
-      new CubePlanner(mh, new TpchStar.Resolver(sfDir)).plan(spark, CubeQuery(
+      new CubePlanner(salesMH, new TpchStar.Resolver(sfDir)).plan(spark, CubeQuery(
         drilldowns = Seq(drill("Ship Time.By Month.Month"), drill("Return Flag.Return Flag")),
         cuts = Seq(cut("Ship Time.By Month.Month.1,2,3")),
         measures = Seq(mea("Quantity"))))
+    }),
+    // #12+#13+#17+#23 composed: growth over a NON-DEFAULT hierarchy drill
+    // (By Month), a top_where filter on the growth calc, and top-k per
+    // group ranked by the same calc — the option chain flowing through one
+    // plan (each passes alone in q48/q46/q49; this is the combined oracle)
+    "q50_growth_top_mh" -> ((spark: SparkSession, sfDir: String) => {
+      new CubePlanner(salesMH, new TpchStar.Resolver(sfDir)).plan(spark, CubeQuery(
+        drilldowns = Seq(drill("Ship Time.By Month.Month"), drill("Return Flag.Return Flag")),
+        measures = Seq(mea("Quantity")),
+        growth = Some(growthQ("Ship Time.By Month.Month,Quantity")),
+        topWhere = Some(TopWhereQuery.parse("growth,lt.0").fold(die, identity)),
+        top = Some(topQ("3,Return Flag.Return Flag,growth,asc")),
+        sort = Some(SortQuery.parse("growth.asc").fold(die, identity))))
     }),
     // §2.2: grouped median + custom-template measure in ONE query — the
     // two-pass frame joins a parallel single-pass custom aggregate at the
@@ -469,6 +485,8 @@ object SparkEntry {
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Nation ID" ORDER BY "Year")) SELECT * FROM g WHERE "Quantity Growth" < 0 ORDER BY "Quantity Growth" ASC, "Nation ID", "Nation", "Year"""",
     "q49_multi_hierarchy" ->
       """SELECT month(l_shipdate) AS "Month", l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity" FROM lineitem WHERE month(l_shipdate) IN (1, 2, 3) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q50_growth_top_mh" ->
+      """WITH a AS (SELECT month(l_shipdate) AS "Month", l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1, 2), g AS (SELECT "Month", "Return Flag", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Return Flag" ORDER BY "Month")), f AS (SELECT * FROM g WHERE "Quantity Growth" < 0) SELECT * FROM f QUALIFY row_number() OVER (PARTITION BY "Return Flag" ORDER BY "Quantity Growth" ASC, "Month" ASC) <= 3 ORDER BY "Quantity Growth" ASC, "Month" ASC, "Return Flag" ASC""",
     "q48_growth_timeonly" ->
       """WITH a AS (SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1) SELECT "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (ORDER BY "Year") ORDER BY "Year"""",
     "q40_growth_month" ->

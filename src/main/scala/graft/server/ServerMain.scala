@@ -29,6 +29,37 @@ import graft.sources.FormatResolver
   * ops resolve through the hierarchy instead — zero-egress design).
   */
 object ServerMain {
+
+  /** Builds a server from file-path configuration — the testable core of
+    * [[main]]. The README deployment walkthrough runs through exactly this
+    * path (see DeploymentSmokeSpec): schema file by extension, data dir as
+    * the table source, /flush re-reading the schema file. */
+  def build(
+      spark: SparkSession,
+      schemaPath: String,
+      dataDir: String,
+      flushSecret: Option[String] = None,
+      jwtSecret: Option[String] = None,
+      llConfigPath: Option[String] = None): GraftServer = {
+    def readSchema(): Schema = {
+      val text = Files.readString(Paths.get(schemaPath))
+      val s = if (schemaPath.endsWith(".xml")) SchemaXml.parse(text)
+              else SchemaJson.parse(text)
+      SchemaJson.validate(s)
+    }
+    var server: GraftServer = null
+    server = new GraftServer(
+      spark,
+      readSchema(),
+      new FormatResolver(Map.empty, fallbackParquetDir = Some(dataDir)),
+      flushSecret = flushSecret,
+      // /flush re-reads the schema file and swaps it atomically
+      onFlush = () => server.reload(readSchema()),
+      jwtSecret = jwtSecret,
+      llConfigJson = llConfigPath.map(p => Files.readString(Paths.get(p))))
+    server
+  }
+
   def main(args: Array[String]): Unit = {
     def required(k: String): String = sys.env.getOrElse(k,
       throw new IllegalArgumentException(s"$k not set"))
@@ -37,13 +68,6 @@ object ServerMain {
     val dataDir    = required("GRAFT_DATA_DIR")
     val address    = sys.env.getOrElse("GRAFT_ADDRESS", "127.0.0.1:7777")
     val master     = sys.env.getOrElse("GRAFT_SPARK_MASTER", "local[*]")
-
-    def readSchema(): Schema = {
-      val text = Files.readString(Paths.get(schemaPath))
-      val s = if (schemaPath.endsWith(".xml")) SchemaXml.parse(text)
-              else SchemaJson.parse(text)
-      SchemaJson.validate(s)
-    }
 
     val spark = {
       val b = SparkSession.builder().master(master)
@@ -61,17 +85,10 @@ object ServerMain {
     // spark.sql.extensions config above never ran — register imperatively.
     graft.GraftExtensions.register(spark)
 
-    var server: GraftServer = null
-    server = new GraftServer(
-      spark,
-      readSchema(),
-      new FormatResolver(Map.empty, fallbackParquetDir = Some(dataDir)),
+    val server = build(spark, schemaPath, dataDir,
       flushSecret = sys.env.get("GRAFT_FLUSH_SECRET"),
-      // /flush re-reads the schema file and swaps it atomically
-      onFlush = () => server.reload(readSchema()),
       jwtSecret = sys.env.get("GRAFT_JWT_SECRET"),
-      llConfigJson = sys.env.get("GRAFT_LOGIC_LAYER_CONFIG_FILEPATH")
-        .map(p => Files.readString(Paths.get(p))))
+      llConfigPath = sys.env.get("GRAFT_LOGIC_LAYER_CONFIG_FILEPATH"))
 
     val Array(host, port) = address.split(":", 2)
     val bound = server.start(port.toInt, host)

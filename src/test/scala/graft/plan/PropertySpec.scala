@@ -101,6 +101,44 @@ class PropertySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(2) == 1.0))
   }
 
+  test("top-k under deliberate measure ties is invariant to input partitioning") {
+    // every (group, item) sums to the same measure value, so top-2 per
+    // group is decided ENTIRELY by the drill-column tiebreaker
+    // (CubePlanner top window) — without it, row_number over tied sort keys
+    // would pick partition-order-dependent winners and the same query could
+    // return different rows on a different cluster layout
+    import spark.implicits._
+    val cube = Cube("Ties", TableDef("tiefact"), Seq(
+      Dimension("Group", foreignKey = None,
+        hierarchies = Seq(Hierarchy("Group", primaryKey = "grp",
+          levels = Seq(Level("Group", "grp"))))),
+      Dimension("Item", foreignKey = None,
+        hierarchies = Seq(Hierarchy("Item", primaryKey = "item",
+          levels = Seq(Level("Item", "item")))))),
+      Seq(Measure("V", "v", Aggregator.Sum)))
+    val fact = for {
+      g <- Seq("a", "b", "c"); i <- 0 until 10; _ <- 0 until 3
+    } yield (g, f"i$i%02d", 10.0)
+    val q = CubeQuery(
+      drilldowns = Seq(drill("Group.Group"), drill("Item.Item")),
+      measures = Seq(mea("V")),
+      top = Some(TopQuery.parse("2,Group.Group,V,desc").fold(die, identity)))
+    val results = Seq(1, 3, 7, 32).map { n =>
+      val resolver = new TableResolver {
+        def resolve(s: org.apache.spark.sql.SparkSession, t: TableDef) =
+          fact.toDF("grp", "item", "v").repartition(n)
+      }
+      new CubePlanner(cube, resolver).plan(spark, q)
+        .collect().map(_.toSeq.toList).toList.sortBy(_.toString)
+    }
+    assert(results.distinct.size == 1,
+      s"top-k must be partition-invariant under ties:\n${results.map(_.mkString("; ")).mkString("\n")}")
+    // and the winners are the tiebreak-determined ones, not arbitrary
+    val expect = (for (g <- Seq("a", "b", "c"); i <- Seq("i00", "i01"))
+      yield List[Any](g, i, 30.0)).sortBy(_.toString)
+    assert(results.head == expect, results.head.mkString("; "))
+  }
+
   test("top-k result is a subset of the unrestricted result") {
     val full = planner.plan(spark, CubeQuery(
       drilldowns = Seq(drill("Geography.Region"), drill("Geography.Nation")),
