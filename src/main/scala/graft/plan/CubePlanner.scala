@@ -31,11 +31,15 @@ final case class PlanError(message: String) extends RuntimeException(message)
   *   - cut-only dims join `left_semi`, which never widens rows;
   *   - aggregation shuffles once, on the drilldown grain.
   */
-final class CubePlanner(val cube: Cube, resolver: TableResolver) {
+final class CubePlanner(
+    val cube: Cube, resolver: TableResolver,
+    /** Geoservice sidecar for `neighbors` on Geo-typed dims (reference
+      * TESSERACT_GEOSERVICE_URL); None → hierarchy ±2 fallback. */
+    geoService: Option[GeoService] = None) {
   import CubePlanner._
 
   /** Same resolver, different cube view (Preagg plans storage variants). */
-  def withCube(c: Cube): CubePlanner = new CubePlanner(c, resolver)
+  def withCube(c: Cube): CubePlanner = new CubePlanner(c, resolver, geoService)
 
   // ---------------------------------------------------------------- public
 
@@ -86,6 +90,13 @@ final class CubePlanner(val cube: Cube, resolver: TableResolver) {
         val ks = keysOf(src.where(cq(key) === lit(typedMember(dt, member))),
           hier.levels(idx - 1).keyColumn)
         (lvlName(idx - 1), sorted(ks).map(String.valueOf(_)))
+      case "neighbors" if dim.dimType == DimensionType.Geo && geoService.isDefined =>
+        // spatial adjacency from the geoservice sidecar, exactly the
+        // reference's Geo-dim branch (aggregate.rs:1204-1222). Without a
+        // configured service the reference errors; we fall through to the
+        // hierarchy ±2 fallback instead (zero-egress default) — documented
+        // deviation, SURVEY §8.7.
+        (ln, geoService.get.neighbors(member))
       case "neighbors" =>
         val all = sorted(keysOf(src, key))
         val target = typedMember(dt, member)

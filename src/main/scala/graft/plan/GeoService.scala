@@ -1,0 +1,47 @@
+package graft.plan
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Resolves geo relations for `Geography=id:neighbors` cuts on Geo-typed
+  * dimensions. The reference delegates these to an external geoservice
+  * HTTP sidecar (tesseract-server/src/handlers/logic_layer/geoservice.rs,
+  * wired at logic_layer/aggregate.rs:1204-1222 and relations.rs:312-345) —
+  * spatial adjacency can't be derived from a hierarchy table. Non-geo
+  * dimensions always resolve through the hierarchy (cache.rs neighbors
+  * maps), which [[CubePlanner.relatedMembers]] implements. */
+trait GeoService {
+  /** Geo-ids adjacent to `geoId` (reference `GET {base}/neighbors/{id}`). */
+  def neighbors(geoId: String): Seq[String]
+}
+
+/** JDK-HttpClient port of the reference's geoservice client
+  * (geoservice.rs:29-75): `GET {base}/neighbors/{id}` returning a JSON
+  * array of `{"geoid": "...", "level": "..."}` rows; the geoids become the
+  * cut members. Deployments configure it with GRAFT_GEOSERVICE_URL
+  * (mirroring TESSERACT_GEOSERVICE_URL). */
+final class HttpGeoService(baseUrl: String) extends GeoService {
+  private val client = HttpClient.newHttpClient()
+  private val base = if (baseUrl.endsWith("/")) baseUrl else baseUrl + "/"
+
+  def neighbors(geoId: String): Seq[String] = {
+    val uri = URI.create(base + "neighbors/" +
+      URLEncoder.encode(geoId, StandardCharsets.UTF_8))
+    val resp = client.send(HttpRequest.newBuilder(uri).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw PlanError(s"geoservice returned ${resp.statusCode()} for $uri")
+    JsonMethods.parse(resp.body()) match {
+      case JArray(rows) => rows.map { r =>
+        r \ "geoid" match {
+          case JString(id) => id
+          case other       => throw PlanError(s"geoservice row missing geoid: $other")
+        }
+      }
+      case other => throw PlanError(s"geoservice returned non-array payload: ${other.getClass.getSimpleName}")
+    }
+  }
+}

@@ -35,20 +35,82 @@ final class Auth(secret: Option[String]) {
     key.map(k => Jwts.builder().claim("auth_level", Int.box(level)).signWith(k).compact())
 }
 
-/** Small in-memory LRU response cache keyed by the normalized request
-  * (path + sorted query params) — the Redis response cache of the reference
-  * (handlers/util.rs:152-216) without the external dependency. */
-final class ResponseCache(maxEntries: Int = 256) {
+/** Response cache contract, keyed by the normalized request (path + sorted
+  * query params) — the Redis response-cache slot of the reference
+  * (handlers/util.rs:152-216). Values are (body, contentType). */
+trait ResponseCache {
+  final def key(path: String, params: Map[String, Seq[String]]): String =
+    path + "?" + params.toSeq.sortBy(_._1)
+      .map { case (k, vs) => k + "=" + vs.sorted.mkString(",") }.mkString("&")
+  def get(k: String): Option[(String, String)]
+  def put(k: String, v: (String, String)): Unit
+  def clear(): Unit
+}
+
+/** Default per-instance in-memory LRU — the zero-dependency stand-in for
+  * the reference's Redis cache. */
+final class LruResponseCache(maxEntries: Int = 256) extends ResponseCache {
   private val map = new java.util.LinkedHashMap[String, (String, String)](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, (String, String)]): Boolean =
       size() > maxEntries
   }
-
-  def key(path: String, params: Map[String, Seq[String]]): String =
-    path + "?" + params.toSeq.sortBy(_._1)
-      .map { case (k, vs) => k + "=" + vs.sorted.mkString(",") }.mkString("&")
-
   def get(k: String): Option[(String, String)] = synchronized(Option(map.get(k)))
   def put(k: String, v: (String, String)): Unit = synchronized { map.put(k, v); () }
   def clear(): Unit = synchronized(map.clear())
+}
+
+/** Cross-instance response cache over a shared directory (NFS/EFS/local):
+  * what the reference gets from Redis — N server replicas hitting one
+  * cache — expressed with the one shared medium a Spark deployment already
+  * has, shared storage. One file per entry named by the sha-256 of the
+  * normalized key (first line content-type, rest body), written to a temp
+  * file and atomically moved so concurrent replicas never read a torn
+  * entry; reads tolerate missing/competing files. Eviction caps the entry
+  * count by deleting oldest-mtime files (scan is bounded by maxEntries). */
+final class SharedFileResponseCache(dir: java.nio.file.Path, maxEntries: Int = 1024)
+    extends ResponseCache {
+  import java.nio.file.{Files, StandardCopyOption}
+  Files.createDirectories(dir)
+
+  private def fileFor(k: String): java.nio.file.Path = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    dir.resolve(s"$h.resp")
+  }
+
+  def get(k: String): Option[(String, String)] = {
+    val f = fileFor(k)
+    try {
+      if (!Files.exists(f)) None
+      else {
+        val text = Files.readString(f)
+        val nl = text.indexOf('\n')
+        if (nl < 0) None else Some((text.substring(nl + 1), text.substring(0, nl)))
+      }
+    } catch { case _: java.io.IOException => None } // racing replica: treat as miss
+  }
+
+  def put(k: String, v: (String, String)): Unit = {
+    val (body, contentType) = v
+    val f = fileFor(k)
+    try {
+      val tmp = Files.createTempFile(dir, "put", ".tmp")
+      Files.writeString(tmp, contentType + "\n" + body)
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      evictIfOver()
+    } catch { case _: java.io.IOException => () } // cache is best-effort
+  }
+
+  private def evictIfOver(): Unit = {
+    val entries = Files.list(dir).filter(_.toString.endsWith(".resp"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    if (entries.length > maxEntries)
+      entries.sortBy(p => Files.getLastModifiedTime(p).toMillis)
+        .take(entries.length - maxEntries)
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+  }
+
+  def clear(): Unit =
+    Files.list(dir).filter(_.toString.endsWith(".resp"))
+      .forEach(p => try { Files.deleteIfExists(p); () } catch { case _: java.io.IOException => () })
 }

@@ -49,7 +49,15 @@ final class GraftServer(
     /** Pre-aggregated summary planners per cube (ordered smallest-first);
       * aggregate requests route through them with base-fact fallback
       * (graft.plan.Preagg). */
-    summaries: Map[String, Seq[CubePlanner]] = Map.empty) {
+    summaries: Map[String, Seq[CubePlanner]] = Map.empty,
+    /** Geoservice sidecar for `neighbors` cut ops on Geo-typed dims
+      * (reference TESSERACT_GEOSERVICE_URL → graft.plan.HttpGeoService);
+      * None → hierarchy fallback. */
+    geoService: Option[graft.plan.GeoService] = None,
+    /** Response cache — per-instance LRU by default; pass a
+      * [[SharedFileResponseCache]] so N replicas share one cache (the
+      * reference's Redis slot, handlers/util.rs:152-216). */
+    responseCache: ResponseCache = new LruResponseCache()) {
 
   private val llConf = llConfigJson.map(graft.core.LogicLayerConfigJson.parse)
   private val allCubeAliases: Map[String, String] =
@@ -101,7 +109,7 @@ final class GraftServer(
 
   private def buildState(s: Schema): SchemaState = {
     val planners: Map[String, CubePlanner] =
-      s.cubes.map(c => c.name -> new CubePlanner(c, resolver)).toMap
+      s.cubes.map(c => c.name -> new CubePlanner(c, resolver, geoService)).toMap
     val aggPlanners = planners.map { case (n, p) =>
       n -> new graft.plan.PreaggPlanner(p, summaries.getOrElse(n, Nil))
     }
@@ -129,7 +137,7 @@ final class GraftServer(
 
   /** JWT auth levels (auth.rs) + LRU response cache (util.rs:152-216). */
   val auth = new Auth(jwtSecret)
-  private val cache = new ResponseCache()
+  private val cache = responseCache
 
   private var server: HttpServer = _
 

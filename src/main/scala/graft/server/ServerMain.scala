@@ -21,12 +21,19 @@ import graft.sources.FormatResolver
   *   GRAFT_JWT_SECRET                   enable JWT auth
   *   GRAFT_FLUSH_SECRET                 enable /flush
   *   GRAFT_LOGIC_LAYER_CONFIG_FILEPATH  logic-layer config JSON
+  *   GRAFT_GEOSERVICE_URL               geoservice sidecar for Geo-dim
+  *                                      `neighbors` cuts (reference
+  *                                      TESSERACT_GEOSERVICE_URL); unset →
+  *                                      hierarchy fallback (zero-egress)
+  *   GRAFT_CACHE_DIR                    shared response-cache directory
+  *                                      (replicas over NFS/EFS share one
+  *                                      cache — the reference's Redis
+  *                                      slot); unset → per-instance LRU
   *   GRAFT_SPARK_MASTER                 default local[*]
   *   GRAFT_SHUFFLE_PARTITIONS           default = executor cores
   *
   * The reference's TESSERACT_STREAMING_RESPONSE global switch is per-request
-  * here (`stream=true`); TESSERACT_GEOSERVICE_URL has no analogue (geo cut
-  * ops resolve through the hierarchy instead — zero-egress design).
+  * here (`stream=true`).
   */
 object ServerMain {
 
@@ -40,7 +47,9 @@ object ServerMain {
       dataDir: String,
       flushSecret: Option[String] = None,
       jwtSecret: Option[String] = None,
-      llConfigPath: Option[String] = None): GraftServer = {
+      llConfigPath: Option[String] = None,
+      geoserviceUrl: Option[String] = None,
+      cacheDir: Option[String] = None): GraftServer = {
     def readSchema(): Schema = {
       val text = Files.readString(Paths.get(schemaPath))
       val s = if (schemaPath.endsWith(".xml")) SchemaXml.parse(text)
@@ -56,7 +65,10 @@ object ServerMain {
       // /flush re-reads the schema file and swaps it atomically
       onFlush = () => server.reload(readSchema()),
       jwtSecret = jwtSecret,
-      llConfigJson = llConfigPath.map(p => Files.readString(Paths.get(p))))
+      llConfigJson = llConfigPath.map(p => Files.readString(Paths.get(p))),
+      geoService = geoserviceUrl.map(new graft.plan.HttpGeoService(_)),
+      responseCache = cacheDir.fold[ResponseCache](new LruResponseCache())(
+        d => new SharedFileResponseCache(Paths.get(d))))
     server
   }
 
@@ -88,7 +100,9 @@ object ServerMain {
     val server = build(spark, schemaPath, dataDir,
       flushSecret = sys.env.get("GRAFT_FLUSH_SECRET"),
       jwtSecret = sys.env.get("GRAFT_JWT_SECRET"),
-      llConfigPath = sys.env.get("GRAFT_LOGIC_LAYER_CONFIG_FILEPATH"))
+      llConfigPath = sys.env.get("GRAFT_LOGIC_LAYER_CONFIG_FILEPATH"),
+      geoserviceUrl = sys.env.get("GRAFT_GEOSERVICE_URL"),
+      cacheDir = sys.env.get("GRAFT_CACHE_DIR"))
 
     val Array(host, port) = address.split(":", 2)
     val bound = server.start(port.toInt, host)
