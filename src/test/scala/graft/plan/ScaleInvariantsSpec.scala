@@ -145,6 +145,16 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("dup spans: count shuffles int64 span hashes; text joins back broadcast") {
+    val p = graft.pipeline.PipelineOps.dupSpans(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus-wide count must key on xxhash64(span), never shuffle text
+    assert(p.contains("xxhash64"), "span count must key on the int64 hash:\n" + p.take(800))
+    // the ~K candidates broadcast so span text is filtered map-side
+    assert(p.contains("BroadcastHashJoin"), "candidate join-back must broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("ivf/k-means: corpus assignment is a partial-min groupBy, not a window") {
     // k-means has NO window at all — both assignment passes are min-struct
     // aggregates; a row_number assignment would hold corpus×K rows in
