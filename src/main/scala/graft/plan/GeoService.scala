@@ -24,13 +24,17 @@ trait GeoService {
   * cut members. Deployments configure it with GRAFT_GEOSERVICE_URL
   * (mirroring TESSERACT_GEOSERVICE_URL). */
 final class HttpGeoService(baseUrl: String) extends GeoService {
-  private val client = HttpClient.newHttpClient()
+  // bounded timeouts: a hung sidecar must fail the one query, not pin a
+  // server request thread forever
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
   private val base = if (baseUrl.endsWith("/")) baseUrl else baseUrl + "/"
 
   def neighbors(geoId: String): Seq[String] = {
     val uri = URI.create(base + "neighbors/" +
       URLEncoder.encode(geoId, StandardCharsets.UTF_8))
-    val resp = client.send(HttpRequest.newBuilder(uri).GET().build(),
+    val resp = client.send(
+      HttpRequest.newBuilder(uri).timeout(java.time.Duration.ofSeconds(15)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw PlanError(s"geoservice returned ${resp.statusCode()} for $uri")

@@ -101,16 +101,22 @@ final class SharedFileResponseCache(dir: java.nio.file.Path, maxEntries: Int = 1
     } catch { case _: java.io.IOException => () } // cache is best-effort
   }
 
-  private def evictIfOver(): Unit = {
-    val entries = Files.list(dir).filter(_.toString.endsWith(".resp"))
-      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+  /** Files.list streams hold a directory fd until closed — always walk
+    * inside a try/finally (put() runs per cached response). */
+  private def listEntries[A](f: Array[java.nio.file.Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.filter(_.toString.endsWith(".resp")).toArray.map(_.asInstanceOf[java.nio.file.Path]))
+    finally s.close()
+  }
+
+  private def evictIfOver(): Unit = listEntries { entries =>
     if (entries.length > maxEntries)
       entries.sortBy(p => Files.getLastModifiedTime(p).toMillis)
         .take(entries.length - maxEntries)
         .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
   }
 
-  def clear(): Unit =
-    Files.list(dir).filter(_.toString.endsWith(".resp"))
-      .forEach(p => try { Files.deleteIfExists(p); () } catch { case _: java.io.IOException => () })
+  def clear(): Unit = listEntries {
+    _.foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+  }
 }
