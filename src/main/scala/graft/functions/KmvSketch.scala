@@ -85,7 +85,8 @@ object KmvSketch {
     * ExpressionEncoder round-trip per input row or per shuffle buffer,
     * which is the q47/q44 constant factor. State stays ≤ k longs. */
   sealed abstract class KmvAgg extends TypedImperativeAggregate[Array[Long]]
-      with UnaryLike[Expression] {
+      with UnaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     def k: Int
     final override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
     final override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] =
@@ -118,6 +119,7 @@ object KmvSketch {
       val v = child.eval(input)
       if (v == null) buffer else insert(buffer, v.asInstanceOf[Long], k)
     }
+    override def inputTypes = Seq(LongType)
     override def withNewMutableAggBufferOffset(n: Int): Build = copy(mutableAggBufferOffset = n)
     override def withNewInputAggBufferOffset(n: Int): Build = copy(inputAggBufferOffset = n)
     override protected def withNewChildInternal(newChild: Expression): Build = copy(child = newChild)
@@ -145,6 +147,7 @@ object KmvSketch {
       }
       union(buffer, if (m == n) tmp else java.util.Arrays.copyOf(tmp, m), k)
     }
+    override def inputTypes = Seq(ArrayType(LongType))
     override def withNewMutableAggBufferOffset(n: Int): MergeSketches = copy(mutableAggBufferOffset = n)
     override def withNewInputAggBufferOffset(n: Int): MergeSketches = copy(inputAggBufferOffset = n)
     override protected def withNewChildInternal(newChild: Expression): MergeSketches = copy(child = newChild)

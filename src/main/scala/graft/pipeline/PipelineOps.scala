@@ -198,9 +198,15 @@ object PipelineOps {
     * Every [[SpanLen]]-token window of every document, counted corpus-wide;
     * spans occurring in ≥2 places are boilerplate/template candidates.
     * Shape: explode (corpus × tokens rows) → ONE count shuffle keyed on the
-    * spans' int64 hash (map-side partial aggregation; the raw text never
-    * shuffles) → span text joined back for the ~top-K candidates only via a
-    * broadcast; top spans by (freq, span) — a deterministic total order. */
+    * spans' 48-bit md5 hash (map-side partial aggregation; the raw text
+    * never shuffles) → exactly-K candidates by (freq, hash) — a
+    * deterministic total order both engines share — → span text joined
+    * back for those K only via a broadcast. Distinct spans colliding on
+    * the 48-bit hash merge counts identically in both engines (the min
+    * span text reports); the tie-break-by-hash at the K boundary is what
+    * keeps the candidate set EXACTLY K rows at any corpus size — a
+    * tie-break by span text would need the text of every tied span, an
+    * unbounded set on template-heavy corpora. */
   val SpanLen  = 5
   val SpanTopK = 20
 
@@ -212,26 +218,18 @@ object PipelineOps {
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, size(toks) - $SpanLen), i -> concat_ws(' ', $mk))")).as("span"))
-      .withColumn("h", xxhash64(col("span")))
-    // the corpus-wide count shuffles int64 hash keys, never the span text
-    // (~5-10× fewer shuffle bytes); distinct spans colliding on the 64-bit
-    // hash would merge counts — negligible below ~4B distinct spans and
-    // deterministic (min-span text wins) beyond
+      .withColumn("h", expr(hex12("span")))
     val counts = spans.groupBy("h")
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
       .where(col("freq") >= 2)
-    // K-th-highest frequency (TakeOrdered, one row) bounds the candidate
-    // set; >= keeps every span tied at the cutoff, a superset of the top-K
-    val cutoff = counts.orderBy(col("freq").desc).limit(SpanTopK)
-      .agg(coalesce(min(col("freq")), lit(Long.MaxValue)).as("fmin"))
-    val cand = counts.crossJoin(broadcast(cutoff)).where(col("freq") >= col("fmin"))
-    // span text rejoins for the ~K candidates only: cand broadcasts, so the
-    // corpus side filters map-side — no text ever shuffles
-    spans.join(broadcast(cand), "h")
+    // exactly K candidates (TakeOrdered): bounded broadcast by construction
+    val top = counts.orderBy(col("freq").desc, col("h").asc).limit(SpanTopK)
+    // span text rejoins for those K only: the corpus side filters map-side
+    // against the broadcast — no text ever shuffles
+    spans.join(broadcast(top), "h")
       .groupBy(col("h"), col("freq"), col("n_docs"))
       .agg(min(col("span")).as("span"))
       .orderBy(col("freq").desc, col("span").asc)
-      .limit(SpanTopK)
       .select(col("span"), col("freq"), col("n_docs"))
   }
 
@@ -634,7 +632,9 @@ object PipelineOps {
         .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"))
 
-    val cents0 = n.where(col("vec_id") < IvfCentroids)
+    // zero-norm seeds excluded, and a recomputed centroid that collapses
+    // to the zero vector is dropped the same way (see annIvf)
+    val cents0 = n.where(col("vec_id") < IvfCentroids && col("nrm") > 0)
       .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
     val a0 = assign(cents0).localCheckpoint(false)
 
@@ -649,6 +649,7 @@ object PipelineOps {
       .agg(sort_array(collect_list(struct(col("pos"), expr("s DIV cnt").as("m")))).as("ps"))
       .select(col("cid"), expr("transform(ps, x -> x.m)").as("qb"))
       .withColumn("nrm_b", graft.functions.QuantizedDot(col("qb"), col("qb")))
+      .where(col("nrm_b") > 0)
     val a1 = assign(cents1)
 
     val after = a1.groupBy("cid").agg(count(lit(1)).as("n_after"))
@@ -803,7 +804,11 @@ object PipelineOps {
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
-    val cents = n.where(col("vec_id") < IvfCentroids)
+    // zero-norm vectors can't seed (cosine against them is NaN, whose
+    // ordering under min-struct differs from the old window's NaN-first —
+    // excluding them keeps both engines' argmax identical and is what
+    // k-means/IVF trainers do anyway)
+    val cents = n.where(col("vec_id") < IvfCentroids && col("nrm") > 0)
       .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
 
     // per-vector centroid scores (corpus × K against the broadcast set)

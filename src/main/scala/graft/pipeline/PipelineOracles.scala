@@ -265,7 +265,7 @@ object PipelineOracles {
 
   private val p15 =
     s"""$quantCte,
-       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < ${PipelineOps.IvfCentroids}),
+       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < ${PipelineOps.IvfCentroids} AND nrm > 0),
        |cranked AS (
        |  SELECT n.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -428,7 +428,7 @@ object PipelineOracles {
   private val p24 = {
     val K = PipelineOps.IvfCentroids
     s"""$quantCte,
-       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < $K),
+       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < $K AND nrm > 0),
        |cr0 AS (
        |  SELECT n.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -444,7 +444,7 @@ object PipelineOracles {
        |newc AS (
        |  SELECT sums.cid, list(s // cnt ORDER BY i) AS qm FROM sums JOIN counts USING (cid)
        |  GROUP BY sums.cid, cnt),
-       |nc2 AS (SELECT cid, qm, list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) AS nm FROM newc),
+       |nc2 AS (SELECT cid, qm, list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) AS nm FROM newc WHERE list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) > 0),
        |cr1 AS (
        |  SELECT n.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -572,10 +572,16 @@ object PipelineOracles {
        |s AS (
        |  SELECT doc_id,
        |         unnest([array_to_string(toks[i:i+${len - 1}], ' ') FOR i IN range(1, len(toks) - ${len - 2})]) AS span
-       |  FROM t WHERE len(toks) >= $len)
-       |SELECT span, count(*)::BIGINT AS freq, count(DISTINCT doc_id)::BIGINT AS n_docs
-       |FROM s GROUP BY span HAVING count(*) >= 2
-       |ORDER BY freq DESC, span ASC LIMIT ${PipelineOps.SpanTopK}""".stripMargin
+       |  FROM t WHERE len(toks) >= $len),
+       |sh AS (SELECT doc_id, span, ${hex12("span")} AS h FROM s),
+       |c AS (
+       |  SELECT h, count(*)::BIGINT AS freq, count(DISTINCT doc_id)::BIGINT AS n_docs
+       |  FROM sh GROUP BY h HAVING count(*) >= 2),
+       |top AS (SELECT * FROM c ORDER BY freq DESC, h ASC LIMIT ${PipelineOps.SpanTopK}),
+       |j AS (
+       |  SELECT top.freq, top.n_docs, min(sh.span) AS span
+       |  FROM top JOIN sh USING (h) GROUP BY top.h, top.freq, top.n_docs)
+       |SELECT span, freq, n_docs FROM j ORDER BY freq DESC, span ASC""".stripMargin
   }
 
   /** p31: integer-quotient idf — BIGINT `//` in DuckDB is Spark's `DIV`,

@@ -31,8 +31,10 @@ final class HttpGeoService(baseUrl: String) extends GeoService {
   private val base = if (baseUrl.endsWith("/")) baseUrl else baseUrl + "/"
 
   def neighbors(geoId: String): Seq[String] = {
-    val uri = URI.create(base + "neighbors/" +
-      URLEncoder.encode(geoId, StandardCharsets.UTF_8))
+    // URLEncoder emits form encoding ('+' for space) but this is a PATH
+    // segment, where '+' is literal — percent-encode the space instead
+    val seg = URLEncoder.encode(geoId, StandardCharsets.UTF_8).replace("+", "%20")
+    val uri = URI.create(base + "neighbors/" + seg)
     val resp = client.send(
       HttpRequest.newBuilder(uri).timeout(java.time.Duration.ofSeconds(15)).GET().build(),
       HttpResponse.BodyHandlers.ofString())

@@ -109,11 +109,24 @@ final class SharedFileResponseCache(dir: java.nio.file.Path, maxEntries: Int = 1
     finally s.close()
   }
 
-  private def evictIfOver(): Unit = listEntries { entries =>
-    if (entries.length > maxEntries)
-      entries.sortBy(p => Files.getLastModifiedTime(p).toMillis)
-        .take(entries.length - maxEntries)
-        .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+  private def evictIfOver(): Unit = {
+    listEntries { entries =>
+      if (entries.length > maxEntries)
+        entries.sortBy(p => Files.getLastModifiedTime(p).toMillis)
+          .take(entries.length - maxEntries)
+          .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+    }
+    // orphaned temp files (failed put, kill mid-move) would otherwise
+    // accumulate forever — sweep any older than a minute (never an
+    // in-flight write; the write+move window is milliseconds)
+    val s = Files.list(dir)
+    try {
+      val cutoff = System.currentTimeMillis() - 60000L
+      s.filter(p => p.toString.endsWith(".tmp"))
+        .filter(p => try Files.getLastModifiedTime(p).toMillis < cutoff
+                     catch { case _: java.io.IOException => false })
+        .forEach(p => try { Files.deleteIfExists(p); () } catch { case _: java.io.IOException => () })
+    } finally s.close()
   }
 
   def clear(): Unit = listEntries {

@@ -74,8 +74,14 @@ final class GraftServer(
       aggPlanners: Map[String, graft.plan.PreaggPlanner],
       logicLayers: Map[String, LogicLayer],
       /** First duplicate logic-layer name, as (cube, name) — when set, the
-        * whole logic-layer route family is disabled (see [[llDuplicate]]). */
-      llAmbiguity: Option[(String, String)])
+        * /data, /members and /relations route family is disabled (the
+        * reference's swap covers exactly those three, app.rs:156-201;
+        * /diagnosis stays up there too). See [[llDuplicate]]. */
+      llAmbiguity: Option[(String, String)],
+      /** Fingerprint of the schema content, part of every response-cache
+        * key so entries from a previous schema (hot-reloaded, or persisted
+        * by a shared file cache across a restart) can never be served. */
+      schemaVersion: String)
 
   /** Load-time gate mirroring the reference's has_unique_levels_properties
     * (tesseract-core/src/lib.rs:168-209, wired at app.rs:156-201): within a
@@ -119,7 +125,10 @@ final class GraftServer(
         uniqueNames ++ llConf.map(_.levelNamesFor(n)).getOrElse(Map.empty),
         llConf.map(_.propertyNamesFor(n)).getOrElse(Map.empty))
     }
-    SchemaState(s, planners, aggPlanners, logicLayers, llDuplicate(s))
+    val version = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Metadata.schemaJson(s).getBytes(StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    SchemaState(s, planners, aggPlanners, logicLayers, llDuplicate(s), version)
   }
 
   @volatile private var state: SchemaState = buildState(schema)
@@ -179,12 +188,21 @@ final class GraftServer(
       val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val token = Option(ex.getRequestHeaders.getFirst("x-tesseract-jwt-token"))
         .orElse(params.get("token").flatMap(_.headOption))
-      // response cache: query routes only, keyed by normalized request
-      // (token excluded from the key, checked per request); streaming
-      // responses bypass it, like the reference's streaming mode
+      // response cache: query routes only, keyed by normalized request PLUS
+      // the caller's auth level and the schema version; streaming responses
+      // bypass it, like the reference's streaming mode.
+      //  - auth level (not the raw token) in the key: a cache hit skips
+      //    route()'s withCube auth check, so an unauthenticated request
+      //    must never resolve an entry an authorized one populated —
+      //    keying by level makes that structurally impossible while still
+      //    sharing entries between tokens of equal privilege
+      //  - schema version in the key: the shared file cache outlives the
+      //    process, so a replica restarted against an edited schema file
+      //    must not serve bodies computed under the old schema
       val cacheable = path.contains("/aggregate.") || path.startsWith("/data.") ||
         path.contains("/members.")
-      val ck = cache.key(path, params - "token")
+      val ck = cache.key(path, params - "token") +
+        s"|lvl=${auth.authLevel(token).getOrElse(-1)}|schema=${state.schemaVersion}"
       val cached = if (cacheable) cache.get(ck) else None
       cached match {
         case Some((body, ct)) => respond(ex, 200, body, ct)

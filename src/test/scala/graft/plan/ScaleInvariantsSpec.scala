@@ -148,8 +148,9 @@ class ScaleInvariantsSpec extends AnyFunSuite {
   test("dup spans: count shuffles int64 span hashes; text joins back broadcast") {
     val p = graft.pipeline.PipelineOps.dupSpans(spark, SfDir)
       .queryExecution.executedPlan.toString
-    // the corpus-wide count must key on xxhash64(span), never shuffle text
-    assert(p.contains("xxhash64"), "span count must key on the int64 hash:\n" + p.take(800))
+    // the corpus-wide count must key on the 48-bit md5 span hash (the
+    // cross-engine hex12 int64), never shuffle text
+    assert(p.contains("md5(") || p.contains("conv("), "span count must key on the int64 hash:\n" + p.take(800))
     // the ~K candidates broadcast so span text is filtered map-side
     assert(p.contains("BroadcastHashJoin"), "candidate join-back must broadcast:\n" + p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))

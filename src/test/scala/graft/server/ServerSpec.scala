@@ -373,6 +373,11 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g(s"$q&token=$low")._1 == 401, "level below min_auth_level")
       val high = srv.auth.mint(2).get
       assert(g(s"$q&token=$high")._1 == 200, "level clears min_auth_level")
+      // the authorized request above populated the response cache; a hit
+      // must never bypass auth — the cache key carries the auth level
+      assert(g(q)._1 == 401, "cached private body must not serve tokenless")
+      assert(g(s"$q&token=$low")._1 == 401, "nor to a lower auth level")
+      assert(g(s"$q&token=$high")._1 == 200, "equal privilege still hits")
       // metadata hides the private cube without a token
       assert(!g("/cubes")._2.contains("\"Private\""))
       assert(g(s"/cubes?token=$high")._2.contains("\"Private\""))
