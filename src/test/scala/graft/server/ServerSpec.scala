@@ -352,6 +352,28 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(getFrom(fixedPort, s"/data?cube=Sales&$q")._1 == 200,
       "a disambiguating unique-name config re-enables the logic layer")
     finally fixedSrv.stop()
+
+    // property-name collisions gate too (lib.rs checks both sets): two
+    // levels in one cube carrying a property named "Tag"
+    val propClash = TpchStar.schema.copy(cubes = TpchStar.schema.cubes.map {
+      case c if c.name == "Sales" => c.copy(dimensions = c.dimensions.map {
+        case d if d.name == "Return Flag" => d.copy(hierarchies = d.hierarchies.map(h =>
+          h.copy(levels = h.levels.map(l =>
+            l.copy(properties = Seq(graft.core.PropertyDef("Tag", "l_returnflag")))))))
+        case d if d.name == "Line Status" => d.copy(hierarchies = d.hierarchies.map(h =>
+          h.copy(levels = h.levels.map(l =>
+            l.copy(properties = Seq(graft.core.PropertyDef("Tag", "l_linestatus")))))))
+        case d => d
+      })
+      case c => c
+    })
+    val propSrv = new GraftServer(spark, propClash, new TpchStar.Resolver(SfDir))
+    val propPort = propSrv.start()
+    try {
+      val r = getFrom(propPort, s"/data?cube=Sales&$q")
+      assert(r._1 == 400 && r._2.contains("'Tag'"), r.toString.take(300))
+      assert(getFrom(propPort, s"/cubes/Sales/aggregate.csv?$q")._1 == 200)
+    } finally propSrv.stop()
   }
 
   test("JWT auth levels gate non-public cubes") {

@@ -37,6 +37,25 @@ class SharedCacheSpec extends AnyFunSuite {
     assert(a.get(k).isEmpty, "clear must be visible to every replica")
   }
 
+  test("eviction caps entries by oldest mtime; orphaned tmp files are swept") {
+    val dir = Files.createTempDirectory("graft-cache")
+    val c = new SharedFileResponseCache(dir, maxEntries = 5)
+    for (i <- 1 to 9) {
+      c.put(s"k$i", (s"body$i", "text/csv"))
+      // distinct mtimes so the oldest-first eviction order is deterministic
+      Thread.sleep(5)
+    }
+    val left = { val s = Files.list(dir); try s.toArray.length finally s.close() }
+    assert(left <= 5, s"eviction must cap the entry count, found $left")
+    assert(c.get("k9").isDefined && c.get("k1").isEmpty, "oldest evicted, newest kept")
+    // an orphaned temp file from a crashed put is swept once it ages out
+    val orphan = Files.createTempFile(dir, "put", ".tmp")
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000))
+    c.put("k10", ("body10", "text/csv"))
+    assert(!Files.exists(orphan), "aged tmp orphan must be swept on put")
+  }
+
   test("replica B serves replica A's cached response; flush drops it") {
     val dir = Files.createTempDirectory("graft-cache")
     val q = "/data?cube=Sales&drilldowns=Region&measures=Quantity"
