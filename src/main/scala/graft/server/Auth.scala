@@ -66,8 +66,10 @@ final class LruResponseCache(maxEntries: Int = 256) extends ResponseCache {
   * normalized key (first line content-type, rest body), written to a temp
   * file and atomically moved so concurrent replicas never read a torn
   * entry; reads tolerate missing/competing files. Eviction caps the entry
-  * count by deleting oldest-mtime files (scan is bounded by maxEntries). */
-final class SharedFileResponseCache(dir: java.nio.file.Path, maxEntries: Int = 1024)
+  * count by deleting oldest-mtime files; the directory scan it needs is
+  * amortized over `evictEvery` puts. */
+final class SharedFileResponseCache(
+    dir: java.nio.file.Path, maxEntries: Int = 1024, evictEvery: Int = 16)
     extends ResponseCache {
   import java.nio.file.{Files, StandardCopyOption}
   Files.createDirectories(dir)
@@ -101,35 +103,45 @@ final class SharedFileResponseCache(dir: java.nio.file.Path, maxEntries: Int = 1
     } catch { case _: java.io.IOException => () } // cache is best-effort
   }
 
-  /** Files.list streams hold a directory fd until closed — always walk
-    * inside a try/finally (put() runs per cached response). */
-  private def listEntries[A](f: Array[java.nio.file.Path] => A): A = {
-    val s = Files.list(dir)
-    try f(s.filter(_.toString.endsWith(".resp")).toArray.map(_.asInstanceOf[java.nio.file.Path]))
+  /** Files.list streams hold a directory fd until closed — walk inside a
+    * try/finally, and treat a vanished directory (racing replica, manual
+    * rm -rf) as empty rather than failing the request. */
+  private def listAll(): Array[java.nio.file.Path] = {
+    val s = try Files.list(dir) catch { case _: java.io.IOException => return Array.empty }
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
     finally s.close()
   }
 
+  /** mtime with a guard: a racing replica may delete a listed file between
+    * the listing and the stat — treat it as oldest so it sorts first and
+    * the (idempotent) deleteIfExists simply no-ops. */
+  private def mtimeOrZero(p: java.nio.file.Path): Long =
+    try Files.getLastModifiedTime(p).toMillis catch { case _: java.io.IOException => 0L }
+
+  /** Evictions amortize: a full directory scan per put would be O(entries)
+    * NFS metadata I/O on every cache write, so only every `evictEvery`-th
+    * put pays the single listing (serving both the entry cap and the
+    * orphaned-tmp sweep). The cap is therefore soft by up to evictEvery
+    * entries — irrelevant for a response cache. */
+  private val putCounter = new java.util.concurrent.atomic.AtomicLong()
+
   private def evictIfOver(): Unit = {
-    listEntries { entries =>
-      if (entries.length > maxEntries)
-        entries.sortBy(p => Files.getLastModifiedTime(p).toMillis)
-          .take(entries.length - maxEntries)
-          .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-    }
+    if (putCounter.incrementAndGet() % evictEvery != 0) return
+    val all = listAll()
+    val entries = all.filter(_.toString.endsWith(".resp"))
+    if (entries.length > maxEntries)
+      entries.sortBy(mtimeOrZero)
+        .take(entries.length - maxEntries)
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
     // orphaned temp files (failed put, kill mid-move) would otherwise
     // accumulate forever — sweep any older than a minute (never an
     // in-flight write; the write+move window is milliseconds)
-    val s = Files.list(dir)
-    try {
-      val cutoff = System.currentTimeMillis() - 60000L
-      s.filter(p => p.toString.endsWith(".tmp"))
-        .filter(p => try Files.getLastModifiedTime(p).toMillis < cutoff
-                     catch { case _: java.io.IOException => false })
-        .forEach(p => try { Files.deleteIfExists(p); () } catch { case _: java.io.IOException => () })
-    } finally s.close()
+    val cutoff = System.currentTimeMillis() - 60000L
+    all.filter(p => p.toString.endsWith(".tmp") && mtimeOrZero(p) < cutoff)
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
   }
 
-  def clear(): Unit = listEntries {
-    _.foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-  }
+  def clear(): Unit =
+    listAll().filter(_.toString.endsWith(".resp"))
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
 }

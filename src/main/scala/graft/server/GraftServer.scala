@@ -125,8 +125,18 @@ final class GraftServer(
         uniqueNames ++ llConf.map(_.levelNamesFor(n)).getOrElse(Map.empty),
         llConf.map(_.propertyNamesFor(n)).getOrElse(Map.empty))
     }
+    // fingerprint the COMPLETE schema + config state via case-class
+    // toString (recursively includes every field — source columns, tables,
+    // auth levels, key types — unlike the /cubes metadata projection, which
+    // omits physical fields an edit could change) plus the logic-layer
+    // config, so any restart against edited configuration changes the key
+    val canonical = s.toString +
+      llConfigJson.getOrElse("") +
+      allCubeAliases.toSeq.sortBy(_._1).mkString +
+      uniqueNames.toSeq.sortBy(_.toString).mkString +
+      allNamedSets.mkString
     val version = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(Metadata.schemaJson(s).getBytes(StandardCharsets.UTF_8))
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString
     SchemaState(s, planners, aggPlanners, logicLayers, llDuplicate(s), version)
   }
@@ -174,9 +184,10 @@ final class GraftServer(
       // (handlers/aggregate.rs:37, metadata.rs:83), logic-layer routes
       // jsonrecords (logic_layer/aggregate.rs:58, metadata.rs:33,
       // relations.rs:33, diagnosis.rs:34)
-      // trailing-slash normalization first (the reference wraps unmatched
-      // routes in actix's NormalizePath, so `/data/` serves like `/data`)
-      val rawPath0 = ex.getRequestURI.getPath
+      // path normalization first (the reference wraps unmatched routes in
+      // actix's NormalizePath, which merges duplicate slashes and drops the
+      // trailing one — `/data//` serves like `/data`)
+      val rawPath0 = ex.getRequestURI.getPath.replaceAll("/{2,}", "/")
       val rawPath =
         if (rawPath0.length > 1 && rawPath0.endsWith("/")) rawPath0.dropRight(1) else rawPath0
       val path = rawPath match {

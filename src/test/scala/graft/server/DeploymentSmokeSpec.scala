@@ -60,9 +60,14 @@ class DeploymentSmokeSpec extends AnyFunSuite {
       val data = get("/data?cube=Sales&drilldowns=Return+Flag&measures=Quantity,Row+Count&Line+Status=F")
       assert(data._1 == 200, data._2.take(300))
       assert(data._2.contains("\"data\"") && data._2.contains("\"Row Count\""), data._2.take(300))
-      // the F cut keeps the open-status flags only (A/R ship fully returned/accepted)
-      assert(!data._2.contains("\"Return Flag\":\"R\"") || data._2.contains("\"Return Flag\":\"N\""),
-        data._2.take(300))
+      // the Line Status=F cut must actually bind: its per-flag row counts
+      // are strictly below the uncut ones
+      def rowCounts(body: String): Long =
+        "\"Row Count\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).sum
+      val uncut = get("/data?cube=Sales&drilldowns=Return+Flag&measures=Quantity,Row+Count")
+      assert(uncut._1 == 200, uncut._2.take(300))
+      val (cutN, uncutN) = (rowCounts(data._2), rowCounts(uncut._2))
+      assert(cutN > 0 && cutN < uncutN, s"cut must bind: $cutN vs $uncutN")
 
       val flush = get("/flush?secret=s3cret")
       assert(flush._1 == 200 && flush._2.contains("flushed"), flush._2.take(200))

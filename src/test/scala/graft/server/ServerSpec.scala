@@ -74,6 +74,9 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val llSlashed = get(s"/data/?cube=Sales&$q")
     assert(llSlashed._1 == 200 && llSlashed._2 == get(s"/data?cube=Sales&$q")._2)
     assert(get("/cubes/")._1 == 200)
+    // duplicate slashes merge too (actix NormalizePath merges + trims)
+    assert(get(s"/data//?cube=Sales&$q")._1 == 200)
+    assert(get(s"/cubes//Sales/aggregate?$q")._1 == 200)
   }
 
   test("index route reports status") {

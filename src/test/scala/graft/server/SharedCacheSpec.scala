@@ -39,7 +39,7 @@ class SharedCacheSpec extends AnyFunSuite {
 
   test("eviction caps entries by oldest mtime; orphaned tmp files are swept") {
     val dir = Files.createTempDirectory("graft-cache")
-    val c = new SharedFileResponseCache(dir, maxEntries = 5)
+    val c = new SharedFileResponseCache(dir, maxEntries = 5, evictEvery = 1)
     for (i <- 1 to 9) {
       c.put(s"k$i", (s"body$i", "text/csv"))
       // distinct mtimes so the oldest-first eviction order is deterministic
