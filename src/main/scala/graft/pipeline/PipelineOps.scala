@@ -358,6 +358,60 @@ object PipelineOps {
         countDistinct(col("simhash")).as("n_fingerprints"))
       .orderBy("lang")
 
+  /** p35: simhash hamming near-dup pairs (Manku et al. 2007, WWW'07,
+    * "Detecting Near-Duplicates for Web Crawling" — the bit-block banding
+    * Google used for crawl dedup): doc pairs whose 48-bit simhash
+    * fingerprints differ in ≤ [[SimhashMaxHamming]] bits. By pigeonhole,
+    * hamming ≤ 3 < [[SimhashBlocks]] forces EXACT agreement on at least
+    * one of the 4 disjoint 12-bit blocks, so candidate generation shuffles
+    * on the (block, value) key — never all-pairs — with the p04/p14
+    * hot-bucket cap bounding shared-template skew; survivors verify by
+    * exact popcount(xor), identical int64 arithmetic in any engine.
+    * Complements p05 (which counts distinct fingerprints but pairs
+    * nothing): this is the operator that turns simhash into dedup. */
+  val SimhashBlocks     = 4
+  val SimhashBlockBits  = 12
+  val SimhashMaxHamming = 3
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // fingerprints feed the banding pass AND both verify sides
+    val fp = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", StringHashes(col("toks"), 0L))
+      .withColumn("fp", graft.functions.SimHash48(col("hashes")))
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint(false)
+
+    val blockCols = (0 until SimhashBlocks).map { b =>
+      struct(lit(b.toLong).as("blk"),
+        (shiftright(col("fp"), b * SimhashBlockBits)
+          .bitwiseAND(lit((1L << SimhashBlockBits) - 1))).as("bval"))
+    }
+    val banded = fp.select(col("doc_id"), explode(array(blockCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
+    val bw = Window.partitionBy(col("blk"), col("bval"))
+    val pruned = banded
+      .withColumn("cnt", count(lit(1)).over(bw))
+      .where(col("cnt") <= MaxBucketSize)
+      .drop("cnt")
+
+    val l = pruned.alias("l")
+    val r = pruned.alias("r")
+    val cand = l.join(r,
+        col("l.blk") === col("r.blk") && col("l.bval") === col("r.bval") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    val fa = fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val fb = fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    cand.join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .where(col("hamming") <= SimhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** p06: character-trigram Jaccard near-dup pairs, blocked by
     * (lang, source, n_chars/100) — intra-source char-level dedup, the
     * complement to cross-corpus minhash (p04). Trigram sets compare as
@@ -1278,5 +1332,6 @@ object PipelineOps {
     "p31_tfidf"         -> tfidf,
     "p32_strat_sample"  -> stratifiedSample,
     "p33_funnel"        -> funnel,
-    "p34_ann_pq"        -> annPq)
+    "p34_ann_pq"        -> annPq,
+    "p35_simhash_pairs" -> simhashPairs)
 }

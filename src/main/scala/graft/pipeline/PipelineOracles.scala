@@ -101,6 +101,37 @@ object PipelineOracles {
        |SELECT lang, count(*)::BIGINT AS n_docs, count(DISTINCT simhash)::BIGINT AS n_fingerprints
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val p35 = {
+    val blocks = PipelineOps.SimhashBlocks
+    val bits = PipelineOps.SimhashBlockBits
+    val mask = (1L << bits) - 1
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${hex12("t")}) AS hashes
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |         list_sum([ CASE WHEN 2 * list_sum([ ((h >> b) & 1) FOR h IN hashes ]) > len(hashes)
+       |                    THEN (1::BIGINT << b) ELSE 0::BIGINT END FOR b IN range(0, 48) ]) AS fp
+       |  FROM t),
+       |banded AS (
+       |  SELECT doc_id, blk, (fp >> ($bits * blk)) & $mask AS bval
+       |  FROM f CROSS JOIN (SELECT unnest(range(0, $blocks)) AS blk)),
+       |pruned AS (
+       |  SELECT doc_id, blk, bval FROM (
+       |    SELECT doc_id, blk, bval, count(*) OVER (PARTITION BY blk, bval) AS cnt FROM banded)
+       |  WHERE cnt <= $MaxBucketSize),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM pruned l JOIN pruned r
+       |    ON l.blk = r.blk AND l.bval = r.bval AND l.doc_id < r.doc_id),
+       |v AS (
+       |  SELECT cand.doc_a, cand.doc_b, bit_count(xor(fa.fp, fb.fp))::BIGINT AS hamming
+       |  FROM cand JOIN f fa ON fa.doc_id = cand.doc_a JOIN f fb ON fb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, hamming FROM v
+       |WHERE hamming <= ${PipelineOps.SimhashMaxHamming}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val p06 =
     s"""WITH g AS (
        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
@@ -712,5 +743,6 @@ object PipelineOracles {
     "p31_tfidf"         -> p31,
     "p32_strat_sample"  -> p32,
     "p33_funnel"        -> p33,
-    "p34_ann_pq"        -> p34)
+    "p34_ann_pq"        -> p34,
+    "p35_simhash_pairs" -> p35)
 }

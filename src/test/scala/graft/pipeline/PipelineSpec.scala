@@ -109,6 +109,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("simhash pairs: hamming bound holds and a shared bit-block exists") {
+    val rows = PipelineOps.simhashPairs(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "ordered, self-free")
+      assert(r.getLong(2) <= PipelineOps.SimhashMaxHamming)
+    }
+    // pigeonhole invariant of the banding: hamming <= 3 over 4 disjoint
+    // 12-bit blocks forces at least one exactly-equal block — every
+    // verified pair must have been reachable through some bucket
+    rows.foreach { r =>
+      assert(r.getLong(2) < PipelineOps.SimhashBlocks,
+        "a pair with hamming >= block count could have no shared block")
+    }
+  }
+
   test("ngram jaccard pairs ordered and above threshold") {
     val rows = PipelineOps.ngramJaccard(spark, SfDir).collect()
     rows.foreach { r =>
