@@ -582,6 +582,58 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
       .orderBy("cluster_id")
 
+  /** p36: the end-to-end dedup decision table — the artifact a real
+    * pipeline materializes and joins against its corpus: one verdict row
+    * per document, composed from the exact and near-dup stages in their
+    * production order (exact hash dedup first — cheap and total — then
+    * trigram near-dup clustering over the exact SURVIVORS only, so
+    * identical copies never inflate near-dup cliques).
+    *
+    *   - `reason = 'exact'`: a lower-id doc has byte-identical text.
+    *   - `reason = 'near'`: the doc sits in a verified near-dup cluster
+    *     ([[ngramJaccard]] pairs → [[connectedComponents]]) whose min-id
+    *     canonical is another doc.
+    *   - `reason = 'kept'`: the doc survives; `canonical_id` is itself.
+    *
+    * `canonical_id` is TRANSITIVELY resolved: an exact drop whose keeper
+    * was itself near-dropped points at the keeper's cluster canonical, so
+    * every dropped doc's canonical is a kept doc (the chain has depth ≤ 2
+    * by construction — a cluster min is always an exact survivor).
+    *
+    * Scale shape: one md5 window for the exact stage, then exactly the
+    * p06+p23 machinery on the surviving subset — nothing new shuffles. */
+  def dedupVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val ew = Window.partitionBy(md5(col("text")))
+    val ex = docs(spark, dir)
+      .withColumn("canon_exact", min(col("doc_id")).over(ew))
+      .select(col("doc_id"), col("canon_exact"))
+      .localCheckpoint(false) // feeds the survivor filter AND the verdict join
+    val survivors = ex.where(col("doc_id") === col("canon_exact")).select(col("doc_id"))
+    // near-dup pairs restricted to exact survivors: a pair qualifies iff
+    // both endpoints survived (identical-text docs pair at jaccard 1, but
+    // their non-canonical copies are already 'exact' drops)
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(survivors.select(col("doc_id").as("doc_a")), "doc_a", "left_semi")
+      .join(survivors.select(col("doc_id").as("doc_b")), "doc_b", "left_semi")
+    val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+    // each survivor's own final canonical (its cluster min, or itself) —
+    // joined back through canon_exact to resolve exact drops transitively
+    val survCanon = ex.where(col("doc_id") === col("canon_exact"))
+      .join(labels, col("doc_id") === labels("node"), "left")
+      .select(col("doc_id").as("surv_id"),
+        coalesce(col("label"), col("doc_id")).as("surv_canon"))
+    ex.join(survCanon, ex("canon_exact") === survCanon("surv_id"))
+      .join(labels, ex("doc_id") === labels("node"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("canon_exact"), lit("exact"))
+          .when(col("label").isNotNull && col("label") =!= col("doc_id"), lit("near"))
+          .otherwise(lit("kept")).as("reason"),
+        when(col("doc_id") =!= col("canon_exact"), col("surv_canon"))
+          .when(col("label").isNotNull, col("label"))
+          .otherwise(col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components of an undirected pair graph by alternating
     * large-star/small-star contraction (Kiveris et al. 2014, "Connected
     * Components in MapReduce and Beyond"). Input: two int64 columns, one
@@ -1333,5 +1385,6 @@ object PipelineOps {
     "p32_strat_sample"  -> stratifiedSample,
     "p33_funnel"        -> funnel,
     "p34_ann_pq"        -> annPq,
-    "p35_simhash_pairs" -> simhashPairs)
+    "p35_simhash_pairs" -> simhashPairs,
+    "p36_dedup_verdict" -> dedupVerdict)
 }

@@ -454,6 +454,43 @@ object PipelineOracles {
        |SELECT cluster_id, count(*)::BIGINT AS n_members, max(d) AS max_doc
        |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  private val p36 =
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |  FROM documents),
+       |surv AS (SELECT * FROM ex WHERE doc_id = canon),
+       |g AS (
+       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
+       |         list_distinct([ (${hex12("substr(text, i, 3)")})::BIGINT FOR i IN range(1, len(text) - 1) ]) AS grams
+       |  FROM surv WHERE len(text) >= 3),
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+       |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.block = b.block AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |r AS (
+       |  SELECT a AS d, a AS reach FROM e
+       |  UNION
+       |  SELECT r.d, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+       |cl AS (SELECT d, min(reach) AS cluster_id FROM r GROUP BY d),
+       |scl AS (
+       |  SELECT surv.doc_id AS sid, coalesce(cl.cluster_id, surv.doc_id) AS scanon
+       |  FROM surv LEFT JOIN cl ON cl.d = surv.doc_id)
+       |SELECT ex.doc_id,
+       |       CASE WHEN ex.doc_id <> ex.canon THEN 'exact'
+       |            WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> ex.doc_id THEN 'near'
+       |            ELSE 'kept' END AS reason,
+       |       CASE WHEN ex.doc_id <> ex.canon THEN scl.scanon
+       |            WHEN cl.cluster_id IS NOT NULL THEN cl.cluster_id
+       |            ELSE ex.doc_id END AS canonical_id
+       |FROM ex JOIN scl ON scl.sid = ex.canon LEFT JOIN cl ON cl.d = ex.doc_id
+       |ORDER BY ex.doc_id""".stripMargin
+
   /** `//` (DuckDB) and `DIV` (Spark) both truncate toward zero on BIGINT, so
     * the integer-mean centroids are bit-identical cross-engine. */
   private val p24 = {
@@ -744,5 +781,6 @@ object PipelineOracles {
     "p32_strat_sample"  -> p32,
     "p33_funnel"        -> p33,
     "p34_ann_pq"        -> p34,
-    "p35_simhash_pairs" -> p35)
+    "p35_simhash_pairs" -> p35,
+    "p36_dedup_verdict" -> p36)
 }

@@ -109,6 +109,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("dedup verdict: one row per doc, canonicals are kept, ids never increase") {
+    val rows = PipelineOps.dedupVerdict(spark, SfDir).collect()
+    val total = PipelineOps.exactDedup(spark, SfDir).collect().map(_.getLong(1)).sum
+    assert(rows.length == total, "exactly one verdict per document")
+    val byId = rows.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (id, reason, canon) = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(canon <= id, "canonical is always the lowest id")
+      if (reason == "kept") assert(canon == id)
+      else {
+        assert(canon < id, s"dropped doc $id must point elsewhere")
+        assert(byId(canon)._1 == "kept", s"canonical $canon of $id must itself be kept")
+      }
+    }
+  }
+
   test("simhash pairs: hamming bound holds and a shared bit-block exists") {
     val rows = PipelineOps.simhashPairs(spark, SfDir).collect()
     rows.foreach { r =>
