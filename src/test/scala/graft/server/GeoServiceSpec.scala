@@ -48,6 +48,33 @@ class GeoServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gs.neighbors("3") == Seq("9", "21", "3"))
   }
 
+  test("HttpGeoService failures surface as PlanError (400 to the client), not 500s") {
+    // non-200 and malformed payloads both become PlanError, which the
+    // server maps to a 400 with the message — never an opaque 500
+    stub.createContext("/bad404/neighbors/", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    stub.createContext("/badjson/neighbors/", (ex: HttpExchange) => {
+      val b = """{"not":"an array"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    val e404 = intercept[graft.plan.PlanError](
+      new HttpGeoService(s"http://127.0.0.1:$stubPort/bad404").neighbors("3"))
+    assert(e404.message.contains("404"))
+    val eJson = intercept[graft.plan.PlanError](
+      new HttpGeoService(s"http://127.0.0.1:$stubPort/badjson").neighbors("3"))
+    assert(eJson.message.contains("non-array"))
+    // ids with spaces percent-encode as path segments (%20, not '+')
+    var seen: String = null
+    stub.createContext("/seg/neighbors/", (ex: HttpExchange) => {
+      seen = ex.getRequestURI.getRawPath.stripPrefix("/seg/neighbors/")
+      val b = "[]".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    assert(new HttpGeoService(s"http://127.0.0.1:$stubPort/seg").neighbors("New York") == Nil)
+    assert(seen == "New%20York", s"got '$seen'")
+  }
+
   test("Geo-dim neighbors resolve via the geoservice; hierarchy fallback without one") {
     // Geography is DimensionType.Geo, so a configured geoservice owns its
     // neighbors resolution (reference aggregate.rs:1204-1222)
