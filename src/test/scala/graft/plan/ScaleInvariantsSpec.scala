@@ -145,6 +145,13 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("simhash pairs: banded bucket join with the hot-bucket cap, never a cross join") {
+    val p = graft.pipeline.PipelineOps.simhashPairs(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "hot-bucket cap window missing:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("dup spans: count shuffles int64 span hashes; text joins back broadcast") {
     val p = graft.pipeline.PipelineOps.dupSpans(spark, SfDir)
       .queryExecution.executedPlan.toString
