@@ -417,14 +417,19 @@ object PipelineOps {
     * complement to cross-corpus minhash (p04). Trigram sets compare as
     * int64 hash sets; blocking bounds candidates to same-source
     * same-length-band docs, never all-pairs. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(docs(spark, dir))
+
+  /** p06 body over an arbitrary documents frame — p36 runs it on the
+    * exact-dedup survivors only. */
+  private def ngramJaccardOf(d: DataFrame): DataFrame = {
     val blockCols = Seq("lang", "source", "block")
     // localCheckpoint: the gram frame feeds both join sides; without lineage
     // truncation the per-character md5 hashing runs twice (same reasoning as
     // minhashPairs)
     // arrays sorted once per doc so the pair stage intersects via a native
     // merge walk (SortedIntersectCount) instead of a per-pair hash set
-    val grams = docs(spark, dir)
+    val grams = d
       .where(length(col("text")) >= 3)
       .withColumn("block", floor(col("n_chars") / 100))
       .withColumn("grams", array_sort(array_distinct(SubstringHashes(col("text"), 3, 0L))))
@@ -606,19 +611,19 @@ object PipelineOps {
     val ew = Window.partitionBy(md5(col("text")))
     val ex = docs(spark, dir)
       .withColumn("canon_exact", min(col("doc_id")).over(ew))
-      .select(col("doc_id"), col("canon_exact"))
       .localCheckpoint(false) // feeds the survivor filter AND the verdict join
-    val survivors = ex.where(col("doc_id") === col("canon_exact")).select(col("doc_id"))
-    // near-dup pairs restricted to exact survivors: a pair qualifies iff
-    // both endpoints survived (identical-text docs pair at jaccard 1, but
-    // their non-canonical copies are already 'exact' drops)
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-      .join(survivors.select(col("doc_id").as("doc_a")), "doc_a", "left_semi")
-      .join(survivors.select(col("doc_id").as("doc_b")), "doc_b", "left_semi")
-    val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+    val survivors = ex.where(col("doc_id") === col("canon_exact"))
+    // near-dup pairing runs on the exact SURVIVORS only — the k
+    // byte-identical copies the exact stage removed would otherwise pair
+    // O(k²) at jaccard 1 inside one block for nothing (block keys and
+    // pairwise jaccard are per-doc, so pre-filtering is result-identical
+    // to pairing the full corpus and discarding dropped endpoints)
+    val pairs = ngramJaccardOf(survivors.drop("canon_exact"))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
     // each survivor's own final canonical (its cluster min, or itself) —
     // joined back through canon_exact to resolve exact drops transitively
-    val survCanon = ex.where(col("doc_id") === col("canon_exact"))
+    val survCanon = survivors
       .join(labels, col("doc_id") === labels("node"), "left")
       .select(col("doc_id").as("surv_id"),
         coalesce(col("label"), col("doc_id")).as("surv_canon"))

@@ -16,6 +16,10 @@ import org.json4s.jackson.JsonMethods
 trait GeoService {
   /** Geo-ids adjacent to `geoId` (reference `GET {base}/neighbors/{id}`). */
   def neighbors(geoId: String): Seq[String]
+
+  /** Stable identity for cache fingerprints (default toString carries an
+    * object hash that differs per JVM — override to something value-like). */
+  def describe: String = getClass.getName
 }
 
 /** JDK-HttpClient port of the reference's geoservice client
@@ -29,6 +33,8 @@ final class HttpGeoService(baseUrl: String) extends GeoService {
   private val client = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(5)).build()
   private val base = if (baseUrl.endsWith("/")) baseUrl else baseUrl + "/"
+
+  override def describe: String = s"HttpGeoService($base)"
 
   def neighbors(geoId: String): Seq[String] = {
     // URLEncoder emits form encoding ('+' for space) but this is a PATH

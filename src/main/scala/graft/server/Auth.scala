@@ -72,6 +72,7 @@ final class SharedFileResponseCache(
     dir: java.nio.file.Path, maxEntries: Int = 1024, evictEvery: Int = 16)
     extends ResponseCache {
   import java.nio.file.{Files, StandardCopyOption}
+  require(maxEntries >= 1 && evictEvery >= 1, "maxEntries and evictEvery must be positive")
   Files.createDirectories(dir)
 
   private def fileFor(k: String): java.nio.file.Path = {
@@ -100,15 +101,21 @@ final class SharedFileResponseCache(
       Files.writeString(tmp, contentType + "\n" + body)
       Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       evictIfOver()
-    } catch { case _: java.io.IOException => () } // cache is best-effort
+      // best-effort: NOTHING here may fail the request — directory-stream
+      // iteration surfaces UncheckedIOException (a RuntimeException), so a
+      // bare IOException catch would leak a 500 from a computed response
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Files.list streams hold a directory fd until closed — walk inside a
     * try/finally, and treat a vanished directory (racing replica, manual
     * rm -rf) as empty rather than failing the request. */
   private def listAll(): Array[java.nio.file.Path] = {
-    val s = try Files.list(dir) catch { case _: java.io.IOException => return Array.empty }
+    val s = try Files.list(dir) catch { case scala.util.control.NonFatal(_) => return Array.empty }
+    // iteration throws UncheckedIOException (not IOException) if the dir
+    // vanishes mid-walk — same treat-as-empty contract
     try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+    catch { case scala.util.control.NonFatal(_) => Array.empty }
     finally s.close()
   }
 
@@ -143,5 +150,5 @@ final class SharedFileResponseCache(
 
   def clear(): Unit =
     listAll().filter(_.toString.endsWith(".resp"))
-      .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      .foreach(p => try Files.deleteIfExists(p) catch { case scala.util.control.NonFatal(_) => () })
 }

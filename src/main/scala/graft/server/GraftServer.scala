@@ -128,13 +128,17 @@ final class GraftServer(
     // fingerprint the COMPLETE schema + config state via case-class
     // toString (recursively includes every field — source columns, tables,
     // auth levels, key types — unlike the /cubes metadata projection, which
-    // omits physical fields an edit could change) plus the logic-layer
-    // config, so any restart against edited configuration changes the key
+    // omits physical fields an edit could change) plus every config that
+    // changes response bodies (logic-layer config, geoservice, summaries),
+    // so any restart against edited configuration changes the key
     val canonical = s.toString +
       llConfigJson.getOrElse("") +
       allCubeAliases.toSeq.sortBy(_._1).mkString +
       uniqueNames.toSeq.sortBy(_.toString).mkString +
-      allNamedSets.mkString
+      allNamedSets.mkString +
+      geoService.map(_.describe).getOrElse("") +
+      summaries.toSeq.sortBy(_._1)
+        .map { case (k, ps) => k + ps.map(_.cube.toString).mkString }.mkString
     val version = java.security.MessageDigest.getInstance("SHA-256")
       .digest(canonical.getBytes(StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString
