@@ -81,7 +81,8 @@ object KmvSketch {
     * wrappers: both run under ObjectHashAggregateExec either way (an
     * object-state aggregate can't live in an unsafe row buffer), but the
     * native form evaluates its input with `child.eval` directly and
-    * serializes partials as packed little-endian longs — no
+    * serializes partials as packed big-endian longs (ByteBuffer's
+    * default order; serialize/deserialize are symmetric) — no
     * ExpressionEncoder round-trip per input row or per shuffle buffer,
     * which is the q47/q44 constant factor. State stays ≤ k longs. */
   sealed abstract class KmvAgg extends TypedImperativeAggregate[Array[Long]]

@@ -203,7 +203,11 @@ object PipelineOps {
     * deterministic total order both engines share — → span text joined
     * back for those K only via a broadcast. Distinct spans colliding on
     * the 48-bit hash merge counts identically in both engines (the min
-    * span text reports); the tie-break-by-hash at the K boundary is what
+    * span text reports); by the birthday bound collisions onset around
+    * ~2^24 (~16M) distinct spans, past which a colliding pair of singleton
+    * spans can surface as a false freq>=2 candidate — the top-K is trustable
+    * below that corpus size, and the hash could widen to 64 bits if a
+    * deployment crosses it; the tie-break-by-hash at the K boundary is what
     * keeps the candidate set EXACTLY K rows at any corpus size — a
     * tie-break by span text would need the text of every tied span, an
     * unbounded set on template-heavy corpora. */

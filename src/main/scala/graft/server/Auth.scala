@@ -37,11 +37,17 @@ final class Auth(secret: Option[String]) {
 
 /** Response cache contract, keyed by the normalized request (path + sorted
   * query params) — the Redis response-cache slot of the reference
-  * (handlers/util.rs:152-216). Values are (body, contentType). */
+  * (handlers/util.rs:152-216). Values are (body, contentType). Each key and
+  * value component is percent-encoded so the separators ('&', '=', ',')
+  * cannot occur inside a component: the key is injective over
+  * (path, params) — repeated params (`?cuts=a&cuts=b`, an intersection)
+  * can never collide with a single comma-joined `?cuts=a,b`. */
 trait ResponseCache {
-  final def key(path: String, params: Map[String, Seq[String]]): String =
+  final def key(path: String, params: Map[String, Seq[String]]): String = {
+    def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     path + "?" + params.toSeq.sortBy(_._1)
-      .map { case (k, vs) => k + "=" + vs.sorted.mkString(",") }.mkString("&")
+      .map { case (k, vs) => esc(k) + "=" + vs.sorted.map(esc).mkString(",") }.mkString("&")
+  }
   def get(k: String): Option[(String, String)]
   def put(k: String, v: (String, String)): Unit
   def clear(): Unit
@@ -62,7 +68,17 @@ final class LruResponseCache(maxEntries: Int = 256) extends ResponseCache {
 /** Cross-instance response cache over a shared directory (NFS/EFS/local):
   * what the reference gets from Redis — N server replicas hitting one
   * cache — expressed with the one shared medium a Spark deployment already
-  * has, shared storage. One file per entry named by the sha-256 of the
+  * has, shared storage.
+  *
+  * Staleness contract: entries outlive any single process, and the
+  * schemaVersion folded into the key fingerprints schema + config only —
+  * not the underlying parquet bytes. A data-only refresh (new parquet,
+  * same schema) therefore REQUIRES a `/flush` on any replica of a
+  * shared-cache deployment; a replica merely restarted after the refresh
+  * would otherwise keep serving pre-refresh bodies indefinitely (the
+  * in-memory LRU restarts empty, this cache deliberately does not). Same
+  * operational rule as the reference's Redis cache, which also survives
+  * server restarts. One file per entry named by the sha-256 of the
   * normalized key (first line content-type, rest body), written to a temp
   * file and atomically moved so concurrent replicas never read a torn
   * entry; reads tolerate missing/competing files. Eviction caps the entry

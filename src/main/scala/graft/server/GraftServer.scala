@@ -153,10 +153,10 @@ final class GraftServer(
     * response cache drops so no stale bodies survive the swap. */
   def reload(newSchema: Schema): Unit = { state = buildState(newSchema); cache.clear() }
 
-  private def curSchema: Schema = state.schema
-  private def planners: Map[String, CubePlanner] = state.planners
-  private def aggPlanners: Map[String, graft.plan.PreaggPlanner] = state.aggPlanners
-  private def logicLayers: Map[String, LogicLayer] = state.logicLayers
+  // NOTE: requests never read the volatile `state` more than once — handle()
+  // snapshots it and threads the snapshot through route(), so a /flush
+  // landing mid-request cannot mix the old version's cache key with a body
+  // computed under the new schema (or vice versa)
 
   /** JWT auth levels (auth.rs) + LRU response cache (util.rs:152-216). */
   val auth = new Auth(jwtSecret)
@@ -216,13 +216,18 @@ final class GraftServer(
       //    must not serve bodies computed under the old schema
       val cacheable = path.contains("/aggregate.") || path.startsWith("/data.") ||
         path.contains("/members.")
+      // ONE read of the volatile state per request: the same snapshot feeds
+      // the cache key's schema version AND the routing below, so a /flush
+      // landing between the two can't file a new-schema body under the old
+      // version key (or vice versa)
+      val st = state
       val ck = cache.key(path, params - "token") +
-        s"|lvl=${auth.authLevel(token).getOrElse(-1)}|schema=${state.schemaVersion}"
+        s"|lvl=${auth.authLevel(token).getOrElse(-1)}|schema=${st.schemaVersion}"
       val cached = if (cacheable) cache.get(ck) else None
       cached match {
         case Some((body, ct)) => respond(ex, 200, body, ct)
         case None =>
-          route(path, params, token) match {
+          route(path, params, token, st) match {
             case Right(Body(body, contentType)) =>
               if (cacheable) cache.put(ck, (body, contentType))
               respond(ex, 200, body, contentType)
@@ -252,8 +257,15 @@ final class GraftServer(
           "{\"error\":\"" + Format.jsonEscape(String.valueOf(e.getMessage)) + "\"}", "application/json"))
     } finally ex.close()
 
-  private def route(path: String, params: Map[String, Seq[String]], token: Option[String])
-      : Either[(Int, String), Out] = {
+  private def route(path: String, params: Map[String, Seq[String]], token: Option[String],
+      st: SchemaState): Either[(Int, String), Out] = {
+    implicit val snapshot: SchemaState = st
+    // local shadows of the snapshot: everything below resolves against the
+    // SAME state the cache key fingerprinted
+    val curSchema = st.schema
+    val planners = st.planners
+    val aggPlanners = st.aggPlanners
+    val logicLayers = st.logicLayers
     val streaming = params.get("stream").exists(_.headOption.contains("true"))
     def out(df: DataFrame, f: FormatType, src: Option[SourceMetadata]): Out =
       if (streaming) StreamOut(df, f, src, mime(f))
@@ -416,19 +428,20 @@ final class GraftServer(
     * /relations route (handlers/logic_layer/mod.rs:22-95) while the core
     * /cubes/... routes keep working; we use 400 (config-fixable) with the
     * reference's debug-mode message. */
-  private def llEnabled[A](f: => Either[(Int, String), A]): Either[(Int, String), A] =
-    state.llAmbiguity match {
+  private def llEnabled[A](f: => Either[(Int, String), A])(implicit st: SchemaState)
+      : Either[(Int, String), A] =
+    st.llAmbiguity match {
       case Some((cube, name)) =>
         Left((400, s"Logic Layer duplicate name: '$name' in cube '$cube'. Level/property name must be unique."))
       case None => f
     }
 
   private def withCube[A](name: String, token: Option[String])
-      (f: ((Cube, CubePlanner)) => Either[(Int, String), A])
+      (f: ((Cube, CubePlanner)) => Either[(Int, String), A])(implicit st: SchemaState)
       : Either[(Int, String), A] =
-    curSchema.cube(name) match {
+    st.schema.cube(name) match {
       case Some(c) if !auth.allowed(c, token) => Left((401, s"not authorized for cube '$name'"))
-      case Some(c) => f((c, planners(c.name)))
+      case Some(c) => f((c, st.planners(c.name)))
       case None    => Left((404, s"cube '$name' not found"))
     }
 

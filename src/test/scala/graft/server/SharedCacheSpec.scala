@@ -37,6 +37,20 @@ class SharedCacheSpec extends AnyFunSuite {
     assert(a.get(k).isEmpty, "clear must be visible to every replica")
   }
 
+  test("cache key is injective: repeated params never collide with comma-joined ones") {
+    val dir = Files.createTempDirectory("graft-cache")
+    val c = new SharedFileResponseCache(dir)
+    // ?cuts=Year.2020&cuts=Year.2021 (intersection) vs ?cuts=Year.2020,Year.2021
+    // (one comma-joined cut) are different requests — their keys must differ
+    val repeated = c.key("/data.csv", Map("cuts" -> Seq("Year.2020", "Year.2021")))
+    val joined   = c.key("/data.csv", Map("cuts" -> Seq("Year.2020,Year.2021")))
+    assert(repeated != joined)
+    // separators inside values can't forge another param's boundary either
+    val forged = c.key("/data.csv", Map("a" -> Seq("1&b=2")))
+    val honest = c.key("/data.csv", Map("a" -> Seq("1"), "b" -> Seq("2")))
+    assert(forged != honest)
+  }
+
   test("eviction caps entries by oldest mtime; orphaned tmp files are swept") {
     val dir = Files.createTempDirectory("graft-cache")
     val c = new SharedFileResponseCache(dir, maxEntries = 5, evictEvery = 1)
