@@ -1020,6 +1020,78 @@ object PipelineOps {
       .orderBy("query_id", "rank")
   }
 
+  /** p37: composed IVF→PQ ANN — the production shape (SURVEY §8.4): the
+    * coarse quantizer (p15) prunes which inverted lists a query reads, PQ
+    * ADC (p34) scores only those lists without ever touching raw corpus
+    * vectors. The IVF-then-ADC composition is exactly Jégou et al. 2011's
+    * IVFADC index.
+    *
+    * Plan shape at 100 TB: the corpus-sized relations — coarse assignment
+    * (vec_id → coarse cell) and PQ codes (vec_id → M byte codes) — join
+    * once on vec_id; the query side (probe cells, ADC distance tables) is
+    * queries × probes / queries × M × K rows and BROADCASTS, so routed
+    * candidates materialize map-side with no corpus shuffle beyond the
+    * encode/assign groupBys, and the only per-query shuffle is the ADC
+    * partial-sum groupBy over routed candidates. A nbr lives in exactly
+    * one coarse cell, so a (query, nbr) pair appears at most once even
+    * with multi-probe — no distinct needed. Distances stay exact int64
+    * (the p34 bound), so ranks are engine-exact. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+
+    // ---- coarse routing (the p15 machinery, cells renamed ccid so they
+    // can't collide with PQ's codebook cid)
+    val cents = n.where(col("vec_id") < IvfCentroids && col("nrm") > 0)
+      .select(col("vec_id").as("ccid"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    def centScores(src: DataFrame): DataFrame =
+      src.select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", dotCol)
+        .withColumn("ccos",
+          col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+    val assigned = centScores(n)
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("ccid"))).as("best"))
+      .select(col("vec_id").as("nbr_id"), col("best.ccid").as("ccid"))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("ccid").asc)
+    val probes = centScores(n.where(col("vec_id") < 10))
+      .withColumn("crn", row_number().over(pw)).where(col("crn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("ccid"))
+
+    // ---- PQ encode + query ADC tables (the p34 machinery)
+    val d = EmbDim / PqSubspaces
+    val sub = quantized(spark, dir)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    val pqCents = sub.where(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("cid"), col("m"), col("sub").as("subc"))
+    val dists = sub.join(broadcast(pqCents), Seq("m"))
+      .withColumn("dist", graft.functions.QuantizedL2Sq(col("sub"), col("subc")))
+    val codes = dists
+      .groupBy(col("vec_id").as("nbr_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("nbr_id"), col("m"), col("best.cid").as("cid"))
+    val adc = dists.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("cid"), col("dist").as("qdist"))
+
+    // ---- compose: corpus-side join on vec_id, query side broadcast
+    val routed = codes.join(assigned, "nbr_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("nbr_id").asc)
+    routed.join(broadcast(probes), "ccid")
+      .where(col("query_id") =!= col("nbr_id"))
+      .join(broadcast(adc), Seq("query_id", "m", "cid"))
+      .groupBy("query_id", "nbr_id")
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= PqTopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
     * minhash dedup, with the same two scale guards as p04:
     *
@@ -1395,5 +1467,6 @@ object PipelineOps {
     "p33_funnel"        -> funnel,
     "p34_ann_pq"        -> annPq,
     "p35_simhash_pairs" -> simhashPairs,
-    "p36_dedup_verdict" -> dedupVerdict)
+    "p36_dedup_verdict" -> dedupVerdict,
+    "p37_ann_ivfpq"     -> annIvfPq)
 }

@@ -746,6 +746,51 @@ object PipelineOracles {
        |FROM ranked WHERE rnk <= ${PipelineOps.PqTopK} ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** p37: composed IVF→PQ (IVFADC) — p15's coarse routing CTEs feeding
+    * p34's encode/ADC CTEs; candidates restricted to probed cells before
+    * any ADC scoring. Same exact-int64 distances, so ranks can't flap. */
+  private val p37 = {
+    val m = PipelineOps.PqSubspaces
+    val d = Hashing.EmbDim / m
+    s"""$quantCte,
+       |cents AS (SELECT vec_id AS ccid, q AS qc, nrm AS nc FROM n WHERE vec_id < ${PipelineOps.IvfCentroids} AND nrm > 0),
+       |cranked AS (
+       |  SELECT n.vec_id, c.ccid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qc)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC, c.ccid ASC) AS crn
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id AS nbr_id, ccid FROM cranked WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, ccid FROM cranked WHERE crn <= ${PipelineOps.IvfProbes} AND vec_id < 10),
+       |mm AS (SELECT unnest(range(0, $m)) AS m),
+       |sub AS (SELECT vec_id, m, q[(m*$d+1)::INT:(m*$d+$d)::INT] AS sub FROM n CROSS JOIN mm),
+       |pcents AS (SELECT vec_id AS cid, m, sub AS subc FROM sub WHERE vec_id < ${PipelineOps.PqCentroids}),
+       |dists AS (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |         CAST(list_sum([(x[1]-x[2])*(x[1]-x[2]) FOR x IN list_zip(s.sub, c.subc)]) AS BIGINT) AS dist
+       |  FROM sub s JOIN pcents c ON s.m = c.m),
+       |codes AS (
+       |  SELECT vec_id AS nbr_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |adc AS (SELECT vec_id AS query_id, m, cid, dist AS qdist FROM dists WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, a.nbr_id FROM probes p JOIN assigned a USING (ccid)
+       |  WHERE a.nbr_id <> p.query_id),
+       |approx AS (
+       |  SELECT cand.query_id, c.nbr_id, CAST(sum(a.qdist) AS BIGINT) AS adist
+       |  FROM cand JOIN codes c ON c.nbr_id = cand.nbr_id
+       |           JOIN adc a ON a.query_id = cand.query_id AND a.m = c.m AND a.cid = c.cid
+       |  GROUP BY cand.query_id, c.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, nbr_id ASC) AS rnk
+       |  FROM approx)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", nbr_id, adist
+       |FROM ranked WHERE rnk <= ${PipelineOps.PqTopK} ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -782,5 +827,6 @@ object PipelineOracles {
     "p33_funnel"        -> p33,
     "p34_ann_pq"        -> p34,
     "p35_simhash_pairs" -> p35,
-    "p36_dedup_verdict" -> p36)
+    "p36_dedup_verdict" -> p36,
+    "p37_ann_ivfpq"     -> p37)
 }

@@ -163,6 +163,22 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("ivf→pq compose: centroid-id routing + broadcast ADC lookup, no corpus cross join") {
+    val df = graft.pipeline.PipelineOps.annIvfPq(spark, SfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus never self-crosses: routing is a probes⋈assigned equi-join
+    // on the coarse cell id, scoring a broadcast ADC-table lookup. The only
+    // nested-loop joins allowed are the broadcast corpus×16-centroid scoring
+    // passes (bounded by the constant centroid set) — count them.
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // query-side relations (probes, ADC tables) broadcast into the corpus
+    assert(p.contains("BroadcastHashJoin"), "probe/ADC joins must broadcast:\n" + p.take(800))
+    // windows only on the query side (probe top-k + final rank), never on
+    // the corpus-sized assignment or encode
+    val windows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(windows <= 2, s"ivfpq should window only the query side ($windows):\n" + p.take(800))
+  }
+
   test("ivf/k-means: corpus assignment is a partial-min groupBy, not a window") {
     // k-means has NO window at all — both assignment passes are min-struct
     // aggregates; a row_number assignment would hold corpus×K rows in
