@@ -214,6 +214,18 @@ object PipelineOps {
   val SpanLen  = 5
   val SpanTopK = 20
 
+  /** `spans` below feeds BOTH the count and the join-back, so the explode +
+    * md5 evaluates twice — deliberately. Measured at sf0.1/local[32]: 1.92 s
+    * as-is vs 1.30 s with `spans.localCheckpoint()` — caching wins locally
+    * only because the exploded relation fits in memory. The exploded form
+    * is ~[[SpanLen]]× the corpus text bytes (every token lands in SpanLen
+    * spans): at 100 TB a checkpoint/persist writes and re-reads a
+    * multi-hundred-TB intermediate, while the recompute is a second
+    * STREAMING columnar scan whose consumer filters map-side against the
+    * 20-row broadcast — no materialization at all. Recompute is the scale
+    * choice; both evaluations are md5-deterministic, so unlike
+    * minhashPairs' nondeterministic double-hash trap (:271-275) there is
+    * no correctness exposure. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val mk = (0 until SpanLen).map(k => s"toks[i+$k]").mkString(", ")
     val spans = docs(spark, dir)
