@@ -162,6 +162,17 @@ final class GraftServer(
   val auth = new Auth(jwtSecret)
   private val cache = responseCache
 
+  /** Single-flight map: concurrent misses on one cache key coalesce behind
+    * the first thread's compute — the stampede the reference's
+    * GET-then-compute Redis pattern has (util.rs:152-216) when N identical
+    * hot requests land together; here N-1 followers block on the leader's
+    * future instead of each planning the same query. A `None` result means
+    * "not coalescible" (leader streamed, or died before publishing) and the
+    * follower computes independently — the rare path. Entries are removed
+    * in a finally, so a crashed leader can never wedge the key. */
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Option[(Int, String, String)]]]()
+
   private var server: HttpServer = _
 
   def start(port: Int = 0, host: String = "0.0.0.0"): Int = {
@@ -227,22 +238,52 @@ final class GraftServer(
       cached match {
         case Some((body, ct)) => respond(ex, 200, body, ct)
         case None =>
-          route(path, params, token, st) match {
-            case Right(Body(body, contentType)) =>
-              if (cacheable) cache.put(ck, (body, contentType))
-              respond(ex, 200, body, contentType)
-            case Right(StreamOut(df, fmt, src, contentType)) =>
-              // chunked transfer: rows leave as toLocalIterator produces
-              // them — the driver never holds the full result
-              // (reference format_stream.rs semantics)
-              ex.getResponseHeaders.set("Content-Type", contentType + "; charset=utf-8")
-              ex.sendResponseHeaders(200, 0)
-              val w = new java.io.BufferedWriter(
-                new java.io.OutputStreamWriter(ex.getResponseBody, StandardCharsets.UTF_8))
-              Format.write(w, df, fmt, src)
-              w.flush(); w.close()
-            case Left((code, msg)) =>
-              respond(ex, code, "{\"error\":\"" + Format.jsonEscape(msg) + "\"}", "application/json")
+          // publish: hand the buffered result (status, body, contentType) to
+          // any followers coalesced behind this compute; None = streamed out,
+          // nothing shareable
+          def compute(publish: Option[(Int, String, String)] => Unit): Unit =
+            route(path, params, token, st) match {
+              case Right(Body(body, contentType)) =>
+                if (cacheable) cache.put(ck, (body, contentType))
+                // publish AFTER the cache put: a thread arriving past the
+                // in-flight entry's removal must find the entry in the cache
+                publish(Some((200, body, contentType)))
+                respond(ex, 200, body, contentType)
+              case Right(StreamOut(df, fmt, src, contentType)) =>
+                publish(None)
+                // chunked transfer: rows leave as toLocalIterator produces
+                // them — the driver never holds the full result
+                // (reference format_stream.rs semantics)
+                ex.getResponseHeaders.set("Content-Type", contentType + "; charset=utf-8")
+                ex.sendResponseHeaders(200, 0)
+                val w = new java.io.BufferedWriter(
+                  new java.io.OutputStreamWriter(ex.getResponseBody, StandardCharsets.UTF_8))
+                Format.write(w, df, fmt, src)
+                w.flush(); w.close()
+              case Left((code, msg)) =>
+                val body = "{\"error\":\"" + Format.jsonEscape(msg) + "\"}"
+                // error bodies are deterministic for a fixed request — share
+                // them with followers (but never cache them)
+                publish(Some((code, body, "application/json")))
+                respond(ex, code, body, "application/json")
+            }
+          if (!cacheable) compute(_ => ())
+          else {
+            val mine =
+              new java.util.concurrent.CompletableFuture[Option[(Int, String, String)]]()
+            inFlight.putIfAbsent(ck, mine) match {
+              case null => // leader: compute, publish, then clear the slot
+                try compute(r => { mine.complete(r); () })
+                finally {
+                  inFlight.remove(ck, mine)
+                  mine.complete(None) // no-op unless the compute threw
+                }
+              case leader => // follower: wait for the leader's buffered result
+                leader.get() match {
+                  case Some((code, body, ct)) => respond(ex, code, body, ct)
+                  case None => compute(_ => ()) // leader streamed/failed
+                }
+            }
           }
       }
     } catch {

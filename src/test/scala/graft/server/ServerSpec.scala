@@ -266,6 +266,41 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("single-flight: N parallel first-hits on one key plan exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a put-counting cache: every completed plan on a cacheable route ends
+    // in exactly one put, so the put count IS the plan count
+    val puts = new java.util.concurrent.atomic.AtomicInteger()
+    val counting = new ResponseCache {
+      private val inner = new LruResponseCache()
+      def get(k: String): Option[(String, String)] = inner.get(k)
+      def put(k: String, v: (String, String)): Unit = { puts.incrementAndGet(); inner.put(k, v) }
+      def clear(): Unit = inner.clear()
+    }
+    val s2 = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir),
+      responseCache = counting)
+    val p2 = s2.start()
+    try {
+      val path = "/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity"
+      def hit(): (Int, String) = {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$p2$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // 8 simultaneous cold requests for the SAME key: the leader computes,
+      // 7 followers coalesce — one plan, one put, identical bodies
+      val results = Await.result(Future.sequence(Seq.fill(8)(Future(hit()))), 120.seconds)
+      assert(results.forall(_._1 == 200))
+      assert(results.map(_._2).distinct.size == 1, "followers must serve the leader's body")
+      assert(puts.get() == 1, s"expected exactly one compute, saw ${puts.get()} puts")
+      // and a later request is a plain cache hit — still one put
+      assert(hit()._2 == results.head._2 && puts.get() == 1)
+    } finally s2.stop()
+  }
+
   test("aggregate route serves from a configured summary with identical payload") {
     import graft.core._
     import graft.plan.{CubePlanner, Preagg}
