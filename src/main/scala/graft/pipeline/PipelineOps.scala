@@ -438,7 +438,7 @@ object PipelineOps {
 
   /** p06 body over an arbitrary documents frame — p36 runs it on the
     * exact-dedup survivors only. */
-  private def ngramJaccardOf(d: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardOf(d: DataFrame): DataFrame = {
     val blockCols = Seq("lang", "source", "block")
     // localCheckpoint: the gram frame feeds both join sides; without lineage
     // truncation the per-character md5 hashing runs twice (same reasoning as
@@ -623,9 +623,14 @@ object PipelineOps {
     *
     * Scale shape: one md5 window for the exact stage, then exactly the
     * p06+p23 machinery on the surviving subset — nothing new shuffles. */
-  def dedupVerdict(spark: SparkSession, dir: String): DataFrame = {
+  def dedupVerdict(spark: SparkSession, dir: String): DataFrame =
+    dedupVerdictOf(docs(spark, dir))
+
+  /** p36 over an arbitrary documents-shaped frame — shared with the
+    * streaming twin's replay-equivalence spec (DedupStream). */
+  private[graft] def dedupVerdictOf(d: DataFrame): DataFrame = {
     val ew = Window.partitionBy(md5(col("text")))
-    val ex = docs(spark, dir)
+    val ex = d
       .withColumn("canon_exact", min(col("doc_id")).over(ew))
       .localCheckpoint(false) // feeds the survivor filter AND the verdict join
     val survivors = ex.where(col("doc_id") === col("canon_exact"))

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.PipelineOps
+
+/** Streaming twin of the batch dedup verdict (PipelineOps.dedupVerdict /
+  * p36) — the shape a real ingest pipeline runs: documents arrive as a
+  * stream, the EXACT stage dedups incrementally inline (cheap, per-row
+  * state: one content hash), and the NEAR stage — inherently a global
+  * computation (pair graph + connected components cannot hold bounded
+  * per-key state) — refreshes periodically as a micro-batch job over the
+  * accumulated exact survivors only.
+  *
+  * Production wiring: `exactStage(stream)` writes the survivor table (with
+  * text) and `arrivalLog(stream)` the (doc_id, content_hash) projection —
+  * the log is hash-sized, never text-sized; then each refresh interval
+  * [[refreshVerdict]] recomputes the verdict table from those two. The
+  * division of labor matches the batch operator exactly: identical copies
+  * never reach the expensive near-dup pairing, and every dropped doc's
+  * canonical resolves transitively to a kept doc.
+  *
+  * Replay equivalence (spec-asserted in EventStreamSpec): feeding the corpus
+  * through the stream in doc_id order and refreshing once yields the exact
+  * rows of the batch `dedupVerdict` — the streaming survivor per hash is
+  * the first arrival, which under ordered replay is the batch stage's
+  * min(doc_id). */
+object DedupStream {
+
+  /** Exact stage: first arrival per content hash survives; replayed or
+    * duplicated bodies are dropped inline with state bounded by the
+    * watermark horizon (the dedup is only as wide as the horizon — the
+    * periodic refresh, which sees the full survivor table, is the total
+    * backstop, same two-tier contract as a production ingest). Input must
+    * carry an event-time `ts` column plus the documents shape
+    * (doc_id, text, lang, source, n_chars). */
+  def exactStage(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Arrival log: every arrival's (doc_id, content_hash) — the projection
+    * the verdict join needs for exact-dropped docs. Hash-sized (40 bytes a
+    * row), so logging EVERY arrival costs nothing next to the text the
+    * exact stage already refused to forward. */
+  def arrivalLog(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+
+  /** Periodic near-stage refresh: the full verdict table recomputed from
+    * the accumulated exact `survivors` (doc_id, text, lang, source,
+    * n_chars, content_hash) and the `arrivals` log (doc_id, content_hash).
+    * Same machinery as the batch p36 — trigram-jaccard pairs over survivors
+    * only, connected components, transitive canonical resolution — so each
+    * refresh is one batch job over survivor-sized data, not arrival-sized.
+    *
+    *   - exact: the arrival's hash survives under a different doc_id
+    *   - near: a surviving doc whose cluster canonical is another doc
+    *   - kept: everything else; canonical_id always lands on a kept doc */
+  def refreshVerdict(survivors: DataFrame, arrivals: DataFrame): DataFrame = {
+    val pairs = PipelineOps.ngramJaccardOf(
+        survivors.select("doc_id", "text", "lang", "source", "n_chars"))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = PipelineOps.connectedComponents(pairs)
+    // each survivor's final canonical: its near-cluster min, or itself
+    val survCanon = survivors
+      .join(labels, survivors("doc_id") === labels("node"), "left")
+      .select(col("content_hash").as("surv_hash"), col("doc_id").as("surv_id"),
+        coalesce(col("label"), col("doc_id")).as("surv_canon"))
+    arrivals
+      .join(survCanon, arrivals("content_hash") === col("surv_hash"))
+      .join(labels, arrivals("doc_id") === labels("node"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("surv_id"), lit("exact"))
+          .when(col("label").isNotNull && col("label") =!= col("doc_id"), lit("near"))
+          .otherwise(lit("kept")).as("reason"),
+        when(col("doc_id") =!= col("surv_id"), col("surv_canon"))
+          .when(col("label").isNotNull, col("label"))
+          .otherwise(col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+}

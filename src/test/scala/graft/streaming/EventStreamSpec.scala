@@ -53,6 +53,49 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup verdict equals the batch p36 on ordered replay") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // corpus = sf0.001 documents + replayed copies of the first 20 texts
+    // under new ids — the exact stage must drop every replay inline, and
+    // the refreshed verdict must match the batch operator on the SAME
+    // augmented corpus (covering all three reasons: exact, near, kept)
+    val base = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val replays = base.where(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val corpus = base.unionByName(replays)
+    val rows = corpus.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4),
+          new Timestamp(1700000000000L)))
+      .sortBy(_._1)
+
+    val input = MemoryStream[(Long, String, String, String, Long, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars", "ts")
+    val q = DedupStream.exactStage(df).writeStream
+      .format("memory").queryName("dedup_survivors").outputMode("append").start()
+    try {
+      // ordered replay across several micro-batches: originals land before
+      // their replayed copies, so first-arrival == the batch min(doc_id)
+      rows.grouped(200).foreach { chunk => input.addData(chunk.toSeq); q.processAllAvailable() }
+
+      val survivors = spark.table("dedup_survivors")
+      // inline stage dropped exactly the replays
+      assert(survivors.count() == base.count())
+      assert(survivors.where(col("doc_id") >= 100000L).count() == 0)
+
+      val got = DedupStream
+        .refreshVerdict(survivors, DedupStream.arrivalLog(corpus))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      val want = graft.pipeline.PipelineOps.dedupVerdictOf(corpus)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(got.length == want.length && got.toSeq == want.toSeq)
+      // the fixture + replays exercise every verdict class
+      val reasons = got.map(_._2).toSet
+      assert(reasons == Set("exact", "near", "kept"), reasons.toString)
+    } finally q.stop()
+  }
+
   test("streaming summary refresh converges to the batch aggregate, one file per batch") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_refresh").toString
