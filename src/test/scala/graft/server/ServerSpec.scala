@@ -247,6 +247,50 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/flush?secret=s3cret")._1 == 200)
   }
 
+  test("error bodies are golden per family (reference handler-error parity)") {
+    // One row per error family the reference surfaces from its handlers
+    // (aggregate.rs:101 unknown cube, lib.rs:404/407 empty query shapes,
+    // lib.rs:479-482 growth validation, lib.rs:418 property-drilldown match,
+    // lib.rs:495 RCA cut violation, format.rs:21-27 format parse, plus the
+    // members/logic-layer prerequisites). Bodies — not just codes — are
+    // pinned, so a planner refactor can't silently degrade an error into a
+    // stack-trace 500 or an unrelated message.
+    val cases: Seq[(String, Int, String)] = Seq(
+      ("/cubes/Nope/aggregate.csv?drilldowns=Geography.Region&measures=Quantity",
+        404, "cube 'Nope' not found"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Void&measures=Quantity",
+        400, "level '[Geography].[Geography].[Void]' not found in cube 'Sales'"),
+      ("/cubes/Sales/aggregate.xlsx?drilldowns=Geography.Region&measures=Quantity",
+        400, "unknown format 'xlsx' (csv|jsonrecords|jsonarrays)"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region",
+        400, "must have at least one measure"),
+      ("/cubes/Sales/aggregate.csv?measures=Quantity",
+        400, "must have at least one drilldown or cut"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Bogus",
+        400, "measure 'Bogus' not found"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity&growth=Ship%20Date.Year,Quantity",
+        400, "growth time drilldown must be in drilldowns"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&drilldowns=Ship%20Date.Year&measures=Quantity&growth=Ship%20Date.Year,Revenue",
+        400, "growth measure must be in measures"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity&properties=Part.Part.Part%20Type",
+        400, "property '[Part].[Part].[Part].[Part Type]' must match a drilldown in the query"),
+      ("/cubes/Sales/aggregate.csv?measures=Quantity&rca=Geography.Nation,Part.Brand,Quantity&cuts=Part.Brand.Brand%2313",
+        400, "cuts on the second RCA drilldown level are not allowed"),
+      ("/cubes/Sales/members.csv",
+        400, "members requires ?level="),
+      ("/cubes/Sales/members.csv?level=Geography.Void",
+        400, "level '[Geography].[Geography].[Void]' not found in cube 'Sales'"),
+      ("/data.jsonrecords?drilldowns=Geography.Region&measures=Quantity",
+        400, "logic layer requires ?cube="),
+      ("/data.jsonrecords?cube=Nope&drilldowns=Geography.Region&measures=Quantity",
+        404, "cube 'Nope' not found"))
+    for ((path, wantCode, wantMsg) <- cases) {
+      val (code, body) = get(path)
+      assert(code == wantCode, s"$path: expected $wantCode, got $code ($body)")
+      assert(body == s"""{"error":"$wantMsg"}""", s"$path: body was $body")
+    }
+  }
+
   test("concurrent requests return consistent results") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
