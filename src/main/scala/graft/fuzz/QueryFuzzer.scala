@@ -1,0 +1,312 @@
+package graft.fuzz
+
+import scala.util.Random
+import graft.core._
+
+/** Grammar-driven differential fuzzer: deterministic random compositions of
+  * the cube-query grammar (drilldowns × cuts incl. `~`/`*` × measures ×
+  * HAVING filters × top/top_where/sort/limit × parents/properties/sparse)
+  * over the TpchStar cube, each paired with an independently-rendered ANSI
+  * SQL oracle.
+  *
+  * The reference's names.rs tests (:456-597) enumerate SPELLINGS of each
+  * clause but never their compositions, and q01–q50 are hand-picked — this
+  * corpus is the compositional coverage. Queries are built from their
+  * name-grammar STRING spellings (Drilldown.parse / CutSpec.parse / …), so
+  * the parser is inside the fuzz loop, not just the planner.
+  *
+  * The oracle SQL is deliberately restricted to the dialect intersection of
+  * Spark SQL (ANSI mode + `spark.sql.ansi.doubleQuotedIdentifiers=true`)
+  * and DuckDB — double-quoted identifiers, `VARCHAR(64)` casts,
+  * `LIMIT n OFFSET m`, windowed `row_number()` in a subquery instead of
+  * QUALIFY — so the SAME string drives both the in-JVM differential spec
+  * (planner vs `spark.sql`) and the driver-style DuckDB cross-check
+  * (`graft.FuzzDump` + tools/compare.py).
+  *
+  * Determinism rules (the cross-engine contract the q-series oracles use):
+  * only measures whose aggregation is partial-sum-order-immune — integer
+  * -valued double sums, counts, min/max, and DECIMAL sums converted to
+  * double once at the end (`d2d`). Every generated ordering is made TOTAL
+  * by tiebreaking on all drill headers, so top/limit subsets are unique. */
+object QueryFuzzer {
+
+  // ----------------------------------------------------------- level pool
+
+  /** One drilldownable level: its grammar spelling, SQL rendering, valid
+    * cut members, and (pool-internal) parent chain. */
+  final case class LevelInfo(
+      spelling: String,                  // Dim.Level (the 2-part grammar form)
+      keyExpr: String,                   // SQL expr of the key column
+      keyHeader: String,                 // planner's output header for the key
+      name: Option[(String, String)],    // (sql column, header) of the name col
+      join: Option[String],              // join-dependency key (GEO/CUST/PART)
+      members: Seq[String],              // valid member ids for IN/exclude cuts
+      textKey: Boolean,
+      parentSpellings: Seq[String] = Nil, // ancestors, outermost first
+      likePats: Seq[String] = Nil,        // patterns for `*` match cuts
+      props: Seq[(String, String, String)] = Nil) // (prop name, sql col, header)
+
+  private val Geo  = "JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"
+  private val Cust = "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey"
+  private val Part = "JOIN part ON l_partkey = p_partkey"
+  private val joins = Map("GEO" -> Geo, "CUST" -> Cust, "PART" -> Part)
+
+  val levels: Seq[LevelInfo] = Seq(
+    LevelInfo("Return Flag.Return Flag", "l_returnflag", "Return Flag", None, None,
+      Seq("A", "N", "R"), textKey = true, likePats = Seq("A", "R")),
+    LevelInfo("Line Status.Line Status", "l_linestatus", "Line Status", None, None,
+      Seq("F", "O"), textKey = true),
+    LevelInfo("Ship Date.Year", "year(l_shipdate)", "Year", None, None,
+      (1992 to 1998).map(_.toString), textKey = false),
+    LevelInfo("Ship Date.Month", "month(l_shipdate)", "Month", None, None,
+      (1 to 12).map(_.toString), textKey = false,
+      parentSpellings = Seq("Ship Date.Year")),
+    LevelInfo("Geography.Region", "r_regionkey", "Region ID", Some(("r_name", "Region")),
+      Some("GEO"), (0 to 4).map(_.toString), textKey = false),
+    LevelInfo("Geography.Nation", "n_nationkey", "Nation ID", Some(("n_name", "Nation")),
+      Some("GEO"), (0 to 24).map(_.toString), textKey = false,
+      parentSpellings = Seq("Geography.Region")),
+    LevelInfo("Customer.Segment", "c_mktsegment", "Segment", None, Some("CUST"),
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+      textKey = true, likePats = Seq("IN", "AUTO", "HOLD")),
+    LevelInfo("Part.Brand", "p_brand", "Brand", None, Some("PART"),
+      (for (i <- 1 to 5; j <- 1 to 5) yield s"Brand#$i$j"), textKey = true,
+      likePats = Seq("Brand#1", "#25")),
+    LevelInfo("Part.Part", "p_partkey", "Part ID", Some(("p_name", "Part")),
+      Some("PART"), (0 to 39).map(_.toString), textKey = false,
+      parentSpellings = Seq("Part.Brand"),
+      props = Seq(
+        ("Part Type", "p_type", "Part Type"),
+        ("Part Size", "p_size", "Part Size"))))
+
+  private val bySpelling: Map[String, LevelInfo] = levels.map(l => l.spelling -> l).toMap
+
+  // --------------------------------------------------------- measure pool
+
+  /** Double via a string round-trip — portable between Spark and DuckDB and
+    * bit-identical in both (correctly-rounded decimal→double either way). */
+  private def d2d(e: String): String = s"CAST(CAST($e AS VARCHAR(64)) AS DOUBLE)"
+  private val PD = "CAST(l_extendedprice AS DECIMAL(24,6))"
+  private val QD = "CAST(l_quantity AS DECIMAL(12,6))"
+  private val DD = "CAST(l_discount AS DECIMAL(8,6))"
+
+  /** One measure: grammar name, SQL expr, plausible filter thresholds. */
+  final case class MeaInfo(name: String, sqlExpr: String, thresholds: Seq[String])
+
+  val measures: Seq[MeaInfo] = Seq(
+    MeaInfo("Quantity", "sum(l_quantity)", Seq("0", "1000", "40000", "2000000")),
+    MeaInfo("Row Count", "count(l_orderkey)", Seq("0", "10", "500", "50000")),
+    MeaInfo("Max Price", "max(l_extendedprice)", Seq("10000", "55000", "90000")),
+    MeaInfo("Min Price", "min(l_extendedprice)", Seq("1000", "2000", "8000")),
+    MeaInfo("Extended Price", d2d(s"sum($PD)"), Seq("0", "1000000", "80000000")),
+    MeaInfo("Revenue", d2d(s"sum($PD * (1 - $DD))"), Seq("0", "1000000", "80000000")),
+    MeaInfo("Weighted Discount", d2d(s"sum($DD * $QD)"), Seq("0", "50", "2000")))
+
+  // ------------------------------------------------------------ generator
+
+  /** One generated case: the grammar-built CubeQuery and its SQL oracle. */
+  final case class FuzzCase(name: String, query: CubeQuery, sql: String) {
+    /** The spellings, for minimizing a failure into a qNN regression. */
+    override def toString: String = s"$name: $sql"
+  }
+
+  private def die(m: String): Nothing = throw graft.plan.PlanError(m)
+
+  def cases(n: Int, seed: Long = 42L): Seq[FuzzCase] = {
+    val rng = new Random(seed)
+    (1 to n).map(i => oneCase(f"fuzz_$i%03d", rng))
+  }
+
+  private def pick[A](rng: Random, xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+  private def pickN[A](rng: Random, xs: Seq[A], n: Int): Seq[A] =
+    rng.shuffle(xs.toList).take(n)
+
+  private def oneCase(name: String, rng: Random): FuzzCase = {
+    // --- drilldowns: 1-3 distinct levels (Part.Part is rare: high card)
+    val pool = levels.filter(l => l.spelling != "Part.Part" || rng.nextInt(8) == 0)
+    val drills = pickN(rng, pool, 1 + rng.nextInt(3))
+    // --- parents (prob ~1/4, only interesting when an ancestor exists)
+    val parents = drills.exists(_.parentSpellings.nonEmpty) && rng.nextInt(4) == 0
+    // --- properties: only on Part.Part, which declares them
+    val props = drills.filter(_.props.nonEmpty).flatMap { l =>
+      pickN(rng, l.props, rng.nextInt(l.props.length + 1))
+        .map(p => (l, p))
+    }
+    // --- measures: 1-3 distinct
+    val meas = pickN(rng, measures, 1 + rng.nextInt(3))
+    // --- cuts: 0-2, on any pool level (drilled or not), include/exclude/like
+    val cutLevels = pickN(rng, pool, rng.nextInt(3))
+    val cuts = cutLevels.map { l =>
+      val op = rng.nextInt(6) // 0-3 include, 4 exclude, 5 like (if possible)
+      if (op == 5 && l.likePats.nonEmpty)
+        (l, "*", Seq(pick(rng, l.likePats)))
+      else if (op == 4)
+        (l, "~", pickN(rng, l.members, 1 + rng.nextInt(2)))
+      else
+        (l, "", pickN(rng, l.members, 1 + rng.nextInt(math.min(3, l.members.length))))
+    }
+    // --- filters (HAVING): 0-1, on a chosen measure
+    val filter = if (rng.nextInt(3) == 0) {
+      val m = pick(rng, meas)
+      val op = pick(rng, Seq("gt", "gte", "lt", "lte"))
+      val second =
+        if (rng.nextInt(3) == 0)
+          Some((pick(rng, Seq("and", "or")), pick(rng, Seq("gt", "lt")), pick(rng, m.thresholds)))
+        else None
+      Some((m, op, pick(rng, m.thresholds), second))
+    } else None
+    // --- top (+ optional top_where), needs >= 2 drills so the partition is a strict subset
+    val top = if (drills.length >= 2 && rng.nextInt(4) == 0) {
+      val byLevel = pick(rng, drills)
+      val m = pick(rng, meas)
+      val dir = pick(rng, Seq("asc", "desc"))
+      val tw = if (rng.nextInt(2) == 0) {
+        val twm = pick(rng, meas)
+        Some((twm, pick(rng, Seq("gt", "lt")), pick(rng, twm.thresholds)))
+      } else None
+      Some((1 + rng.nextInt(3), byLevel, m, dir, tw))
+    } else None
+    // --- sort: 0-1 on a measure
+    val sort = if (rng.nextInt(3) == 0) Some((pick(rng, meas), pick(rng, Seq("asc", "desc")))) else None
+    // --- limit/offset: only when the effective order is total (always is:
+    // every generated order tiebreaks on all drill headers) — but never
+    // under top-without-sort, whose planner default order isn't total
+    val limit = if ((top.isEmpty || sort.isDefined) && rng.nextInt(4) == 0)
+      Some((if (rng.nextInt(2) == 0) rng.nextInt(5) else 0, 1 + rng.nextInt(10)))
+    else None
+    val sparse = rng.nextInt(8) == 0
+
+    // ---------------- grammar spellings -> CubeQuery (parser in the loop)
+    val q = CubeQuery(
+      drilldowns = drills.map(l => Drilldown.parse(l.spelling).fold(die, identity)),
+      cuts = cuts.map { case (l, op, ms) =>
+        CutSpec.parse(s"$op${l.spelling}.${ms.mkString(",")}").fold(die, identity)
+      },
+      measures = meas.map(m => MeasureName.parse(m.name).fold(die, identity)),
+      properties = props.map { case (l, p) =>
+        PropertyName.parse(s"${l.spelling}.${p._1}").fold(die, identity)
+      },
+      parents = parents,
+      filters = filter.toSeq.map { case (m, op, v, second) =>
+        val base = s"${m.name}.$op.$v"
+        val full = second match {
+          case Some((conj, op2, v2)) => s"$base.$conj.$op2.$v2"
+          case None => base
+        }
+        FilterQuery.parse(full).fold(die, identity)
+      },
+      top = top.map { case (k, byLevel, m, dir, _) =>
+        TopQuery.parse(s"$k,${byLevel.spelling},${m.name},$dir").fold(die, identity)
+      },
+      topWhere = top.flatMap(_._5).map { case (m, op, v) =>
+        TopWhereQuery.parse(s"${m.name},$op.$v").fold(die, identity)
+      },
+      sort = sort.map { case (m, dir) => SortQuery.parse(s"${m.name}.$dir").fold(die, identity) },
+      limit = limit.map { case (off, n) =>
+        LimitQuery.parse(if (off > 0) s"$off,$n" else s"$n").fold(die, identity)
+      },
+      sparse = sparse)
+
+    FuzzCase(name, q, renderSql(drills, parents, props, meas, cuts, filter, top, sort, limit, sparse))
+  }
+
+  // -------------------------------------------------------- SQL rendering
+
+  /** The planner's outLevels expansion, mirrored: parents prepend ancestor
+    * levels per drill, duplicates collapse (order-preserving). */
+  private def outLevels(drills: Seq[LevelInfo], parents: Boolean): Seq[LevelInfo] = {
+    val raw = drills.flatMap { l =>
+      if (parents) l.parentSpellings.map(bySpelling) :+ l else Seq(l)
+    }
+    raw.distinct
+  }
+
+  private def qt(id: String): String = "\"" + id + "\""
+  private def lits(l: LevelInfo, ms: Seq[String]): String =
+    ms.map(m => if (l.textKey) s"'$m'" else m).mkString(", ")
+
+  private def renderSql(
+      drills: Seq[LevelInfo], parents: Boolean,
+      props: Seq[(LevelInfo, (String, String, String))],
+      meas: Seq[MeaInfo],
+      cuts: Seq[(LevelInfo, String, Seq[String])],
+      filter: Option[(MeaInfo, String, String, Option[(String, String, String)])],
+      top: Option[(Int, LevelInfo, MeaInfo, String, Option[(MeaInfo, String, String)])],
+      sort: Option[(MeaInfo, String)],
+      limit: Option[(Int, Int)],
+      sparse: Boolean): String = {
+
+    val outs = outLevels(drills, parents)
+    // header -> select expr, in planner column order (key, name, props)
+    val drillCols: Seq[(String, String)] = outs.flatMap { l =>
+      val base = Seq(l.keyExpr -> l.keyHeader) ++ l.name.map { case (c, h) => c -> h }
+      val pr = props.filter(_._1.spelling == l.spelling).map { case (_, (_, c, h)) => c -> h }
+      base ++ pr
+    }
+    val meaCols: Seq[(String, String)] = meas.map(m => m.sqlExpr -> m.name)
+    val headers = drillCols.map(_._2)
+
+    val needed = (outs ++ cuts.map(_._1)).flatMap(_.join).distinct
+    val from = ("lineitem" +: Seq("GEO", "CUST", "PART").filter(needed.contains).map(joins))
+      .mkString(" ")
+
+    val where = cuts.map {
+      case (l, "", ms)  => s"${l.keyExpr} IN (${lits(l, ms)})"
+      case (l, "~", ms) => s"${l.keyExpr} NOT IN (${lits(l, ms)})"
+      case (l, "*", Seq(pat)) => s"${l.keyExpr} LIKE '%$pat%'"
+      case other => sys.error(s"unreachable cut $other")
+    } match { case Nil => ""; case ps => " WHERE " + ps.mkString(" AND ") }
+
+    val selectList = (drillCols ++ meaCols).map { case (e, h) => s"$e AS ${qt(h)}" }.mkString(", ")
+    val groupBy =
+      if (drillCols.isEmpty) "" else s" GROUP BY ${drillCols.indices.map(_ + 1).mkString(", ")}"
+    val base = s"SELECT $selectList FROM $from$where$groupBy"
+
+    def cmp(op: String): String = op match {
+      case "gt" => ">"; case "gte" => ">="; case "lt" => "<"; case "lte" => "<="
+      case other => sys.error(s"unreachable op $other")
+    }
+
+    // planner option order: top_where -> top -> filters+sparse -> sort -> limit
+    var sql = s"WITH base AS ($base)"
+    var cur = "base"
+    top.foreach { case (k, byLevel, m, dir, tw) =>
+      val twWhere = tw.map { case (tm, op, v) => s" WHERE ${qt(tm.name)} ${cmp(op)} $v" }.getOrElse("")
+      val tiebreak = headers.filterNot(_ == byLevel.keyHeader).map(h => s"${qt(h)} ASC")
+      val order = (s"${qt(m.name)} ${dir.toUpperCase}" +: tiebreak).mkString(", ")
+      val allCols = (headers ++ meas.map(_.name)).map(qt).mkString(", ")
+      sql += s", topped AS (SELECT $allCols FROM (SELECT t.*, row_number() OVER (PARTITION BY ${qt(byLevel.keyHeader)} ORDER BY $order) AS __rn FROM (SELECT * FROM $cur$twWhere) t) WHERE __rn <= $k)"
+      cur = "topped"
+    }
+    val havingPreds =
+      filter.toSeq.map { case (m, op, v, second) =>
+        val p1 = s"${qt(m.name)} ${cmp(op)} $v"
+        second match {
+          case Some((conj, op2, v2)) => s"($p1 ${conj.toUpperCase} ${qt(m.name)} ${cmp(op2)} $v2)"
+          case None => p1
+        }
+      } ++ (if (sparse) meas.map(m => s"${qt(m.name)} IS NOT NULL") else Nil)
+    if (havingPreds.nonEmpty) {
+      sql += s", filtered AS (SELECT * FROM $cur WHERE ${havingPreds.mkString(" AND ")})"
+      cur = "filtered"
+    }
+
+    // ordering only matters when a limit selects a subset; every generated
+    // order is total (sort tiebreaks on all drill headers; the default is
+    // the full drill-header prefix itself)
+    val orderBy = limit match {
+      case None => ""
+      case Some(_) =>
+        val cols = sort match {
+          case Some((m, dir)) => s"${qt(m.name)} ${dir.toUpperCase}" +: headers.map(h => s"${qt(h)} ASC")
+          case None           => headers.map(h => s"${qt(h)} ASC")
+        }
+        s" ORDER BY ${cols.mkString(", ")}"
+    }
+    val limitSql = limit.map { case (off, n) =>
+      if (off > 0) s" LIMIT $n OFFSET $off" else s" LIMIT $n"
+    }.getOrElse("")
+
+    s"$sql SELECT * FROM $cur$orderBy$limitSql"
+  }
+}
