@@ -1,0 +1,106 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-load benchmark against the HTTP server — the reference's only
+  * stated performance goal is ~100 simultaneous requests
+  * (tesseract DESIGN.md:1-3, tesseract-clickhouse/src/lib.rs:16-31); this
+  * drives a mixed stream of UNIQUE queries (cache can't answer them) through
+  * GraftServer with FAIR scheduling and reports latency percentiles.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.LoadBench [nRequests] [concurrency]
+  * Prints one JSON line and writes loadbench_out.json. */
+object LoadBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nReq  = args.lift(0).map(_.toInt).getOrElse(100)
+    val conc  = args.lift(1).map(_.toInt).getOrElse(32)
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // server workload = many small concurrent aggregates: a large
+      // shuffle-partition count multiplies task-scheduling overhead by the
+      // concurrency (32 jobs x 32 partitions = 1024 queued tasks on 32
+      // cores); 8 partitions per job keeps per-query parallelism while
+      // letting FAIR interleave jobs. AQE still coalesces below that.
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val server = new graft.server.GraftServer(
+      spark, graft.engine.TpchStar.schema, new graft.engine.TpchStar.Resolver(sfDir))
+    val port = server.start(threads = conc)
+
+    // unique request mix: every request differs in at least one param, so
+    // the response cache never answers and each measures plan+exec+format.
+    // Mix mirrors real traffic: grouped aggregates, dim joins, cuts, top-k,
+    // logic-layer /data, members.
+    val years = 1992 to 1998
+    val requests: Seq[String] = (0 until nReq).map { i =>
+      val y = years(i % years.length)
+      val r = i % 5
+      i % 6 match {
+        case 0 => s"/cubes/Sales/aggregate.csv?drilldowns=Geography.Nation&measures=Quantity&cuts=Ship%20Date.Year.$y&nonce=$i"
+        case 1 => s"/cubes/Sales/aggregate.jsonrecords?drilldowns=Return%20Flag.Return%20Flag&drilldowns=Line%20Status.Line%20Status&measures=Quantity&measures=Revenue&cuts=Ship%20Date.Year.$y&nonce=$i"
+        case 2 => s"/cubes/Sales/aggregate.csv?drilldowns=Part.Brand&measures=Revenue&cuts=Geography.Region.$r&nonce=$i"
+        case 3 => s"/data.jsonrecords?cube=Sales&drilldowns=Segment&measures=Quantity&Year=$y&nonce=$i"
+        case 4 => s"/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&drilldowns=Geography.Nation&measures=Quantity&top=2,Geography.Region,Quantity,desc&nonce=$i"
+        case _ => s"/cubes/Sales/members.csv?level=Geography.Nation&nonce=$i"
+      }
+    }
+
+    val client = HttpClient.newHttpClient()
+    def get(path: String): (Int, Long) = {
+      val t0 = System.nanoTime()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"$path -> ${resp.statusCode()}: ${resp.body().take(200)}")
+      (resp.statusCode(), System.nanoTime() - t0)
+    }
+
+    // warmup: parquet footers, codegen, JIT — outside the measurement; the
+    // extra param gives each warmup its own cache key so no measured
+    // request is pre-cached by it
+    requests.take(6).foreach(p => get(p + "&warm=1"))
+
+    val latencies = new ConcurrentLinkedQueue[Long]()
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    requests.foreach(queue.add)
+    val pool = Executors.newFixedThreadPool(conc)
+    val done = new CountDownLatch(conc)
+    val t0 = System.nanoTime()
+    (0 until conc).foreach { _ =>
+      pool.execute { () =>
+        var p = queue.poll()
+        while (p != null) {
+          latencies.add(get(p)._2)
+          p = queue.poll()
+        }
+        done.countDown()
+      }
+    }
+    done.await(30, TimeUnit.MINUTES)
+    val wall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    server.stop()
+
+    val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    def pct(p: Double): Double = ls(math.min(ls.length - 1, (p * ls.length).toInt)) / 1e9
+    val line =
+      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("loadbench_out.json"), line + "\n")
+    spark.stop()
+  }
+}

@@ -175,15 +175,27 @@ final class GraftServer(
 
   private var server: HttpServer = _
 
-  def start(port: Int = 0, host: String = "0.0.0.0"): Int = {
+  /** `threads` sizes the request pool: each in-flight request holds one
+    * thread while its Spark jobs run (FAIR scheduling multiplexes the
+    * cluster between them) — size it to the concurrent-request target, not
+    * the core count. */
+  def start(port: Int = 0, host: String = "0.0.0.0", threads: Int = 8): Int = {
     server = HttpServer.create(new InetSocketAddress(host, port), 0)
-    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.setExecutor(Executors.newFixedThreadPool(threads))
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    // the request pool's threads are non-daemon: without this a main that
+    // calls stop() never exits
+    server.getExecutor match {
+      case e: java.util.concurrent.ExecutorService => e.shutdown()
+      case _ => ()
+    }
+  }
 
   // -------------------------------------------------------------- routing
 
