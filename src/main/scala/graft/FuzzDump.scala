@@ -21,7 +21,7 @@ object FuzzDump {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val planner = graft.engine.TpchStar.planner(sfDir)
-    val cases = graft.fuzz.QueryFuzzer.cases(120)
+    val cases = graft.fuzz.QueryFuzzer.cases(160)
     cases.foreach { fc =>
       planner.plan(spark, fc.query).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${fc.name}")

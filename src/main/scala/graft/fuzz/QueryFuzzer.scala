@@ -166,6 +166,15 @@ object QueryFuzzer {
       } else None
       Some((1 + rng.nextInt(3), byLevel, m, dir, tw))
     } else None
+    // --- growth (prob ~1/4 when a time level is drilled): lag-window calc
+    // over an always-positive measure, composed with everything below except
+    // top (the growth×top interplay is covered by hand-written q50)
+    val timeDrilled = drills.filter(_.spelling.startsWith("Ship Date."))
+    val growth = if (timeDrilled.nonEmpty && top.isEmpty && rng.nextInt(2) == 0) {
+      val candidates = meas.filter(m => m.name == "Quantity" || m.name == "Row Count")
+      if (candidates.isEmpty) None
+      else Some((pick(rng, candidates), pick(rng, timeDrilled)))
+    } else None
     // --- sort: 0-1 on a measure
     val sort = if (rng.nextInt(3) == 0) Some((pick(rng, meas), pick(rng, Seq("asc", "desc")))) else None
     // --- limit/offset: only when the effective order is total (always is:
@@ -205,9 +214,13 @@ object QueryFuzzer {
       limit = limit.map { case (off, n) =>
         LimitQuery.parse(if (off > 0) s"$off,$n" else s"$n").fold(die, identity)
       },
+      growth = growth.map { case (m, t) =>
+        GrowthQuery.parse(s"${t.spelling},${m.name}").fold(die, identity)
+      },
       sparse = sparse)
 
-    FuzzCase(name, q, renderSql(drills, parents, props, meas, cuts, filter, top, sort, limit, sparse))
+    FuzzCase(name, q,
+      renderSql(drills, parents, props, meas, cuts, filter, top, sort, limit, sparse, growth))
   }
 
   // -------------------------------------------------------- SQL rendering
@@ -234,7 +247,8 @@ object QueryFuzzer {
       top: Option[(Int, LevelInfo, MeaInfo, String, Option[(MeaInfo, String, String)])],
       sort: Option[(MeaInfo, String)],
       limit: Option[(Int, Int)],
-      sparse: Boolean): String = {
+      sparse: Boolean,
+      growth: Option[(MeaInfo, LevelInfo)] = None): String = {
 
     val outs = outLevels(drills, parents)
     // header -> select expr, in planner column order (key, name, props)
@@ -267,9 +281,32 @@ object QueryFuzzer {
       case other => sys.error(s"unreachable op $other")
     }
 
-    // planner option order: top_where -> top -> filters+sparse -> sort -> limit
+    // planner option order: growth calc first, then
+    // top_where -> top -> filters+sparse -> sort -> limit
     var sql = s"WITH base AS ($base)"
     var cur = "base"
+    // growth: lag window partitioned by the non-time KEY headers, ordered by
+    // the time KEY headers (outs order); null in the first period. The
+    // planner also reorders headers other-then-time — order-insensitive for
+    // the row-sorted compare, but the limit ORDER BY below must follow it.
+    var orderHeaders = headers
+    growth.foreach { case (m, _) =>
+      val isTime = (l: LevelInfo) => l.spelling.startsWith("Ship Date.")
+      val timeOuts = outs.filter(isTime)
+      val otherOuts = outs.filterNot(isTime)
+      val partition = otherOuts.map(o => qt(o.keyHeader)) match {
+        case Nil => ""; case ps => s"PARTITION BY ${ps.mkString(", ")} "
+      }
+      val w = s"($partition" + s"ORDER BY ${timeOuts.map(o => s"${qt(o.keyHeader)} ASC").mkString(", ")})"
+      val lagM = s"lag(${qt(m.name)}) OVER $w"
+      sql += s""", grown AS (SELECT *, CASE WHEN $lagM > 0 THEN (${qt(m.name)} - $lagM) / $lagM END AS ${qt(m.name + " Growth")}, ${qt(m.name)} - $lagM AS ${qt(m.name + " Growth Value")} FROM $cur)"""
+      cur = "grown"
+      val headerOf = (ls: Seq[LevelInfo]) => ls.flatMap { l =>
+        val pr = props.filter(_._1.spelling == l.spelling).map(_._2._3)
+        (l.keyHeader +: l.name.map(_._2).toSeq) ++ pr
+      }
+      orderHeaders = headerOf(otherOuts) ++ headerOf(timeOuts)
+    }
     top.foreach { case (k, byLevel, m, dir, tw) =>
       val twWhere = tw.map { case (tm, op, v) => s" WHERE ${qt(tm.name)} ${cmp(op)} $v" }.getOrElse("")
       val tiebreak = headers.filterNot(_ == byLevel.keyHeader).map(h => s"${qt(h)} ASC")
@@ -298,8 +335,8 @@ object QueryFuzzer {
       case None => ""
       case Some(_) =>
         val cols = sort match {
-          case Some((m, dir)) => s"${qt(m.name)} ${dir.toUpperCase}" +: headers.map(h => s"${qt(h)} ASC")
-          case None           => headers.map(h => s"${qt(h)} ASC")
+          case Some((m, dir)) => s"${qt(m.name)} ${dir.toUpperCase}" +: orderHeaders.map(h => s"${qt(h)} ASC")
+          case None           => orderHeaders.map(h => s"${qt(h)} ASC")
         }
         s" ORDER BY ${cols.mkString(", ")}"
     }
