@@ -223,6 +223,150 @@ object QueryFuzzer {
       renderSql(drills, parents, props, meas, cuts, filter, top, sort, limit, sparse, growth))
   }
 
+  // ------------------------------------------------- logic-layer generator
+
+  /** One generated logic-layer case: the WIRE params (exercising the bare
+    * level-name / Level=member / exclude / time param grammar through
+    * QueryParams.toLogicLayerQuery) and the SQL oracle mirroring the LL
+    * semantics: same-dim multi-level cuts fan out into a positional
+    * column-wise UNION ALL with the cut levels auto-added as drilldowns
+    * (reference logic_layer/aggregate.rs:810-916), `time=` resolves to the
+    * level's newest/oldest member, `exclude=` post-filters result rows. */
+  final case class LlFuzzCase(name: String, params: Map[String, Seq[String]], sql: String)
+
+  private def lvlName(l: LevelInfo): String = l.spelling.split('.').last
+  private def dimOf(l: LevelInfo): String = l.spelling.split('.').head
+
+  def llCases(n: Int, seed: Long = 4242L): Seq[LlFuzzCase] = {
+    val rng = new Random(seed)
+    (1 to n).map(i => oneLlCase(f"llfuzz_$i%03d", rng))
+  }
+
+  private def oneLlCase(name: String, rng: Random): LlFuzzCase = {
+    // Part.Part excluded: bare name "Part" resolves, but high cardinality
+    val pool = levels.filterNot(_.spelling == "Part.Part")
+    val drills = pickN(rng, pool, 1 + rng.nextInt(2))
+    val meas = pickN(rng, measures, 1 + rng.nextInt(2))
+    // fan-out pair: two cuts in ONE dimension (same column-shape pairs so
+    // the positional union is type-consistent, like the reference requires)
+    // a fan-out pair whose level is ALREADY drilled makes combo widths
+    // diverge (one combo auto-adds it, the other doesn't) — the engine
+    // rejects that as a fan-out width mismatch, so only generate pairs
+    // disjoint from the drill set (the valid-query space)
+    val fanPair = if (rng.nextInt(3) == 0)
+      pick(rng, Seq(
+        ("Geography.Region", "Geography.Nation"),
+        ("Ship Date.Year", "Ship Date.Month"))) match {
+        case (a, b) if !drills.exists(l => l.spelling == a || l.spelling == b) => Some((a, b))
+        case _ => None
+      }
+    else None
+    val fanCuts = fanPair.toSeq.flatMap { case (a, b) => Seq(bySpelling(a), bySpelling(b)) }
+      .map(l => (l, pickN(rng, l.members, 1 + rng.nextInt(2))))
+    val fanDims = fanCuts.map(c => dimOf(c._1)).toSet
+    val singles = pickN(rng, pool.filterNot(l => fanDims.contains(dimOf(l))), rng.nextInt(2))
+      .map(l => (l, pickN(rng, l.members, 1 + rng.nextInt(3))))
+    val cuts = fanCuts ++ singles
+    val time = if (rng.nextInt(4) == 0 && !cuts.exists(_._1.spelling.startsWith("Ship Date.")))
+      Some(pick(rng, Seq("latest", "oldest")))
+    else None
+    val exclude = if (rng.nextInt(3) == 0) {
+      val l = pick(rng, drills)
+      Some((l, pickN(rng, l.members, 1 + rng.nextInt(2))))
+    } else None
+    val filter = if (rng.nextInt(4) == 0) {
+      val m = pick(rng, meas)
+      Some((m, pick(rng, Seq("gt", "lt")), pick(rng, m.thresholds)))
+    } else None
+
+    // ListMap: QueryParams.toLogicLayerQuery takes cuts in the params map's
+    // ITERATION order (no sort), and the fan-out combo order — hence which
+    // combo's headers the positional consolidation keeps — follows it. A
+    // plain Map hash-scrambles at 5+ entries; insertion order keeps the
+    // oracle's combo order aligned with the engine's.
+    val params: Map[String, Seq[String]] = scala.collection.immutable.ListMap(
+      (Seq(
+        "drilldowns" -> Seq(drills.map(lvlName).mkString(",")),
+        "measures"   -> Seq(meas.map(_.name).mkString(","))) ++
+        cuts.map { case (l, ms) => lvlName(l) -> Seq(ms.mkString(",")) } ++
+        exclude.map { case (l, ms) => "exclude" -> Seq(s"${lvlName(l)}:${ms.mkString(",")}") } ++
+        time.map(w => "time" -> Seq(s"Year.$w")) ++
+        filter.map { case (m, op, v) => "filters" -> Seq(s"${m.name}.$op.$v") }): _*)
+
+    LlFuzzCase(name, params, renderLlSql(drills, meas, cuts, time, exclude, filter))
+  }
+
+  private def renderLlSql(
+      drills: Seq[LevelInfo], meas: Seq[MeaInfo],
+      cuts: Seq[(LevelInfo, Seq[String])],
+      time: Option[String],
+      exclude: Option[(LevelInfo, Seq[String])],
+      filter: Option[(MeaInfo, String, String)]): String = {
+
+    // resolved cuts: the param cuts in PARAM ORDER (the engine takes them in
+    // params-map iteration order — see the ListMap note in oneLlCase) plus
+    // the resolved time member appended last (LogicLayer.plan:
+    // cuts ++ timeCut); the time member is a scalar subquery — the level's
+    // member set is the fact's distinct years.
+    final case class RCut(l: LevelInfo, members: Seq[String], timeAgg: Option[String])
+    val resolved = cuts.map { case (l, ms) => RCut(l, ms, None) } ++
+      time.map(w => RCut(bySpelling("Ship Date.Year"), Nil,
+        Some(if (w == "latest") "max" else "min")))
+
+    // fan-out mirror (LogicLayer.fanOut): group cuts by dimension, cartesian
+    // one-cut-per-dimension, multi-cut dims auto-add the cut level as drill
+    val dims = resolved.map(c => dimOf(c.l)).distinct
+    val byDim = dims.map(d => resolved.filter(c => dimOf(c.l) == d))
+    val multiLevel = byDim.filter(_.length > 1).flatten.map(_.l.spelling).toSet
+    val combos = byDim.foldLeft(Seq(Seq.empty[RCut])) { (acc, cs) =>
+      acc.flatMap(partial => cs.map(partial :+ _))
+    }
+
+    def levelsOf(combo: Seq[RCut]): Seq[LevelInfo] =
+      drills ++ combo.collect {
+        case c if multiLevel.contains(c.l.spelling) && !drills.contains(c.l) => c.l
+      }
+    def headerCols(l: LevelInfo): Seq[(String, String)] =
+      (l.keyExpr -> l.keyHeader) +: l.name.map { case (c, h) => c -> h }.toSeq
+
+    // positional consolidation: every combo aliases its columns to the FIRST
+    // combo's headers (reference aggregate.rs:333-534)
+    val firstHeaders = levelsOf(combos.head).flatMap(headerCols).map(_._2)
+
+    val comboSelects = combos.map { combo =>
+      val lvls = levelsOf(combo)
+      val drillCols = lvls.flatMap(headerCols)
+      require(drillCols.length == firstHeaders.length, "fan-out width mismatch in generator")
+      val sel = drillCols.zip(firstHeaders).map { case ((e, _), h) => s"$e AS ${qt(h)}" } ++
+        meas.map(m => s"${m.sqlExpr} AS ${qt(m.name)}")
+      val needed = (lvls ++ combo.map(_.l)).flatMap(_.join).distinct
+      val from = ("lineitem" +: Seq("GEO", "CUST", "PART").filter(needed.contains).map(joins))
+        .mkString(" ")
+      val preds = combo.map {
+        case RCut(l, _, Some(agg)) =>
+          s"${l.keyExpr} = (SELECT $agg(${l.keyExpr}) FROM lineitem)"
+        case RCut(l, ms, None) => s"${l.keyExpr} IN (${lits(l, ms)})"
+      }
+      val where = if (preds.isEmpty) "" else s" WHERE ${preds.mkString(" AND ")}"
+      val groupBy = s" GROUP BY ${drillCols.indices.map(_ + 1).mkString(", ")}"
+      val having = filter.map { case (m, op, v) =>
+        val c = if (op == "gt") ">" else "<"
+        s" HAVING ${m.sqlExpr} $c $v"
+      }.getOrElse("")
+      s"SELECT ${sel.mkString(", ")} FROM $from$where$groupBy$having"
+    }
+
+    val union = comboSelects.mkString(" UNION ALL ")
+    exclude match {
+      case None => union
+      case Some((l, ms)) =>
+        // applyExclude filters "{Level} ID" when the level has a name column,
+        // else the bare level header — which is exactly keyHeader either way;
+        // the drilled level's own headers survive consolidation unrenamed
+        s"SELECT * FROM ($union) u WHERE ${qt(l.keyHeader)} NOT IN (${lits(l, ms)})"
+    }
+  }
+
   // -------------------------------------------------------- SQL rendering
 
   /** The planner's outLevels expansion, mirrored: parents prepend ancestor

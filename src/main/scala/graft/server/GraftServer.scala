@@ -517,15 +517,25 @@ final class GraftServer(
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  private def parseQuery(raw: String): Map[String, Seq[String]] =
-    raw.split('&').filter(_.nonEmpty).toSeq
+  /** Params keep FIRST-APPEARANCE order (ListMap), not hash order: the
+    * logic layer takes cuts in params-iteration order and the fan-out's
+    * positional consolidation keeps the first combo's headers — with a
+    * hash map the header naming of a multi-level-cut response would depend
+    * on the param-name hashes instead of the request's own order (the
+    * reference's serde Vec preserves URL order). Cache keys re-sort, so
+    * caching is unaffected. */
+  private def parseQuery(raw: String): Map[String, Seq[String]] = {
+    val pairs = raw.split('&').filter(_.nonEmpty).toSeq
       .map { kv =>
         kv.split("=", 2) match {
           case Array(k, v) => dec(k.replace("+", "%20")) -> dec(v.replace("+", "%20"))
           case Array(k)    => dec(k) -> ""
         }
       }
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val order = pairs.map(_._1).distinct
+    scala.collection.immutable.ListMap(
+      order.map(k => k -> pairs.collect { case (`k`, v) => v }): _*)
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String, contentType: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
