@@ -26,6 +26,14 @@ object FuzzDump {
       planner.plan(spark, fc.query).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${fc.name}")
     }
+    // logic-layer corpus through the real wire-param path
+    val ll = new graft.plan.LogicLayer(planner)
+    val llCases = graft.fuzz.QueryFuzzer.llCases(60)
+    llCases.foreach { fc =>
+      val q = graft.server.QueryParams.toLogicLayerQuery(fc.params, graft.engine.TpchStar.salesCube)
+      ll.plan(spark, q).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${fc.name}")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -33,7 +41,8 @@ object FuzzDump {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = cases.map(fc => s"${q(fc.name)}: ${q(fc.sql)}").mkString("{", ",", "}")
+    val json = (cases.map(fc => s"${q(fc.name)}: ${q(fc.sql)}") ++
+      llCases.map(fc => s"${q(fc.name)}: ${q(fc.sql)}")).mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
