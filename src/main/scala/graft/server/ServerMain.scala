@@ -89,8 +89,13 @@ object ServerMain {
         // concurrent requests share the cluster fairly, mirroring the
         // reference's 100-concurrent-request pool design
         .config("spark.scheduler.mode", "FAIR")
-      sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
-        .fold(b)(n => b.config("spark.sql.shuffle.partitions", n))
+      // serving workload = many small concurrent aggregates: Spark's
+      // 200-partition default multiplies task-scheduling overhead by the
+      // concurrency; 8 per job measured ~2x better p95 under 32-way load
+      // (SCALING.md). Deployments with big fan-in queries raise it via
+      // GRAFT_SHUFFLE_PARTITIONS.
+      b.config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "8"))
         .getOrCreate()
     }
     // getOrCreate may have reused a pre-existing session, in which case the
