@@ -21,7 +21,9 @@ object FuzzDump {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val planner = graft.engine.TpchStar.planner(sfDir)
-    val cases = graft.fuzz.QueryFuzzer.cases(160)
+    val cases = graft.fuzz.QueryFuzzer.cases(160) ++
+      graft.fuzz.QueryFuzzer.rcaCases(50) ++
+      graft.fuzz.QueryFuzzer.rateCases(40)
     cases.foreach { fc =>
       planner.plan(spark, fc.query).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${fc.name}")

@@ -223,6 +223,300 @@ object QueryFuzzer {
       renderSql(drills, parents, props, meas, cuts, filter, top, sort, limit, sparse, growth))
   }
 
+  // ------------------------------------------------------ rca generator
+
+  /** RCA compositions: the planner runs a grouping-sets rollup + grain
+    * equi-joins (CubePlanner.planRca), the oracle renders the SAME algebra
+    * as three window sums over one aggregate — a structurally independent
+    * second derivation of (a/b)/(c/d). Exercises the internal-vs-external
+    * cut split (rca.rs:100-127: cuts on drill_1 itself filter a and c ONLY,
+    * after the full denominators are formed), external drilldowns, extra
+    * display measures, and top / filter / sort / limit over the calc. */
+  def rcaCases(n: Int, seed: Long = 777L): Seq[FuzzCase] = {
+    val rng = new Random(seed)
+    (1 to n).map(i => oneRcaCase(f"rcafuzz_$i%03d", rng))
+  }
+
+  /** Order-immune measures only (see the class doc's determinism rules). */
+  private val immuneNames = Set("Quantity", "Row Count", "Max Price", "Min Price")
+
+  private def oneRcaCase(name: String, rng: Random): FuzzCase = {
+    val pool = levels.filterNot(_.spelling == "Part.Part")
+    // drill_1, drill_2: two levels of distinct dimensions
+    val d1 = pick(rng, pool)
+    val d2 = pick(rng, pool.filterNot(l => dimOf(l) == dimOf(d1)))
+    // optional external drilldown from a third dimension
+    val extPool = pool.filterNot(l => dimOf(l) == dimOf(d1) || dimOf(l) == dimOf(d2))
+    val ext = if (rng.nextInt(2) == 0) Some(pick(rng, extPool)) else None
+    // the rca measure must sum/count exactly; display measures order-immune
+    val rcaMea = pick(rng, measures.filter(m => m.name == "Quantity" || m.name == "Row Count"))
+    val display = pickN(rng, measures.filter(m => immuneNames(m.name)), 1 + rng.nextInt(2))
+    val rcaName = s"${rcaMea.name} RCA"
+    // internal cut: on drill_1 itself — filters a and c only
+    val internal = if (rng.nextInt(3) == 0) {
+      val op = if (rng.nextInt(3) == 0) "~" else ""
+      Some((op, pickN(rng, d1.members, 1 + rng.nextInt(math.min(3, d1.members.length)))))
+    } else None
+    // external cuts: any other level (including other levels of d1's and
+    // d2's dims — ordinary scan-pushed cuts). Cuts on d1 itself are the
+    // INTERNAL kind above; cuts on d2 itself are rejected by validation
+    // (lib.rs:486-498), so neither is in the external pool.
+    val extCuts = pickN(rng,
+      pool.filterNot(l => l.spelling == d1.spelling || l.spelling == d2.spelling),
+      rng.nextInt(3)).map { l =>
+      val op = if (rng.nextInt(4) == 0) "~" else ""
+      (l, op, pickN(rng, l.members, 1 + rng.nextInt(math.min(3, l.members.length))))
+    }
+    // top over the calc or a display measure (the q41 shape), by any drill
+    val top = if (rng.nextInt(4) == 0) {
+      val by = pick(rng, ext.toSeq ++ Seq(d1, d2))
+      val sortKey = if (rng.nextInt(2) == 0) "rca" else pick(rng, display).name
+      Some((1 + rng.nextInt(3), by, sortKey, pick(rng, Seq("asc", "desc"))))
+    } else None
+    // HAVING-style filter on the calc or a display measure
+    val filter = if (rng.nextInt(4) == 0) {
+      val (key, thresholds) =
+        if (rng.nextInt(2) == 0) ("rca", Seq("0", "1", "2"))
+        else { val m = pick(rng, display); (m.name, m.thresholds) }
+      Some((key, pick(rng, Seq("gt", "gte", "lt", "lte")), pick(rng, thresholds)))
+    } else None
+    val sort = if (rng.nextInt(3) == 0)
+      Some((if (rng.nextInt(2) == 0) "rca" else pick(rng, display).name,
+        pick(rng, Seq("asc", "desc"))))
+    else None
+    // limit only when the effective order is total (same rule as oneCase)
+    val limit = if ((top.isEmpty || sort.isDefined) && rng.nextInt(4) == 0)
+      Some((if (rng.nextInt(2) == 0) rng.nextInt(5) else 0, 1 + rng.nextInt(10)))
+    else None
+
+    val q = CubeQuery(
+      drilldowns = ext.toSeq.map(l => Drilldown.parse(l.spelling).fold(die, identity)),
+      cuts = (internal.toSeq.map { case (op, ms) => (d1, op, ms) } ++ extCuts.map {
+        case (l, op, ms) => (l, op, ms)
+      }).map { case (l, op, ms) =>
+        CutSpec.parse(s"$op${l.spelling}.${ms.mkString(",")}").fold(die, identity)
+      },
+      measures = display.map(m => MeasureName.parse(m.name).fold(die, identity)),
+      rca = Some(RcaQuery.parse(s"${d1.spelling},${d2.spelling},${rcaMea.name}").fold(die, identity)),
+      top = top.map { case (k, by, key, dir) =>
+        TopQuery.parse(s"$k,${by.spelling},$key,$dir").fold(die, identity)
+      },
+      filters = filter.toSeq.map { case (key, op, v) =>
+        FilterQuery.parse(s"$key.$op.$v").fold(die, identity)
+      },
+      sort = sort.map { case (key, dir) => SortQuery.parse(s"$key.$dir").fold(die, identity) },
+      limit = limit.map { case (off, n0) =>
+        LimitQuery.parse(if (off > 0) s"$off,$n0" else s"$n0").fold(die, identity)
+      })
+
+    // resolve the "rca" sort/filter keyword to the calc's output header
+    def colOf(key: String): String = if (key == "rca") rcaName else key
+    FuzzCase(name, q,
+      renderRcaSql(ext, d1, d2, rcaMea, rcaName, display,
+        internal, extCuts,
+        top.map { case (k, by, key, dir) => (k, by, colOf(key), dir) },
+        filter.map { case (key, op, v) => (colOf(key), op, v) },
+        sort.map { case (key, dir) => (colOf(key), dir) },
+        limit))
+  }
+
+  private def cmpOp(op: String): String = op match {
+    case "gt" => ">"; case "gte" => ">="; case "lt" => "<"; case "lte" => "<="
+    case other => sys.error(s"unreachable op $other")
+  }
+
+  private def renderRcaSql(
+      ext: Option[LevelInfo], d1: LevelInfo, d2: LevelInfo,
+      rcaMea: MeaInfo, rcaName: String, display: Seq[MeaInfo],
+      internal: Option[(String, Seq[String])],
+      extCuts: Seq[(LevelInfo, String, Seq[String])],
+      top: Option[(Int, LevelInfo, String, String)],
+      filter: Option[(String, String, String)],
+      sort: Option[(String, String)],
+      limit: Option[(Int, Int)]): String = {
+
+    def hc(l: LevelInfo): Seq[(String, String)] =
+      (l.keyExpr -> l.keyHeader) +: l.name.map { case (c, h) => c -> h }.toSeq
+    val lvls = ext.toSeq ++ Seq(d1, d2)
+    val drillCols = lvls.flatMap(hc)
+    val headers = drillCols.map(_._2)
+
+    val needed = (lvls ++ extCuts.map(_._1)).flatMap(_.join).distinct
+    val from = ("lineitem" +: Seq("GEO", "CUST", "PART").filter(needed.contains).map(joins))
+      .mkString(" ")
+    val where = extCuts.map {
+      case (l, "", ms)  => s"${l.keyExpr} IN (${lits(l, ms)})"
+      case (l, "~", ms) => s"${l.keyExpr} NOT IN (${lits(l, ms)})"
+      case other => sys.error(s"unreachable cut $other")
+    } match { case Nil => ""; case ps => " WHERE " + ps.mkString(" AND ") }
+
+    val baseSel = drillCols.map { case (e, h) => s"$e AS ${qt(h)}" } ++
+      (s"${rcaMea.sqlExpr} AS __a" +: display.map(m => s"${m.sqlExpr} AS ${qt(m.name)}"))
+    val base = s"SELECT ${baseSel.mkString(", ")} FROM $from$where" +
+      s" GROUP BY ${drillCols.indices.map(_ + 1).mkString(", ")}"
+
+    // (a/b)/(c/d) as window sums: b over ext+d2 keys, c over ext+d1 keys,
+    // d over ext keys — full denominators, formed BEFORE any internal cut
+    val extKeys = ext.toSeq.map(_.keyHeader)
+    def win(keys: Seq[String]): String =
+      if (keys.isEmpty) "sum(__a) OVER ()"
+      else s"sum(__a) OVER (PARTITION BY ${keys.map(qt).mkString(", ")})"
+    val rcaExpr = s"(__a / ${win(extKeys :+ d2.keyHeader)}) / " +
+      s"(${win(extKeys :+ d1.keyHeader)} / ${win(extKeys)})"
+    val calcSel = (headers.map(qt) :+ s"$rcaExpr AS ${qt(rcaName)}") ++
+      display.map(m => qt(m.name))
+
+    var sql = s"WITH base AS ($base), calc AS (SELECT ${calcSel.mkString(", ")} FROM base)"
+    var cur = "calc"
+    internal.foreach { case (op, ms) =>
+      val neg = if (op == "~") "NOT " else ""
+      sql += s""", cut AS (SELECT * FROM $cur WHERE ${qt(d1.keyHeader)} $neg""" +
+        s"""IN (${lits(d1, ms)}))"""
+      cur = "cut"
+    }
+    top.foreach { case (k, by, col, dir) =>
+      val tiebreak = headers.filterNot(_ == by.keyHeader).map(h => s"${qt(h)} ASC")
+      val order = (s"${qt(col)} ${dir.toUpperCase}" +: tiebreak).mkString(", ")
+      val allCols = ((headers :+ rcaName) ++ display.map(_.name)).map(qt).mkString(", ")
+      sql += s", topped AS (SELECT $allCols FROM (SELECT t.*, row_number() OVER " +
+        s"(PARTITION BY ${qt(by.keyHeader)} ORDER BY $order) AS __rn FROM $cur t) WHERE __rn <= $k)"
+      cur = "topped"
+    }
+    filter.foreach { case (col, op, v) =>
+      sql += s", filtered AS (SELECT * FROM $cur WHERE ${qt(col)} ${cmpOp(op)} $v)"
+      cur = "filtered"
+    }
+    val orderBy = limit match {
+      case None => ""
+      case Some(_) =>
+        val cols = sort match {
+          case Some((col, dir)) => s"${qt(col)} ${dir.toUpperCase}" +: headers.map(h => s"${qt(h)} ASC")
+          case None             => headers.map(h => s"${qt(h)} ASC")
+        }
+        s" ORDER BY ${cols.mkString(", ")}"
+    }
+    val limitSql = limit.map { case (off, n0) =>
+      if (off > 0) s" LIMIT $n0 OFFSET $off" else s" LIMIT $n0"
+    }.getOrElse("")
+    s"$sql SELECT * FROM $cur$orderBy$limitSql"
+  }
+
+  // ----------------------------------------------------- rate generator
+
+  /** Rate compositions: the planner fuses the member share into ONE
+    * conditional-aggregate pass (CubePlanner.planRate); the oracle derives
+    * the same value as sum(CASE)/total with the planner's null-part group
+    * drop as HAVING, then filter → sort → limit in planner option order. */
+  def rateCases(n: Int, seed: Long = 888L): Seq[FuzzCase] = {
+    val rng = new Random(seed)
+    (1 to n).map(i => oneRateCase(f"ratefuzz_$i%03d", rng))
+  }
+
+  private def oneRateCase(name: String, rng: Random): FuzzCase = {
+    val pool = levels.filterNot(_.spelling == "Part.Part")
+    val rateLvl = pick(rng, pool)
+    val members = pickN(rng, rateLvl.members, 1 + rng.nextInt(math.min(3, rateLvl.members.length)))
+    // drilldowns disjoint from the rate level (it folds into the scan grain)
+    val drills = pickN(rng, pool.filterNot(_.spelling == rateLvl.spelling), rng.nextInt(3))
+    // rate requires a single sum/count measure
+    val mea = pick(rng, measures.filter(m => m.name == "Quantity" || m.name == "Row Count"))
+    // cuts on any level, INCLUDING the rate level (scan-pushed: restricts
+    // numerator and denominator alike)
+    val cuts = pickN(rng, pool, rng.nextInt(3)).map { l =>
+      val op = if (rng.nextInt(4) == 0) "~" else ""
+      (l, op, pickN(rng, l.members, 1 + rng.nextInt(math.min(3, l.members.length))))
+    }
+    val filter = if (rng.nextInt(4) == 0)
+      Some((mea.name, pick(rng, Seq("gt", "gte", "lt", "lte")), pick(rng, mea.thresholds)))
+    else None
+    val sort = if (rng.nextInt(3) == 0)
+      Some((if (rng.nextInt(2) == 0) "Rate" else mea.name, pick(rng, Seq("asc", "desc"))))
+    else None
+    val limit = if (rng.nextInt(4) == 0)
+      Some((if (rng.nextInt(2) == 0) rng.nextInt(5) else 0, 1 + rng.nextInt(10)))
+    else None
+
+    val q = CubeQuery(
+      drilldowns = drills.map(l => Drilldown.parse(l.spelling).fold(die, identity)),
+      cuts = cuts.map { case (l, op, ms) =>
+        CutSpec.parse(s"$op${l.spelling}.${ms.mkString(",")}").fold(die, identity)
+      },
+      measures = Seq(MeasureName.parse(mea.name).fold(die, identity)),
+      rate = Some(RateQuery.parse(s"${rateLvl.spelling}.${members.mkString(",")}").fold(die, identity)),
+      filters = filter.toSeq.map { case (key, op, v) =>
+        FilterQuery.parse(s"$key.$op.$v").fold(die, identity)
+      },
+      sort = sort.map { case (key, dir) => SortQuery.parse(s"$key.$dir").fold(die, identity) },
+      limit = limit.map { case (off, n0) =>
+        LimitQuery.parse(if (off > 0) s"$off,$n0" else s"$n0").fold(die, identity)
+      })
+
+    FuzzCase(name, q,
+      renderRateSql(drills, rateLvl, members, mea, cuts, filter, sort, limit))
+  }
+
+  private def renderRateSql(
+      drills: Seq[LevelInfo], rateLvl: LevelInfo, members: Seq[String],
+      mea: MeaInfo, cuts: Seq[(LevelInfo, String, Seq[String])],
+      filter: Option[(String, String, String)],
+      sort: Option[(String, String)],
+      limit: Option[(Int, Int)]): String = {
+
+    def hc(l: LevelInfo): Seq[(String, String)] =
+      (l.keyExpr -> l.keyHeader) +: l.name.map { case (c, h) => c -> h }.toSeq
+    val drillCols = drills.flatMap(hc)
+    val headers = drillCols.map(_._2)
+
+    val needed = (drills ++ Seq(rateLvl) ++ cuts.map(_._1)).flatMap(_.join).distinct
+    val from = ("lineitem" +: Seq("GEO", "CUST", "PART").filter(needed.contains).map(joins))
+      .mkString(" ")
+    val where = cuts.map {
+      case (l, "", ms)  => s"${l.keyExpr} IN (${lits(l, ms)})"
+      case (l, "~", ms) => s"${l.keyExpr} NOT IN (${lits(l, ms)})"
+      case other => sys.error(s"unreachable cut $other")
+    } match { case Nil => ""; case ps => " WHERE " + ps.mkString(" AND ") }
+
+    // member-part aggregate: NULL (not 0) when a group has no member rows,
+    // so HAVING drops the group — exactly planRate's `__part IS NOT NULL`
+    val inList = lits(rateLvl, members)
+    val (den, num) = mea.name match {
+      case "Quantity" =>
+        ("sum(l_quantity)",
+          s"sum(CASE WHEN ${rateLvl.keyExpr} IN ($inList) THEN l_quantity END)")
+      case "Row Count" =>
+        ("count(l_orderkey)",
+          s"sum(CASE WHEN ${rateLvl.keyExpr} IN ($inList) AND l_orderkey IS NOT NULL THEN 1 END)")
+      case other => sys.error(s"unreachable rate measure $other")
+    }
+
+    val sel = drillCols.map { case (e, h) => s"$e AS ${qt(h)}" } ++
+      Seq(s"$den AS ${qt(mea.name)}", s"$num / $den AS ${qt("Rate")}")
+    val groupBy =
+      if (drillCols.isEmpty) "" else s" GROUP BY ${drillCols.indices.map(_ + 1).mkString(", ")}"
+    val base = s"SELECT ${sel.mkString(", ")} FROM $from$where$groupBy HAVING $num IS NOT NULL"
+
+    var sql = s"WITH base AS ($base)"
+    var cur = "base"
+    filter.foreach { case (col, op, v) =>
+      sql += s", filtered AS (SELECT * FROM $cur WHERE ${qt(col)} ${cmpOp(op)} $v)"
+      cur = "filtered"
+    }
+    val orderBy = limit match {
+      case None => ""
+      case Some(_) =>
+        val cols = sort match {
+          case Some((col, dir)) => s"${qt(col)} ${dir.toUpperCase}" +: headers.map(h => s"${qt(h)} ASC")
+          case None             => headers.map(h => s"${qt(h)} ASC")
+        }
+        // no drills and no sort: a single global group — nothing to order
+        if (cols.isEmpty) "" else s" ORDER BY ${cols.mkString(", ")}"
+    }
+    val limitSql = limit.map { case (off, n0) =>
+      if (off > 0) s" LIMIT $n0 OFFSET $off" else s" LIMIT $n0"
+    }.getOrElse("")
+    s"$sql SELECT * FROM $cur$orderBy$limitSql"
+  }
+
   // ------------------------------------------------- logic-layer generator
 
   /** One generated logic-layer case: the WIRE params (exercising the bare
