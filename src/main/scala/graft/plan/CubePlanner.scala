@@ -145,6 +145,28 @@ final class CubePlanner(
       if (agg != Aggregator.Sum && agg != Aggregator.Count)
         fail("rate requires a sum or count measure")
     }
+    // sort/filter/top/top_where measure references must name a measure IN
+    // the query (only those are output columns) or a calc present in the
+    // query — the reference's mea_or_calc! macro enforces the same rule
+    // (lib.rs:52-71, "measure {} must be in measures or if sorting on RCA
+    // column use \"rca\""); without the check a bad name surfaces as an
+    // unclassified analysis error (HTTP 500) instead of a query error
+    // (400). One deliberate extension: the rate's derived "Rate" column is
+    // also accepted, so rate results can be sorted/filtered by the share.
+    def checkMeaRef(mc: MeaOrCalc, what: String): Unit = mc match {
+      case MeaOrCalc.Mea(m) =>
+        val ok = q.measures.exists(_.name == m.name) ||
+          (q.rate.isDefined && m.name == "Rate")
+        if (!ok) fail(s"$what measure '${m.name}' must be a measure in the query")
+      case MeaOrCalc.RcaCalc =>
+        if (q.rca.isEmpty) fail(s"$what references the rca calculation but the query has no rca")
+      case MeaOrCalc.GrowthCalc =>
+        if (q.growth.isEmpty) fail(s"$what references the growth calculation but the query has no growth")
+    }
+    q.sort.foreach(s => checkMeaRef(s.measure, "sort"))
+    q.filters.foreach(f => checkMeaRef(f.byMeaOrCalc, "filter"))
+    q.top.foreach(t => t.sortMeaOrCalc.foreach(checkMeaRef(_, "top")))
+    q.topWhere.foreach(tw => checkMeaRef(tw.byMeaOrCalc, "top_where"))
   }
 
   // -------------------------------------------------------------- standard

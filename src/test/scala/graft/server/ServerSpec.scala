@@ -283,7 +283,16 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("/data.jsonrecords?drilldowns=Geography.Region&measures=Quantity",
         400, "logic layer requires ?cube="),
       ("/data.jsonrecords?cube=Nope&drilldowns=Geography.Region&measures=Quantity",
-        404, "cube 'Nope' not found"))
+        404, "cube 'Nope' not found"),
+      // mea_or_calc! family (lib.rs:52-71): sort/filter/top_where must
+      // reference a measure in the query or a present calc — a 400, not an
+      // escaped analysis error 500
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity&sort=Revenue.desc",
+        400, "sort measure 'Revenue' must be a measure in the query"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity&filters=Bogus.gt.1",
+        400, "filter measure 'Bogus' must be a measure in the query"),
+      ("/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity&sort=rca.desc",
+        400, "sort references the rca calculation but the query has no rca"))
     for ((path, wantCode, wantMsg) <- cases) {
       val (code, body) = get(path)
       assert(code == wantCode, s"$path: expected $wantCode, got $code ($body)")
