@@ -110,6 +110,50 @@ class PreaggSpec extends AnyFunSuite {
     assert(rows(viaNation) == rows(base.plan(spark, nationQ)))
   }
 
+  test("fuzz differential: routed results equal base-fact results across the corpus") {
+    // Every summary-carried measure re-aggregates losslessly (sum/count of
+    // integer-valued partials, min/max, KMV sketch union), so routed and
+    // base results must match EXACTLY — not approximately — on any query
+    // the summary serves; queries it can't serve must fall through
+    // untouched. Covered = all referenced levels are at/above the
+    // (Nation, Year) grain and all measures ride the summary.
+    val all = graft.fuzz.QueryFuzzer.cases(300) ++
+      graft.fuzz.QueryFuzzer.rcaCases(60) ++ graft.fuzz.QueryFuzzer.rateCases(60)
+    val okLevels = Set(("Geography", "Region"), ("Geography", "Nation"), ("Ship Date", "Year"))
+    val okMeas = Set("Quantity", "Row Count", "Max Price", "Min Price")
+    def covered(q: CubeQuery): Boolean = {
+      val lvls = q.drilldowns.map(_.levelName) ++ q.cuts.map(_.levelName) ++
+        q.rca.toSeq.flatMap(r => Seq(r.drill1.levelName, r.drill2.levelName)) ++
+        q.rate.map(_.levelName)
+      lvls.forall(ln => okLevels((ln.dimension, ln.level))) &&
+        q.properties.isEmpty && q.measures.forall(m => okMeas(m.name))
+    }
+    val (summaryQs, factQs) = all.map(_.query).partition(covered)
+    assert(summaryQs.length >= 10, s"only ${summaryQs.length} corpus cases are summary-covered")
+
+    def image(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(r => cols.indices.map(i => if (r.isNullAt(i)) " " else r.get(i).toString))
+        .toSeq.sortBy(_.mkString(""))
+    }
+    var served = 0
+    val failures = (summaryQs ++ factQs.take(60)).zipWithIndex.flatMap { case (q, i) =>
+      val isServed = try { summaryPlanner.plan(spark, q); true } catch { case _: PlanError => false }
+      if (isServed) served += 1
+      val routed = image(pp.plan(spark, q))
+      val direct = image(base.plan(spark, q))
+      if (routed == direct) None
+      else Some(s"case $i (served=$isServed): routed=${routed.take(2)} direct=${direct.take(2)}\n  q=$q")
+    }
+    assert(failures.isEmpty, s"${failures.length} routed/base mismatches:\n${failures.mkString("\n")}")
+    // the covered predicate must agree with actual routing — every covered
+    // case summary-served (fallthrough there would silently erode the
+    // optimization), and nothing below-grain snuck into the summary
+    assert(served == summaryQs.length,
+      s"$served served but ${summaryQs.length} covered — router and predicate disagree")
+  }
+
   test("non-reaggregable aggregators are excluded from the derived cube") {
     val derived = Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("s"))
     val aggs = derived.measures.map(_.aggregator).toSet
