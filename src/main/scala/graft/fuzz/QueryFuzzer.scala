@@ -252,17 +252,30 @@ object QueryFuzzer {
     val rcaMea = pick(rng, measures.filter(m => m.name == "Quantity" || m.name == "Row Count"))
     val display = pickN(rng, measures.filter(m => immuneNames(m.name)), 1 + rng.nextInt(2))
     val rcaName = s"${rcaMea.name} RCA"
-    // internal cut: on drill_1 itself — filters a and c only
+    // parents: ancestor chains prepend to ext/d1/d2 alike (planRca expands
+    // each drill through outLevels with q.parents)
+    val parents = (ext.toSeq ++ Seq(d1, d2)).exists(_.parentSpellings.nonEmpty) &&
+      rng.nextInt(2) == 0
+    // internal cut: on drill_1 itself — or, under parents, on one of its
+    // ANCESTORS (both are drill_1 output levels, rca.rs:100-127 classifies
+    // by column) — filters a and c only
+    val internalLvl =
+      if (parents && d1.parentSpellings.nonEmpty && rng.nextInt(2) == 0)
+        bySpelling(pick(rng, d1.parentSpellings))
+      else d1
     val internal = if (rng.nextInt(3) == 0) {
       val op = if (rng.nextInt(3) == 0) "~" else ""
-      Some((op, pickN(rng, d1.members, 1 + rng.nextInt(math.min(3, d1.members.length)))))
+      Some((op, pickN(rng, internalLvl.members, 1 + rng.nextInt(math.min(3, internalLvl.members.length)))))
     } else None
     // external cuts: any other level (including other levels of d1's and
     // d2's dims — ordinary scan-pushed cuts). Cuts on d1 itself are the
     // INTERNAL kind above; cuts on d2 itself are rejected by validation
-    // (lib.rs:486-498), so neither is in the external pool.
+    // (lib.rs:486-498), so neither is in the external pool. Under parents,
+    // d1's whole ancestor chain is internal too (its levels are drill_1
+    // output columns), so it leaves the external pool as well.
+    val d1Chain = if (parents) d1.parentSpellings.toSet + d1.spelling else Set(d1.spelling)
     val extCuts = pickN(rng,
-      pool.filterNot(l => l.spelling == d1.spelling || l.spelling == d2.spelling),
+      pool.filterNot(l => d1Chain(l.spelling) || l.spelling == d2.spelling),
       rng.nextInt(3)).map { l =>
       val op = if (rng.nextInt(4) == 0) "~" else ""
       (l, op, pickN(rng, l.members, 1 + rng.nextInt(math.min(3, l.members.length))))
@@ -291,12 +304,13 @@ object QueryFuzzer {
 
     val q = CubeQuery(
       drilldowns = ext.toSeq.map(l => Drilldown.parse(l.spelling).fold(die, identity)),
-      cuts = (internal.toSeq.map { case (op, ms) => (d1, op, ms) } ++ extCuts.map {
+      cuts = (internal.toSeq.map { case (op, ms) => (internalLvl, op, ms) } ++ extCuts.map {
         case (l, op, ms) => (l, op, ms)
       }).map { case (l, op, ms) =>
         CutSpec.parse(s"$op${l.spelling}.${ms.mkString(",")}").fold(die, identity)
       },
       measures = display.map(m => MeasureName.parse(m.name).fold(die, identity)),
+      parents = parents,
       rca = Some(RcaQuery.parse(s"${d1.spelling},${d2.spelling},${rcaMea.name}").fold(die, identity)),
       top = top.map { case (k, by, key, dir) =>
         TopQuery.parse(s"$k,${by.spelling},$key,$dir").fold(die, identity)
@@ -312,8 +326,8 @@ object QueryFuzzer {
     // resolve the "rca" sort/filter keyword to the calc's output header
     def colOf(key: String): String = if (key == "rca") rcaName else key
     FuzzCase(name, q,
-      renderRcaSql(ext, d1, d2, rcaMea, rcaName, display,
-        internal, extCuts,
+      renderRcaSql(ext, d1, d2, parents, rcaMea, rcaName, display,
+        internal.map { case (op, ms) => (internalLvl, op, ms) }, extCuts,
         top.map { case (k, by, key, dir) => (k, by, colOf(key), dir) },
         filter.map { case (key, op, v) => (colOf(key), op, v) },
         sort.map { case (key, dir) => (colOf(key), dir) },
@@ -326,9 +340,9 @@ object QueryFuzzer {
   }
 
   private def renderRcaSql(
-      ext: Option[LevelInfo], d1: LevelInfo, d2: LevelInfo,
+      ext: Option[LevelInfo], d1: LevelInfo, d2: LevelInfo, parents: Boolean,
       rcaMea: MeaInfo, rcaName: String, display: Seq[MeaInfo],
-      internal: Option[(String, Seq[String])],
+      internal: Option[(LevelInfo, String, Seq[String])],
       extCuts: Seq[(LevelInfo, String, Seq[String])],
       top: Option[(Int, LevelInfo, String, String)],
       filter: Option[(String, String, String)],
@@ -337,7 +351,13 @@ object QueryFuzzer {
 
     def hc(l: LevelInfo): Seq[(String, String)] =
       (l.keyExpr -> l.keyHeader) +: l.name.map { case (c, h) => c -> h }.toSeq
-    val lvls = ext.toSeq ++ Seq(d1, d2)
+    // parents expand each drill through its ancestor chain, ancestors first
+    // (planRca feeds q.parents to outLevels per drill)
+    def chain(l: LevelInfo): Seq[LevelInfo] = outLevels(Seq(l), parents)
+    val extChain = ext.toSeq.flatMap(chain)
+    val d1Chain  = chain(d1)
+    val d2Chain  = chain(d2)
+    val lvls = extChain ++ d1Chain ++ d2Chain
     val drillCols = lvls.flatMap(hc)
     val headers = drillCols.map(_._2)
 
@@ -356,22 +376,24 @@ object QueryFuzzer {
       s" GROUP BY ${drillCols.indices.map(_ + 1).mkString(", ")}"
 
     // (a/b)/(c/d) as window sums: b over ext+d2 keys, c over ext+d1 keys,
-    // d over ext keys — full denominators, formed BEFORE any internal cut
-    val extKeys = ext.toSeq.map(_.keyHeader)
+    // d over ext keys (full CHAINS under parents — planRca's setB/C/D are
+    // the chains' key headers) — full denominators, formed BEFORE any
+    // internal cut
+    val extKeys = extChain.map(_.keyHeader)
     def win(keys: Seq[String]): String =
       if (keys.isEmpty) "sum(__a) OVER ()"
       else s"sum(__a) OVER (PARTITION BY ${keys.map(qt).mkString(", ")})"
-    val rcaExpr = s"(__a / ${win(extKeys :+ d2.keyHeader)}) / " +
-      s"(${win(extKeys :+ d1.keyHeader)} / ${win(extKeys)})"
+    val rcaExpr = s"(__a / ${win(extKeys ++ d2Chain.map(_.keyHeader))}) / " +
+      s"(${win(extKeys ++ d1Chain.map(_.keyHeader))} / ${win(extKeys)})"
     val calcSel = (headers.map(qt) :+ s"$rcaExpr AS ${qt(rcaName)}") ++
       display.map(m => qt(m.name))
 
     var sql = s"WITH base AS ($base), calc AS (SELECT ${calcSel.mkString(", ")} FROM base)"
     var cur = "calc"
-    internal.foreach { case (op, ms) =>
+    internal.foreach { case (lvl, op, ms) =>
       val neg = if (op == "~") "NOT " else ""
-      sql += s""", cut AS (SELECT * FROM $cur WHERE ${qt(d1.keyHeader)} $neg""" +
-        s"""IN (${lits(d1, ms)}))"""
+      sql += s""", cut AS (SELECT * FROM $cur WHERE ${qt(lvl.keyHeader)} $neg""" +
+        s"""IN (${lits(lvl, ms)}))"""
       cur = "cut"
     }
     top.foreach { case (k, by, col, dir) =>
