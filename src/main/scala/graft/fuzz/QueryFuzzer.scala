@@ -166,11 +166,12 @@ object QueryFuzzer {
       } else None
       Some((1 + rng.nextInt(3), byLevel, m, dir, tw))
     } else None
-    // --- growth (prob ~1/4 when a time level is drilled): lag-window calc
-    // over an always-positive measure, composed with everything below except
-    // top (the growth×top interplay is covered by hand-written q50)
+    // --- growth (prob ~1/2 when a time level is drilled): lag-window calc
+    // over an always-positive measure, composed with everything below
+    // INCLUDING top — the planner computes the calc first, then applies
+    // top over the grown frame with growth-reordered header tiebreaks
     val timeDrilled = drills.filter(_.spelling.startsWith("Ship Date."))
-    val growth = if (timeDrilled.nonEmpty && top.isEmpty && rng.nextInt(2) == 0) {
+    val growth = if (timeDrilled.nonEmpty && rng.nextInt(2) == 0) {
       val candidates = meas.filter(m => m.name == "Quantity" || m.name == "Row Count")
       if (candidates.isEmpty) None
       else Some((pick(rng, candidates), pick(rng, timeDrilled)))
@@ -769,9 +770,14 @@ object QueryFuzzer {
     }
     top.foreach { case (k, byLevel, m, dir, tw) =>
       val twWhere = tw.map { case (tm, op, v) => s" WHERE ${qt(tm.name)} ${cmp(op)} $v" }.getOrElse("")
-      val tiebreak = headers.filterNot(_ == byLevel.keyHeader).map(h => s"${qt(h)} ASC")
+      // under growth the planner's tiebreak priority follows the REORDERED
+      // headers (other-then-time), and the grown frame's calc columns ride
+      // through the top stage
+      val tiebreak = orderHeaders.filterNot(_ == byLevel.keyHeader).map(h => s"${qt(h)} ASC")
       val order = (s"${qt(m.name)} ${dir.toUpperCase}" +: tiebreak).mkString(", ")
-      val allCols = (headers ++ meas.map(_.name)).map(qt).mkString(", ")
+      val growthCols = growth.toSeq.flatMap { case (gm, _) =>
+        Seq(gm.name + " Growth", gm.name + " Growth Value") }
+      val allCols = (headers ++ meas.map(_.name) ++ growthCols).map(qt).mkString(", ")
       sql += s", topped AS (SELECT $allCols FROM (SELECT t.*, row_number() OVER (PARTITION BY ${qt(byLevel.keyHeader)} ORDER BY $order) AS __rn FROM (SELECT * FROM $cur$twWhere) t) WHERE __rn <= $k)"
       cur = "topped"
     }
