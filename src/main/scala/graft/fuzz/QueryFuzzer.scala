@@ -595,6 +595,15 @@ object QueryFuzzer {
       val m = pick(rng, meas)
       Some((m, pick(rng, Seq("gt", "lt")), pick(rng, m.thresholds)))
     } else None
+    // sort/limit apply PER FAN-OUT COMBO (the LL threads them into each
+    // combo's CubeQuery; the union concatenates the per-combo slices —
+    // aggregate.rs runs one limited query per combo and appends)
+    val sort = if (rng.nextInt(3) == 0)
+      Some((pick(rng, meas), pick(rng, Seq("asc", "desc"))))
+    else None
+    val limit = if (rng.nextInt(3) == 0)
+      Some((if (rng.nextInt(2) == 0) rng.nextInt(3) else 0, 1 + rng.nextInt(8)))
+    else None
 
     // ListMap: QueryParams.toLogicLayerQuery takes cuts in the params map's
     // ITERATION order (no sort), and the fan-out combo order — hence which
@@ -608,9 +617,12 @@ object QueryFuzzer {
         cuts.map { case (l, ms) => lvlName(l) -> Seq(ms.mkString(",")) } ++
         exclude.map { case (l, ms) => "exclude" -> Seq(s"${lvlName(l)}:${ms.mkString(",")}") } ++
         time.map(w => "time" -> Seq(s"Year.$w")) ++
-        filter.map { case (m, op, v) => "filters" -> Seq(s"${m.name}.$op.$v") }): _*)
+        filter.map { case (m, op, v) => "filters" -> Seq(s"${m.name}.$op.$v") } ++
+        sort.map { case (m, dir) => "sort" -> Seq(s"${m.name}.$dir") } ++
+        limit.map { case (off, n0) =>
+          "limit" -> Seq(if (off > 0) s"$off,$n0" else s"$n0") }): _*)
 
-    LlFuzzCase(name, params, renderLlSql(drills, meas, cuts, time, exclude, filter))
+    LlFuzzCase(name, params, renderLlSql(drills, meas, cuts, time, exclude, filter, sort, limit))
   }
 
   private def renderLlSql(
@@ -618,7 +630,9 @@ object QueryFuzzer {
       cuts: Seq[(LevelInfo, Seq[String])],
       time: Option[String],
       exclude: Option[(LevelInfo, Seq[String])],
-      filter: Option[(MeaInfo, String, String)]): String = {
+      filter: Option[(MeaInfo, String, String)],
+      sort: Option[(MeaInfo, String)] = None,
+      limit: Option[(Int, Int)] = None): String = {
 
     // resolved cuts: the param cuts in PARAM ORDER (the engine takes them in
     // params-map iteration order — see the ListMap note in oneLlCase) plus
@@ -670,7 +684,20 @@ object QueryFuzzer {
         val c = if (op == "gt") ">" else "<"
         s" HAVING ${m.sqlExpr} $c $v"
       }.getOrElse("")
-      s"SELECT ${sel.mkString(", ")} FROM $from$where$groupBy$having"
+      // per-combo sort/limit: each combo orders by its own (aliased) header
+      // columns — totalized by the full drill grain — and slices
+      // independently, exactly as the LL threads limit into each combo's
+      // CubeQuery before the union
+      val orderLimit = if (sort.isEmpty && limit.isEmpty) "" else {
+        val orderCols = sort.toSeq.map { case (m, dir) => s"${qt(m.name)} ${dir.toUpperCase}" } ++
+          firstHeaders.map(h => s"${qt(h)} ASC")
+        val lim = limit.map { case (off, n0) =>
+          if (off > 0) s" LIMIT $n0 OFFSET $off" else s" LIMIT $n0"
+        }.getOrElse("")
+        s" ORDER BY ${orderCols.mkString(", ")}$lim"
+      }
+      val body = s"SELECT ${sel.mkString(", ")} FROM $from$where$groupBy$having$orderLimit"
+      if (orderLimit.isEmpty) body else s"($body)"
     }
 
     val union = comboSelects.mkString(" UNION ALL ")
