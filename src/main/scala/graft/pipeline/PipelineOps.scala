@@ -678,7 +678,13 @@ object PipelineOps {
     * truncated per round with an eager localCheckpoint, without which the
     * plan doubles each round. The driver-side loop only ever collects
     * one-row convergence counts, never data. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, 1L << 17)
+
+  /** `localEdgeThreshold` is a test seam (specs force 0 to exercise the
+    * distributed path on small fixtures); production callers use the
+    * default. */
+  private[graft] def connectedComponents(pairs: DataFrame, localEdgeThreshold: Long): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
     val nodes = pairs.select(a.as("node")).union(pairs.select(b.as("node")))
       .distinct().localCheckpoint(true)
@@ -691,6 +697,39 @@ object PipelineOps {
     var converged = false
     var iter = 0
     var edgeCount = edges.count() // memoized across rounds: one count job each
+
+    // Hybrid tail: at or below ~128k oriented edges (~2 MB of id pairs) a
+    // driver-side union-find labels the graph in O(E α(E)) — the
+    // distributed loop's 4+ rounds of two shuffles each are pure fixed
+    // overhead at that size (the same small-side cutoff reasoning as
+    // broadcast joins). The threshold is ABSOLUTE, not a corpus fraction:
+    // a 100 TB run whose dup graph exceeds it takes the star-contraction
+    // path below unchanged; one that doesn't was never distributed work.
+    if (edgeCount <= localEdgeThreshold) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.select(col("u").cast("long"), col("v").cast("long")).collect().foreach { row =>
+        val (x, y) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+      }
+      // label every input node (self-loop-only nodes label themselves,
+      // exactly as the distributed path's left join does)
+      val labels = nodes.select(col("node").cast("long")).collect().map { row =>
+        val n = row.getLong(0)
+        (n, if (parent.contains(n)) find(n) else n)
+      }.toSeq
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      return labels.toDF("node", "label")
+    }
     // round bound: the alternating contraction's proven bound is O(log² n)
     // rounds (observed behavior is ~log n); 64 covers any feasible corpus
     // with a wide margin, and a non-converged exit is made FATAL below —

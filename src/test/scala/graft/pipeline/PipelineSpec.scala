@@ -244,12 +244,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
-  test("connected components labels a path graph and separates islands") {
+  test("connected components labels a path graph and separates islands (both paths)") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val labels = PipelineOps.connectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // default threshold = driver union-find tail; 0 = distributed contraction
+    for (threshold <- Seq(1L << 17, 0L)) {
+      val labels = PipelineOps.connectedComponents(edges, threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == want, s"threshold=$threshold")
+    }
   }
 
   test("connected components matches union-find on adversarial graph shapes") {
@@ -277,9 +281,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val want = parent.keys.map(n => n -> find(n)).toMap
 
-    val got = PipelineOps.connectedComponents(edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == want)
+    // both the driver union-find tail and the distributed star contraction
+    // must match the oracle (threshold 0 forces the distributed path on
+    // this small fixture)
+    for (threshold <- Seq(1L << 17, 0L)) {
+      val got = PipelineOps.connectedComponents(edges.toDF("a", "b"), threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"threshold=$threshold")
+    }
   }
 
   test("dup clusters partition the paired docs, min id leads each cluster") {
