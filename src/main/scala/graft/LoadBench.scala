@@ -80,20 +80,27 @@ object LoadBench {
     val pool = Executors.newFixedThreadPool(conc)
     val done = new CountDownLatch(conc)
     val t0 = System.nanoTime()
+    // any non-200 (get's require) must fail the RUN, not just kill its
+    // worker — a dead worker would leave done.await stalling to timeout
+    // and the bench publishing partial numbers as if healthy
+    val firstError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     (0 until conc).foreach { _ =>
       pool.execute { () =>
-        var p = queue.poll()
-        while (p != null) {
-          latencies.add(get(p)._2)
-          p = queue.poll()
-        }
-        done.countDown()
+        try {
+          var p = queue.poll()
+          while (p != null && firstError.get() == null) {
+            latencies.add(get(p)._2)
+            p = queue.poll()
+          }
+        } catch { case t: Throwable => firstError.compareAndSet(null, t) }
+        finally done.countDown()
       }
     }
     done.await(30, TimeUnit.MINUTES)
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
     server.stop()
+    if (firstError.get() != null) throw firstError.get()
 
     val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
     def pct(p: Double): Double = ls(math.min(ls.length - 1, (p * ls.length).toInt)) / 1e9

@@ -764,10 +764,6 @@ object QueryFuzzer {
       if (drillCols.isEmpty) "" else s" GROUP BY ${drillCols.indices.map(_ + 1).mkString(", ")}"
     val base = s"SELECT $selectList FROM $from$where$groupBy"
 
-    def cmp(op: String): String = op match {
-      case "gt" => ">"; case "gte" => ">="; case "lt" => "<"; case "lte" => "<="
-      case other => sys.error(s"unreachable op $other")
-    }
 
     // planner option order: growth calc first, then
     // top_where -> top -> filters+sparse -> sort -> limit
@@ -796,7 +792,7 @@ object QueryFuzzer {
       orderHeaders = headerOf(otherOuts) ++ headerOf(timeOuts)
     }
     top.foreach { case (k, byLevel, m, dir, tw) =>
-      val twWhere = tw.map { case (tm, op, v) => s" WHERE ${qt(tm.name)} ${cmp(op)} $v" }.getOrElse("")
+      val twWhere = tw.map { case (tm, op, v) => s" WHERE ${qt(tm.name)} ${cmpOp(op)} $v" }.getOrElse("")
       // under growth the planner's tiebreak priority follows the REORDERED
       // headers (other-then-time), and the grown frame's calc columns ride
       // through the top stage
@@ -810,9 +806,9 @@ object QueryFuzzer {
     }
     val havingPreds =
       filter.toSeq.map { case (m, op, v, second) =>
-        val p1 = s"${qt(m.name)} ${cmp(op)} $v"
+        val p1 = s"${qt(m.name)} ${cmpOp(op)} $v"
         second match {
-          case Some((conj, op2, v2)) => s"($p1 ${conj.toUpperCase} ${qt(m.name)} ${cmp(op2)} $v2)"
+          case Some((conj, op2, v2)) => s"($p1 ${conj.toUpperCase} ${qt(m.name)} ${cmpOp(op2)} $v2)"
           case None => p1
         }
       } ++ (if (sparse) meas.map(m => s"${qt(m.name)} IS NOT NULL") else Nil)

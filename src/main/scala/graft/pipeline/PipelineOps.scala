@@ -705,7 +705,14 @@ object PipelineOps {
     // broadcast joins). The threshold is ABSOLUTE, not a corpus fraction:
     // a 100 TB run whose dup graph exceeds it takes the star-contraction
     // path below unchanged; one that doesn't was never distributed work.
-    if (edgeCount <= localEdgeThreshold) {
+    // Only int64 id columns take the tail: the distributed path is
+    // type-agnostic (greatest/least/min work on strings too), a lossy
+    // cast("long") would silently corrupt non-numeric ids, and narrower
+    // integrals would come back widened to long — a silent output-schema
+    // change vs the distributed path.
+    val int64Ids =
+      pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (edgeCount <= localEdgeThreshold && int64Ids) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x

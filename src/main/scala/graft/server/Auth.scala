@@ -43,10 +43,17 @@ final class Auth(secret: Option[String]) {
   * (path, params) — repeated params (`?cuts=a&cuts=b`, an intersection)
   * can never collide with a single comma-joined `?cuts=a,b`. */
 trait ResponseCache {
+  /** Injective over (path, params) — every component percent-encoded so
+    * separators can't be forged — and ORDER-PRESERVING: since parseQuery
+    * keeps URL param order (ListMap) and the logic-layer fan-out's combo
+    * order (hence response headers) follows it, two requests that differ
+    * only in param order can produce different bodies and must not share
+    * a cache entry. Same contract as the reference's Redis key, which is
+    * built from the raw ordered query (handlers/util.rs:152-216). */
   final def key(path: String, params: Map[String, Seq[String]]): String = {
     def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    path + "?" + params.toSeq.sortBy(_._1)
-      .map { case (k, vs) => esc(k) + "=" + vs.sorted.map(esc).mkString(",") }.mkString("&")
+    path + "?" + params.toSeq
+      .map { case (k, vs) => esc(k) + "=" + vs.map(esc).mkString(",") }.mkString("&")
   }
   def get(k: String): Option[(String, String)]
   def put(k: String, v: (String, String)): Unit

@@ -285,10 +285,21 @@ final class GraftServer(
               new java.util.concurrent.CompletableFuture[Option[(Int, String, String)]]()
             inFlight.putIfAbsent(ck, mine) match {
               case null => // leader: compute, publish, then clear the slot
-                try compute(r => { mine.complete(r); () })
-                finally {
-                  inFlight.remove(ck, mine)
-                  mine.complete(None) // no-op unless the compute threw
+                // re-check the cache after winning leadership: a thread
+                // that missed the cache, then lost the CPU while a previous
+                // leader computed + cached + cleared the slot, would
+                // otherwise recompute a result already sitting in the cache
+                cache.get(ck) match {
+                  case Some((body, ct)) =>
+                    inFlight.remove(ck, mine)
+                    mine.complete(Some((200, body, ct)))
+                    respond(ex, 200, body, ct)
+                  case None =>
+                    try compute(r => { mine.complete(r); () })
+                    finally {
+                      inFlight.remove(ck, mine)
+                      mine.complete(None) // no-op unless the compute threw
+                    }
                 }
               case leader => // follower: wait for the leader's buffered result
                 leader.get() match {
@@ -522,8 +533,10 @@ final class GraftServer(
     * positional consolidation keeps the first combo's headers — with a
     * hash map the header naming of a multi-level-cut response would depend
     * on the param-name hashes instead of the request's own order (the
-    * reference's serde Vec preserves URL order). Cache keys re-sort, so
-    * caching is unaffected. */
+    * reference's serde Vec preserves URL order). Because bodies are
+    * therefore order-sensitive, the response-cache key preserves this
+    * order too (ResponseCache.key) — differently-ordered spellings of the
+    * same params are distinct requests, never one shared entry. */
   private def parseQuery(raw: String): Map[String, Seq[String]] = {
     val pairs = raw.split('&').filter(_.nonEmpty).toSeq
       .map { kv =>

@@ -92,10 +92,13 @@ object ServerMain {
       // serving workload = many small concurrent aggregates: Spark's
       // 200-partition default multiplies task-scheduling overhead by the
       // concurrency; 8 per job measured ~2x better p95 under 32-way load
-      // (SCALING.md). Deployments with big fan-in queries raise it via
-      // GRAFT_SHUFFLE_PARTITIONS.
-      b.config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "8"))
+      // (SCALING.md). Deployments override via GRAFT_SHUFFLE_PARTITIONS or
+      // standard Spark conf (spark-submit --conf / spark-defaults.conf) —
+      // the serving default only applies when NEITHER set it, so it never
+      // clobbers an operator's explicit tuning.
+      val explicit = sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
+        .orElse(new org.apache.spark.SparkConf().getOption("spark.sql.shuffle.partitions"))
+      b.config("spark.sql.shuffle.partitions", explicit.getOrElse("8"))
         .getOrCreate()
     }
     // getOrCreate may have reused a pre-existing session, in which case the

@@ -19,4 +19,18 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Engine-agnostic row image for differential specs: column-name-sorted
+    * values, row-sorted. Doubles print via toString (injective on distinct
+    * doubles); null and the row-sort join use control-char sentinels that
+    * cannot collide with data (written as escapes — raw control bytes in a
+    * source literal make git treat the file as binary). */
+  def rowImage(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => cols.indices.map(i => if (r.isNullAt(i)) "\u0000" else r.get(i).toString))
+      .toSeq
+      .sortBy(_.mkString("\u0001"))
+  }
 }

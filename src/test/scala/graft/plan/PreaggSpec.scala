@@ -131,12 +131,8 @@ class PreaggSpec extends AnyFunSuite {
     val (summaryQs, factQs) = all.map(_.query).partition(covered)
     assert(summaryQs.length >= 10, s"only ${summaryQs.length} corpus cases are summary-covered")
 
-    def image(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
-      val cols = df.columns.sorted.toSeq
-      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-        .collect().map(r => cols.indices.map(i => if (r.isNullAt(i)) " " else r.get(i).toString))
-        .toSeq.sortBy(_.mkString(""))
-    }
+    def image(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      graft.SparkTestSession.rowImage(df)
     var served = 0
     val failures = (summaryQs ++ factQs.take(60)).zipWithIndex.flatMap { case (q, i) =>
       val isServed = try { summaryPlanner.plan(spark, q); true } catch { case _: PlanError => false }

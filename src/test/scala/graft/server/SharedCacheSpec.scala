@@ -49,6 +49,18 @@ class SharedCacheSpec extends AnyFunSuite {
     val forged = c.key("/data.csv", Map("a" -> Seq("1&b=2")))
     val honest = c.key("/data.csv", Map("a" -> Seq("1"), "b" -> Seq("2")))
     assert(forged != honest)
+    // ORDER-PRESERVING: the logic-layer fan-out's combo order (hence the
+    // response's consolidated headers) follows URL param order, so
+    // ?Region=0&Nation=5 and ?Nation=5&Region=0 are different requests —
+    // a sorted key would serve one order's body for the other
+    import scala.collection.immutable.ListMap
+    val regionFirst = c.key("/data.csv", ListMap("Region" -> Seq("0"), "Nation" -> Seq("5")))
+    val nationFirst = c.key("/data.csv", ListMap("Nation" -> Seq("5"), "Region" -> Seq("0")))
+    assert(regionFirst != nationFirst)
+    // value order within one param is order-sensitive too (drilldown order
+    // is column order)
+    assert(c.key("/d", ListMap("drilldowns" -> Seq("a", "b"))) !=
+      c.key("/d", ListMap("drilldowns" -> Seq("b", "a"))))
   }
 
   test("eviction caps entries by oldest mtime; orphaned tmp files are swept") {
