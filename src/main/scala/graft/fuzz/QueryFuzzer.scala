@@ -281,12 +281,18 @@ object QueryFuzzer {
       val op = if (rng.nextInt(4) == 0) "~" else ""
       (l, op, pickN(rng, l.members, 1 + rng.nextInt(math.min(3, l.members.length))))
     }
-    // top over the calc or a display measure (the q41 shape), by any drill
+    // top over the calc or a display measure (the q41 shape), by any drill;
+    // optional top_where pre-filter on the calc or a display measure
     val top = if (rng.nextInt(4) == 0) {
       val by = pick(rng, ext.toSeq ++ Seq(d1, d2))
       val sortKey = if (rng.nextInt(2) == 0) "rca" else pick(rng, display).name
       Some((1 + rng.nextInt(3), by, sortKey, pick(rng, Seq("asc", "desc"))))
     } else None
+    val topWhere = top.flatMap { _ =>
+      if (rng.nextInt(2) != 0) None
+      else if (rng.nextInt(2) == 0) Some(("rca", pick(rng, Seq("gt", "lt")), pick(rng, Seq("0", "1", "2"))))
+      else { val m = pick(rng, display); Some((m.name, pick(rng, Seq("gt", "lt")), pick(rng, m.thresholds))) }
+    }
     // HAVING-style filter on the calc or a display measure
     val filter = if (rng.nextInt(4) == 0) {
       val (key, thresholds) =
@@ -316,6 +322,9 @@ object QueryFuzzer {
       top = top.map { case (k, by, key, dir) =>
         TopQuery.parse(s"$k,${by.spelling},$key,$dir").fold(die, identity)
       },
+      topWhere = topWhere.map { case (key, op, v) =>
+        TopWhereQuery.parse(s"$key,$op.$v").fold(die, identity)
+      },
       filters = filter.toSeq.map { case (key, op, v) =>
         FilterQuery.parse(s"$key.$op.$v").fold(die, identity)
       },
@@ -330,6 +339,7 @@ object QueryFuzzer {
       renderRcaSql(ext, d1, d2, parents, rcaMea, rcaName, display,
         internal.map { case (op, ms) => (internalLvl, op, ms) }, extCuts,
         top.map { case (k, by, key, dir) => (k, by, colOf(key), dir) },
+        topWhere.map { case (key, op, v) => (colOf(key), op, v) },
         filter.map { case (key, op, v) => (colOf(key), op, v) },
         sort.map { case (key, dir) => (colOf(key), dir) },
         limit))
@@ -346,6 +356,7 @@ object QueryFuzzer {
       internal: Option[(LevelInfo, String, Seq[String])],
       extCuts: Seq[(LevelInfo, String, Seq[String])],
       top: Option[(Int, LevelInfo, String, String)],
+      topWhere: Option[(String, String, String)],
       filter: Option[(String, String, String)],
       sort: Option[(String, String)],
       limit: Option[(Int, Int)]): String = {
@@ -398,11 +409,16 @@ object QueryFuzzer {
       cur = "cut"
     }
     top.foreach { case (k, by, col, dir) =>
+      // top_where pre-filters the frame before the top window (planner
+      // option order: top_where → top)
+      val twWhere = topWhere.map { case (c, op, v) =>
+        s" WHERE ${qt(c)} ${cmpOp(op)} $v" }.getOrElse("")
       val tiebreak = headers.filterNot(_ == by.keyHeader).map(h => s"${qt(h)} ASC")
       val order = (s"${qt(col)} ${dir.toUpperCase}" +: tiebreak).mkString(", ")
       val allCols = ((headers :+ rcaName) ++ display.map(_.name)).map(qt).mkString(", ")
       sql += s", topped AS (SELECT $allCols FROM (SELECT t.*, row_number() OVER " +
-        s"(PARTITION BY ${qt(by.keyHeader)} ORDER BY $order) AS __rn FROM $cur t) WHERE __rn <= $k)"
+        s"(PARTITION BY ${qt(by.keyHeader)} ORDER BY $order) AS __rn FROM " +
+        s"(SELECT * FROM $cur$twWhere) t) WHERE __rn <= $k)"
       cur = "topped"
     }
     filter.foreach { case (col, op, v) =>
