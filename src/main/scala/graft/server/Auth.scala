@@ -35,8 +35,8 @@ final class Auth(secret: Option[String]) {
     key.map(k => Jwts.builder().claim("auth_level", Int.box(level)).signWith(k).compact())
 }
 
-/** Response cache contract, keyed by the normalized request (path + sorted
-  * query params) — the Redis response-cache slot of the reference
+/** Response cache contract, keyed by the normalized request (path + query
+  * params in URL order) — the Redis response-cache slot of the reference
   * (handlers/util.rs:152-216). Values are (body, contentType). Each key and
   * value component is percent-encoded so the separators ('&', '=', ',')
   * cannot occur inside a component: the key is injective over
@@ -49,10 +49,17 @@ trait ResponseCache {
     * order (hence response headers) follows it, two requests that differ
     * only in param order can produce different bodies and must not share
     * a cache entry. Same contract as the reference's Redis key, which is
-    * built from the raw ordered query (handlers/util.rs:152-216). */
+    * built from the raw ordered query (handlers/util.rs:152-216).
+    *
+    * The leading `v<N>|` is the key-format version: any future change to
+    * this encoding must bump it, so entries written under an older format
+    * are unreachable by construction rather than by accident. In a
+    * SharedFileResponseCache deployment, orphaned old-format entries still
+    * occupy maxEntries slots until mtime eviction cycles them out — run
+    * `/flush` once after upgrading (see SCALING.md). */
   final def key(path: String, params: Map[String, Seq[String]]): String = {
     def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    path + "?" + params.toSeq
+    "v2|" + path + "?" + params.toSeq
       .map { case (k, vs) => esc(k) + "=" + vs.map(esc).mkString(",") }.mkString("&")
   }
   def get(k: String): Option[(String, String)]

@@ -173,6 +173,13 @@ final class GraftServer(
   private val inFlight = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[Option[(Int, String, String)]]]()
 
+  /** How long a follower waits on the leader's future before giving up and
+    * computing independently. Generous — any query this slow should itself
+    * be investigated — but finite, so a wedged leader can never pin the
+    * whole request pool. Tests shrink it via the env override. */
+  private val leaderWaitSeconds: Long =
+    sys.env.get("GRAFT_LEADER_WAIT_SECONDS").map(_.toLong).getOrElse(300L)
+
   private var server: HttpServer = _
 
   /** `threads` sizes the request pool: each in-flight request holds one
@@ -190,9 +197,11 @@ final class GraftServer(
   def stop(): Unit = if (server != null) {
     server.stop(0)
     // the request pool's threads are non-daemon: without this a main that
-    // calls stop() never exits
+    // calls stop() never exits. shutdownNow (not shutdown) so a thread
+    // still blocked in a hung Spark job can't keep the JVM alive —
+    // in-flight requests are already severed by server.stop(0) above.
     server.getExecutor match {
-      case e: java.util.concurrent.ExecutorService => e.shutdown()
+      case e: java.util.concurrent.ExecutorService => e.shutdownNow()
       case _ => ()
     }
   }
@@ -302,9 +311,16 @@ final class GraftServer(
                     }
                 }
               case leader => // follower: wait for the leader's buffered result
-                leader.get() match {
+                // bounded wait: a leader wedged in a hung Spark job must not
+                // pin every coalesced follower thread in the fixed request
+                // pool forever — past the bound, fall back to independent
+                // compute (costs one duplicate plan, never a stuck pool)
+                val buffered =
+                  try leader.get(leaderWaitSeconds, java.util.concurrent.TimeUnit.SECONDS)
+                  catch { case _: java.util.concurrent.TimeoutException => None }
+                buffered match {
                   case Some((code, body, ct)) => respond(ex, code, body, ct)
-                  case None => compute(_ => ()) // leader streamed/failed
+                  case None => compute(_ => ()) // leader streamed/failed/hung
                 }
             }
           }

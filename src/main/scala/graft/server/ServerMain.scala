@@ -93,9 +93,11 @@ object ServerMain {
       // 200-partition default multiplies task-scheduling overhead by the
       // concurrency; 8 per job measured ~2x better p95 under 32-way load
       // (SCALING.md). Deployments override via GRAFT_SHUFFLE_PARTITIONS or
-      // standard Spark conf (spark-submit --conf / spark-defaults.conf) —
-      // the serving default only applies when NEITHER set it, so it never
-      // clobbers an operator's explicit tuning.
+      // -Dspark.sql.shuffle.partitions / spark-submit --conf (which copies
+      // spark-defaults.conf into system properties; a directly-launched
+      // JVM's SPARK_CONF_DIR file is NOT read here) — the serving default
+      // only applies when NEITHER set it, so it never clobbers an
+      // operator's explicit tuning.
       val explicit = sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
         .orElse(new org.apache.spark.SparkConf().getOption("spark.sql.shuffle.partitions"))
       b.config("spark.sql.shuffle.partitions", explicit.getOrElse("8"))
