@@ -31,6 +31,34 @@ import graft.functions.{StringHashes, SubstringHashes}
 object PipelineOps {
   import Hashing._
 
+  /** Lineage-truncation point for the iterative CC loop (SURVEY §8.6).
+    *
+    * Default `localCheckpoint` stores round results on executor block
+    * storage — zero DFS I/O, the right trade at local/single-node scale.
+    * But truncated lineage cannot recompute a lost block: on a long
+    * 1000-executor job an executor loss mid-loop would fail the job. Set
+    * `GRAFT_CHECKPOINT_DIR` to a DFS path (HDFS/S3A/...) and every round
+    * persists via reliable `checkpoint()` instead — executor loss then
+    * costs a re-read, not the job. This config IS the "only code change
+    * any operator needs at 1000 executors" from SURVEY §8.6, now a knob.
+    * Read per call so tests can exercise both modes in one JVM. */
+  @volatile private[graft] var checkpointDirOverride: Option[String] = None
+  private var installedCheckpointDir: Option[String] = None
+  private def truncateLineage(df: DataFrame, eager: Boolean): DataFrame =
+    checkpointDirOverride.orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
+      case Some(d) =>
+        synchronized {
+          // setCheckpointDir appends a UUID subdir, so remember what we
+          // installed rather than comparing against sc.getCheckpointDir
+          if (!installedCheckpointDir.contains(d)) {
+            df.sparkSession.sparkContext.setCheckpointDir(d)
+            installedCheckpointDir = Some(d)
+          }
+        }
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -675,9 +703,10 @@ object PipelineOps {
     * geometrically: the proven round bound is O(log² n) on any graph shape
     * (observed ~log n in practice). Each round is two groupBy+join
     * passes over the (always ≤ input-sized) edge list; lineage is
-    * truncated per round with an eager localCheckpoint, without which the
-    * plan doubles each round. The driver-side loop only ever collects
-    * one-row convergence counts, never data. */
+    * truncated per round (eager localCheckpoint by default, reliable DFS
+    * checkpoint under GRAFT_CHECKPOINT_DIR — see [[truncateLineage]]),
+    * without which the plan doubles each round. The driver-side loop only
+    * ever collects one-row convergence counts, never data. */
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponents(pairs, 1L << 17)
 
@@ -686,13 +715,14 @@ object PipelineOps {
     * default. */
   private[graft] def connectedComponents(pairs: DataFrame, localEdgeThreshold: Long): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
-    val nodes = pairs.select(a.as("node")).union(pairs.select(b.as("node")))
-      .distinct().localCheckpoint(true)
+    val nodes = truncateLineage(
+      pairs.select(a.as("node")).union(pairs.select(b.as("node"))).distinct(), eager = true)
     // orient every edge (u > v), drop self-loops; the invariant u > v is
     // preserved by both phases below (they always emit (x, min-below-x))
-    var edges = pairs.select(a.as("x"), b.as("y")).where(col("x") =!= col("y"))
-      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
-      .distinct().localCheckpoint(true)
+    var edges = truncateLineage(
+      pairs.select(a.as("x"), b.as("y")).where(col("x") =!= col("y"))
+        .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+        .distinct(), eager = true)
 
     var converged = false
     var iter = 0
@@ -754,10 +784,10 @@ object PipelineOps {
       // small-star: u and all its smaller neighbors attach to their min
       val sMin = ls.groupBy("u").agg(min(col("v")).as("m"))
       val withM = ls.join(sMin, "u")
-      val next = withM.select(col("v").as("u"), col("m").as("v"))
-        .union(withM.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+      val next = truncateLineage(
+        withM.select(col("v").as("u"), col("m").as("v"))
+          .union(withM.select(col("u"), col("m").as("v")))
+          .where(col("u") =!= col("v")).distinct(), eager = true)
       // fixpoint: the oriented edge set stopped changing (counts first —
       // cheap — then an except probe only when counts agree)
       val nextCount = next.count()

@@ -289,6 +289,27 @@ class PipelineOpsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"threshold=$threshold")
     }
+
+    // reliable-checkpoint mode (GRAFT_CHECKPOINT_DIR → DFS checkpoint(),
+    // SURVEY §8.6): same labels as the default localCheckpoint mode, and
+    // the checkpoint dir actually received the round snapshots
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toFile
+    try {
+      PipelineOps.checkpointDirOverride = Some(ckDir.getAbsolutePath)
+      val got = PipelineOps.connectedComponents(edges.toDF("a", "b"), 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "reliable-checkpoint mode")
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(countFiles).sum else 1
+      assert(countFiles(ckDir) > 0, "rounds were checkpointed to the DFS dir")
+    } finally {
+      PipelineOps.checkpointDirOverride = None
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(ckDir)
+    }
   }
 
   test("dup clusters partition the paired docs, min id leads each cluster") {
