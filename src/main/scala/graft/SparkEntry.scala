@@ -77,6 +77,46 @@ object SparkEntry {
       |  }]
       |}""".stripMargin
 
+  /** One conformed dimension declared once under `shared_dimensions` and
+    * instantiated by TWO cubes via `dimension_usages`, each with its own
+    * `foreign_key` override (reference schema.rs:72-126: the usage copies
+    * the shared definition and rebinds the fact-side key). q51 drills both
+    * cubes on the shared Region level and drill-across joins them — only
+    * correct if both usages resolve the SAME definition. */
+  private val sharedSchemaJson =
+    """{
+      |  "name": "SharedDemo",
+      |  "shared_dimensions": [{
+      |    "name": "Market",
+      |    "hierarchies": [{
+      |      "name": "Market",
+      |      "table": {"name": "nation_geo"},
+      |      "primary_key": "n_nationkey",
+      |      "levels": [
+      |        {"name": "Region", "key_column": "r_regionkey", "name_column": "r_name", "key_type": "nontext"},
+      |        {"name": "Nation", "key_column": "n_nationkey", "name_column": "n_name", "key_type": "nontext"}
+      |      ]
+      |    }]
+      |  }],
+      |  "cubes": [{
+      |    "name": "Suppliers",
+      |    "table": {"name": "supplier"},
+      |    "dimension_usages": [{"source": "Market", "foreign_key": "s_nationkey"}],
+      |    "measures": [
+      |      {"name": "Supplier Count", "column": "s_suppkey", "aggregator": "count"},
+      |      {"name": "Supplier Balance", "column": "s_acctbal", "aggregator": {"custom": "cast(sum(cast({} as decimal(18,6))) as double)"}}
+      |    ]
+      |  }, {
+      |    "name": "Customers",
+      |    "table": {"name": "customer"},
+      |    "dimension_usages": [{"source": "Market", "foreign_key": "c_nationkey"}],
+      |    "measures": [
+      |      {"name": "Customer Count", "column": "c_custkey", "aggregator": "count"},
+      |      {"name": "Customer Balance", "column": "c_acctbal", "aggregator": {"custom": "cast(sum(cast({} as decimal(18,6))) as double)"}}
+      |    ]
+      |  }]
+      |}""".stripMargin
+
   /** Runtime-loaded XML schema (reference schema/xml.rs Mondrian-style wire
     * format) — the XML twin of [[demoSchemaJson]], exercised end-to-end. */
   private val demoSchemaXml =
@@ -390,7 +430,23 @@ object SparkEntry {
     "q41_top_rca" -> run(CubeQuery(
       measures = Seq(mea("Quantity")),
       rca = Some(rcaQ("Geography.Nation,Part.Brand,Quantity")),
-      top = Some(topQ("2,Part.Brand,rca,desc"))))
+      top = Some(topQ("2,Part.Brand,rca,desc")))),
+    // §1.2 shared dimensions: one conformed `Market` dim declared once,
+    // instantiated by two cubes via dimension_usages with different
+    // foreign keys (schema.rs:72-126); drill-across join on the shared
+    // Region level proves both usages resolve the same definition
+    "q51_shared_dim" -> ((spark: SparkSession, sfDir: String) => {
+      val schema = SchemaJson.parse(sharedSchemaJson)
+      val res = new TpchStar.Resolver(sfDir)
+      def planOn(cubeName: String, ms: Seq[String]): DataFrame =
+        new CubePlanner(schema.cube(cubeName).getOrElse(die(s"$cubeName missing")), res)
+          .plan(spark, CubeQuery(
+            drilldowns = Seq(drill("Market.Region")),
+            measures = ms.map(mea)))
+      planOn("Suppliers", Seq("Supplier Count", "Supplier Balance"))
+        .join(planOn("Customers", Seq("Customer Count", "Customer Balance")),
+          Seq("Region ID", "Region"))
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -499,6 +555,8 @@ object SparkEntry {
       s"""WITH p AS (SELECT l_returnflag AS f, l_orderkey AS o, sum(l_quantity) AS m FROM lineitem GROUP BY 1, 2), med AS (SELECT f, median(m) AS mo, sum(m) AS q FROM p GROUP BY 1), rev AS (SELECT l_returnflag AS f, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS VARCHAR) AS DOUBLE) AS r FROM lineitem GROUP BY 1) SELECT med.f AS "Return Flag", med.mo AS "Median Order Quantity", rev.r AS "Revenue", med.q AS "Quantity" FROM med JOIN rev ON med.f = rev.f ORDER BY 1""",
     "q42_xml_schema" ->
       s"""SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity", ${d2d(s"sum($DD * $QD)")} AS "Weighted Discount" FROM $GEO WHERE r_regionkey IN (1, 3) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q51_shared_dim" ->
+      s"""WITH s AS (SELECT r_regionkey AS "Region ID", r_name AS "Region", count(s_suppkey) AS "Supplier Count", ${d2d("sum(CAST(s_acctbal AS DECIMAL(18,6)))")} AS "Supplier Balance" FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2), c AS (SELECT r_regionkey AS "Region ID", r_name AS "Region", count(c_custkey) AS "Customer Count", ${d2d("sum(CAST(c_acctbal AS DECIMAL(18,6)))")} AS "Customer Balance" FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2) SELECT s."Region ID", s."Region", s."Supplier Count", s."Supplier Balance", c."Customer Count", c."Customer Balance" FROM s JOIN c ON s."Region ID" = c."Region ID" ORDER BY 1""",
     "q29_rw_moe" ->
       s"""WITH a AS (SELECT l_returnflag, ${d2d(s"sum($QD) - sum($TD)")} AS d0, ${d2d(s"sum($QD) - sum($DD)")} AS d1 FROM lineitem GROUP BY 1) SELECT l_returnflag AS "Return Flag", 1.645 * sqrt(2.0 * (d0 * d0 + d1 * d1)) AS "Quantity RW MOE" FROM a ORDER BY 1""",
     "q30_wavg_moe" ->

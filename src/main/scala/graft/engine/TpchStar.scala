@@ -54,6 +54,13 @@ object TpchStar {
         // picks shuffle vs broadcast from runtime stats
         p(spark, "orders")
           .join(p(spark, "customer"), col("o_custkey") === col("c_custkey"))
+      case "nation_geo" =>
+        // nation → region denormalized: the conformed dim table behind the
+        // shared "Market" dimension (q51) — tiny, pinned broadcast like
+        // supplier_geo
+        broadcast(
+          p(spark, "nation")
+            .join(p(spark, "region"), col("n_regionkey") === col("r_regionkey")))
       case other => p(spark, other)
     }
   }
