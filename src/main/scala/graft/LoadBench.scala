@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   * drives a mixed stream of UNIQUE queries (cache can't answer them) through
   * GraftServer with FAIR scheduling and reports latency percentiles.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.LoadBench [nRequests] [concurrency]
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.LoadBench [nRequests] [concurrency] [hitRatio]
+  * hitRatio (0.0-1.0, default 0) makes that fraction of requests repeats of
+  * earlier ones — served by the response cache or coalesced behind an
+  * in-flight leader, the locality real traffic has (the default all-unique
+  * stream is the worst case: every request pays full plan+exec+format).
   * Prints one JSON line and writes loadbench_out.json. */
 object LoadBench {
 
@@ -20,6 +24,8 @@ object LoadBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nReq  = args.lift(0).map(_.toInt).getOrElse(100)
     val conc  = args.lift(1).map(_.toInt).getOrElse(32)
+    val hitRatio = args.lift(2).map(_.toDouble).getOrElse(0.0)
+    require(hitRatio >= 0.0 && hitRatio <= 1.0, "hitRatio must be in [0,1]")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -46,7 +52,7 @@ object LoadBench {
     // Mix mirrors real traffic: grouped aggregates, dim joins, cuts, top-k,
     // logic-layer /data, members.
     val years = 1992 to 1998
-    val requests: Seq[String] = (0 until nReq).map { i =>
+    val unique: Seq[String] = (0 until nReq).map { i =>
       val y = years(i % years.length)
       val r = i % 5
       i % 6 match {
@@ -57,6 +63,23 @@ object LoadBench {
         case 4 => s"/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&drilldowns=Geography.Nation&measures=Quantity&top=2,Geography.Region,Quantity,desc&nonce=$i"
         case _ => s"/cubes/Sales/members.csv?level=Geography.Nation&nonce=$i"
       }
+    }
+
+    // deterministic hit mix: position i becomes a repeat of an
+    // already-issued request once the running hit count falls behind
+    // i*hitRatio; repeats target the OLDEST requests (out(hits)) and only
+    // ones issued ≥ conc positions earlier, so they are served from the
+    // cache (computed) or coalesced behind an in-flight leader — both the
+    // fast path real hot-key traffic takes
+    var nHits = 0
+    val requests: Seq[String] = {
+      val out = Array.ofDim[String](nReq)
+      for (i <- 0 until nReq) {
+        if (nHits < math.floor(i * hitRatio).toInt && nHits < i - conc) {
+          out(i) = out(nHits); nHits += 1
+        } else out(i) = unique(i)
+      }
+      out.toSeq
     }
 
     val client = HttpClient.newHttpClient()
@@ -105,7 +128,7 @@ object LoadBench {
     val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
     def pct(p: Double): Double = ls(math.min(ls.length - 1, (p * ls.length).toInt)) / 1e9
     val line =
-      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"hit_ratio":$hitRatio%.2f,"n_repeats":$nHits,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("loadbench_out.json"), line + "\n")
     spark.stop()

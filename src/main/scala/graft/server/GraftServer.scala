@@ -180,6 +180,27 @@ final class GraftServer(
   private val leaderWaitSeconds: Long =
     sys.env.get("GRAFT_LEADER_WAIT_SECONDS").map(_.toLong).getOrElse(300L)
 
+  /** Admission gate: at most this many requests COMPUTE (plan + run Spark
+    * jobs) at once; the rest queue FIFO on a fair semaphore. Cache hits and
+    * coalesced followers never take a permit — under load with any cache
+    * locality they return immediately.
+    *
+    * Why gate below the request-pool size: with FAIR scheduling, N
+    * concurrent jobs on C cores each run ~N/k times slower than at the
+    * saturation point k — processor sharing finishes everything late, so
+    * median latency approaches the full makespan (measured: p50 6.5 s for
+    * 100-way over 32 cores, vs 2.3 s at 32-way; SCALING.md). Bounding
+    * multiprogramming at k keeps per-query latency at its k-way value and
+    * queues the excess, so with equal throughput the i-th of N queries
+    * finishes at ~(i/N) x makespan instead of ~makespan — p50 halves.
+    * k defaults to half the cores: queries here run ~8 shuffle partitions
+    * (ServerMain), so k = C/2 keeps all cores busy through each job's
+    * narrow final stages while adding minimal queueing delay. */
+  private val maxConcurrentQueries: Int =
+    sys.env.get("GRAFT_MAX_CONCURRENT_QUERIES").map(_.toInt)
+      .getOrElse(math.max(4, Runtime.getRuntime.availableProcessors() / 2))
+  private val admission = new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
+
   private var server: HttpServer = _
 
   /** `threads` sizes the request pool: each in-flight request holds one
@@ -262,7 +283,18 @@ final class GraftServer(
           // publish: hand the buffered result (status, body, contentType) to
           // any followers coalesced behind this compute; None = streamed out,
           // nothing shareable
+          // only routes that run Spark jobs take an admission permit;
+          // metadata and /flush stay instant under query load
+          val sparkWork = cacheable ||
+            path.contains("/relations.") || path.contains("/diagnosis.")
           def compute(publish: Option[(Int, String, String)] => Unit): Unit =
+            if (!sparkWork) computeUngated(publish)
+            else {
+              admission.acquire()
+              try computeUngated(publish)
+              finally admission.release()
+            }
+          def computeUngated(publish: Option[(Int, String, String)] => Unit): Unit =
             route(path, params, token, st) match {
               case Right(Body(body, contentType)) =>
                 if (cacheable) cache.put(ck, (body, contentType))
