@@ -59,6 +59,14 @@ object PipelineOps {
       case None => df.localCheckpoint(eager)
     }
 
+  /** Bench seam: overrides [[Hashing.MaxBucketSize]] for the three
+    * hot-bucket-capped operators (p04/p35/p14) so SkewBench can measure
+    * the uncapped blowup on adversarial fixtures. Read at PLAN time —
+    * set before building the DataFrame. Production callers never touch
+    * it; None = the shipped cap. */
+  @volatile private[graft] var maxBucketSizeOverride: Option[Int] = None
+  private def maxBucket: Int = maxBucketSizeOverride.getOrElse(MaxBucketSize)
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -304,6 +312,19 @@ object PipelineOps {
       // sorted so minhash verification intersects via the native merge walk
       .withColumn("hashes", array_sort(array_distinct(StringHashes(col("shingles"), BaseHashMod))))
 
+  /** p04's 16 per-band bucket keys over a `sig` column. */
+  private def minhashBandCols: Seq[Column] = (0 until Bands).map { b =>
+    struct(lit(b).as("band"),
+      concat_ws("_", (0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r)): _*).as("bkey"))
+  }
+
+  /** Standalone p04 banding pass (doc_id, band, bkey) — skew-bench probe. */
+  private[graft] def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumn("sig", graft.functions.MinHashSig(col("hashes"), minhashA, minhashB, P))
+      .select(col("doc_id"), explode(array(minhashBandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+
   /** p04: near-dup pairs via minhash + banded LSH, verified with exact
     * shingle Jaccard ≥ 0.5.
     *
@@ -324,12 +345,8 @@ object PipelineOps {
     val withSig = base.withColumn("sig",
       graft.functions.MinHashSig(col("hashes"), minhashA, minhashB, P))
 
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r)): _*).as("bkey"))
-    }
     val banded = withSig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(minhashBandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
     // Hot-bucket cap: an oversized band bucket is a low-information
@@ -346,7 +363,7 @@ object PipelineOps {
     val bw = Window.partitionBy(col("band"), col("bkey"))
     val pruned = banded
       .withColumn("cnt", count(lit(1)).over(bw))
-      .where(col("cnt") <= MaxBucketSize)
+      .where(col("cnt") <= maxBucket)
       .drop("cnt")
 
     val l = pruned.alias("l")
@@ -417,6 +434,22 @@ object PipelineOps {
   val SimhashBlockBits  = 12
   val SimhashMaxHamming = 3
 
+  /** p35's 4 disjoint 12-bit block keys over an `fp` column. */
+  private def simhashBlockCols: Seq[Column] = (0 until SimhashBlocks).map { b =>
+    struct(lit(b.toLong).as("blk"),
+      (shiftright(col("fp"), b * SimhashBlockBits)
+        .bitwiseAND(lit((1L << SimhashBlockBits) - 1))).as("bval"))
+  }
+
+  /** Standalone p35 banding pass (doc_id, band, bkey) — skew-bench probe. */
+  private[graft] def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", StringHashes(col("toks"), 0L))
+      .withColumn("fp", graft.functions.SimHash48(col("hashes")))
+      .select(col("doc_id"), explode(array(simhashBlockCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.blk").as("band"), col("bb.bval").as("bkey"))
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // fingerprints feed the banding pass AND both verify sides
     val fp = docs(spark, dir)
@@ -426,17 +459,12 @@ object PipelineOps {
       .select(col("doc_id"), col("fp"))
       .localCheckpoint(false)
 
-    val blockCols = (0 until SimhashBlocks).map { b =>
-      struct(lit(b.toLong).as("blk"),
-        (shiftright(col("fp"), b * SimhashBlockBits)
-          .bitwiseAND(lit((1L << SimhashBlockBits) - 1))).as("bval"))
-    }
-    val banded = fp.select(col("doc_id"), explode(array(blockCols: _*)).as("bb"))
+    val banded = fp.select(col("doc_id"), explode(array(simhashBlockCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
     val bw = Window.partitionBy(col("blk"), col("bval"))
     val pruned = banded
       .withColumn("cnt", count(lit(1)).over(bw))
-      .where(col("cnt") <= MaxBucketSize)
+      .where(col("cnt") <= maxBucket)
       .drop("cnt")
 
     val l = pruned.alias("l")
@@ -1253,7 +1281,7 @@ object PipelineOps {
     val bw = Window.partitionBy(col("band"), col("bkey"))
     val pruned = banded
       .withColumn("cnt", count(lit(1)).over(bw))
-      .where(col("cnt") <= MaxBucketSize)
+      .where(col("cnt") <= maxBucket)
       .drop("cnt")
 
     val l = pruned.alias("l")
