@@ -150,6 +150,67 @@ class PreaggSpec extends AnyFunSuite {
       s"$served served but ${summaryQs.length} covered — router and predicate disagree")
   }
 
+  test("fuzz the coverage decision across summary-grain variations: covered ⇔ summary-served") {
+    // The router's eligibility test IS summary-cube plan resolution; this
+    // pins it against an INDEPENDENT structural predicate, per grain: a
+    // query is covered iff every referenced level (drills, cuts, rca
+    // drills, rate level — growth's level is always drilled) sits in a
+    // grain hierarchy's prefix, it asks no properties, and every measure
+    // re-aggregates. A covered query that falls through silently erodes
+    // the optimization; an uncovered one that summary-serves is a wrong
+    // answer waiting to happen.
+    val grains: Seq[Seq[LevelName]] = Seq(
+      Seq(LevelName("Geography", "Geography", "Region")),
+      Seq(LevelName("Ship Date", "Ship Date", "Month")),
+      Seq(LevelName("Geography", "Geography", "Supplier"),
+        LevelName("Ship Date", "Ship Date", "Year")),
+      Seq(LevelName("Customer", "Customer", "Segment"),
+        LevelName("Part", "Part", "Brand")))
+    val corpus = (graft.fuzz.QueryFuzzer.cases(300) ++
+      graft.fuzz.QueryFuzzer.rcaCases(60) ++ graft.fuzz.QueryFuzzer.rateCases(60)).map(_.query)
+    val okMeas = Preagg.eligibleMeasures(TpchStar.salesCube).map(_.name).toSet
+
+    for (grain <- grains) {
+      val okLevels: Set[(String, String, String)] = grain.flatMap { ln =>
+        val (dim, hier, idx) = TpchStar.salesCube.findLevel(ln).getOrElse(die(s"bad grain $ln"))
+        hier.levels.take(idx + 1).map(l => (dim.name, hier.name, l.name))
+      }.toSet
+      def covered(q: CubeQuery): Boolean = {
+        val lvls = q.drilldowns.map(_.levelName) ++ q.cuts.map(_.levelName) ++
+          q.rca.toSeq.flatMap(r => Seq(r.drill1.levelName, r.drill2.levelName)) ++
+          q.rate.map(_.levelName)
+        lvls.forall(ln => okLevels((ln.dimension, ln.hierarchy, ln.level))) &&
+          q.properties.isEmpty && q.measures.forall(m => okMeas(m.name))
+      }
+
+      val tmp = Files.createTempDirectory("graft_preagg_fz").toString
+      Preagg.materialize(spark, base, TpchStar.salesCube, grain, s"$tmp/s")
+      val derived = Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("__fz"))
+      val sp = new CubePlanner(derived,
+        new graft.sources.FormatResolver(Map("__fz" -> graft.sources.SourceSpec(s"$tmp/s"))))
+      val pp2 = new PreaggPlanner(base, sp)
+
+      var nCovered = 0
+      val disagreements = corpus.zipWithIndex.flatMap { case (q, i) =>
+        val want = covered(q)
+        if (want) nCovered += 1
+        val served = try { sp.plan(spark, q); true } catch { case _: PlanError => false }
+        if (served == want) None
+        else Some(s"grain=${grain.map(_.level).mkString("+")} case $i covered=$want served=$served\n  q=$q")
+      }
+      assert(disagreements.isEmpty,
+        s"${disagreements.length} router/predicate disagreements:\n${disagreements.take(5).mkString("\n")}")
+      assert(nCovered > 0, s"grain ${grain.map(_.level)} covered nothing — predicate too strict?")
+
+      // spot-check execution equality on a handful of covered cases per
+      // grain (full-corpus execution equality is the previous test's job)
+      corpus.filter(covered).take(5).foreach { q =>
+        assert(graft.SparkTestSession.rowImage(pp2.plan(spark, q)) ==
+          graft.SparkTestSession.rowImage(base.plan(spark, q)), s"grain=$grain q=$q")
+      }
+    }
+  }
+
   test("non-reaggregable aggregators are excluded from the derived cube") {
     val derived = Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("s"))
     val aggs = derived.measures.map(_.aggregator).toSet
