@@ -492,29 +492,26 @@ object PipelineOps {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(docs(spark, dir))
 
-  /** p06 body over an arbitrary documents frame — p36 runs it on the
-    * exact-dedup survivors only. */
-  private[graft] def ngramJaccardOf(d: DataFrame): DataFrame = {
-    val blockCols = Seq("lang", "source", "block")
-    // localCheckpoint: the gram frame feeds both join sides; without lineage
-    // truncation the per-character md5 hashing runs twice (same reasoning as
-    // minhashPairs)
-    // arrays sorted once per doc so the pair stage intersects via a native
-    // merge walk (SortedIntersectCount) instead of a per-pair hash set
-    val grams = d
-      .where(length(col("text")) >= 3)
+  private val gramBlockCols = Seq("lang", "source", "block")
+
+  /** Gram stage of p06: per-doc sorted distinct trigram hashes + block
+    * keys. Arrays sorted once per doc so the pair stage intersects via a
+    * native merge walk (SortedIntersectCount) instead of a per-pair hash
+    * set. Exposed so DedupStream's incremental refresh can gram ONLY the
+    * new survivors and persist the result as state. */
+  private[graft] def ngramGrams(d: DataFrame): DataFrame =
+    d.where(length(col("text")) >= 3)
       .withColumn("block", floor(col("n_chars") / 100))
       .withColumn("grams", array_sort(array_distinct(SubstringHashes(col("text"), 3, 0L))))
-      .select((col("doc_id") +: col("grams") +: blockCols.map(col)): _*)
-      .localCheckpoint(false)
-    val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: blockCols.map(col)): _*)
-    val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: blockCols.map(col)): _*)
-    a.join(b, blockCols)
-      .where(col("doc_a") < col("doc_b"))
-      // size-bound prune (implied by jaccard >= 0.6, so results are
-      // unchanged): |A∩B| <= min(|A|,|B|), hence J >= 0.6 needs
-      // 8*min(|A|,|B|) >= 3*(|A|+|B|) — integer-exact, skips the expensive
-      // intersect for size-mismatched pairs
+      .select((col("doc_id") +: col("grams") +: gramBlockCols.map(col)): _*)
+
+  /** Jaccard verification over a candidate frame carrying (doc_a, g_a,
+    * doc_b, g_b): size-bound prune (implied by jaccard >= 0.6, so results
+    * are unchanged — |A∩B| <= min(|A|,|B|), hence J >= 0.6 needs
+    * 8*min(|A|,|B|) >= 3*(|A|+|B|), integer-exact), then the merge-walk
+    * intersect. */
+  private def jaccardVerified(cand: DataFrame): DataFrame =
+    cand
       .where(least(size(col("g_a")), size(col("g_b"))) * 8 >=
         (size(col("g_a")) + size(col("g_b"))) * 3)
       .withColumn("inter", graft.functions.SortedIntersectCount(col("g_a"), col("g_b")))
@@ -522,8 +519,34 @@ object PipelineOps {
         col("inter").cast("double") /
           (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))
       .where(col("jaccard") >= 0.6)
+
+  /** p06 body over an arbitrary documents frame — p36 runs it on the
+    * exact-dedup survivors only. */
+  private[graft] def ngramJaccardOf(d: DataFrame): DataFrame = {
+    // localCheckpoint: the gram frame feeds both join sides; without lineage
+    // truncation the per-character md5 hashing runs twice (same reasoning as
+    // minhashPairs)
+    val grams = ngramGrams(d).localCheckpoint(false)
+    val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: gramBlockCols.map(col)): _*)
+    val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: gramBlockCols.map(col)): _*)
+    jaccardVerified(a.join(b, gramBlockCols).where(col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental pair discovery for the streaming near-dup refresh: every
+    * qualifying pair with AT LEAST ONE side in `newGrams`, discovered by
+    * joining the full gram history against only the new docs — cost is
+    * O(new × block collisions), not O(history × collisions). Pairs are
+    * canonicalized (doc_a < doc_b) and deduped, so new×new pairs seen from
+    * both orientations emit once; old×old pairs never re-verify. */
+  private[graft] def ngramPairsAgainst(allGrams: DataFrame, newGrams: DataFrame): DataFrame = {
+    val a = allGrams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: gramBlockCols.map(col)): _*)
+    val b = newGrams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: gramBlockCols.map(col)): _*)
+    jaccardVerified(a.join(b, gramBlockCols).where(col("doc_a") =!= col("doc_b")))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+      .distinct()
   }
 
   /** p12: winnowing document fingerprints — 8-char-gram rolling hashes, min

@@ -96,6 +96,53 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental near-refresh over batches equals the full recompute and batch p36") {
+    // same augmented corpus as the replay test; here the survivors arrive
+    // in three batches and each refresh grams/pairs ONLY its batch,
+    // merging edges into the carried state — the final verdict must be
+    // row-identical to both the O(history) full recompute and batch p36.
+    // Batches split so near-dup pairs STRADDLE refreshes (cross-batch
+    // pairs only discoverable via the new-vs-history join).
+    val base = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val replays = base.where(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val corpus = base.unionByName(replays)
+    // exact-stage survivors under ordered replay = min doc_id per hash
+    val survivors = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+      corpus.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        .withColumn("content_hash", md5(col("text")))
+    }
+    val arrivals = DedupStream.arrivalLog(corpus)
+
+    val cuts = Seq(0L, 150L, 300L, Long.MaxValue)
+    var state: Option[DedupStream.PairState] = None
+    var verdict: org.apache.spark.sql.DataFrame = null
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      val batch = survivors.where(col("doc_id") >= lo && col("doc_id") < hi)
+      val seen = survivors.where(col("doc_id") < hi)
+      val seenArrivals = arrivals // full log; verdict is over all arrivals
+      val (v, s) = DedupStream.refreshVerdictIncremental(seen, batch, seenArrivals, state)
+      state = Some(s); verdict = v
+    }
+
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val full = DedupStream.refreshVerdict(survivors, arrivals)
+    val batchP36 = graft.pipeline.PipelineOps.dedupVerdictOf(corpus)
+    assert(img(verdict) == img(full), "incremental != full recompute")
+    assert(img(verdict) == img(batchP36), "incremental != batch p36")
+    // and the carried edge set equals the one-shot pair set (same dedup
+    // graph, batch boundaries invisible)
+    val oneShot = graft.pipeline.PipelineOps.ngramJaccardOf(
+        survivors.select("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_a", "doc_b")
+    assert(state.get.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      oneShot.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("streaming summary refresh converges to the batch aggregate, one file per batch") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_refresh").toString
