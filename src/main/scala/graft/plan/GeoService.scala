@@ -41,9 +41,17 @@ final class HttpGeoService(baseUrl: String) extends GeoService {
     // segment, where '+' is literal — percent-encode the space instead
     val seg = URLEncoder.encode(geoId, StandardCharsets.UTF_8).replace("+", "%20")
     val uri = URI.create(base + "neighbors/" + seg)
-    val resp = client.send(
-      HttpRequest.newBuilder(uri).timeout(java.time.Duration.ofSeconds(15)).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
+    // a down/unreachable sidecar is a typed plan error (the reference
+    // propagates geoservice failures as handler-level errors, aggregate.rs
+    // `query_geoservice(...)?` → 400 json), never a raw 500 stack
+    val resp =
+      try client.send(
+        HttpRequest.newBuilder(uri).timeout(java.time.Duration.ofSeconds(15)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.io.IOException => // covers connect-refused + timeouts
+          throw PlanError(s"geoservice request failed for $uri: ${e.getClass.getSimpleName}")
+      }
     if (resp.statusCode() != 200)
       throw PlanError(s"geoservice returned ${resp.statusCode()} for $uri")
     JsonMethods.parse(resp.body()) match {

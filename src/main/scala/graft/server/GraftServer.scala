@@ -528,7 +528,18 @@ final class GraftServer(
         val given = params.get("secret").flatMap(_.headOption)
         if (flushSecret.isEmpty) Left((400, "flush is not configured"))
         else if (given != flushSecret) Left((403, "bad secret"))
-        else { cache.clear(); onFlush(); Right(Body("{\"status\":\"flushed\"}", "application/json")) }
+        else {
+          // a schema re-read that fails (file deleted, edit broke the
+          // JSON/XML, validation error) must not take the server down or
+          // half-swap: reload() only runs on a successfully parsed schema,
+          // so the pre-flush state keeps serving — the reference 500s the
+          // flush itself and keeps its old shared schema (flush.rs:52-56)
+          try { onFlush(); cache.clear(); Right(Body("{\"status\":\"flushed\"}", "application/json")) }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Left((500, s"flush failed, previous schema still active: ${e.getMessage}"))
+          }
+        }
       case _ => Left((404, s"no route for '$path'"))
     }
   }

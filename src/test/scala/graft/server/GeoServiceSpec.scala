@@ -75,6 +75,22 @@ class GeoServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen == "New%20York", s"got '$seen'")
   }
 
+  test("a DOWN geoservice surfaces a typed 400, never a hang or a 500 stack") {
+    // port 1 on loopback: immediate connection-refused — the sidecar-down
+    // case (reference propagates query_geoservice errors as handler-level
+    // errors, logic_layer/aggregate.rs:1210-1213)
+    val gs = new HttpGeoService("http://127.0.0.1:1/geo")
+    val e = intercept[graft.plan.PlanError](gs.neighbors("3"))
+    assert(e.message.contains("geoservice request failed"), e.message)
+    val srv = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir),
+      geoService = Some(gs))
+    val p = srv.start()
+    try {
+      val (code, body) = get(p, "/relations.csv?cube=Sales&Nation=3:neighbors")
+      assert(code == 400 && body.contains("geoservice request failed"), s"$code $body")
+    } finally srv.stop()
+  }
+
   test("Geo-dim neighbors resolve via the geoservice; hierarchy fallback without one") {
     // Geography is DimensionType.Geo, so a configured geoservice owns its
     // neighbors resolution (reference aggregate.rs:1204-1222)

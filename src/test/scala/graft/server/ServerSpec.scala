@@ -467,6 +467,42 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally propSrv.stop()
   }
 
+  test("flush error surface: golden auth bodies; a failed reload keeps the old schema serving") {
+    def getFrom(p: Int, pathAndQuery: String): (Int, String) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$p$pathAndQuery")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    // golden bodies for the flush auth family (reference flush.rs:33-80:
+    // unauthorized/unconfigured flush paths)
+    assert(get("/flush") == ((403, """{"error":"bad secret"}""")))
+    assert(get("/flush?secret=wrong") == ((403, """{"error":"bad secret"}""")))
+    val bare = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir))
+    val p2 = bare.start()
+    try assert(getFrom(p2, "/flush?secret=x") ==
+      ((400, """{"error":"flush is not configured"}""")))
+    finally bare.stop()
+    // a reload whose schema re-read fails (file deleted / edit broke the
+    // JSON / validation error) 500s the flush with a typed body and keeps
+    // the previous schema serving (reference flush.rs:52-56 500s and keeps
+    // its old shared schema)
+    val failing = new GraftServer(spark, TpchStar.schema, new TpchStar.Resolver(SfDir),
+      flushSecret = Some("s"),
+      onFlush = () => throw new RuntimeException("schema parse failed: unexpected token"))
+    val p3 = failing.start()
+    try {
+      val (code, body) = getFrom(p3, "/flush?secret=s")
+      assert(code == 500, s"$code $body")
+      assert(body ==
+        """{"error":"flush failed, previous schema still active: schema parse failed: unexpected token"}""",
+        body)
+      assert(getFrom(p3,
+        "/cubes/Sales/aggregate.csv?drilldowns=Geography.Region&measures=Quantity")._1 == 200,
+        "old schema must keep serving after a failed flush")
+    } finally failing.stop()
+  }
+
   test("JWT auth levels gate non-public cubes") {
     val privCube = TpchStar.salesCube.copy(name = "Private", public = false, minAuthLevel = 2)
     val schema = graft.core.Schema("T2", Seq(TpchStar.salesCube, privCube))
@@ -482,6 +518,9 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       val q = "/cubes/Private/aggregate.csv?drilldowns=Geography.Region&measures=Quantity"
       assert(g(q)._1 == 401, "no token")
+      // golden 401 body (reference util.rs:81 json("This cube is not
+      // public"); graft names the cube)
+      assert(g(q)._2 == """{"error":"not authorized for cube 'Private'"}""", g(q)._2)
       val low = srv.auth.mint(1).get
       assert(g(s"$q&token=$low")._1 == 401, "level below min_auth_level")
       val high = srv.auth.mint(2).get
