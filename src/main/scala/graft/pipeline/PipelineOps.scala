@@ -739,6 +739,39 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** p38: the incremental near-refresh path
+    * ([[graft.streaming.DedupStream.refreshVerdictIncremental]]) driven
+    * batch-wise under the batch oracle: the corpus "arrives" in two halves
+    * (split at the midpoint doc_id), each refresh grams and pairs ONLY its
+    * batch against the carried gram/edge state, and the final verdict must
+    * be row-identical to the one-shot p36 — the oracle IS p36's SQL. This
+    * puts the production catch-up path (what a restarted streaming
+    * deployment runs over its backlog) under the same cross-engine
+    * hash-exactness gate as the one-shot operator. */
+  def dedupVerdictIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ew = Window.partitionBy(md5(col("text")))
+    val survivors = d
+      .withColumn("canon_exact", min(col("doc_id")).over(ew))
+      .where(col("doc_id") === col("canon_exact")).drop("canon_exact")
+      .withColumn("content_hash", md5(col("text")))
+      .localCheckpoint(false)
+    val arrivals = d.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val mid = d.agg((max(col("doc_id")) / lit(2)).cast("long")).collect()(0).getLong(0)
+    val batches = Seq(
+      survivors.where(col("doc_id") <= mid), survivors.where(col("doc_id") > mid))
+    var state: Option[graft.streaming.DedupStream.PairState] = None
+    var verdict: DataFrame = null
+    for ((batch, i) <- batches.zipWithIndex) {
+      val seen = if (i == batches.length - 1) survivors
+        else survivors.where(col("doc_id") <= mid)
+      val (v, s) = graft.streaming.DedupStream
+        .refreshVerdictIncremental(seen, batch, arrivals, state)
+      state = Some(s); verdict = v
+    }
+    verdict
+  }
+
   /** Connected components of an undirected pair graph by alternating
     * large-star/small-star contraction (Kiveris et al. 2014, "Connected
     * Components in MapReduce and Beyond"). Input: two int64 columns, one
@@ -1612,5 +1645,6 @@ object PipelineOps {
     "p34_ann_pq"        -> annPq,
     "p35_simhash_pairs" -> simhashPairs,
     "p36_dedup_verdict" -> dedupVerdict,
-    "p37_ann_ivfpq"     -> annIvfPq)
+    "p37_ann_ivfpq"     -> annIvfPq,
+    "p38_dedup_incremental" -> dedupVerdictIncremental)
 }

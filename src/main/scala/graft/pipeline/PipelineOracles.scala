@@ -828,5 +828,9 @@ object PipelineOracles {
     "p34_ann_pq"        -> p34,
     "p35_simhash_pairs" -> p35,
     "p36_dedup_verdict" -> p36,
-    "p37_ann_ivfpq"     -> p37)
+    "p37_ann_ivfpq"     -> p37,
+    // the incremental refresh must converge to the one-shot verdict, so
+    // p36's oracle IS p38's oracle — the gate proves batch-boundary
+    // invisibility cross-engine, not just Spark-vs-Spark
+    "p38_dedup_incremental" -> p36)
 }
