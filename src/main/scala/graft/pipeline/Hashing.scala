@@ -44,9 +44,16 @@ object Hashing {
     * (estimated Jaccard ≥ 8/32) before exact verification. */
   val MinSigMatches = 8
 
+  /** Permutation coefficients for an n-slot signature, h_j(x) = (a_j * x +
+    * b_j) mod P, md5-derived — any width's coefficients are a prefix of any
+    * wider one's, so fuzzed LSH geometries share the production constants. */
+  def minhashCoeffs(n: Int): (IndexedSeq[Long], IndexedSeq[Long]) =
+    ((0 until n).map(j => (md5Long(s"graft_a$j", 8) % BaseHashMod) | 1L),
+      (0 until n).map(j => md5Long(s"graft_b$j", 8) % BaseHashMod))
+
   /** Permutation h_j(x) = (a_j * x + b_j) mod P, constants md5-derived. */
-  val minhashA: IndexedSeq[Long] = (0 until NumHashes).map(j => (md5Long(s"graft_a$j", 8) % BaseHashMod) | 1L)
-  val minhashB: IndexedSeq[Long] = (0 until NumHashes).map(j => md5Long(s"graft_b$j", 8) % BaseHashMod)
+  val minhashA: IndexedSeq[Long] = minhashCoeffs(NumHashes)._1
+  val minhashB: IndexedSeq[Long] = minhashCoeffs(NumHashes)._2
 
   // ------------------------------------------------- random-hyperplane LSH
   val LshPlanes = 12

@@ -312,11 +312,16 @@ object PipelineOps {
       // sorted so minhash verification intersects via the native merge walk
       .withColumn("hashes", array_sort(array_distinct(StringHashes(col("shingles"), BaseHashMod))))
 
+  /** Per-band bucket keys over a `sig` column for a (bands × rowsPerBand)
+    * LSH geometry; p04 uses the production 16 × 2. */
+  private def bandCols(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*).as("bkey"))
+    }
+
   /** p04's 16 per-band bucket keys over a `sig` column. */
-  private def minhashBandCols: Seq[Column] = (0 until Bands).map { b =>
-    struct(lit(b).as("band"),
-      concat_ws("_", (0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r)): _*).as("bkey"))
-  }
+  private def minhashBandCols: Seq[Column] = bandCols(Bands, RowsPerBand)
 
   /** Standalone p04 banding pass (doc_id, band, bkey) — skew-bench probe. */
   private[graft] def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
@@ -332,7 +337,23 @@ object PipelineOps {
     * bucket (shuffle on the band key), never via an all-pairs join — so the
     * plan's cost is O(docs × bands + bucket collisions), the only shape that
     * survives a 100 TB corpus. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsParam(spark, dir, NumHashes, Bands, maxBucket, MinSigMatches, 0.5)
+
+  /** Parameterized core of p04 over an arbitrary LSH geometry — signature
+    * width, band count, hot-bucket cap, signature prefilter bound, and
+    * verification threshold. The production entry is one point of this
+    * grid; MinhashFuzzSpec differential-tests the rest against a
+    * driver-side all-pairs oracle recomputed from raw text, so the banding
+    * arithmetic (slot indexing, bucket-cap semantics, prefilter bound,
+    * exact-intersect verify) is checked as a function of its parameters,
+    * not just at the constants the oracle queries happen to use. */
+  private[graft] def minhashPairsParam(
+      spark: SparkSession, dir: String, numHashes: Int, bands: Int,
+      maxBucketSize: Int, minSigMatches: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val (coefA, coefB) = Hashing.minhashCoeffs(numHashes)
     // localCheckpoint: the shingle+hash stage feeds the signature pass AND
     // both sides of the verification join — without lineage truncation it
     // recomputes three times (Catalyst re-optimizes each reference; only
@@ -340,13 +361,13 @@ object PipelineOps {
     // and are freed by the ContextCleaner once the plan is collected.
     val base = shingled(spark, dir).localCheckpoint(false)
     // native codegen expression: ONE traversal of the hash array computes
-    // all 32 permutation minima (the composable array_min(transform(...))
+    // all permutation minima (the composable array_min(transform(...))
     // spelling re-walks the array per permutation)
     val withSig = base.withColumn("sig",
-      graft.functions.MinHashSig(col("hashes"), minhashA, minhashB, P))
+      graft.functions.MinHashSig(col("hashes"), coefA, coefB, P))
 
     val banded = withSig
-      .select(col("doc_id"), explode(array(minhashBandCols: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(bandCols(bands, rowsPerBand): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
     // Hot-bucket cap: an oversized band bucket is a low-information
@@ -363,7 +384,7 @@ object PipelineOps {
     val bw = Window.partitionBy(col("band"), col("bkey"))
     val pruned = banded
       .withColumn("cnt", count(lit(1)).over(bw))
-      .where(col("cnt") <= maxBucket)
+      .where(col("cnt") <= maxBucketSize)
       .drop("cnt")
 
     val l = pruned.alias("l")
@@ -384,7 +405,7 @@ object PipelineOps {
     val gb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val prefiltered = cand.join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("m", expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
-      .where(col("m") >= MinSigMatches)
+      .where(col("m") >= minSigMatches)
       .select(col("doc_a"), col("doc_b"))
 
     // Stage 2 — exact verification on the distinct *hash* sets (int64
@@ -398,7 +419,7 @@ object PipelineOps {
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("h_a")) + size(col("h_b")) - col("inter")).cast("double"))
-      .where(col("jaccard") >= 0.5)
+      .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
