@@ -455,12 +455,17 @@ object PipelineOps {
   val SimhashBlockBits  = 12
   val SimhashMaxHamming = 3
 
+  /** Disjoint block keys over an `fp` column for a (blocks × blockBits)
+    * geometry; p35 uses the production 4 × 12. */
+  private def blockColsFor(blocks: Int, blockBits: Int): Seq[Column] =
+    (0 until blocks).map { b =>
+      struct(lit(b.toLong).as("blk"),
+        (shiftright(col("fp"), b * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1))).as("bval"))
+    }
+
   /** p35's 4 disjoint 12-bit block keys over an `fp` column. */
-  private def simhashBlockCols: Seq[Column] = (0 until SimhashBlocks).map { b =>
-    struct(lit(b.toLong).as("blk"),
-      (shiftright(col("fp"), b * SimhashBlockBits)
-        .bitwiseAND(lit((1L << SimhashBlockBits) - 1))).as("bval"))
-  }
+  private def simhashBlockCols: Seq[Column] = blockColsFor(SimhashBlocks, SimhashBlockBits)
 
   /** Standalone p35 banding pass (doc_id, band, bkey) — skew-bench probe. */
   private[graft] def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
@@ -471,7 +476,22 @@ object PipelineOps {
       .select(col("doc_id"), explode(array(simhashBlockCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.blk").as("band"), col("bb.bval").as("bkey"))
 
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsParam(spark, dir, SimhashBlocks, SimhashBlockBits, SimhashMaxHamming, maxBucket)
+
+  /** Parameterized core of p35 over an arbitrary block geometry. The
+    * pigeonhole recall guarantee — hamming ≤ maxHamming forces exact
+    * agreement on ≥ 1 block — needs the blocks to cover all 48 fingerprint
+    * bits and maxHamming < blocks, so both are required, not assumed.
+    * SimhashFuzzSpec differential-tests geometries against a driver-side
+    * all-pairs oracle recomputed from raw text. */
+  private[graft] def simhashPairsParam(
+      spark: SparkSession, dir: String, blocks: Int, blockBits: Int,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    require(blocks * blockBits == 48,
+      s"blocks ($blocks) × blockBits ($blockBits) must cover the 48-bit fingerprint")
+    require(maxHamming < blocks,
+      s"pigeonhole recall needs maxHamming ($maxHamming) < blocks ($blocks)")
     // fingerprints feed the banding pass AND both verify sides
     val fp = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -480,12 +500,12 @@ object PipelineOps {
       .select(col("doc_id"), col("fp"))
       .localCheckpoint(false)
 
-    val banded = fp.select(col("doc_id"), explode(array(simhashBlockCols: _*)).as("bb"))
+    val banded = fp.select(col("doc_id"), explode(array(blockColsFor(blocks, blockBits): _*)).as("bb"))
       .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
     val bw = Window.partitionBy(col("blk"), col("bval"))
     val pruned = banded
       .withColumn("cnt", count(lit(1)).over(bw))
-      .where(col("cnt") <= maxBucket)
+      .where(col("cnt") <= maxBucketSize)
       .drop("cnt")
 
     val l = pruned.alias("l")
@@ -500,7 +520,7 @@ object PipelineOps {
     val fb = fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
     cand.join(fa, "doc_a").join(fb, "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .where(col("hamming") <= SimhashMaxHamming)
+      .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
