@@ -540,37 +540,53 @@ object PipelineOps {
     * native merge walk (SortedIntersectCount) instead of a per-pair hash
     * set. Exposed so DedupStream's incremental refresh can gram ONLY the
     * new survivors and persist the result as state. */
-  private[graft] def ngramGrams(d: DataFrame): DataFrame =
-    d.where(length(col("text")) >= 3)
-      .withColumn("block", floor(col("n_chars") / 100))
-      .withColumn("grams", array_sort(array_distinct(SubstringHashes(col("text"), 3, 0L))))
+  private[graft] def ngramGrams(d: DataFrame): DataFrame = ngramGramsParam(d, 3, 100)
+
+  /** Gram stage over an arbitrary (gram width, length-block width). */
+  private def ngramGramsParam(d: DataFrame, gramWidth: Int, blockWidth: Int): DataFrame =
+    d.where(length(col("text")) >= gramWidth)
+      .withColumn("block", floor(col("n_chars") / blockWidth))
+      .withColumn("grams", array_sort(array_distinct(SubstringHashes(col("text"), gramWidth, 0L))))
       .select((col("doc_id") +: col("grams") +: gramBlockCols.map(col)): _*)
 
   /** Jaccard verification over a candidate frame carrying (doc_a, g_a,
-    * doc_b, g_b): size-bound prune (implied by jaccard >= 0.6, so results
-    * are unchanged — |A∩B| <= min(|A|,|B|), hence J >= 0.6 needs
-    * 8*min(|A|,|B|) >= 3*(|A|+|B|), integer-exact), then the merge-walk
-    * intersect. */
-  private def jaccardVerified(cand: DataFrame): DataFrame =
+    * doc_b, g_b) at threshold t = num/den: size-bound prune (implied by
+    * jaccard >= t, so results are unchanged — |A∩B| <= min(|A|,|B|), hence
+    * J >= t needs (den+num)*min(|A|,|B|) >= num*(|A|+|B|), integer-exact
+    * for any rational t; at the production 3/5 this is the familiar
+    * 8*min >= 3*sum), then the merge-walk intersect. */
+  private def jaccardVerified(cand: DataFrame): DataFrame = jaccardVerifiedParam(cand, 3, 5)
+
+  private def jaccardVerifiedParam(cand: DataFrame, num: Int, den: Int): DataFrame =
     cand
-      .where(least(size(col("g_a")), size(col("g_b"))) * 8 >=
-        (size(col("g_a")) + size(col("g_b"))) * 3)
+      .where(least(size(col("g_a")), size(col("g_b"))) * (den + num) >=
+        (size(col("g_a")) + size(col("g_b"))) * num)
       .withColumn("inter", graft.functions.SortedIntersectCount(col("g_a"), col("g_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))
-      .where(col("jaccard") >= 0.6)
+      .where(col("jaccard") >= num.toDouble / den)
 
   /** p06 body over an arbitrary documents frame — p36 runs it on the
     * exact-dedup survivors only. */
-  private[graft] def ngramJaccardOf(d: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardOf(d: DataFrame): DataFrame =
+    ngramJaccardParam(d, 3, 100, 3, 5)
+
+  /** Parameterized core of p06 (gram width, length-block width, threshold
+    * num/den — rational so the size prune stays integer-exact);
+    * NgramFuzzSpec differential-tests geometries against a driver-side
+    * all-pairs oracle recomputed from raw text. */
+  private[graft] def ngramJaccardParam(
+      d: DataFrame, gramWidth: Int, blockWidth: Int, num: Int, den: Int): DataFrame = {
+    require(gramWidth >= 1 && blockWidth >= 1 && num >= 0 && den > 0 && num <= den,
+      s"invalid ngram geometry ($gramWidth, $blockWidth, $num/$den)")
     // localCheckpoint: the gram frame feeds both join sides; without lineage
     // truncation the per-character md5 hashing runs twice (same reasoning as
     // minhashPairs)
-    val grams = ngramGrams(d).localCheckpoint(false)
+    val grams = ngramGramsParam(d, gramWidth, blockWidth).localCheckpoint(false)
     val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: gramBlockCols.map(col)): _*)
     val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: gramBlockCols.map(col)): _*)
-    jaccardVerified(a.join(b, gramBlockCols).where(col("doc_a") < col("doc_b")))
+    jaccardVerifiedParam(a.join(b, gramBlockCols).where(col("doc_a") < col("doc_b")), num, den)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -1351,8 +1367,8 @@ object PipelineOps {
   }
 
   /** Banded bucket keys over a quantized frame, one row per (vec, band). */
-  private def dedupBanded(q: DataFrame, nbits: Int): DataFrame = {
-    val bandCols = (0 until DedupBands).map { b =>
+  private def dedupBanded(q: DataFrame, bands: Int, nbits: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
       val bkey = (0 until nbits).map { i =>
         val ws = array((0 until EmbDim).map(d => lit(planeWeight(dedupPlaneIdx(b, i), d))): _*)
         when(graft.functions.QuantizedDot(col("q"), ws) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -1366,19 +1382,33 @@ object PipelineOps {
   /** Standalone banding pass — exposed for the scale invariants spec
     * (key-cardinality growth + cap). */
   private[graft] def embDedupBuckets(spark: SparkSession, dir: String): DataFrame =
-    dedupBanded(quantized(spark, dir), dedupBits(embs(spark, dir).count()))
+    dedupBanded(quantized(spark, dir), DedupBands, dedupBits(embs(spark, dir).count()))
 
-  def embDedup(spark: SparkSession, dir: String): DataFrame = {
+  def embDedup(spark: SparkSession, dir: String): DataFrame =
+    embDedupParam(spark, dir, DedupBands, dedupBits(embs(spark, dir).count()),
+      maxBucket, EmbDupThreshold)
+
+  /** Parameterized core of p14 over an arbitrary hyperplane-LSH geometry
+    * (band count, signature bits per band, hot-bucket cap, cosine
+    * threshold); production delegates at the adaptive [[dedupBits]] width.
+    * EmbDedupFuzzSpec differential-tests geometries against a driver-side
+    * all-pairs oracle recomputed from the raw float embeddings. */
+  private[graft] def embDedupParam(
+      spark: SparkSession, dir: String, bands: Int, nbits: Int,
+      maxBucketSize: Int, threshold: Double): DataFrame = {
+    require(bands >= 1, "at least one band")
+    require(nbits >= 1 && nbits <= DedupMaxBits,
+      s"nbits ($nbits) must fit the disjoint plane-index stride (1..$DedupMaxBits)")
     // the quantized frame feeds the banding pass AND both sides of the
     // verification join — truncate lineage so hashing runs once
     val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
       .localCheckpoint(false)
 
-    val banded = dedupBanded(q, dedupBits(embs(spark, dir).count()))
+    val banded = dedupBanded(q, bands, nbits)
     val bw = Window.partitionBy(col("band"), col("bkey"))
     val pruned = banded
       .withColumn("cnt", count(lit(1)).over(bw))
-      .where(col("cnt") <= maxBucket)
+      .where(col("cnt") <= maxBucketSize)
       .drop("cnt")
 
     val l = pruned.alias("l")
@@ -1395,7 +1425,7 @@ object PipelineOps {
       .withColumn("dot", dotCol)
       .withColumn("cosine",
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
-      .where(col("cosine") >= EmbDupThreshold)
+      .where(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }

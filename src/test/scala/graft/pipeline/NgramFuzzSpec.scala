@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, SfDir}
+
+/** Differential fuzz of the p06 character-n-gram Jaccard dedup across
+  * geometries (gram width, length-block width, rational threshold). Same
+  * contract as the other *FuzzSpecs: [[PipelineOps.ngramJaccardParam]] vs a
+  * driver-side all-pairs oracle recomputed from raw text in plain Scala —
+  * independent md5, codepoint-window gramming, (lang, source, length-block)
+  * blocking, and Jaccard. The oracle applies ONLY the final threshold, so a
+  * size-prune that wrongly drops a qualifying pair at any rational t shows
+  * up as an oracle-only pair. */
+class NgramFuzzSpec extends AnyFunSuite {
+
+  /** Independent 48-bit md5 hash — deliberately NOT TextHashKernel. */
+  private def h48(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val out = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((out(0) & 0xffL) << 40) | ((out(1) & 0xffL) << 32) | ((out(2) & 0xffL) << 24) |
+      ((out(3) & 0xffL) << 16) | ((out(4) & 0xffL) << 8) | (out(5) & 0xffL)
+  }
+
+  private case class Doc(id: Long, text: String, lang: String, source: String, nChars: Long)
+
+  private lazy val rawDocs: Vector[Doc] = {
+    val rows = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+    rows.iterator.map(r =>
+      Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toVector.sortBy(_.id)
+  }
+
+  /** Codepoint-window grams, mirroring TextHashKernel.substringHashes'
+    * character-offset convention. */
+  private def grams(text: String, width: Int): Array[Long] = {
+    val cps = text.codePoints().toArray
+    (0 to cps.length - width)
+      .map(i => h48(new String(cps, i, width)))
+      .distinct.sorted.toArray
+  }
+
+  private def oraclePairs(
+      gramWidth: Int, blockWidth: Int, num: Int, den: Int): Vector[(Long, Long, Double)] = {
+    val t = num.toDouble / den
+    val eligible = rawDocs.filter(d => d.text.codePointCount(0, d.text.length) >= gramWidth)
+      .map(d => (d, grams(d.text, gramWidth), Math.floorDiv(d.nChars, blockWidth)))
+    val out = Vector.newBuilder[(Long, Long, Double)]
+    for (ai <- eligible.indices; bi <- ai + 1 until eligible.length) {
+      val (da, ga, blkA) = eligible(ai)
+      val (db, gb, blkB) = eligible(bi)
+      if (da.lang == db.lang && da.source == db.source && blkA == blkB) {
+        var i = 0; var j = 0; var inter = 0
+        while (i < ga.length && j < gb.length) {
+          if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ga(i) < gb(j)) i += 1
+          else j += 1
+        }
+        val jac = inter.toDouble / (ga.length + gb.length - inter).toDouble
+        if (jac >= t) out += ((da.id, db.id, jac))
+      }
+    }
+    out.result()
+  }
+
+  // (gramWidth, blockWidth, num, den): the production point, then gram
+  // widths around it (window arithmetic), narrower/wider length blocks
+  // (blocking key), and thresholds above and below 3/5 (the size prune is
+  // derived from num/den and must stay results-preserving at each).
+  private val Grid = Seq(
+    (3, 100, 3, 5), // production geometry
+    (2, 100, 3, 5), // bigrams: denser gram sets
+    (4, 50, 1, 2), // wider grams, narrower blocks, lower threshold
+    (3, 25, 2, 5), // narrow blocks: more block boundaries between dups
+    (5, 200, 1, 2), // wide grams, wide blocks
+    (3, 100, 7, 10) // threshold above production
+  )
+
+  for ((gw, bw, num, den) <- Grid)
+    test(s"ngram jaccard width=$gw block=$bw j≥$num/$den matches all-pairs oracle") {
+      val docsDf = spark.read.parquet(s"$SfDir/documents.parquet")
+      val got = PipelineOps.ngramJaccardParam(docsDf, gw, bw, num, den)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toVector.sorted
+      val want = oraclePairs(gw, bw, num, den).sorted
+      assert(got == want,
+        s"impl=${got.size} oracle=${want.size} pairs; " +
+          s"impl-only=${(got.toSet -- want.toSet).take(5)} oracle-only=${(want.toSet -- got.toSet).take(5)}")
+      assert(want.nonEmpty, "degenerate grid point: oracle found no pairs")
+    }
+}
