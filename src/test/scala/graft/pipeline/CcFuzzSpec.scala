@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+
+/** Differential fuzz of [[PipelineOps.connectedComponents]] over
+  * adversarial graph shapes. The fixture-driven specs exercise the dup
+  * graphs the corpus happens to produce; this spec generates the shapes
+  * star contraction is weakest on — long paths (maximum round count),
+  * hubs, cycles, preferential-attachment skew, seeded random graphs, plus
+  * degenerate inputs (self-loops, duplicate and reversed edges,
+  * non-contiguous 1e12-scale ids) — and checks BOTH execution paths
+  * against an independent union-find oracle written here:
+  *
+  *   - the distributed star-contraction loop (`localEdgeThreshold = 0`),
+  *   - the driver union-find tail (threshold above every edge count).
+  *
+  * Labels must equal the component MINIMUM exactly on either path — the
+  * canonical-id contract every consumer (p23 clusters, p36 verdicts)
+  * depends on. */
+class CcFuzzSpec extends AnyFunSuite {
+
+  /** Independent union-find — deliberately NOT the impl's LongMap tail. */
+  private def oracleLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonicalize to the component min (the tree root is already the min
+    // under min-wins union, but path-compress to be sure)
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], threshold: Long): Map[Long, Long] = {
+    import spark.implicits._
+    PipelineOps.connectedComponents(edges.toDF("doc_a", "doc_b"), threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private val rng = new scala.util.Random(0xC0FFEE)
+
+  // name -> edge list; ids deliberately non-contiguous (×1e12 + offset)
+  // on some shapes to catch arithmetic/contiguity assumptions
+  private val Shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "path-300" -> (0L until 299L).map(i => (i, i + 1)),
+    "hub-400" -> (1L to 400L).map(i => (0L, i)),
+    "two-cycles+selfloops" ->
+      ((0L until 51L).map(i => (i, (i + 1) % 51)) ++ // odd cycle
+        (100L until 200L).map(i => (i, if (i == 199) 100L else i + 1)) ++ // even cycle
+        Seq((999L, 999L), (1000L, 1000L))), // self-loop-only nodes
+    "dup+reversed-edges" ->
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L)),
+    "sparse-random-500" -> Seq.fill(400)((rng.nextInt(500).toLong, rng.nextInt(500).toLong)),
+    "pref-attach-300" -> {
+      // preferential attachment: node i attaches to a degree-weighted
+      // earlier node — produces the power-law hubs dup graphs show
+      val targets = scala.collection.mutable.ArrayBuffer(0L)
+      (1L until 300L).map { i =>
+        val t = targets(rng.nextInt(targets.length))
+        targets += i; targets += t
+        (i, t)
+      }.toSeq
+    },
+    "big-ids" -> (0L until 100L).map(i => (i * 1_000_000_000_000L + 7, (i / 3) * 1_000_000_000_000L + 7))
+  )
+
+  for ((name, edges) <- Shapes) {
+    val want = oracleLabels(edges)
+
+    test(s"cc driver union-find tail on $name matches oracle") {
+      assert(run(edges, Long.MaxValue) == want)
+    }
+
+    test(s"cc distributed star contraction on $name matches oracle") {
+      assert(run(edges, 0L) == want)
+    }
+  }
+}
