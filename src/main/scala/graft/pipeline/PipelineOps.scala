@@ -1151,13 +1151,23 @@ object PipelineOps {
   val IvfCentroids = 16
   val IvfProbes    = 2
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfParam(spark, dir, IvfCentroids, IvfProbes)
+
+  /** Parameterized core of p15 (coarse-cell count, probe count).
+    * IvfFuzzSpec pins two oracle-free invariants across the probe axis:
+    * probing EVERY cell must reproduce brute force exactly, and per-rank
+    * cosines must be monotone non-decreasing in the probe count. */
+  private[graft] def annIvfParam(
+      spark: SparkSession, dir: String, centroids: Int, probes: Int): DataFrame = {
+    require(centroids >= 1 && probes >= 1 && probes <= centroids,
+      s"invalid IVF geometry ($centroids cells, $probes probes)")
     val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
     // zero-norm vectors can't seed (cosine against them is NaN, whose
     // ordering under min-struct differs from the old window's NaN-first —
     // excluding them keeps both engines' argmax identical and is what
     // k-means/IVF trainers do anyway)
-    val cents = n.where(col("vec_id") < IvfCentroids && col("nrm") > 0)
+    val cents = n.where(col("vec_id") < centroids && col("nrm") > 0)
       .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
 
     // per-vector centroid scores (corpus × K against the broadcast set)
@@ -1179,15 +1189,15 @@ object PipelineOps {
     // the window is queries × K rows, never corpus-sized
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
-    val probes = centScores(n.where(col("vec_id") < 10))
-      .withColumn("crn", row_number().over(pw)).where(col("crn") <= IvfProbes)
+    val probeSet = centScores(n.where(col("vec_id") < 10))
+      .withColumn("crn", row_number().over(pw)).where(col("crn") <= probes)
       .select(col("vec_id").as("query_id"), col("cid"))
 
     val qa = n.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
     val qb = n.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    probes.join(assigned, "cid")
+    probeSet.join(assigned, "cid")
       .where(col("query_id") =!= col("nbr_id"))
       .join(qa, "query_id").join(qb, "nbr_id")
       .withColumn("dot", dotCol)
