@@ -1229,14 +1229,26 @@ object PipelineOps {
   val PqCentroids = 8
   val PqTopK      = 5
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val d = EmbDim / PqSubspaces
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqParam(spark, dir, PqSubspaces, PqCentroids)
+
+  /** Parameterized core of p34 (subspace count, codebook size). The
+    * encode/ADC arithmetic is exact int64, so PqFuzzSpec differential-tests
+    * geometries against a driver-side oracle recomputed from the raw
+    * floats — slice offsets (`m*d+1`), per-slot argmin tiebreaks, and the
+    * ADC partial-sum are checked as functions of the geometry. */
+  private[graft] def annPqParam(
+      spark: SparkSession, dir: String, subspaces: Int, centroids: Int): DataFrame = {
+    require(subspaces >= 1 && EmbDim % subspaces == 0,
+      s"subspaces ($subspaces) must divide the embedding dim ($EmbDim)")
+    require(centroids >= 1, "at least one codebook entry")
+    val d = EmbDim / subspaces
     // (id, m, sub): every vector exploded into its subspace slices
     val sub = quantized(spark, dir)
       .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${PqSubspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
+        s"transform(sequence(0, ${subspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-    val cents = sub.where(col("vec_id") < PqCentroids)
+    val cents = sub.where(col("vec_id") < centroids)
       .select(col("vec_id").as("cid"), col("m"), col("sub").as("subc"))
     // per (vector, subspace, centroid) squared distance — native fused kernel
     val dists = sub.join(broadcast(cents), Seq("m"))
