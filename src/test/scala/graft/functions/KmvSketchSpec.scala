@@ -62,6 +62,39 @@ class KmvSketchSpec extends AnyFunSuite {
       "sketch union must be lossless — summaries re-aggregate to the full-range sketch")
   }
 
+  test("random partitionings and two-level rollups are lossless at any k") {
+    // the summary-servable claim rests on partition invariance: however
+    // rows are carved into partial sketches — and however those partials
+    // are themselves rolled up — the merged sketch must equal the direct
+    // one. Day-based splits (above) are one carving; this fuzzes random
+    // carvings at several k, plus a two-level rollup (part -> super -> all,
+    // the preagg hierarchy path).
+    val rng = new scala.util.Random(0xD1CE)
+    for (k <- Seq(8, 64); trial <- 1 to 2) {
+      val nParts = 2 + rng.nextInt(30)
+      val seed = rng.nextInt(1 << 20)
+      val parted = eventsHashed
+        .withColumn("part", expr(s"pmod(CAST(conv(substr(md5(concat(cast(h as string), '$seed')), 1, 8), 16, 10) AS BIGINT), $nParts)"))
+      val direct = parted.groupBy("event_type")
+        .agg(KmvSketch.buildCol(col("h"), k).as("sk"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).toMap
+
+      val partials = parted.groupBy("event_type", "part")
+        .agg(KmvSketch.buildCol(col("h"), k).as("sk"))
+      val oneLevel = partials.groupBy("event_type")
+        .agg(KmvSketch.mergeCol(col("sk"), k).as("sk"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).toMap
+      val twoLevel = partials
+        .withColumn("sup", col("part") % 3)
+        .groupBy("event_type", "sup").agg(KmvSketch.mergeCol(col("sk"), k).as("sk"))
+        .groupBy("event_type").agg(KmvSketch.mergeCol(col("sk"), k).as("sk"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).toMap
+
+      assert(oneLevel == direct, s"k=$k nParts=$nParts seed=$seed: merge lost information")
+      assert(twoLevel == direct, s"k=$k nParts=$nParts seed=$seed: rollup-of-rollups lost information")
+    }
+  }
+
   test("estimate is exact below k and within KMV error bounds at k") {
     val k = 64
     def build(c: org.apache.spark.sql.Column) = KmvSketch.buildCol(c, k)
