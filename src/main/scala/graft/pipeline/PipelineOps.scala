@@ -1112,10 +1112,10 @@ object PipelineOps {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH bucket id: sign bits of 12 md5-derived random hyperplanes (native
-    * fused dot against the constant-folded plane vector). */
-  private def bucketExpr(qCol: String): Column =
-    (0 until LshPlanes).map { p =>
+  /** LSH bucket id: sign bits of `planes` md5-derived random hyperplanes
+    * (native fused dot against the constant-folded plane vector). */
+  private def bucketExpr(qCol: String, planes: Int = LshPlanes): Column =
+    (0 until planes).map { p =>
       val ws = array((0 until EmbDim).map(d => lit(planeWeight(p, d))): _*)
       when(graft.functions.QuantizedDot(col(qCol), ws) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -1123,8 +1123,16 @@ object PipelineOps {
   /** p08: LSH-bucketed ANN — candidates share a 12-bit hyperplane bucket, so
     * the join shuffles on the bucket key instead of crossing the corpus.
     * The scale path: recall trades against bucket width (Bands/planes). */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir).withColumn("bucket", bucketExpr("q"))
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshParam(spark, dir, LshPlanes)
+
+  /** Parameterized core of p08 (plane count = bucket bit width);
+    * LshFuzzSpec differential-tests widths against a driver-side oracle.
+    * Planes must stay below the p14 dedup plane-index offset (64) so the
+    * two operators' md5-derived weight namespaces never overlap. */
+  private[graft] def annLshParam(spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    require(planes >= 1 && planes < 64, s"planes ($planes) must be in 1..63")
+    val q = quantized(spark, dir).withColumn("bucket", bucketExpr("q", planes))
     val corpus = q.select(col("bucket"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("nrm").as("nrm_b"))
     val queries = q.where(col("vec_id") < 10)
       .select(col("bucket"), col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
