@@ -142,4 +142,10 @@ class MinhashFuzzSpec extends AnyFunSuite {
       // was chosen to yield pairs on the sf0.001 corpus
       assert(want.nonEmpty, "degenerate grid point: oracle found no pairs")
     }
+
+  test("non-dividing band counts are rejected, not silently truncated") {
+    intercept[IllegalArgumentException] {
+      PipelineOps.minhashPairsParam(spark, SfDir, 32, 5, 64, 8, 0.5)
+    }
+  }
 }

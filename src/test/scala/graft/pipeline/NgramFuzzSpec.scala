@@ -89,4 +89,14 @@ class NgramFuzzSpec extends AnyFunSuite {
           s"impl-only=${(got.toSet -- want.toSet).take(5)} oracle-only=${(want.toSet -- got.toSet).take(5)}")
       assert(want.nonEmpty, "degenerate grid point: oracle found no pairs")
     }
+
+  test("thresholds above 1 and zero widths are rejected") {
+    val docsDf = spark.read.parquet(s"$SfDir/documents.parquet")
+    intercept[IllegalArgumentException] {
+      PipelineOps.ngramJaccardParam(docsDf, 3, 100, 6, 5) // num > den
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps.ngramJaccardParam(docsDf, 0, 100, 3, 5) // zero gram width
+    }
+  }
 }
