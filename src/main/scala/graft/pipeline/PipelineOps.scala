@@ -186,6 +186,40 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** p39: heavy-hitter vocabulary — every token with frequency >=
+    * 1/[[HeavyHitterDen]] of the corpus, EXACTLY, without ever shuffling
+    * the token space. Pass 1 is one bounded-state aggregate: a mergeable
+    * Misra-Gries summary ([[graft.functions.MgSketch]], <= capacity
+    * entries per partition partial) plus the exact total count. MG
+    * guarantees every token above N/(capacity+1) survives the summary, so
+    * with capacity >= Den the summary is a proven SUPERSET of the answer;
+    * pass 2 semi-joins the corpus against the broadcast candidates and
+    * exact-counts only those. The final filter on exact counts makes the
+    * answer deterministic and exact even though the sketch's extra
+    * candidates are partitioning-dependent (MgSketchSpec fuzzes both
+    * properties). This is the 100 TB vocabulary shape: a raw
+    * `groupBy(token)` shuffles the full vocabulary; here the shuffle
+    * carries <= capacity entries per partition in pass 1 and only
+    * candidate-token partials in pass 2. */
+  val HeavyHitterDen = 128L
+  val MgCapacity = 256
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    def toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.MgSketch.candidatesCol(col("tok"), MgCapacity).as("cands"),
+      count(lit(1)).as("n_total"))
+    val cands = sketch.select(col("n_total"), explode(col("cands")).as("tok"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok", "n_total")
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") * HeavyHitterDen >= col("n_total"))
+      .withColumn("ratio", col("freq").cast("double") / col("n_total").cast("double"))
+      .select(col("tok"), col("freq"), col("n_total"), col("ratio"))
+      .orderBy("tok")
+  }
+
   /** p31: TF-IDF top terms per document — the second classic two-pass text
     * score after rare-token TF (p17): pass 1 builds global document
     * frequencies, pass 2 scores each (doc, term) and ranks per document.
@@ -1048,6 +1082,61 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** p40: bloom-prefiltered decontamination — p19's pattern when the probe
+    * side (a full prior corpus, not a benchmark) is too large to broadcast
+    * as an exact set: build a distributed bloom filter over the probe
+    * shingle hashes (Spark's own `BloomFilterAggregate`, per-partition
+    * filters OR-merged; the one binary collected is bits-bounded at
+    * [[BloomDecontamBits]]/8 bytes regardless of probe cardinality), embed
+    * it as a foldable literal so `might_contain` prefilters the corpus scan
+    * inside whole-stage codegen, then EXACT-CONFIRM the survivors with a
+    * join against the true probe set. Bloom false positives are removed by
+    * the confirm join, so the result is provably identical to the
+    * unfiltered exact plan (BloomDecontamSpec asserts equality) — the bloom
+    * only shrinks what reaches the shuffle. At 100 TB: the probe set
+    * shuffles once into the filter build, the corpus scan stays
+    * embarrassingly parallel behind a constant-memory predicate, and the
+    * confirm join handles only prefilter survivors (FPP-bounded).
+    *
+    * Output aggregates per source — bounded by source cardinality at any
+    * scale — with the >= [[BloomHighNum]]/[[BloomHighDen]]-overlap count as
+    * the flag signal. All ratios divide exact integer sums. */
+  val BloomProbeDocs = 30
+  val BloomHighNum = 9
+  val BloomHighDen = 10
+  /** 2^19 expected items / 2^22 bits (512 KiB, ~7 bits/item at the fixture
+    * probe cardinality): under the runtime-filter creation caps, honest FPP
+    * at probe scale. Production sizes to the real probe cardinality. */
+  val BloomDecontamItems: Long = 1L << 19
+  val BloomDecontamBits: Long  = 1L << 22
+
+  def bloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).localCheckpoint(false)
+    val probes = sh.where(col("doc_id") < BloomProbeDocs)
+      .select(explode(col("hashes")).as("h")).distinct()
+    // one bits-bounded binary reaches the driver — the scalar-subquery
+    // shape runtime filters use, not a data collect
+    val bloom = probes
+      .agg(graft.functions.BloomProbe.aggCol(col("h"), BloomDecontamItems, BloomDecontamBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpus = sh.where(col("doc_id") >= BloomProbeDocs)
+      .select(col("doc_id"), col("source"), size(col("hashes")).cast("long").as("n_grams"),
+        explode(col("hashes")).as("h"))
+      .where(graft.functions.BloomProbe.mightContain(bloom, col("h")))
+    corpus.join(probes, "h") // exact confirm; AQE broadcasts the small side
+      .groupBy("doc_id", "source", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_hit_docs"),
+        sum(when(col("n_hits") * BloomHighDen >= col("n_grams") * BloomHighNum, 1L)
+          .otherwise(0L)).as("n_high"),
+        sum("n_hits").as("sum_hits"),
+        sum("n_grams").as("sum_grams"))
+      .withColumn("overlap", col("sum_hits").cast("double") / col("sum_grams").cast("double"))
+      .orderBy("source")
+  }
+
   /** p20: intra-document repetition signals (the Gopher/MassiveText
     * repetition filters): duplicate-token and duplicate-bigram fractions per
     * source, plus the count of docs over 20% duplicate bigrams. All ratios
@@ -1747,5 +1836,7 @@ object PipelineOps {
     "p35_simhash_pairs" -> simhashPairs,
     "p36_dedup_verdict" -> dedupVerdict,
     "p37_ann_ivfpq"     -> annIvfPq,
-    "p38_dedup_incremental" -> dedupVerdictIncremental)
+    "p38_dedup_incremental" -> dedupVerdictIncremental,
+    "p39_heavy_hitters" -> heavyHitters,
+    "p40_bloom_decontam" -> bloomDecontam)
 }

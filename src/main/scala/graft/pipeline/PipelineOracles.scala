@@ -791,6 +791,38 @@ object PipelineOracles {
        |FROM ranked WHERE rnk <= ${PipelineOps.PqTopK} ORDER BY query_id, rnk""".stripMargin
   }
 
+  // p39's oracle is the direct exact computation — the sketch pass is an
+  // execution strategy, not a semantics change, so the oracle never
+  // mentions it: candidates + exact confirm must equal the full groupBy.
+  private val p39 =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |n AS (SELECT count(*)::BIGINT AS n_total FROM toks)
+       |SELECT tok, count(*)::BIGINT AS freq, n_total,
+       |       CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS ratio
+       |FROM toks, n GROUP BY tok, n_total
+       |HAVING count(*) * ${PipelineOps.HeavyHitterDen} >= n_total
+       |ORDER BY tok""".stripMargin
+
+  // p40's oracle is likewise bloom-free: prefilter + exact confirm must
+  // equal the plain exact join (false positives die in the confirm).
+  private val p40 =
+    s"""$shingleCtes,
+       |d2 AS (SELECT doc_id, source FROM documents),
+       |probe AS (
+       |  SELECT DISTINCT unnest(hashes) AS ph FROM h WHERE doc_id < ${PipelineOps.BloomProbeDocs}),
+       |corpus AS (
+       |  SELECT h.doc_id, d2.source, len(hashes)::BIGINT AS n_grams, unnest(hashes) AS ph
+       |  FROM h JOIN d2 USING (doc_id) WHERE h.doc_id >= ${PipelineOps.BloomProbeDocs}),
+       |hits AS (
+       |  SELECT doc_id, source, n_grams, count(*)::BIGINT AS n_hits
+       |  FROM corpus JOIN probe USING (ph) GROUP BY doc_id, source, n_grams)
+       |SELECT source, count(*)::BIGINT AS n_hit_docs,
+       |       CAST(sum(CASE WHEN n_hits * ${PipelineOps.BloomHighDen} >= n_grams * ${PipelineOps.BloomHighNum} THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |       CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+       |       CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+       |       CAST(CAST(sum(n_hits) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_grams) AS BIGINT) AS DOUBLE) AS overlap
+       |FROM hits GROUP BY source ORDER BY source""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -832,5 +864,7 @@ object PipelineOracles {
     // the incremental refresh must converge to the one-shot verdict, so
     // p36's oracle IS p38's oracle — the gate proves batch-boundary
     // invisibility cross-engine, not just Spark-vs-Spark
-    "p38_dedup_incremental" -> p36)
+    "p38_dedup_incremental" -> p36,
+    "p39_heavy_hitters" -> p39,
+    "p40_bloom_decontam" -> p40)
 }
