@@ -71,12 +71,11 @@ object PipelineOps {
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    // the driver writes events.ts as TIMESTAMP(NANOS); Spark only reads
-    // nanos as long (the ops here don't consume ts)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  /** events with `ts` normalized to epoch-µs int64 — the driver has shipped
+    * the column as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) parquet;
+    * [[graft.sources.EventsSource]] absorbs the flavor at the scan. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.EventsSource.read(spark, dir)
 
   /** First 12 hex chars of md5 as int64 (48 bits — exact in any engine). */
   private def hex12(e: String): String =
@@ -257,6 +256,71 @@ object PipelineOps {
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("tok"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** p41: bigram-LM quality scoring — the language-model fluency filter of
+    * CCNet / the KenLM pass every pretraining pipeline runs (Wenzek et al.
+    * 2020): score each document by how expected its token transitions are
+    * under a model trained on the corpus itself, flag the tail. The real
+    * pipelines use a smoothed 5-gram LM and perplexity; the cross-engine
+    * EXACT core is the same two-pass shape with an integer-rational
+    * conditional probability — per bigram instance,
+    * `p_scaled = C(w1,w2) · LmScale DIV C(w1·)` (C(w1·) = bigrams starting
+    * w1, so p sums to 1 over continuations) — summed per doc and divided
+    * only at the end; log-smoothing is an engine-dependent float ladder,
+    * rank-irrelevant for the flag signal here. Low-scoring docs are the
+    * incoherent tail (shuffled/truncated text scores near the unigram
+    * floor; templated text scores high).
+    *
+    * Shape at scale: tokenize once, one count shuffle per n-gram order
+    * (map-side combined, keys bounded by the OBSERVED vocab/bigram space —
+    * Zipf-bounded, never corpus-sized), then score joins keyed on the same
+    * grams. The count tables are the model: tiny next to the corpus,
+    * reusable across scoring runs (train on a clean reference corpus,
+    * score anything — exactly CCNet's split). Per-doc sums re-shuffle on
+    * doc_id, output is source-bounded. Int64 bound: `C(w1,w2) · LmScale`
+    * needs the hottest bigram count under 2^63/10^6 ≈ 9.2·10^12 — past
+    * that (a ~100 T-token corpus where one bigram is ~10% of text), drop
+    * LmScale a decade or move the product to DECIMAL(38,0); per-doc sums
+    * are ≤ n_bigrams · LmScale and safe far beyond that. */
+  val LmScale = 1000000L
+  /** Flag threshold: per-doc mean scaled p below LmScale/64 (~1.5% mean
+    * transition probability) — compared cross-multiplied, never as a
+    * double. */
+  val LmLowDen = 64L
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOf(docs(spark, dir))
+
+  /** p41 body over a (doc_id, source, text) frame — seam for fixture specs
+    * with hand-computable bigram probabilities. */
+  private[graft] def lmScoreOf(docsDf: DataFrame): DataFrame = {
+    val grams = docsDf
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+          .as("g"))
+      .select(col("doc_id"), col("source"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    grams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("p_scaled", expr(s"(c12 * $LmScale) DIV c1"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_scaled").as("score_sum"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        sum("score_sum").as("sum_score"),
+        sum(when(col("score_sum") * LmLowDen < col("n_bigrams") * LmScale, 1L)
+          .otherwise(0L)).as("n_low"))
+      .withColumn("avg_p",
+        col("sum_score").cast("double") / col("sum_bigrams").cast("double") / lit(LmScale.toDouble))
+      .orderBy("source")
   }
 
   // ======================================================= deduplication
@@ -1629,15 +1693,16 @@ object PipelineOps {
     * form a session (lag → gap flag → running session id, the standard
     * windowed-SQL shape; the streaming twin lives in
     * [[graft.streaming.EventStream.sessionize]]). Event times compare in
-    * integer microseconds (DuckDB truncates TIMESTAMP_NS to µs on read, so
-    * the oracle-shared grain is µs); all arithmetic exact. Emits the
-    * events-per-session histogram with total duration per bucket. */
+    * integer microseconds — the grain [[graft.sources.EventsSource]]
+    * normalizes `ts` to and DuckDB's `epoch_us` shares — so all gap
+    * arithmetic is exact int64. Emits the events-per-session histogram
+    * with total duration per bucket. */
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
   def sessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)
     events(spark, dir)
-      .withColumn("tsu", expr("ts DIV 1000"))
+      .withColumn("tsu", col("ts"))
       .withColumn("prev_ts", lag(col("tsu"), 1).over(byUser))
       .withColumn("new_s",
         when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
@@ -1663,7 +1728,7 @@ object PipelineOps {
     * never a window over the whole event stream. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelStages(events(spark, dir)
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tsu")))
+      .select(col("user_id"), col("event_type"), col("ts").as("tsu")))
 
   /** Funnel body over a (user_id, event_type, tsu) frame — split out so the
     * spec can drive it with fixtures that stop users at every stage. */
@@ -1743,7 +1808,7 @@ object PipelineOps {
     * no per-key cross product — see that object's scale notes), rolled up
     * to per-user match counts and exact integer-µs lag sums. */
   def asofLag(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).withColumn("tsu", expr("ts DIV 1000"))
+    val e = events(spark, dir).withColumn("tsu", col("ts"))
     val clicks = e.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("tsu"))
     val views = e.where(col("event_type") === "view")
@@ -1770,7 +1835,7 @@ object PipelineOps {
   val AttribWindowUs: Long = 3600L * 1000 * 1000
 
   def intervalAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).withColumn("tsu", expr("ts DIV 1000"))
+    val e = events(spark, dir).withColumn("tsu", col("ts"))
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         (col("tsu") - AttribWindowUs).as("lo"), col("tsu").as("hi"))
@@ -1838,5 +1903,6 @@ object PipelineOps {
     "p37_ann_ivfpq"     -> annIvfPq,
     "p38_dedup_incremental" -> dedupVerdictIncremental,
     "p39_heavy_hitters" -> heavyHitters,
-    "p40_bloom_decontam" -> bloomDecontam)
+    "p40_bloom_decontam" -> bloomDecontam,
+    "p41_lm_score"      -> lmScore)
 }

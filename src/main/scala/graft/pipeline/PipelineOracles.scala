@@ -823,6 +823,34 @@ object PipelineOracles {
        |       CAST(CAST(sum(n_hits) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_grams) AS BIGINT) AS DOUBLE) AS overlap
        |FROM hits GROUP BY source ORDER BY source""".stripMargin
 
+  /** p41: the same integer-rational bigram score — conditional counts via
+    * two grouped CTEs, per-instance `c12·SCALE DIV c1`, per-doc sums, flag
+    * by cross-multiplication (identical int64 ladder to the Spark side). */
+  private val p41 =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |g AS (
+       |  SELECT doc_id, source, gg[1] AS w1, gg[2] AS w2
+       |  FROM (SELECT doc_id, source,
+       |          unnest([[toks[i], toks[i+1]] FOR i IN range(1, len(toks))]) AS gg
+       |        FROM t)),
+       |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM g GROUP BY w1, w2),
+       |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM g GROUP BY w1),
+       |scored AS (
+       |  SELECT g.doc_id, g.source, (big.c12 * ${PipelineOps.LmScale}) // uni.c1 AS p_scaled
+       |  FROM g JOIN big USING (w1, w2) JOIN uni USING (w1)),
+       |perdoc AS (
+       |  SELECT doc_id, source, count(*)::BIGINT AS n_bigrams,
+       |         CAST(sum(p_scaled) AS BIGINT) AS score_sum
+       |  FROM scored GROUP BY doc_id, source)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+       |       CAST(sum(score_sum) AS BIGINT) AS sum_score,
+       |       CAST(sum(CASE WHEN score_sum * ${PipelineOps.LmLowDen} < n_bigrams * ${PipelineOps.LmScale} THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |       CAST(CAST(sum(score_sum) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_bigrams) AS BIGINT) AS DOUBLE) / ${PipelineOps.LmScale}.0 AS avg_p
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -866,5 +894,6 @@ object PipelineOracles {
     // invisibility cross-engine, not just Spark-vs-Spark
     "p38_dedup_incremental" -> p36,
     "p39_heavy_hitters" -> p39,
-    "p40_bloom_decontam" -> p40)
+    "p40_bloom_decontam" -> p40,
+    "p41_lm_score"      -> p41)
 }

@@ -18,11 +18,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet wire schema: ts arrives as TIMESTAMP(NANOS), which Spark
-    * reads as nanos-since-epoch long under `nanosAsLong`. */
-  val eventSchema: StructType = StructType(Seq(
+  /** events.parquet wire schema; `ts` takes whatever flavor the files carry
+    * (TIMESTAMP(NANOS)-as-long or TIMESTAMP_NTZ — see
+    * [[graft.sources.EventsSource]]), probed from a footer before the
+    * stream starts (streaming sources need a declared schema). */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -32,14 +34,15 @@ object EventStream {
   final case class SessionState(start: Long, lastTs: Long, n: Long, totalValue: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Long, total_value: Double, open: Boolean)
 
-  /** Streaming source over a parquet events directory. */
+  /** Streaming source over a parquet events directory; `ts` lands as a
+    * proper event-time TIMESTAMP (exact µs) whatever the file flavor. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.sources.EventsSource.tsFileType(spark, dir)
     spark.readStream
-      .schema(eventSchema)
+      .schema(eventSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .withColumn("ts", timestamp_micros(graft.sources.EventsSource.tsMicros(tsType)))
   }
 
   /** Watermarked per-day/type rollup: count + DECIMAL-summed value (same

@@ -29,8 +29,7 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 
   private def eventsHashed = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$SfDir/events.parquet")
+    graft.sources.EventsSource.read(spark, SfDir) // ts = epoch µs
       .select(col("event_type"), col("ts"),
         expr("CAST(conv(substr(md5(cast(user_id as string)), 1, 12), 16, 10) AS BIGINT)").as("h"))
   }
@@ -51,7 +50,7 @@ class KmvSketchSpec extends AnyFunSuite {
     val k = 32
     def build(c: org.apache.spark.sql.Column) = KmvSketch.buildCol(c, k)
     def mergeS(c: org.apache.spark.sql.Column) = KmvSketch.mergeCol(c, k)
-    val withDay = eventsHashed.withColumn("day", expr("ts DIV 86400000000000"))
+    val withDay = eventsHashed.withColumn("day", expr("ts DIV 86400000000")) // µs/day
 
     val perDay = withDay.groupBy("event_type", "day").agg(build(col("h")).as("sk"))
     val merged = perDay.groupBy("event_type").agg(mergeS(col("sk")).as("sk"))

@@ -167,6 +167,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(accounted == events, "n_events * n_sessions must sum to the event count")
   }
 
+  test("lm score matches a hand-computed bigram model on a fixture") {
+    import spark.implicits._
+    val S = PipelineOps.LmScale
+    // corpus grams: A = xy,yx,xy,yx ; B = xy,yz
+    // C(x,·)=3 all xy → p(xy)=S; C(y,·)=3: yx×2, yz×1 → p(yx)=2S DIV 3, p(yz)=S DIV 3
+    val docs = Seq(
+      (1L, "sA", "x y x y x"),
+      (2L, "sB", "x y z"),
+      (3L, "sC", "solo")) // <2 tokens: excluded entirely
+      .toDF("doc_id", "source", "text")
+    val rows = PipelineOps.lmScoreOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val pyx = 2 * S / 3; val pyz = S / 3
+    assert(rows("sA") == ((1L, 4L, 2 * S + 2 * pyx, 0L)))
+    assert(rows("sB") == ((1L, 2L, S + pyz, 0L)))
+    assert(!rows.contains("sC"), "a source with only sub-bigram docs produces no row")
+  }
+
+  test("lm score invariants on the real corpus: bounds, doc accounting, low-tail") {
+    val rows = PipelineOps.lmScore(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val eligible = spark.read.parquet(s"$SfDir/documents.parquet")
+      .where(org.apache.spark.sql.functions.expr("size(split(text, ' ')) >= 2")).count()
+    assert(rows.map(_.getLong(1)).sum == eligible, "every >=2-token doc scored once")
+    rows.foreach { r =>
+      // per-instance p_scaled <= LmScale, so the corpus mean is a probability
+      assert(r.getLong(3) <= r.getLong(2) * PipelineOps.LmScale, "sum_score bound")
+      assert(r.getLong(4) <= r.getLong(1), "n_low <= n_docs")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, "avg_p in (0,1]")
+    }
+  }
+
   test("hash split partitions every doc exactly once, deterministically") {
     val rows = PipelineOps.hashSplit(spark, SfDir).collect()
     val splits = rows.map(_.getString(0)).toSet

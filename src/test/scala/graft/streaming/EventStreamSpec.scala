@@ -19,10 +19,8 @@ class EventStreamSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
         .sortBy(t => (t._1.getTime, t._2))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val want = spark.read.schema(EventStream.eventSchema)
-        .parquet(s"$SfDir/events.parquet")
-        .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+      val want = graft.sources.EventsSource.read(spark, SfDir)
+        .withColumn("ts", timestamp_micros(col("ts")))
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
@@ -184,10 +182,8 @@ class EventStreamSpec extends AnyFunSuite {
         .select("purchase_id", "view_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batch = spark.read.schema(EventStream.eventSchema)
-        .parquet(s"$SfDir/events.parquet")
-        .withColumn("tsu", expr("ts DIV 1000"))
+      val batch = graft.sources.EventsSource.read(spark, SfDir)
+        .withColumn("tsu", col("ts"))
       val want = graft.operators.TemporalJoins.intervalJoin(
           points = batch.where(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"), col("tsu")),
@@ -207,14 +203,12 @@ class EventStreamSpec extends AnyFunSuite {
   test("streaming funnel matches a reference fold of the real event stream") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // real events, delivered per user in event-time order (the contract
     // under which the incremental funnel is exact), split into two triggers
-    val evs = spark.read.schema(EventStream.eventSchema)
-      .parquet(s"$SfDir/events.parquet")
+    val evs = graft.sources.EventsSource.read(spark, SfDir)
       .collect()
       .map(r => EventStream.Event(r.getLong(2),
-        new Timestamp(r.getLong(1) / 1000000L), r.getString(3), r.getDouble(4)))
+        new Timestamp(r.getLong(1) / 1000L), r.getString(3), r.getDouble(4)))
       .sortBy(e => (e.user_id, e.ts.getTime))
     val (b1, b2) = evs.splitAt(evs.length / 2)
 
