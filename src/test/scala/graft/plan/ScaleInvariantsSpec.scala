@@ -95,6 +95,17 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("lm score: gram-keyed joins only, map-side-combined counts, no window") {
+    val p = graft.pipeline.PipelineOps.lmScore(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // count tables join the gram stream on their keys; nothing may widen
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // per-doc and per-source sums are groupBys, never a corpus-wide window
+    assert(!p.contains("Window"), "scoring must not window the gram stream")
+    // the bigram/unigram count shuffles must carry partial counts, not rows
+    assert(p.contains("partial_count"), "count aggregates should partial-aggregate map-side")
+  }
+
   test("hot aggregation path stays inside whole-stage codegen") {
     val df = planner.plan(spark, CubeQuery(
       drilldowns = Seq(drill("Return Flag.Return Flag")),
