@@ -35,8 +35,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        // rethrow with the query named: the harness captures only the tail
+        // of a failed run, so the name must ride on the exception itself
+        throw new RuntimeException(s"bench query '$name' failed: ${e.getMessage}", e)
+      }
 
     materialize("q01_agg") // warmup (not timed)
 

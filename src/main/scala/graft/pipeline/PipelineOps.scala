@@ -323,6 +323,70 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** p42: exact per-source doc-length deciles WITHOUT a per-group full
+    * sort — the distribution stats every corpus datasheet reports
+    * (length percentiles drive truncation/packing/quality decisions), as
+    * the classic two-pass bin-then-refine selection:
+    *
+    * pass 1 bins each value into [[QuantNumBins]] equi-width buckets and
+    * counts per (source, bin) — bounded state (NB counters per group),
+    * map-side combined, never a sort; the driver folds the ≤
+    * sources × NB counter rows into cumulative offsets and computes, for
+    * each target rank ceil(d·n/10), its bucket and rank-within-bucket
+    * (same bounded-collect contract as OLAP member resolution — counter
+    * rows, never data rows). Pass 2 semi-joins the corpus down to the ≤ 9
+    * candidate buckets per source and ranks only those (~n/NB rows each)
+    * with a (source, bin)-partitioned window. Result: EXACT rank
+    * selection — the value at rank ceil(d·n/10) is tie-order-independent,
+    * so it hash-matches any engine — while the heavy pass stays a counting
+    * aggregate. A per-group `orderBy` + row_number would sort entire
+    * groups at 100 TB; sketches (t-digest/KLL/GK) trade exactness for one
+    * pass — this operator is the exact complement to the engine's sketch
+    * family (KMV distincts, MG heavy hitters, bloom membership).
+    *
+    * Int64 bound: bin arithmetic is `(v - lo) · NB DIV span`; values up to
+    * 2^55 are safe at NB = 256. */
+  val QuantNumBins = 256
+  val QuantDeciles = 9
+
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesOf(docs(spark, dir).select(col("source"), col("n_chars").as("v")))
+
+  /** p42 body over a (source, v:int64) frame — seam for fixture specs. */
+  private[graft] def quantilesOf(vals: DataFrame): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val ext = vals.groupBy("source")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    val binned = vals.join(broadcast(ext), "source")
+      .withColumn("bin", expr(s"CAST(((v - lo) * $QuantNumBins) DIV (hi - lo + 1) AS INT)"))
+    val binCounts = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+
+    // driver fold: counter rows only (≤ sources × NB), like member resolution
+    val nBySource = ext.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val counters = binCounts.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val targets = counters.toSeq.flatMap { case (source, bins) =>
+      val n = nBySource(source)
+      val cumBefore = bins.scanLeft(0L)(_ + _._3)
+      (1 to QuantDeciles).map { d =>
+        val rank = (d * n + 9L) / 10L // ceil(d·n/10), 1-based
+        val i = bins.indices.find(i => rank <= cumBefore(i) + bins(i)._3).get
+        (source, bins(i)._2, rank - cumBefore(i), d.toLong, n)
+      }
+    }.toDF("source", "bin", "local_rank", "decile", "n")
+
+    val w = Window.partitionBy(col("source"), col("bin")).orderBy(col("v").asc)
+    binned.select(col("source"), col("bin"), col("v"))
+      .join(broadcast(targets.select("source", "bin").distinct()), Seq("source", "bin"), "leftsemi")
+      .withColumn("rnk", row_number().over(w))
+      .join(broadcast(targets), Seq("source", "bin"))
+      .where(col("rnk") === col("local_rank"))
+      .select(col("source"), col("decile"), col("n"), col("v").as("value"))
+      .orderBy("source", "decile")
+  }
+
   // ======================================================= deduplication
 
   /** p30: repeated-span detection — the n-gram approximation of exact
@@ -1904,5 +1968,6 @@ object PipelineOps {
     "p38_dedup_incremental" -> dedupVerdictIncremental,
     "p39_heavy_hitters" -> heavyHitters,
     "p40_bloom_decontam" -> bloomDecontam,
-    "p41_lm_score"      -> lmScore)
+    "p41_lm_score"      -> lmScore,
+    "p42_quantiles"     -> quantiles)
 }

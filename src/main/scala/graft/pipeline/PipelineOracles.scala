@@ -851,6 +851,19 @@ object PipelineOracles {
        |       CAST(CAST(sum(score_sum) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_bigrams) AS BIGINT) AS DOUBLE) / ${PipelineOps.LmScale}.0 AS avg_p
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
+  /** p42: the oracle affords the per-group full sort the Spark side's
+    * bin-then-refine avoids — the value at rank ceil(d·n/10) in value
+    * order is tie-order-independent, so both forms must hash-match. */
+  private val p42 =
+    """WITH v AS (SELECT source, n_chars AS v FROM documents),
+      |n AS (SELECT source, count(*)::BIGINT AS n FROM v GROUP BY source),
+      |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rnk FROM v),
+      |d AS (SELECT source, n, unnest(range(1, 10)) AS decile FROM n),
+      |t AS (SELECT source, n, decile, (decile * n + 9) // 10 AS target FROM d)
+      |SELECT t.source, t.decile::BIGINT AS decile, t.n, r.v AS value
+      |FROM t JOIN r ON r.source = t.source AND r.rnk = t.target
+      |ORDER BY t.source, decile""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -895,5 +908,6 @@ object PipelineOracles {
     "p38_dedup_incremental" -> p36,
     "p39_heavy_hitters" -> p39,
     "p40_bloom_decontam" -> p40,
-    "p41_lm_score"      -> p41)
+    "p41_lm_score"      -> p41,
+    "p42_quantiles"     -> p42)
 }

@@ -199,6 +199,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantiles: bin-then-refine equals hand-computed rank selection") {
+    import spark.implicits._
+    val vals = (
+      (1 to 10).map(i => ("sA", i * 10L)) ++   // deciles: value = 10·d
+      Seq(("sB", 7L)) ++                       // n=1: every decile is the row
+      Seq(("sC", 5L), ("sC", 5L), ("sC", 5L))  // degenerate hi==lo extent
+    ).toDF("source", "v")
+    val rows = PipelineOps.quantilesOf(vals).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    (1 to 9).foreach { d =>
+      assert(rows(("sA", d.toLong)) == 10L * d, s"sA d$d")
+      assert(rows(("sB", d.toLong)) == 7L, s"sB d$d")
+      assert(rows(("sC", d.toLong)) == 5L, s"sC d$d")
+    }
+    assert(rows.size == 27)
+  }
+
+  test("quantiles on the real corpus: monotone per source, rank-exact vs full sort") {
+    val got = PipelineOps.quantiles(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // deciles are non-decreasing within each source
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val vs = rs.sortBy(_._2).map(_._4)
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    }
+    // every decile equals the value at rank ceil(d*n/10) of the full sort
+    val bySource = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (s, d, n, v) =>
+      val sorted = bySource(s)
+      assert(n == sorted.length)
+      assert(v == sorted(((d * n + 9) / 10).toInt - 1), s"$s d$d")
+    }
+  }
+
   test("hash split partitions every doc exactly once, deterministically") {
     val rows = PipelineOps.hashSplit(spark, SfDir).collect()
     val splits = rows.map(_.getString(0)).toSet

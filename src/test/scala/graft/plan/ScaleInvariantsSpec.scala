@@ -106,6 +106,20 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "count aggregates should partial-aggregate map-side")
   }
 
+  test("quantiles: refine window keyed by bucket, candidate bins semi-joined, targets broadcast") {
+    // (the counting pass runs eagerly at plan build — driver counter fold —
+    // so the returned plan IS the refine pass; pin its shape)
+    val p = graft.pipeline.PipelineOps.quantiles(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the only window is the candidate-bucket refine, keyed by (source, bin)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(windows.nonEmpty && !windows.contains("windowspecdefinition()"), windows)
+    // corpus prunes to candidate buckets BEFORE ranking (no full-group sort)
+    assert(p.contains("LeftSemi"), "candidate-bin semi-join must precede the window")
+    assert(p.contains("BroadcastHashJoin"), "targets/extents must broadcast")
+  }
+
   test("hot aggregation path stays inside whole-stage codegen") {
     val df = planner.plan(spark, CubeQuery(
       drilldowns = Seq(drill("Return Flag.Return Flag")),
