@@ -22,6 +22,22 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(failed.isEmpty, s"queries failing analysis:\n${failed.mkString("\n")}")
   }
 
+  test("all scale factors share one schema per table") {
+    // the analysis net above runs at sf0.001; a flavor change present only
+    // at a bigger SF would still pass it and die in the sf0.1 bench — so
+    // pin that the driver wrote the same types at every scale
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { t =>
+      val schemas = dirs.map(d => d -> spark.read.parquet(s"$d/$t.parquet").schema)
+      schemas.tail.foreach { case (d, s) =>
+        assert(s == schemas.head._2, s"$t schema differs between ${schemas.head._1} and $d")
+      }
+    }
+  }
+
   test("every oracle key names a query, and the flagship entry runs") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql keys without a queries entry: $orphans")
