@@ -62,6 +62,14 @@ def main():
             if sdt != odt:
                 msg += f"\n  dtypes spark={sdt} oracle={odt}"
         print(f"{name}: {msg}")
+    fpath = f"{out_dir}/_verify_failures.json"
+    if os.path.exists(fpath):
+        # oracle-keyed failures already counted above as MISSING; this
+        # surfaces failures of queries with no oracle entry (rows-only ops)
+        failed = {k: v for k, v in json.load(open(fpath)).items() if k not in oracle}
+        for k, v in sorted(failed.items()):
+            print(f"{k}: VERIFY-FAILED {v}")
+        n_fail += len(failed)
     print(f"== {n_pass} pass / {n_fail} fail ==")
 
 if __name__ == "__main__":
