@@ -387,6 +387,56 @@ object PipelineOps {
       .orderBy("source", "decile")
   }
 
+  /** p43: fixed-domain histogram quantiles — the summary-servable
+    * APPROXIMATE complement to p42's exact selection. The histogram's bin
+    * domain is DECLARED ([[HistLo]], [[HistHi]], [[HistNumBins]]; values
+    * clamp at the edges), not derived from the data — that one choice is
+    * what makes the counter table a mergeable summary: per-shard /
+    * per-batch (key, bin) counts combine by addition FOREVER (no extent
+    * drift re-binning), so a summary store maintained as a plain streaming
+    * sum (the [[graft.streaming.SummaryRefresh]] contract) serves any
+    * percentile later without touching base data. Estimates report the
+    * upper bucket edge: est ∈ [true, true + width), one-sided error
+    * bounded by the bucket width ((hi−lo+1)/NB) — HistQuantilesSpec pins
+    * the bound against p42's exact values. All arithmetic is int64, so
+    * the estimate is a deterministic function of the counters and
+    * hash-matches any engine.
+    *
+    * Shape at scale: the corpus pass is ONE bounded-state count shuffle
+    * (≤ NB counters per key, map-side combined); everything after —
+    * cumulative ranks, decile targets — runs on the counter table
+    * (keys × NB rows), windowed per key. The serving trade vs p42: one
+    * pass and mergeable storage for bucket-width precision; p42 rescans
+    * candidate buckets for exactness. */
+  val HistLo = 0L
+  val HistHi = 4095L
+  val HistNumBins = 256
+
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame =
+    histQuantilesOf(docs(spark, dir).select(col("source"), col("n_chars").as("v")))
+
+  /** p43 body over a (source, v:int64) frame — seam for fixture specs. */
+  private[graft] def histQuantilesOf(vals: DataFrame): DataFrame = {
+    val span = HistHi - HistLo + 1
+    val counts = vals
+      .withColumn("bin",
+        expr(s"CAST(((least(greatest(v, $HistLo), $HistHi) - $HistLo) * $HistNumBins) DIV $span AS INT)"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n"))
+    val targets = totals
+      .select(col("source"), col("n"), explode(expr("sequence(1, 9)")).as("decile"))
+      .withColumn("rank", expr("(decile * n + 9) DIV 10"))
+    targets.join(cum, Seq("source"))
+      .where(col("cum") >= col("rank") && col("cum") - col("c") < col("rank"))
+      .withColumn("est", expr(s"$HistLo + ((bin + 1) * $span) DIV $HistNumBins"))
+      .select(col("source"), col("decile").cast("long").as("decile"), col("n"),
+        col("est").cast("long").as("est"))
+      .orderBy("source", "decile")
+  }
+
   // ======================================================= deduplication
 
   /** p30: repeated-span detection — the n-gram approximation of exact
@@ -1969,5 +2019,6 @@ object PipelineOps {
     "p39_heavy_hitters" -> heavyHitters,
     "p40_bloom_decontam" -> bloomDecontam,
     "p41_lm_score"      -> lmScore,
-    "p42_quantiles"     -> quantiles)
+    "p42_quantiles"     -> quantiles,
+    "p43_hist_quantiles" -> histQuantiles)
 }

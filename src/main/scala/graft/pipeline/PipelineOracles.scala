@@ -864,6 +864,31 @@ object PipelineOracles {
       |FROM t JOIN r ON r.source = t.source AND r.rnk = t.target
       |ORDER BY t.source, decile""".stripMargin
 
+  /** p43: the identical counter→cumulative→target ladder over the same
+    * declared bin domain — integer arithmetic end-to-end, so the
+    * bucket-edge estimates hash-match. */
+  private val p43 = {
+    val lo = PipelineOps.HistLo; val hi = PipelineOps.HistHi
+    val nb = PipelineOps.HistNumBins; val span = hi - lo + 1
+    s"""WITH b AS (
+       |  SELECT source, ((least(greatest(n_chars, $lo), $hi) - $lo) * $nb) // $span AS bin
+       |  FROM documents),
+       |c AS (SELECT source, bin, count(*)::BIGINT AS c FROM b GROUP BY source, bin),
+       |cum AS (
+       |  SELECT source, bin, c,
+       |         sum(c) OVER (PARTITION BY source ORDER BY bin
+       |                      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM c),
+       |n AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY source),
+       |d AS (SELECT source, n, unnest(range(1, 10)) AS decile FROM n),
+       |t AS (SELECT source, n, decile, (decile * n + 9) // 10 AS rank FROM d)
+       |SELECT t.source, t.decile::BIGINT AS decile, t.n,
+       |       ($lo + ((cum.bin + 1) * $span) // $nb)::BIGINT AS est
+       |FROM t JOIN cum ON cum.source = t.source
+       |  AND cum.cum >= t.rank AND cum.cum - cum.c < t.rank
+       |ORDER BY t.source, decile""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -909,5 +934,6 @@ object PipelineOracles {
     "p39_heavy_hitters" -> p39,
     "p40_bloom_decontam" -> p40,
     "p41_lm_score"      -> p41,
-    "p42_quantiles"     -> p42)
+    "p42_quantiles"     -> p42,
+    "p43_hist_quantiles" -> p43)
 }
