@@ -415,13 +415,27 @@ object PipelineOps {
   def histQuantiles(spark: SparkSession, dir: String): DataFrame =
     histQuantilesOf(docs(spark, dir).select(col("source"), col("n_chars").as("v")))
 
-  /** p43 body over a (source, v:int64) frame — seam for fixture specs. */
-  private[graft] def histQuantilesOf(vals: DataFrame): DataFrame = {
+  /** The declared-domain bin of a value column — the expression a
+    * streaming maintainer derives stream-side so the stored keys are the
+    * grain ([[graft.streaming.SummaryRefresh]]'s `transform` hook). */
+  private[graft] def histBinExpr(v: String): String = {
     val span = HistHi - HistLo + 1
-    val counts = vals
-      .withColumn("bin",
-        expr(s"CAST(((least(greatest(v, $HistLo), $HistHi) - $HistLo) * $HistNumBins) DIV $span AS INT)"))
-      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    s"CAST(((least(greatest($v, $HistLo), $HistHi) - $HistLo) * $HistNumBins) DIV $span AS INT)"
+  }
+
+  /** p43 body over a (source, v:int64) frame — seam for fixture specs. */
+  private[graft] def histQuantilesOf(vals: DataFrame): DataFrame =
+    histQuantilesFromCounts(vals
+      .withColumn("bin", expr(histBinExpr("v")))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c")))
+
+  /** Decile estimates from a stored (source, bin, c) counter table — the
+    * serving half of p43: the table may come from the one-shot pass above
+    * or from a summary store a streaming sum has been folding batches
+    * into; the estimates are a deterministic function of the counters, so
+    * both must agree row-for-row (HistQuantilesSpec proves it). */
+  private[graft] def histQuantilesFromCounts(counts: DataFrame): DataFrame = {
+    val span = HistHi - HistLo + 1
     val wCum = Window.partitionBy(col("source")).orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("cum", sum(col("c")).over(wCum))

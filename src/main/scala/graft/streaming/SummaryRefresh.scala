@@ -44,7 +44,13 @@ object SummaryRefresh {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 
   /** Starts the refresh stream: watches `factDir` for new files and folds
-    * each micro-batch into the parquet store at `storePath`. */
+    * each micro-batch into the parquet store at `storePath`. `transform`
+    * runs on each batch before aggregation — summary grains are routinely
+    * DERIVED columns (a month from a timestamp, a histogram bin from a
+    * value: [[graft.pipeline.PipelineOps.histQuantilesFromCounts]] serves
+    * quantiles from a store maintained exactly this way), and the derive
+    * must happen stream-side so the store's keys are the grain, not the
+    * fact. */
   def run(
       spark: SparkSession,
       factDir: String,
@@ -53,7 +59,8 @@ object SummaryRefresh {
       checkpoint: String,
       keys: Seq[String],
       meas: Seq[MeasureSpec],
-      maxFilesPerTrigger: Int = 1): StreamingQuery =
+      maxFilesPerTrigger: Int = 1,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
     spark.readStream
       .schema(factSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -61,7 +68,7 @@ object SummaryRefresh {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = partials(batch, keys, meas)
+        val delta = partials(transform(batch), keys, meas)
         val merged =
           if (Files.exists(Paths.get(storePath, "_SUCCESS")))
             merge(batch.sparkSession.read.parquet(storePath), delta, keys, meas)

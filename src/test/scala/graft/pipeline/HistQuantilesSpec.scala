@@ -46,6 +46,32 @@ class HistQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("a SummaryRefresh-maintained counter store serves the batch deciles") {
+    import java.nio.file.Files
+    import graft.streaming.SummaryRefresh
+    // the claim in p43's contract, end-to-end: fact files land one per
+    // trigger, the stream derives the bin grain and folds counters into
+    // the store, and quantiles served FROM THE STORE equal the batch pass
+    val tmp = Files.createTempDirectory("graft_hist").toString
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("source"), col("n_chars").as("v"))
+    docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/fact")
+
+    val q = SummaryRefresh.run(
+      spark, s"$tmp/fact", docs.schema, s"$tmp/store", s"$tmp/ckpt",
+      keys = Seq("source", "bin"),
+      meas = Seq(SummaryRefresh.MeasureSpec("c", "1", "sum")),
+      transform = _.withColumn("bin", expr(PipelineOps.histBinExpr("v"))))
+    try q.processAllAvailable() finally q.stop()
+
+    def img(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    val served = img(PipelineOps.histQuantilesFromCounts(
+      spark.read.parquet(s"$tmp/store")))
+    val batch = img(PipelineOps.histQuantilesOf(docs))
+    assert(served.nonEmpty && served == batch)
+  }
+
   test("clamped outliers land in the edge buckets, ranks unchanged") {
     import spark.implicits._
     val base = (1 to 100).map(i => ("s", i.toLong))
