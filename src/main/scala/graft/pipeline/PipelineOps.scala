@@ -352,14 +352,18 @@ object PipelineOps {
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     quantilesOf(docs(spark, dir).select(col("source"), col("n_chars").as("v")))
 
-  /** p42 body over a (source, v:int64) frame — seam for fixture specs. */
-  private[graft] def quantilesOf(vals: DataFrame): DataFrame = {
+  /** p42 body over a (source, v:int64) frame — seam for fixture specs;
+    * `nb` is the bucket-count geometry knob (fuzzed across degenerate
+    * geometries in QuantilesFuzzSpec — 1 bucket funnels refine into one
+    * sort, more buckets than values leaves most empty; both must stay
+    * rank-exact). */
+  private[graft] def quantilesOf(vals: DataFrame, nb: Int = QuantNumBins): DataFrame = {
     val spark = vals.sparkSession
     import spark.implicits._
     val ext = vals.groupBy("source")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
     val binned = vals.join(broadcast(ext), "source")
-      .withColumn("bin", expr(s"CAST(((v - lo) * $QuantNumBins) DIV (hi - lo + 1) AS INT)"))
+      .withColumn("bin", expr(s"CAST(((v - lo) * $nb) DIV (hi - lo + 1) AS INT)"))
     val binCounts = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
 
     // driver fold: counter rows only (≤ sources × NB), like member resolution
@@ -418,24 +422,29 @@ object PipelineOps {
   /** The declared-domain bin of a value column — the expression a
     * streaming maintainer derives stream-side so the stored keys are the
     * grain ([[graft.streaming.SummaryRefresh]]'s `transform` hook). */
-  private[graft] def histBinExpr(v: String): String = {
-    val span = HistHi - HistLo + 1
-    s"CAST(((least(greatest($v, $HistLo), $HistHi) - $HistLo) * $HistNumBins) DIV $span AS INT)"
+  private[graft] def histBinExpr(v: String,
+      lo: Long = HistLo, hi: Long = HistHi, nb: Int = HistNumBins): String = {
+    val span = hi - lo + 1
+    s"CAST(((least(greatest($v, $lo), $hi) - $lo) * $nb) DIV $span AS INT)"
   }
 
-  /** p43 body over a (source, v:int64) frame — seam for fixture specs. */
-  private[graft] def histQuantilesOf(vals: DataFrame): DataFrame =
+  /** p43 body over a (source, v:int64) frame — seam for fixture specs;
+    * (lo, hi, nb) is the declared-domain geometry, fuzzed across
+    * degenerate shapes in QuantilesFuzzSpec. */
+  private[graft] def histQuantilesOf(vals: DataFrame,
+      lo: Long = HistLo, hi: Long = HistHi, nb: Int = HistNumBins): DataFrame =
     histQuantilesFromCounts(vals
-      .withColumn("bin", expr(histBinExpr("v")))
-      .groupBy("source", "bin").agg(count(lit(1)).as("c")))
+      .withColumn("bin", expr(histBinExpr("v", lo, hi, nb)))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c")), lo, hi, nb)
 
   /** Decile estimates from a stored (source, bin, c) counter table — the
     * serving half of p43: the table may come from the one-shot pass above
     * or from a summary store a streaming sum has been folding batches
     * into; the estimates are a deterministic function of the counters, so
     * both must agree row-for-row (HistQuantilesSpec proves it). */
-  private[graft] def histQuantilesFromCounts(counts: DataFrame): DataFrame = {
-    val span = HistHi - HistLo + 1
+  private[graft] def histQuantilesFromCounts(counts: DataFrame,
+      lo: Long = HistLo, hi: Long = HistHi, nb: Int = HistNumBins): DataFrame = {
+    val span = hi - lo + 1
     val wCum = Window.partitionBy(col("source")).orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
@@ -445,7 +454,7 @@ object PipelineOps {
       .withColumn("rank", expr("(decile * n + 9) DIV 10"))
     targets.join(cum, Seq("source"))
       .where(col("cum") >= col("rank") && col("cum") - col("c") < col("rank"))
-      .withColumn("est", expr(s"$HistLo + ((bin + 1) * $span) DIV $HistNumBins"))
+      .withColumn("est", expr(s"$lo + ((bin + 1) * $span) DIV $nb"))
       .select(col("source"), col("decile").cast("long").as("decile"), col("n"),
         col("est").cast("long").as("est"))
       .orderBy("source", "decile")
