@@ -460,6 +460,53 @@ object PipelineOps {
       .orderBy("source", "decile")
   }
 
+  /** p45: regex scrub / redaction audit — the PII-removal batch shape
+    * (reference pipelines run exactly this pass before training: match a
+    * pattern table, count hits per doc, rewrite the text, flag hit-heavy
+    * docs for drop review). The synthetic corpus has no natural
+    * identifiers, so a lexicon stands in for the email/phone/IP regexes —
+    * the pattern table is data, the operator is the machinery. Patterns
+    * are RE2-safe (word boundaries, char classes, bounded quantifiers
+    * only) so Spark's Java regex and the oracle's RE2 agree; the
+    * `digits` entry matches nothing corpus-wide, pinning the zero path.
+    *
+    * Per-doc work is a pure projection (regexp_count + sequential
+    * regexp_replace in declaration order, all codegen'd); the rollup is
+    * one shuffle on `source`. The redaction itself is auditable
+    * cross-engine without shipping rewritten text: per-doc
+    * `hex12(redacted) % `[[ScrubAuditMod]] summed per source — engines
+    * agree iff every rewritten byte agrees. The modulus keeps the int64
+    * sum safe to ~9e9 docs per source; beyond that, widen to DECIMAL. */
+  val ScrubPatterns: Seq[(String, String)] = Seq(
+    "customer" -> "\\bcustomer\\b",
+    "vector"   -> "\\bvector\\b",
+    "digits"   -> "[0-9]{3,}")
+  /** Docs with at least this many total hits are flagged for review. */
+  val ScrubFlagHits = 3
+  val ScrubAuditMod = 1000000000L
+
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val withCounts = ScrubPatterns.foldLeft(docs(spark, dir)) {
+      case (d, (nm, pat)) =>
+        d.withColumn(s"hits_$nm", regexp_count(col("text"), lit(pat)).cast("long"))
+    }
+    val redacted = ScrubPatterns.foldLeft(col("text")) {
+      case (c, (nm, pat)) => regexp_replace(c, lit(pat), lit(s"[${nm.toUpperCase}]"))
+    }
+    val hitCols = ScrubPatterns.map { case (nm, _) => col(s"hits_$nm") }
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(when(col("total_hits") >= ScrubFlagHits, 1L).otherwise(0L)).as("n_flagged")) ++
+      ScrubPatterns.map { case (nm, _) => sum(col(s"hits_$nm")).as(s"hits_$nm") } :+
+      sum(expr(s"${hex12("redacted")} % $ScrubAuditMod")).as("redact_audit")
+    withCounts
+      .withColumn("redacted", redacted)
+      .withColumn("total_hits", hitCols.reduce(_ + _))
+      .groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("source")
+  }
+
   // ======================================================= deduplication
 
   /** p30: repeated-span detection — the n-gram approximation of exact
@@ -1283,6 +1330,43 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** p46: cross-source content-overlap matrix — the dataset-curation
+    * analytic behind mixing decisions: which sources are near-copies of
+    * each other (mirrors, scrapes of the same upstream) and should not be
+    * double-weighted. One row per source pair with shared distinct-shingle
+    * counts and the shingle-set Jaccard. Exact-hash overlap is the wrong
+    * probe at corpus level (zero here — sources share *content*, not
+    * byte-identical docs), so the unit is the 2-token shingle, the same
+    * vocabulary p19/p40 decontaminate with.
+    *
+    * Scale shape: explode to (source, hash), one distinct shuffle, then a
+    * hash-keyed self-join. Per-hash fan-out is bounded by the SOURCE
+    * CATALOG (≤ |sources|² pairs per hash, never corpus-sized), and the
+    * pair counts aggregate with map-side partials, so the output and all
+    * intermediate state are catalog²-bounded at any corpus size. The
+    * per-source totals are a broadcast join back. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (source, shingle-hash) feeds the totals AND both join
+    // sides — truncate lineage so shingling+hashing runs once
+    val sh = shingled(spark, dir)
+      .select(col("source"), explode(col("hashes")).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val l = sh.select(col("source").as("source_a"), col("h"))
+    val r = sh.select(col("source").as("source_b"), col("h"))
+    l.join(r, "h").where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** p40: bloom-prefiltered decontamination — p19's pattern when the probe
     * side (a full prior corpus, not a benchmark) is too large to broadcast
     * as an exact set: build a distributed bloom filter over the probe
@@ -1750,6 +1834,97 @@ object PipelineOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** p44: semantic dedup (SemDeDup, Abbas et al. 2023) — cluster the
+    * embedding space coarsely, then dedup only WITHIN cells: near-identical
+    * meaning concentrates in a cell, so the O(n²) pair space collapses to
+    * intra-cell pairs. The productionized LLM-data shape: p14 catches
+    * near-identical *vectors* via LSH banding; SemDeDup removes semantic
+    * templates at a lower threshold, where hyperplane collision probability
+    * is too weak to rely on.
+    *
+    * Per-vector verdict: its cell, whether a lower-id vector in the same
+    * cell sits within [[SemDupThreshold]] cosine (`dup_of` = the smallest
+    * such id — the deterministic keep-earliest rule), `kept` = no such
+    * vector. Zero-norm vectors have no direction: cell NULL, kept.
+    *
+    * Scale: cell count K = ⌈√n⌉ balances the two cost terms — broadcast
+    * assignment is n·K dots and intra-cell pairing is n·(n/K) ≈ both
+    * n^1.5 — the self-balancing exponent when one operator must do both
+    * jobs. (Production at 100 TB splits them: train real centroids with
+    * p24 and route assignment through p15's IVF probes; the cell-local
+    * pair stage here is unchanged by that swap.) Centroids stay
+    * broadcastable at any feasible n (√(1e12) vectors × 64 dims × 8 B ≈
+    * 512 MB is the ceiling of ceilings; real corpora sit far below). A
+    * dense cell larger than [[SemMaxCell]] skips pair enumeration — the
+    * p04/p14 hot-bucket argument: an oversize near-identical region is
+    * cluster-level dedup's job (p23), not a pairwise enumerator's. */
+  val SemDupThreshold = 0.40
+  val SemMaxCell      = 1024
+
+  /** ⌈√n⌉ — the same double-sqrt the oracle computes, so both engines
+    * derive the identical cell count from the corpus count. */
+  def semCells(n: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupParam(spark, dir, semCells(embs(spark, dir).count()),
+      SemMaxCell, SemDupThreshold)
+
+  /** Parameterized core of p44 (cell count, cell cap, cosine threshold);
+    * SemDedupFuzzSpec differential-tests geometries against a driver-side
+    * oracle recomputed from the raw float embeddings. */
+  private[graft] def semDedupParam(
+      spark: SparkSession, dir: String, k: Long,
+      maxCell: Int, threshold: Double): DataFrame = {
+    require(k >= 1, s"cell count ($k) must be positive")
+    require(maxCell >= 1, s"cell cap ($maxCell) must be positive")
+    // the quantized frame feeds assignment AND both sides of the pair
+    // join — truncate lineage so hashing runs once
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+
+    // deterministic coarse cells: the lowest-k vectors seed (the p15/p24
+    // stand-in for trained centroids), zero-norm seeds excluded;
+    // assignment is argmax cosine (ties → lowest cid) as a map-side
+    // partial-min groupBy against the broadcast seed set — never a
+    // corpus×K window (see kmeansStep)
+    val cents = q.where(col("vec_id") < k && col("nrm") > 0)
+      .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val assigned = q.where(col("nrm") > 0)
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotCol)
+      .withColumn("ccos",
+        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+
+    // intra-cell exact pairs (hot cells skipped), dup edge = cosine over
+    // threshold; vec_b's verdict keeps the SMALLEST similar lower id
+    val cw = Window.partitionBy(col("cid"))
+    val cell = assigned.join(q, "vec_id")
+      .withColumn("csz", count(lit(1)).over(cw))
+      .where(col("csz") <= maxCell)
+      .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
+    val l = cell.select(col("cid"), col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val r = cell.select(col("cid"), col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val dups = l.join(r, "cid").where(col("vec_a") < col("vec_b"))
+      .withColumn("dot", dotCol)
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+
+    embs(spark, dir).select(col("vec_id"))
+      .join(assigned, Seq("vec_id"), "left")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
   // ============================================================ multimodal
 
   /** p13: multimodal asset plumbing — content as an opaque BINARY column
@@ -2043,5 +2218,8 @@ object PipelineOps {
     "p40_bloom_decontam" -> bloomDecontam,
     "p41_lm_score"      -> lmScore,
     "p42_quantiles"     -> quantiles,
-    "p43_hist_quantiles" -> histQuantiles)
+    "p43_hist_quantiles" -> histQuantiles,
+    "p44_semdedup"      -> semDedup,
+    "p45_scrub"         -> scrub,
+    "p46_source_overlap" -> sourceOverlap)
 }

@@ -889,6 +889,90 @@ object PipelineOracles {
        |ORDER BY t.source, decile""".stripMargin
   }
 
+  /** p44: same ⌈√n⌉ cell count (double sqrt both sides), same argmax-cosine
+    * assignment as p24's cr0, same hot-cell QUALIFY as the Spark window. */
+  private val p44 = {
+    val cap = PipelineOps.SemMaxCell
+    val thr = PipelineOps.SemDupThreshold
+    s"""$quantCte,
+       |kk AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < (SELECT k FROM kk) AND nrm > 0),
+       |cr AS (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qc)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC, c.cid ASC) AS crn
+       |  FROM n CROSS JOIN cents c WHERE n.nrm > 0),
+       |a AS (SELECT vec_id, cid FROM cr WHERE crn = 1),
+       |cell AS (
+       |  SELECT a.vec_id, a.cid, n.q, n.nrm FROM a JOIN n USING (vec_id)
+       |  QUALIFY count(*) OVER (PARTITION BY a.cid) <= $cap),
+       |dups AS (
+       |  SELECT y.vec_id, CAST(min(x.vec_id) AS BIGINT) AS dup_of
+       |  FROM cell x JOIN cell y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE CAST(list_sum([z[1] * z[2] FOR z IN list_zip(x.q, y.q)]) AS DOUBLE)
+       |          / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) >= $thr
+       |  GROUP BY y.vec_id)
+       |SELECT e.vec_id, a.cid, d.dup_of,
+       |       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM embeddings e
+       |LEFT JOIN a ON a.vec_id = e.vec_id
+       |LEFT JOIN dups d ON d.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** p45: DuckDB's RE2 and Spark's Java regex agree on the shipped
+    * pattern class (word boundaries, char classes, bounded quantifiers);
+    * replacement order is declaration order on both sides. */
+  private val p45 = {
+    val pats = PipelineOps.ScrubPatterns
+    val countCols = pats.map { case (nm, p) =>
+      s"len(regexp_extract_all(text, '$p'))::BIGINT AS hits_$nm"
+    }.mkString(",\n       |         ")
+    val redacted = pats.foldLeft("text") { case (e, (nm, p)) =>
+      s"regexp_replace($e, '$p', '[${nm.toUpperCase}]', 'g')"
+    }
+    val totalExpr = pats.map { case (nm, _) => s"hits_$nm" }.mkString(" + ")
+    val sumCols = pats.map { case (nm, _) =>
+      s"CAST(sum(hits_$nm) AS BIGINT) AS hits_$nm"
+    }.mkString(",\n       |       ")
+    s"""WITH t AS (
+       |  SELECT source,
+       |         $countCols,
+       |         $redacted AS redacted
+       |  FROM documents),
+       |u AS (
+       |  SELECT source, ${pats.map(_._1).map(n => s"hits_$n").mkString(", ")},
+       |         $totalExpr AS total_hits,
+       |         ${hex12("redacted")} % ${PipelineOps.ScrubAuditMod} AS audit
+       |  FROM t)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN total_hits >= ${PipelineOps.ScrubFlagHits} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       $sumCols,
+       |       CAST(sum(audit) AS BIGINT) AS redact_audit
+       |FROM u GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** p46: distinct (source, shingle-hash) self-join — per-doc distinct then
+    * per-source DISTINCT collapses to the same set the Spark side builds. */
+  private val p46 =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT source,
+       |         list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS shingles
+       |  FROM t WHERE len(toks) >= 2),
+       |d AS (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source, unnest(list_transform(shingles, sg -> ${hex12("sg")} % $BaseHashMod)) AS h FROM s)),
+       |sz AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+       |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+       |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       |       CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+       |FROM p JOIN sz sa ON sa.source = p.source_a JOIN sz sb ON sb.source = p.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -935,5 +1019,8 @@ object PipelineOracles {
     "p40_bloom_decontam" -> p40,
     "p41_lm_score"      -> p41,
     "p42_quantiles"     -> p42,
-    "p43_hist_quantiles" -> p43)
+    "p43_hist_quantiles" -> p43,
+    "p44_semdedup"      -> p44,
+    "p45_scrub"         -> p45,
+    "p46_source_overlap" -> p46)
 }

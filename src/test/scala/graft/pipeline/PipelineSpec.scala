@@ -498,4 +498,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s3.getLong(1) == 1 && s3.getLong(2) == 20 && s3.getLong(3) == 80,
       "user 3 completes: v2c 20, c2p 80")
   }
+
+  test("semdedup verdict partitions vectors; drops name a smaller kept-or-dropped peer") {
+    val rows = PipelineOps.semDedup(spark, SfDir).collect()
+    val nVec = spark.read.parquet(s"$SfDir/embeddings.parquet").count()
+    assert(rows.length == nVec, "one verdict row per vector")
+    rows.foreach { r =>
+      val vecId = r.getLong(0)
+      val kept = r.getLong(3)
+      if (kept == 1) assert(r.isNullAt(2), "kept rows carry no dup_of")
+      else {
+        assert(!r.isNullAt(2) && r.getLong(2) < vecId,
+          "a dropped vector names a strictly smaller duplicate-of id")
+        assert(!r.isNullAt(1), "only in-cell vectors can be dropped")
+      }
+    }
+    // dup_of targets share the dropped vector's cell
+    val cellOf = rows.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => r.getLong(3) == 0).foreach { r =>
+      assert(cellOf(r.getLong(2)) == r.getLong(1), "dup edge stays within one cell")
+    }
+  }
+
+  test("scrub counts and redaction audit are consistent per source") {
+    val rows = PipelineOps.scrub(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == spark.read.parquet(s"$SfDir/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "flagged is a subset of docs")
+      assert(r.getLong(5) == 0L, "the digits pattern matches nothing corpus-wide")
+      val audit = r.getLong(6)
+      assert(audit >= 0 && audit < r.getLong(1) * PipelineOps.ScrubAuditMod,
+        "audit sum stays inside the per-doc modulus bound")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "the lexicon pattern actually fires")
+  }
+
+  test("source overlap matrix: ordered pairs, shared bounded by both sides") {
+    val rows = PipelineOps.sourceOverlap(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "one row per unordered pair, lexicographically oriented")
+      val (na, nb, sh) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sh >= 1 && sh <= math.min(na, nb), "shared set bounded by both sides")
+      val j = r.getDouble(5)
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - sh.toDouble / (na + nb - sh).toDouble) == 0.0)
+    }
+    // per-source totals are consistent across every row they appear in
+    val totals = rows.flatMap(r => Seq(r.getString(0) -> r.getLong(2), r.getString(1) -> r.getLong(3)))
+    totals.groupBy(_._1).foreach { case (_, vs) => assert(vs.map(_._2).distinct.length == 1) }
+  }
 }

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+
+/** Differential fuzz of the p44 semantic dedup across its geometry (cell
+  * count k, hot-cell cap, cosine threshold). Same contract as
+  * EmbDedupFuzzSpec: [[PipelineOps.semDedupParam]] vs a driver-side oracle
+  * recomputed from the RAW FLOAT embeddings in plain Scala — independent
+  * quantization, centroid assignment (argmax cosine, ties → lowest cid),
+  * cell capping, intra-cell pairing, and the keep-earliest verdict. Exact
+  * double equality holds because both sides quantize to int64 first and
+  * then perform the identical double ops.
+  *
+  * Degenerate geometries are asserted as results, not skipped:
+  * k = 1 with a small cap makes the single cell overflow (nobody can be
+  * dropped — the cap path globally); k = 1 with a huge cap is true
+  * all-pairs semantics; a tiny cap at production k kills most cells. */
+class SemDedupFuzzSpec extends AnyFunSuite {
+
+  private val Dir = "/root/testdata/sf0.1"
+
+  private case class Vec(id: Long, q: Array[Long], nrm: Long)
+
+  private lazy val vecs: Vector[Vec] = {
+    val rows = spark.read.parquet(s"$Dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+    rows.iterator.map { r =>
+      val emb = r.getSeq[Float](1)
+      val q = emb.map(x => math.floor(x.toDouble * Hashing.QuantScale).toLong).toArray
+      Vec(r.getLong(0), q, q.map(v => v * v).sum)
+    }.toVector.sortBy(_.id)
+  }
+
+  private def cos(a: Vec, b: Vec): Double = {
+    var dot = 0L
+    var d = 0
+    while (d < Hashing.EmbDim) { dot += a.q(d) * b.q(d); d += 1 }
+    dot.toDouble / (math.sqrt(a.nrm.toDouble) * math.sqrt(b.nrm.toDouble))
+  }
+
+  /** (vec_id, cid, dup_of, kept) rows, vec_id-ordered, like the operator. */
+  private def oracle(k: Long, cap: Int, thr: Double)
+      : Vector[(Long, Option[Long], Option[Long], Long)] = {
+    val cents = vecs.filter(v => v.id < k && v.nrm > 0)
+    val assigned: Map[Long, Long] =
+      if (cents.isEmpty) Map.empty
+      else vecs.iterator.filter(_.nrm > 0).map { v =>
+        var bestCos = Double.NegativeInfinity
+        var bestCid = Long.MaxValue
+        cents.foreach { c =>
+          val cc = cos(v, c)
+          if (cc > bestCos || (cc == bestCos && c.id < bestCid)) {
+            bestCos = cc; bestCid = c.id
+          }
+        }
+        v.id -> bestCid
+      }.toMap
+    val cells = assigned.groupBy(_._2).map { case (cid, m) => cid -> m.keys.toVector.sorted }
+    val byId = vecs.map(v => v.id -> v).toMap
+    val dupOf = scala.collection.mutable.Map.empty[Long, Long]
+    cells.foreach { case (_, members) =>
+      if (members.length <= cap) {
+        var j = 1
+        while (j < members.length) {
+          val b = byId(members(j))
+          var i = 0
+          var best = -1L
+          while (i < j) {
+            val a = byId(members(i))
+            if (best < 0 && cos(a, b) >= thr) best = a.id
+            i += 1
+          }
+          if (best >= 0) dupOf(b.id) = best
+          j += 1
+        }
+      }
+    }
+    vecs.map { v =>
+      val cid = assigned.get(v.id)
+      val d = dupOf.get(v.id)
+      (v.id, cid, d, if (d.isEmpty) 1L else 0L)
+    }
+  }
+
+  private def run(k: Long, cap: Int, thr: Double)
+      : Vector[(Long, Option[Long], Option[Long], Long)] =
+    PipelineOps.semDedupParam(spark, Dir, k, cap, thr).collect().iterator.map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))
+    }.toVector
+
+  private val grid = Seq(
+    // production geometry: k = ⌈√n⌉ (semCells of the sf0.1 corpus)
+    (PipelineOps.semCells(2000L), PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold),
+    (1L, 4096, 0.40),   // one cell, uncapped: all-pairs semantics
+    (1L, 64, 0.40),     // one cell overflowing the cap: nobody dropped
+    (4L, 64, 0.40),     // few cells, cap biting on the big ones
+    (45L, 8, 0.40),     // production k, tiny cap: most cells skipped
+    (200L, 1024, 0.30), // many cells, looser threshold
+    (500L, 1024, 0.50)) // seed-heavy, tight threshold
+
+  test("semdedup matches the driver oracle across cell/cap/threshold geometries") {
+    grid.foreach { case (k, cap, thr) =>
+      val exp = oracle(k, cap, thr)
+      val got = run(k, cap, thr)
+      assert(got == exp, s"geometry (k=$k, cap=$cap, thr=$thr)")
+    }
+  }
+
+  test("degenerate geometries produce the shapes they claim") {
+    // one overflowing cell: every vector kept, no dup edges
+    val capped = oracle(1L, 64, 0.40)
+    assert(capped.forall(_._4 == 1L), "capped cell drops nobody")
+    // uncapped single cell DOES drop (all-pairs finds the near-dups)
+    val open = run(1L, 4096, 0.40)
+    assert(open.exists(_._4 == 0L), "all-pairs geometry finds drops")
+    // sanity: the production default delegates to the adaptive cell count
+    val n = spark.read.parquet(s"$Dir/embeddings.parquet").count()
+    assert(PipelineOps.semCells(n) == math.ceil(math.sqrt(n.toDouble)).toLong)
+  }
+
+  test("geometry guards reject non-positive cells and cap") {
+    intercept[IllegalArgumentException](PipelineOps.semDedupParam(spark, Dir, 0L, 64, 0.4))
+    intercept[IllegalArgumentException](PipelineOps.semDedupParam(spark, Dir, 4L, 0, 0.4))
+  }
+}
