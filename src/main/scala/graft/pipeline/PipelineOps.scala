@@ -1455,7 +1455,7 @@ object PipelineOps {
 
   /** Embeddings quantized to int64 (floor(x * 1e5)): dot products and norms
     * become exact integer arithmetic, identical in any engine. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     embs(spark, dir)
       .withColumn("q", expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"))
       .withColumn("nrm", graft.functions.QuantizedDot(col("q"), col("q")))
@@ -1870,6 +1870,28 @@ object PipelineOps {
     semDedupParam(spark, dir, semCells(embs(spark, dir).count()),
       SemMaxCell, SemDupThreshold)
 
+  /** Deterministic coarse cells: the lowest-k vectors seed (the p15/p24
+    * stand-in for trained centroids), zero-norm seeds excluded. */
+  private[graft] def semCents(q: DataFrame, k: Long): DataFrame =
+    q.where(col("vec_id") < k && col("nrm") > 0)
+      .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
+
+  /** Nearest-seed assignment — argmax cosine (ties → lowest cid) as a
+    * map-side partial-min groupBy against the broadcast seed set, never a
+    * corpus×K window (see kmeansStep). Per-vector independent, which is
+    * what lets [[graft.streaming.SemDedupStream]] assign batches
+    * incrementally against the same fixed seeds. */
+  private[graft] def semAssign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.where(col("nrm") > 0)
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotCol)
+      .withColumn("ccos",
+        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+
   /** Parameterized core of p44 (cell count, cell cap, cosine threshold);
     * SemDedupFuzzSpec differential-tests geometries against a driver-side
     * oracle recomputed from the raw float embeddings. */
@@ -1883,22 +1905,8 @@ object PipelineOps {
     val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
       .localCheckpoint(false)
 
-    // deterministic coarse cells: the lowest-k vectors seed (the p15/p24
-    // stand-in for trained centroids), zero-norm seeds excluded;
-    // assignment is argmax cosine (ties → lowest cid) as a map-side
-    // partial-min groupBy against the broadcast seed set — never a
-    // corpus×K window (see kmeansStep)
-    val cents = q.where(col("vec_id") < k && col("nrm") > 0)
-      .select(col("vec_id").as("cid"), col("q").as("qb"), col("nrm").as("nrm_b"))
-    val assigned = q.where(col("nrm") > 0)
-      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", dotCol)
-      .withColumn("ccos",
-        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
-      .groupBy("vec_id")
-      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"))
+    val cents = semCents(q, k)
+    val assigned = semAssign(q, cents)
 
     // intra-cell exact pairs (hot cells skipped), dup edge = cosine over
     // threshold; vec_b's verdict keeps the SMALLEST similar lower id
@@ -1923,6 +1931,30 @@ object PipelineOps {
       .select(col("vec_id"), col("cid"), col("dup_of"),
         when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
       .orderBy("vec_id")
+  }
+
+  /** p47: the incremental semantic-dedup refresh
+    * ([[graft.streaming.SemDedupStream]]) driven batch-wise under p44's
+    * own oracle — the p38 contract on the vector side: the corpus
+    * "arrives" in two halves (split at the midpoint vec_id), each refresh
+    * assigns and pairs ONLY its batch against the carried cell/edge state,
+    * and the final verdict must be row-identical to the one-shot p44 —
+    * the oracle IS p44's SQL. Seeds are fixed up front from the corpus
+    * count, like a production coarse quantizer trained before catch-up
+    * begins. */
+  def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val cents = semCents(q, semCells(e.count())).localCheckpoint(false)
+    val mid = e.agg((max(col("vec_id")) / lit(2)).cast("long")).collect()(0).getLong(0)
+    val batches = Seq(q.where(col("vec_id") <= mid), q.where(col("vec_id") > mid))
+    var state: Option[graft.streaming.SemDedupStream.SemState] = None
+    batches.foreach { b =>
+      state = Some(graft.streaming.SemDedupStream
+        .refreshIncremental(cents, b, state, SemMaxCell, SemDupThreshold))
+    }
+    graft.streaming.SemDedupStream.verdict(e.select("vec_id"), state.get, SemMaxCell)
   }
 
   // ============================================================ multimodal
@@ -2221,5 +2253,6 @@ object PipelineOps {
     "p43_hist_quantiles" -> histQuantiles,
     "p44_semdedup"      -> semDedup,
     "p45_scrub"         -> scrub,
-    "p46_source_overlap" -> sourceOverlap)
+    "p46_source_overlap" -> sourceOverlap,
+    "p47_semdedup_incremental" -> semDedupIncremental)
 }

@@ -1022,5 +1022,9 @@ object PipelineOracles {
     "p43_hist_quantiles" -> p43,
     "p44_semdedup"      -> p44,
     "p45_scrub"         -> p45,
-    "p46_source_overlap" -> p46)
+    "p46_source_overlap" -> p46,
+    // the incremental semantic refresh must converge to the one-shot
+    // verdict, so p44's oracle IS p47's oracle — batch boundaries must be
+    // cross-engine invisible (the p38 contract on the vector side)
+    "p47_semdedup_incremental" -> p44)
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.PipelineOps
+
+/** Incremental refresh of the p44 semantic-dedup verdict — the vector-side
+  * twin of [[DedupStream.refreshVerdictIncremental]], for the production
+  * ingest where embeddings arrive in batches (a restarted deployment's
+  * backlog, a daily drop) and re-pairing the whole corpus per refresh would
+  * be O(history).
+  *
+  * The seed set is FIXED across refreshes (trained once, like a production
+  * coarse quantizer; re-training is a separate job that rebuilds state from
+  * scratch), so assignment is per-vector independent and each batch assigns
+  * against the same broadcast seeds the one-shot p44 uses. Pair discovery
+  * per refresh is new×(all-so-far) within each cell — old×old pairs are
+  * never re-verified — and the union of new-batch pair sets over all
+  * batches IS the one-shot intra-cell pair set.
+  *
+  * The hot-cell cap needs one extra piece of state to stay exact: cell
+  * sizes only GROW, so a cell over [[PipelineOps.SemMaxCell]] now can never
+  * return under it — skipping enumeration there loses nothing — but a cell
+  * that crosses the cap mid-stream carries edges from when it was small,
+  * and the one-shot semantics (no pairs at all from an over-cap cell) says
+  * those must be RETIRED. Edges therefore carry their cell id, and the
+  * verdict filters them through the cell's CURRENT size; crossing cells
+  * drop their history at exactly the refresh where they overflow.
+  * SemDedupFuzzSpec carves the corpus into random batches at a
+  * cap-crossing geometry and asserts the refreshed verdict equals the
+  * one-shot row-for-row; the p47 entry drives this path under p44's own
+  * DuckDB oracle. */
+object SemDedupStream {
+
+  /** Carried state: cell membership of every (nonzero-norm) vector seen —
+    * quantized vectors included, since future batches pair against them —
+    * and every intra-cell dup edge found so far, keyed by cell so
+    * cap-crossing cells can retire their edges. Survivor-population-sized;
+    * a production deployment persists both to DFS parquet between
+    * refreshes (the SummaryRefresh checkpointing contract). */
+  final case class SemState(members: DataFrame, edges: DataFrame)
+
+  /** One refresh over a quantized batch (vec_id, q, nrm). */
+  def refreshIncremental(
+      cents: DataFrame, batch: DataFrame, prev: Option[SemState],
+      maxCell: Int, threshold: Double): SemState = {
+    val assignedNew = PipelineOps.semAssign(batch, cents)
+      .join(batch, "vec_id")
+      .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val members = prev.map(_.members.unionByName(assignedNew)).getOrElse(assignedNew)
+      .localCheckpoint(false)
+
+    // cells currently within the cap; the cell census is catalog-sized
+    // (one row per cell), so it broadcasts
+    val open = members.groupBy("cid").agg(count(lit(1)).as("csz"))
+      .where(col("csz") <= maxCell).select("cid")
+    val all = members.join(broadcast(open), "cid")
+      .select(col("cid"), col("vec_id").as("va"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val nw = assignedNew.join(broadcast(open), "cid")
+      .select(col("cid"), col("vec_id").as("vb"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    // new×all within the cell: an old×new pair appears once from the new
+    // side, a new×new pair twice (both orientations) — the canonical
+    // (least, greatest) + distinct collapses them
+    val newEdges = all.join(nw, "cid").where(col("va") =!= col("vb"))
+      .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= threshold)
+      .select(col("cid"),
+        least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"))
+      .distinct()
+    val edges = prev.map(_.edges.unionByName(newEdges)).getOrElse(newEdges)
+      .distinct().localCheckpoint(false)
+    SemState(members, edges)
+  }
+
+  /** Verdict assembly from the carried state — identical shape to the
+    * one-shot p44: per vector its cell, the smallest similar lower id
+    * (`dup_of`), kept = none. Edges whose cell has grown past the cap are
+    * retired here (the one-shot enumerates nothing in such cells). */
+  def verdict(allVecIds: DataFrame, state: SemState, maxCell: Int): DataFrame = {
+    val open = state.members.groupBy("cid").agg(count(lit(1)).as("csz"))
+      .where(col("csz") <= maxCell).select("cid")
+    val dups = state.edges.join(broadcast(open), "cid")
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    allVecIds
+      .join(state.members.select("vec_id", "cid"), Seq("vec_id"), "left")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+}

@@ -126,4 +126,39 @@ class SemDedupFuzzSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PipelineOps.semDedupParam(spark, Dir, 0L, 64, 0.4))
     intercept[IllegalArgumentException](PipelineOps.semDedupParam(spark, Dir, 4L, 0, 0.4))
   }
+
+  test("incremental refresh is batch-carving-invariant, including cap-crossing cells") {
+    import graft.streaming.SemDedupStream
+    import org.apache.spark.sql.functions.col
+    val q = PipelineOps.quantized(spark, Dir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val allIds = spark.read.parquet(s"$Dir/embeddings.parquet").select("vec_id")
+
+    // (k, cap, thr): cap 30 sits between the half-corpus cell sizes (~22)
+    // and the full-corpus sizes (~44) at production k, so MANY cells cross
+    // the cap between refreshes and must retire their carried edges — the
+    // one subtlety that separates incremental from one-shot. 1024 is the
+    // production cap (no crossing); 8 kills nearly everything.
+    val geoms = Seq((45L, 30, 0.40), (45L, 1024, 0.40), (45L, 8, 0.40))
+    // carvings by vec_id predicate: halves, uneven thirds, singleton-first,
+    // and an empty middle batch
+    val carvings: Seq[Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column]] = Seq(
+      Seq(c => c <= 1000, c => c > 1000),
+      Seq(c => c <= 300, c => c > 300 && c <= 1700, c => c > 1700),
+      Seq(c => c === 0, c => c > 0),
+      Seq(c => c <= 900, c => c < 0, c => c > 900))
+    geoms.foreach { case (k, cap, thr) =>
+      val cents = PipelineOps.semCents(q, k).localCheckpoint(false)
+      val oneShot = PipelineOps.semDedupParam(spark, Dir, k, cap, thr).collect().toSeq
+      carvings.foreach { carve =>
+        var state: Option[SemDedupStream.SemState] = None
+        carve.foreach { pred =>
+          state = Some(SemDedupStream.refreshIncremental(
+            cents, q.where(pred(col("vec_id"))), state, cap, thr))
+        }
+        val inc = SemDedupStream.verdict(allIds, state.get, cap).collect().toSeq
+        assert(inc == oneShot, s"geometry (k=$k, cap=$cap) carving ${carve.length} batches")
+      }
+    }
+  }
 }

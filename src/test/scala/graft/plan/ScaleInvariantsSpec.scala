@@ -218,4 +218,36 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     val windows = ivf.linesIterator.count(_.contains("windowspecdefinition"))
     assert(windows <= 2, s"ivf should window only the query side ($windows):\n" + ivf.take(800))
   }
+
+  test("semdedup: broadcast seed assignment, cid-keyed pair join, no corpus cross join") {
+    val p = graft.pipeline.PipelineOps.semDedup(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the broadcast seed-set
+    // assignment; the intra-cell pair stage must be a keyed join — a
+    // corpus-side CartesianProduct would be the O(n²) SemDeDup avoids
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), "seed assignment should broadcast")
+    // the assignment collapses map-side (partial-min groupBy, see kmeans);
+    // the one window is the cell-size cap count, keyed by cid
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(!windows.contains("windowspecdefinition()"),
+      "cell cap window must partition by cid:\n" + windows)
+  }
+
+  test("scrub: pure projection into one source-keyed aggregate, no joins") {
+    val p = graft.pipeline.PipelineOps.scrub(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "scrub is per-doc work + one rollup:\n" + p.take(800))
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "rollup should partial-aggregate map-side")
+  }
+
+  test("source overlap: hash-keyed self-join, totals broadcast, no cross join") {
+    val p = graft.pipeline.PipelineOps.sourceOverlap(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair discovery must stay a keyed equi-join:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "per-source totals should broadcast back")
+  }
 }
