@@ -94,10 +94,26 @@ object SkewBench {
       (i.toLong, vec, 0)
     }
 
+    // tail-skewed: the same 30% near-identical mass, but at the HIGHEST
+    // vec_ids. p14's banding is id-agnostic, but p44 seeds its cells from
+    // the lowest ids — with the mass at the head, the seeds themselves are
+    // near-identical and the mass SPLITS across them (max cell ~2× uniform,
+    // cap never fires); with the mass at the tail, the seeds are unique
+    // vectors and the whole mass lands in its single nearest cell
+    val skewedTailVecs = (0 until nVecs).map { i =>
+      val vec =
+        if (i >= nVecs * 7 / 10)
+          (0 until Hashing.EmbDim).map(d => unitVal(s"base-$d") + 0.001f * unitVal(s"j-$i-$d"))
+        else (0 until Hashing.EmbDim).map(d => unitVal(s"v-$i-$d"))
+      (i.toLong, vec, 0)
+    }
+
     for ((name, ds, vs) <- Seq(
-        ("uniform", uniformDocs, uniformVecs), ("skewed", skewedDocs, skewedVecs))) {
-      ds.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(4).write.mode("overwrite").parquet(s"$base/$name/documents.parquet")
+        ("uniform", uniformDocs, uniformVecs), ("skewed", skewedDocs, skewedVecs),
+        ("skewtail", Seq.empty, skewedTailVecs))) {
+      if (ds.nonEmpty)
+        ds.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(4).write.mode("overwrite").parquet(s"$base/$name/documents.parquet")
       vs.toDF("vec_id", "embedding", "label")
         .coalesce(4).write.mode("overwrite").parquet(s"$base/$name/embeddings.parquet")
     }
@@ -149,6 +165,39 @@ object SkewBench {
         report("kind" -> "op", "op" -> opName, "fixture" -> fixture,
           "capped" -> capped, "rows" -> n, "sec" -> sec)
       } finally PipelineOps.maxBucketSizeOverride = None
+    }
+
+    // --------------------------------------- semantic-dedup cell skew (p44)
+    // skewtail's 30% near-identical mass lands in ONE cell (~2.4k vectors
+    // at the default nVecs), far over SemMaxCell: capped, pairing skips
+    // it; uncapped, that single cell is ~2.9M exact-cosine pairs — the
+    // blowup the cap exists to bound. (head-skewed is also probed: there
+    // the mass contains the seeds and SPLITS, the cap correctly idle.)
+    for (fixture <- Seq("uniform", "skewed", "skewtail")) {
+      val dir = s"$base/$fixture"
+      val q = PipelineOps.quantized(spark, dir)
+        .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+      val k = PipelineOps.semCells(nVecs.toLong)
+      val stats = PipelineOps.semAssign(q, PipelineOps.semCents(q, k))
+        .groupBy("cid").count()
+        .agg(max("count").as("max_cell"),
+          sum(when(col("count") > PipelineOps.SemMaxCell, col("count")).otherwise(0L)).as("rows_over_cap"),
+          sum("count").as("rows_total"))
+        .collect()(0)
+      report("kind" -> "cells", "op" -> "p44", "fixture" -> fixture,
+        "max_cell" -> stats.getLong(0), "rows_over_cap" -> stats.getLong(1),
+        "rows_total" -> stats.getLong(2))
+      for (capped <- Seq(true, false)) {
+        val cap = if (capped) PipelineOps.SemMaxCell else Int.MaxValue
+        // aggregate over `kept`, NOT count(): the verdict is left-joins on
+        // unique keys, so a bare count() lets Catalyst eliminate the whole
+        // pair stage and times nothing
+        val (dropped, sec) = timed(PipelineOps
+          .semDedupParam(spark, dir, k, cap, PipelineOps.SemDupThreshold)
+          .agg(sum(lit(1L) - col("kept"))).collect()(0).getLong(0))
+        report("kind" -> "op", "op" -> "p44_semdedup", "fixture" -> fixture,
+          "capped" -> capped, "dropped" -> dropped, "sec" -> sec)
+      }
     }
 
     // -------------------------------------- connected components under skew
