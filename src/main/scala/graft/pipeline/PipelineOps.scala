@@ -1078,6 +1078,56 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** p48: quality-weighted dedup verdict — p36 with the OTHER production
+    * canonical rule. Keep-first (min id) is the right call for exact
+    * duplicates (identical bytes, the id is the only differentiator), but
+    * near-duplicate cluster members genuinely differ, and real pipelines
+    * keep the BEST copy (the full article, not the truncated scrape).
+    * Cluster formation is identical to p36 (exact stage → survivor
+    * near-pairs → connected components); the canonical of each cluster is
+    * its argmax-quality member — score = n_tokens − 2·n_stopwords, an
+    * int64 so the argmax is cross-engine exact, ties → lowest id — and
+    * exact drops resolve transitively through their survivor's cluster.
+    * The argmax is the same partial-min struct trick as kmeans assignment
+    * (map-side combine, no window over the cluster members). */
+  def keepBestVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("score",
+        (size(col("toks")) - lit(2) * expr(
+          s"size(filter(toks, t -> array_contains(array(${sqlList(Stopwords)}), t)))"))
+          .cast("long"))
+      .drop("toks")
+    val ew = Window.partitionBy(md5(col("text")))
+    val ex = d
+      .withColumn("canon_exact", min(col("doc_id")).over(ew))
+      .localCheckpoint(false)
+    val survivors = ex.where(col("doc_id") === col("canon_exact"))
+    val pairs = ngramJaccardOf(
+        survivors.select("doc_id", "text", "lang", "source", "n_chars"))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+    val withCluster = survivors
+      .join(labels, col("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    val best = withCluster.groupBy("cluster")
+      .agg(min(struct((-col("score")).as("neg"), col("doc_id"))).as("b"))
+      .select(col("cluster"), col("b.doc_id").as("best_id"),
+        (-col("b.neg")).as("best_score"))
+    val survCanon = withCluster.join(best, "cluster")
+      .select(col("doc_id").as("surv_id"), col("best_id").as("surv_canon"),
+        col("best_score").as("surv_score"))
+    ex.join(survCanon, ex("canon_exact") === survCanon("surv_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("canon_exact"), lit("exact"))
+          .when(col("doc_id") =!= col("surv_canon"), lit("near"))
+          .otherwise(lit("kept")).as("reason"),
+        col("surv_canon").as("canonical_id"),
+        col("surv_score").as("canonical_score"))
+      .orderBy("doc_id")
+  }
+
   /** p38: the incremental near-refresh path
     * ([[graft.streaming.DedupStream.refreshVerdictIncremental]]) driven
     * batch-wise under the batch oracle: the corpus "arrives" in two halves
@@ -2254,5 +2304,6 @@ object PipelineOps {
     "p44_semdedup"      -> semDedup,
     "p45_scrub"         -> scrub,
     "p46_source_overlap" -> sourceOverlap,
-    "p47_semdedup_incremental" -> semDedupIncremental)
+    "p47_semdedup_incremental" -> semDedupIncremental,
+    "p48_keep_best"     -> keepBestVerdict)
 }

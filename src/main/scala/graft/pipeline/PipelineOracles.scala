@@ -889,6 +889,55 @@ object PipelineOracles {
        |ORDER BY t.source, decile""".stripMargin
   }
 
+  /** p48: p36's cluster machinery, canonical = per-cluster argmax of the
+    * integer quality score (row_number ties broken by id, matching the
+    * Spark side's min-struct on (−score, id)). */
+  private val p48 =
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |         min(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+       |         (len(string_split(text, ' '))
+       |          - 2 * len(list_filter(string_split(text, ' '), t -> list_contains([${sqlList(PipelineOps.Stopwords)}], t))))::BIGINT AS score
+       |  FROM documents),
+       |surv AS (SELECT * FROM ex WHERE doc_id = canon),
+       |g AS (
+       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
+       |         list_distinct([ (${hex12("substr(text, i, 3)")})::BIGINT FOR i IN range(1, len(text) - 1) ]) AS grams
+       |  FROM surv WHERE len(text) >= 3),
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+       |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.block = b.block AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |r AS (
+       |  SELECT a AS d, a AS reach FROM e
+       |  UNION
+       |  SELECT r.d, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+       |cl AS (SELECT d, min(reach) AS cluster_id FROM r GROUP BY d),
+       |wc AS (
+       |  SELECT surv.doc_id AS sid, surv.score,
+       |         coalesce(cl.cluster_id, surv.doc_id) AS cluster
+       |  FROM surv LEFT JOIN cl ON cl.d = surv.doc_id),
+       |best AS (
+       |  SELECT cluster, sid AS best_id, score AS best_score FROM (
+       |    SELECT cluster, sid, score,
+       |           row_number() OVER (PARTITION BY cluster ORDER BY score DESC, sid ASC) AS rn
+       |    FROM wc) WHERE rn = 1),
+       |scl AS (
+       |  SELECT wc.sid, best.best_id, best.best_score
+       |  FROM wc JOIN best ON best.cluster = wc.cluster)
+       |SELECT ex.doc_id,
+       |       CASE WHEN ex.doc_id <> ex.canon THEN 'exact'
+       |            WHEN ex.doc_id <> scl.best_id THEN 'near'
+       |            ELSE 'kept' END AS reason,
+       |       scl.best_id AS canonical_id, scl.best_score AS canonical_score
+       |FROM ex JOIN scl ON scl.sid = ex.canon
+       |ORDER BY ex.doc_id""".stripMargin
+
   /** p44: same ⌈√n⌉ cell count (double sqrt both sides), same argmax-cosine
     * assignment as p24's cr0, same hot-cell QUALIFY as the Spark window. */
   private val p44 = {
@@ -1026,5 +1075,6 @@ object PipelineOracles {
     // the incremental semantic refresh must converge to the one-shot
     // verdict, so p44's oracle IS p47's oracle — batch boundaries must be
     // cross-engine invisible (the p38 contract on the vector side)
-    "p47_semdedup_incremental" -> p44)
+    "p47_semdedup_incremental" -> p44,
+    "p48_keep_best"     -> p48)
 }

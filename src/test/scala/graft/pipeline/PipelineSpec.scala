@@ -535,6 +535,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0, "the lexicon pattern actually fires")
   }
 
+  test("keep-best verdict: same clusters as p36, canonical is the argmax-quality member") {
+    val p36 = PipelineOps.dedupVerdict(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = PipelineOps.keepBestVerdict(spark, SfDir).collect()
+    assert(rows.length == p36.size, "one verdict row per doc in both rules")
+    // the cluster PARTITION is identical — only the representative moves:
+    // docs sharing a p48 canonical are exactly the docs sharing a p36 one
+    val by48 = rows.groupBy(_.getLong(2)).values.map(_.map(_.getLong(0)).toSet).toSet
+    val by36 = p36.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(by48 == by36, "canonical rule must not change the cluster partition")
+    // every canonical is kept, and carries the cluster-max score
+    val reason = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r => assert(reason(r.getLong(2)) == "kept") }
+    // canonical_score is an upper bound on every SURVIVING member's score
+    // (exact drops are byte-identical to a survivor, so survivors suffice)
+    val score = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$SfDir/documents.parquet")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          (size(col("toks")) - lit(2) * expr(
+            s"size(filter(toks, t -> array_contains(array(${PipelineOps.Stopwords.map(s => s"'$s'").mkString(", ")}), t)))"))
+            .cast("long").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    rows.filter(r => r.getString(1) != "exact").foreach { r =>
+      assert(r.getLong(3) >= score(r.getLong(0)),
+        s"canonical score must dominate member ${r.getLong(0)}")
+      assert(r.getLong(3) == score(r.getLong(2)), "canonical_score is the canonical's own score")
+    }
+  }
+
   test("source overlap matrix: ordered pairs, shared bounded by both sides") {
     val rows = PipelineOps.sourceOverlap(spark, SfDir).collect()
     assert(rows.nonEmpty)
