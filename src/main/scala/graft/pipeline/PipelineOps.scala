@@ -1764,7 +1764,15 @@ object PipelineOps {
     val adc = dists.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("cid"), col("dist").as("qdist"))
 
-    // ---- compose: corpus-side join on vec_id, query side broadcast
+    ivfPqCompose(assigned, codes, probes, adc)
+  }
+
+  /** p37's compose tail, shared with the persisted-index path (p49):
+    * corpus-sized relations (assignment, codes) join on vec_id, the query
+    * side (probes, ADC tables) broadcasts. */
+  private def ivfPqCompose(
+      assigned: DataFrame, codes: DataFrame,
+      probes: DataFrame, adc: DataFrame): DataFrame = {
     val routed = codes.join(assigned, "nbr_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("nbr_id").asc)
@@ -1778,6 +1786,92 @@ object PipelineOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("adist"))
       .orderBy("query_id", "rank")
+  }
+
+  /** p49: the persisted-index ANN lifecycle — p37's semantics split into
+    * the production build-once / query-many phases. BUILD writes four
+    * parquet relations: the corpus-sized IVF assignment and PQ codes
+    * (M+1 small rows per vector — the "M bytes at rest" promise made
+    * physical), plus the two broadcast-sized centroid tables. QUERY reads
+    * ONLY the index and the query vectors: the embeddings scan carries a
+    * `vec_id < 10` pushed filter (plan-asserted), so query cost is
+    * index + queries regardless of corpus width — raw vectors never
+    * rejoin the path. The result is row-identical to computing p37 from
+    * scratch (the oracle IS p37's SQL), which is the index-consistency
+    * guarantee a serving deployment needs after every rebuild. */
+  def annIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      f"graft-ann-index-${md5Long(dir, 12)}%012x").toString
+    buildAnnIndex(spark, dir, idx)
+    queryAnnIndex(spark, dir, idx)
+  }
+
+  /** BUILD half of p49: derive and persist the index relations. */
+  private[graft] def buildAnnIndex(spark: SparkSession, dir: String, idx: String): Unit = {
+    val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val cents = n.where(col("vec_id") < IvfCentroids && col("nrm") > 0)
+      .select(col("vec_id").as("ccid"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val assigned = n
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotCol)
+      .withColumn("ccos",
+        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("ccid"))).as("best"))
+      .select(col("vec_id").as("nbr_id"), col("best.ccid").as("ccid"))
+    val d = EmbDim / PqSubspaces
+    val sub = n
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    val pqCents = sub.where(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("cid"), col("m"), col("sub").as("subc"))
+    val codes = sub.join(broadcast(pqCents), Seq("m"))
+      .withColumn("dist", graft.functions.QuantizedL2Sq(col("sub"), col("subc")))
+      .groupBy(col("vec_id").as("nbr_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("nbr_id"), col("m"), col("best.cid").as("cid"))
+    cents.write.mode("overwrite").parquet(s"$idx/ivf_cents.parquet")
+    pqCents.write.mode("overwrite").parquet(s"$idx/pq_cents.parquet")
+    assigned.write.mode("overwrite").parquet(s"$idx/ivf_assign.parquet")
+    codes.write.mode("overwrite").parquet(s"$idx/pq_codes.parquet")
+  }
+
+  /** QUERY half of p49: probes + ADC tables from the query vectors and the
+    * persisted centroid tables, composed against the persisted corpus
+    * relations. The only embeddings touched are the query set. */
+  private[graft] def queryAnnIndex(spark: SparkSession, dir: String, idx: String): DataFrame = {
+    val cents = spark.read.parquet(s"$idx/ivf_cents.parquet")
+    val pqCents = spark.read.parquet(s"$idx/pq_cents.parquet")
+    val assigned = spark.read.parquet(s"$idx/ivf_assign.parquet")
+    val codes = spark.read.parquet(s"$idx/pq_codes.parquet")
+    // no lineage truncation here: the query set is 10 pushed-filtered rows
+    // (recomputing it is free), and keeping the scans in the plan is what
+    // lets ScaleInvariantsSpec assert the query phase never reads corpus
+    // embeddings
+    val queries = quantized(spark, dir).where(col("vec_id") < 10)
+      .select(col("vec_id"), col("q"), col("nrm"))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("ccid").asc)
+    val probes = queries
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotCol)
+      .withColumn("ccos",
+        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .withColumn("crn", row_number().over(pw)).where(col("crn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("ccid"))
+    val d = EmbDim / PqSubspaces
+    val adc = queries
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+      .join(broadcast(pqCents), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+        graft.functions.QuantizedL2Sq(col("sub"), col("subc")).as("qdist"))
+    ivfPqCompose(assigned, codes, probes, adc)
   }
 
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
@@ -2305,5 +2399,6 @@ object PipelineOps {
     "p45_scrub"         -> scrub,
     "p46_source_overlap" -> sourceOverlap,
     "p47_semdedup_incremental" -> semDedupIncremental,
-    "p48_keep_best"     -> keepBestVerdict)
+    "p48_keep_best"     -> keepBestVerdict,
+    "p49_ann_indexed"   -> annIndexed)
 }

@@ -1076,5 +1076,8 @@ object PipelineOracles {
     // verdict, so p44's oracle IS p47's oracle — batch boundaries must be
     // cross-engine invisible (the p38 contract on the vector side)
     "p47_semdedup_incremental" -> p44,
-    "p48_keep_best"     -> p48)
+    "p48_keep_best"     -> p48,
+    // the persisted index must answer exactly like computing from scratch
+    // — p37's oracle IS p49's oracle (the rebuild-consistency guarantee)
+    "p49_ann_indexed"   -> p37)
 }

@@ -234,6 +234,23 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       "cell cap window must partition by cid:\n" + windows)
   }
 
+  test("ann index query phase never scans corpus embeddings (pushed query filter only)") {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"), "graft-test-ann-idx").toString
+    graft.pipeline.PipelineOps.buildAnnIndex(spark, SfDir, idx)
+    val p = graft.pipeline.PipelineOps.queryAnnIndex(spark, SfDir, idx)
+      .queryExecution.executedPlan.toString
+    // every scan of the raw embeddings parquet must be query-side: the
+    // vec_id < 10 filter pushed to the scan. An unfiltered embeddings scan
+    // means corpus vectors re-entered the query path and the index bought
+    // nothing at 100 TB.
+    val embScans = p.linesIterator
+      .filter(l => l.contains("embeddings.parquet") && l.contains("PushedFilters")).toSeq
+    assert(embScans.nonEmpty, "query vectors come from the embeddings table")
+    assert(embScans.forall(_.contains("LessThan(vec_id,10)")),
+      "all embeddings scans must push the query-set filter:\n" + embScans.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("scrub: pure projection into one source-keyed aggregate, no joins") {
     val p = graft.pipeline.PipelineOps.scrub(spark, SfDir)
       .queryExecution.executedPlan.toString
