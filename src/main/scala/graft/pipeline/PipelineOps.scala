@@ -873,6 +873,53 @@ object PipelineOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** p50: dedup threshold-sensitivity report — the tuning table a data
+    * team reads BEFORE committing to a dedup config: for each candidate
+    * threshold, how many pairs qualify, how many docs would drop (direct
+    * lower-id-partner rule, p44's `dup_of` semantics — transitive cluster
+    * drops are a different, larger number and p23/p36's job), and how many
+    * chars of corpus that is. The expensive work — blocking, candidate
+    * join, merge-walk intersection — runs ONCE at the loosest threshold;
+    * per-τ classification is exact integer cross-multiplication
+    * (inter·100 ≥ τ·union, no double compares anywhere), so the report at
+    * τ = 60 is bit-identical to what p06 would compute at 3/5. The τ grid
+    * explodes per surviving pair (×5 rows on the pair table, which is
+    * orders below the candidate table), and every threshold row appears
+    * even when empty. */
+  val SensitivityThresholds: Seq[Long] = Seq(40L, 50L, 60L, 70L, 80L)
+
+  def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = ngramGramsParam(docs(spark, dir), 3, 100).localCheckpoint(false)
+    val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: gramBlockCols.map(col)): _*)
+    val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: gramBlockCols.map(col)): _*)
+    val tMin = SensitivityThresholds.min // size prune at the loosest τ only
+    val pairs = a.join(b, gramBlockCols).where(col("doc_a") < col("doc_b"))
+      .where(least(size(col("g_a")), size(col("g_b"))) * (100 + tMin) >=
+        (size(col("g_a")) + size(col("g_b"))) * tMin)
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("g_a"), col("g_b")).cast("long"))
+      .withColumn("uni", (size(col("g_a")) + size(col("g_b"))).cast("long") - col("inter"))
+      .where(col("inter") * 100 >= col("uni") * tMin)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .localCheckpoint(false) // one pair table feeds every τ rollup
+    val tagged = pairs
+      .select(col("*"), explode(array(SensitivityThresholds.map(lit): _*)).as("tau"))
+      .where(col("inter") * 100 >= col("tau") * col("uni"))
+    val pairAgg = tagged.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val dropAgg = tagged.select(col("tau"), col("doc_b")).distinct()
+      .join(docs(spark, dir).select(col("doc_id").as("doc_b"), col("n_chars")), "doc_b")
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_docs_dropped"), sum(col("n_chars")).as("chars_dropped"))
+    spark.range(1)
+      .select(explode(array(SensitivityThresholds.map(lit): _*)).as("tau"))
+      .join(pairAgg, Seq("tau"), "left")
+      .join(dropAgg, Seq("tau"), "left")
+      .select(col("tau").as("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"))
+      .orderBy("threshold_pct")
+  }
+
   /** Incremental pair discovery for the streaming near-dup refresh: every
     * qualifying pair with AT LEAST ONE side in `newGrams`, discovered by
     * joining the full gram history against only the new docs — cost is
@@ -2400,5 +2447,6 @@ object PipelineOps {
     "p46_source_overlap" -> sourceOverlap,
     "p47_semdedup_incremental" -> semDedupIncremental,
     "p48_keep_best"     -> keepBestVerdict,
-    "p49_ann_indexed"   -> annIndexed)
+    "p49_ann_indexed"   -> annIndexed,
+    "p50_dedup_sensitivity" -> dedupSensitivity)
 }

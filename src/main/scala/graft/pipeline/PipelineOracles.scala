@@ -889,6 +889,43 @@ object PipelineOracles {
        |ORDER BY t.source, decile""".stripMargin
   }
 
+  /** p50: the p06/p23 trigram pair machinery verified once at the loosest
+    * threshold, then classified per τ by exact integer cross-multiplication
+    * — no double compares anywhere in the report. */
+  private val p50 = {
+    val taus = PipelineOps.SensitivityThresholds.mkString(", ")
+    val tMin = PipelineOps.SensitivityThresholds.min
+    s"""WITH g AS (
+       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
+       |         list_distinct([ (${hex12("substr(text, i, 3)")})::BIGINT FOR i IN range(1, len(text) - 1) ]) AS grams
+       |  FROM documents WHERE len(text) >= 3),
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+       |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.block = b.block AND a.doc_id < b.doc_id),
+       |p AS (
+       |  SELECT doc_a, doc_b, inter, ca + cb - inter AS uni FROM j
+       |  WHERE inter * 100 >= (ca + cb - inter) * $tMin),
+       |t AS (
+       |  SELECT p.*, tau FROM p CROSS JOIN (SELECT unnest([$taus])::BIGINT AS tau)
+       |  WHERE inter * 100 >= tau * uni),
+       |pa AS (SELECT tau, count(*)::BIGINT AS n_pairs FROM t GROUP BY tau),
+       |dd AS (SELECT DISTINCT tau, doc_b FROM t),
+       |da AS (
+       |  SELECT tau, count(*)::BIGINT AS n_docs_dropped,
+       |         CAST(sum(d.n_chars) AS BIGINT) AS chars_dropped
+       |  FROM dd JOIN documents d ON d.doc_id = dd.doc_b GROUP BY tau)
+       |SELECT taus.tau AS threshold_pct,
+       |       coalesce(pa.n_pairs, 0)::BIGINT AS n_pairs,
+       |       coalesce(da.n_docs_dropped, 0)::BIGINT AS n_docs_dropped,
+       |       coalesce(da.chars_dropped, 0)::BIGINT AS chars_dropped
+       |FROM (SELECT unnest([$taus])::BIGINT AS tau) taus
+       |LEFT JOIN pa ON pa.tau = taus.tau
+       |LEFT JOIN da ON da.tau = taus.tau
+       |ORDER BY threshold_pct""".stripMargin
+  }
+
   /** p48: p36's cluster machinery, canonical = per-cluster argmax of the
     * integer quality score (row_number ties broken by id, matching the
     * Spark side's min-struct on (−score, id)). */
@@ -1079,5 +1116,6 @@ object PipelineOracles {
     "p48_keep_best"     -> p48,
     // the persisted index must answer exactly like computing from scratch
     // — p37's oracle IS p49's oracle (the rebuild-consistency guarantee)
-    "p49_ann_indexed"   -> p37)
+    "p49_ann_indexed"   -> p37,
+    "p50_dedup_sensitivity" -> p50)
 }

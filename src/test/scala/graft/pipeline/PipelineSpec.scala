@@ -535,6 +535,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0, "the lexicon pattern actually fires")
   }
 
+  test("dedup sensitivity: monotone in the threshold, τ=60 row equals p06 exactly") {
+    val rows = PipelineOps.dedupSensitivity(spark, SfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == PipelineOps.SensitivityThresholds,
+      "every threshold row present, ordered")
+    // tightening the threshold can only shrink every column
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1) && lo.getLong(2) >= hi.getLong(2) &&
+        lo.getLong(3) >= hi.getLong(3), s"monotone between ${lo.getLong(0)} and ${hi.getLong(0)}")
+    }
+    // cross-operator exactness: the 60% row IS p06 (same machinery at 3/5)
+    val p06Pairs = PipelineOps.ngramJaccard(spark, SfDir).collect()
+    val r60 = rows.find(_.getLong(0) == 60L).get
+    assert(r60.getLong(1) == p06Pairs.length, "τ=60 pair count must equal p06's")
+    assert(r60.getLong(2) == p06Pairs.map(_.getLong(1)).distinct.length,
+      "τ=60 dropped docs = distinct doc_b of p06's pairs")
+  }
+
   test("keep-best verdict: same clusters as p36, canonical is the argmax-quality member") {
     val p36 = PipelineOps.dedupVerdict(spark, SfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
