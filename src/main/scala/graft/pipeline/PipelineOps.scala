@@ -1553,7 +1553,12 @@ object PipelineOps {
   /** Embeddings quantized to int64 (floor(x * 1e5)): dot products and norms
     * become exact integer arithmetic, identical in any engine. */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
-    embs(spark, dir)
+    quantizedOf(embs(spark, dir))
+
+  /** The quantization over an arbitrary (vec_id, embedding) frame — shared
+    * with the streaming ingest path, which quantizes each arriving batch. */
+  private[graft] def quantizedOf(df: DataFrame): DataFrame =
+    df
       .withColumn("q", expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"))
       .withColumn("nrm", graft.functions.QuantizedDot(col("q"), col("q")))
 
