@@ -1175,6 +1175,28 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** p51: dedup token-budget accounting — the report that justifies (or
+    * kills) a dedup config in front of a training-data budget: per source,
+    * how many docs/tokens arrive raw, how many tokens survive the exact
+    * stage, and how many survive near-dedup — i.e. what each stage COSTS
+    * in training tokens, by provenance. Pure composition: the p36 verdict
+    * joined back to per-doc token counts, rolled up by source; one
+    * doc_id-keyed join + one source shuffle on top of p36's machinery. */
+  def dedupBudget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    toks.join(dedupVerdictOf(docs(spark, dir)).select("doc_id", "reason"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("reason") =!= "exact", col("n_tokens")).otherwise(0L)).as("tokens_after_exact"),
+        sum(when(col("reason") === "kept", col("n_tokens")).otherwise(0L)).as("tokens_after_near"),
+        sum(when(col("reason") === "kept", 1L).otherwise(0L)).as("docs_kept"))
+      .orderBy("source")
+  }
+
   /** p38: the incremental near-refresh path
     * ([[graft.streaming.DedupStream.refreshVerdictIncremental]]) driven
     * batch-wise under the batch oracle: the corpus "arrives" in two halves
@@ -2453,5 +2475,6 @@ object PipelineOps {
     "p47_semdedup_incremental" -> semDedupIncremental,
     "p48_keep_best"     -> keepBestVerdict,
     "p49_ann_indexed"   -> annIndexed,
-    "p50_dedup_sensitivity" -> dedupSensitivity)
+    "p50_dedup_sensitivity" -> dedupSensitivity,
+    "p51_dedup_budget"  -> dedupBudget)
 }

@@ -926,6 +926,46 @@ object PipelineOracles {
        |ORDER BY threshold_pct""".stripMargin
   }
 
+  /** p51: the p36 verdict joined to per-doc token counts, rolled up by
+    * source — the stage-cost accounting report. */
+  private val p51 =
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |  FROM documents),
+       |surv AS (SELECT * FROM ex WHERE doc_id = canon),
+       |g AS (
+       |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
+       |         list_distinct([ (${hex12("substr(text, i, 3)")})::BIGINT FOR i IN range(1, len(text) - 1) ]) AS grams
+       |  FROM surv WHERE len(text) >= 3),
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+       |         len(a.grams)::BIGINT AS ca, len(b.grams)::BIGINT AS cb
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.block = b.block AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE CAST(inter AS DOUBLE) / CAST(ca + cb - inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |r AS (
+       |  SELECT a AS d, a AS reach FROM e
+       |  UNION
+       |  SELECT r.d, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+       |cl AS (SELECT d, min(reach) AS cluster_id FROM r GROUP BY d),
+       |v AS (
+       |  SELECT ex.doc_id, ex.source,
+       |         len(string_split(ex.text, ' '))::BIGINT AS n_tokens,
+       |         CASE WHEN ex.doc_id <> ex.canon THEN 'exact'
+       |              WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> ex.doc_id THEN 'near'
+       |              ELSE 'kept' END AS reason
+       |  FROM ex LEFT JOIN cl ON cl.d = ex.doc_id)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN reason <> 'exact' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_after_exact,
+       |       CAST(sum(CASE WHEN reason = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_after_near,
+       |       CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+       |FROM v GROUP BY source ORDER BY source""".stripMargin
+
   /** p48: p36's cluster machinery, canonical = per-cluster argmax of the
     * integer quality score (row_number ties broken by id, matching the
     * Spark side's min-struct on (−score, id)). */
@@ -1117,5 +1157,6 @@ object PipelineOracles {
     // the persisted index must answer exactly like computing from scratch
     // — p37's oracle IS p49's oracle (the rebuild-consistency guarantee)
     "p49_ann_indexed"   -> p37,
-    "p50_dedup_sensitivity" -> p50)
+    "p50_dedup_sensitivity" -> p50,
+    "p51_dedup_budget"  -> p51)
 }

@@ -535,6 +535,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0, "the lexicon pattern actually fires")
   }
 
+  test("dedup budget: stage totals nest, and reconcile with the p36 verdict") {
+    val rows = PipelineOps.dedupBudget(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3) && r.getLong(3) >= r.getLong(4),
+        "each stage can only shrink the token budget")
+      assert(r.getLong(5) <= r.getLong(1), "kept docs bounded by docs")
+    }
+    // docs_kept reconciles with the verdict's kept class, summed over sources
+    val keptFromVerdict = PipelineOps.dedupVerdict(spark, SfDir).collect()
+      .count(_.getString(1) == "kept")
+    assert(rows.map(_.getLong(5)).sum == keptFromVerdict)
+    // raw token total reconciles with p01's corpus-wide token count
+    val p01Tokens = PipelineOps.textStats(spark, SfDir).collect().map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(2)).sum == p01Tokens)
+  }
+
   test("dedup sensitivity: monotone in the threshold, τ=60 row equals p06 exactly") {
     val rows = PipelineOps.dedupSensitivity(spark, SfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq == PipelineOps.SensitivityThresholds,
