@@ -20,7 +20,18 @@ import java.nio.file.{Files, Paths}
   * code-cache sweep, a mixed-GC spike — hits both halves of a back-to-back
   * pair and survives the min, but by pass 2 every codegen class already
   * exists and the heap has reached steady state, so the min measures the
-  * engine's long-lived-service cost. */
+  * engine's long-lived-service cost.
+  *
+  * Host-drift calibration: round 10 showed a uniform 1.43x slowdown across 89
+  * unchanged plans — pure host throughput, not a plan change — which made raw
+  * cross-round totals incomparable. The fix is the in-run anchor
+  * [[CalibrationProbe]]: the JSON line carries both raw seconds and
+  * `queries_norm` = raw / probe_sec. Cross-round comparisons should use the
+  * normalized numbers: a real plan regression moves a query's ratio; host
+  * churn moves the probe and the raw numbers together and cancels. The probe
+  * runs once before pass 1 and once after pass 2 (min taken) so a mid-bench
+  * throughput shift is visible as probe disagreement rather than silently
+  * skewing half the queries. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,20 +56,27 @@ object Bench {
 
     materialize("q01_agg") // warmup (not timed)
 
+    def probe(): Double = CalibrationProbe.measure(spark)
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       materialize(name)
       (System.nanoTime() - t0) / 1e9
     }
+    val probePre = probe()
     val pass1 = names.map(name => name -> timed(name)).toMap
     val results = names.map(name => name -> math.min(pass1(name), timed(name)))
+    val probePost = probe()
+    val probeSec = math.min(probePre, probePost)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qsNorm = results.map { case (k, v) => "\"" + k + "\":" + f"${v / probeSec}%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec%.3f,"probe_pre":$probePre%.3f,"probe_post":$probePost%.3f,"total_norm":${total / probeSec}%.3f,"queries_norm":$qsNorm}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

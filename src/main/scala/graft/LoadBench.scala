@@ -97,6 +97,12 @@ object LoadBench {
     // request is pre-cached by it
     requests.take(6).foreach(p => get(p + "&warm=1"))
 
+    // in-run host-throughput anchor (see CalibrationProbe): measured before
+    // the load so it doesn't contend with it; percentiles are reported both
+    // raw and probe-normalized, and the capacity-model constant is stated in
+    // normalized units so the reference comparison survives host churn
+    val probeSec = CalibrationProbe.measure(spark)
+
     val latencies = new ConcurrentLinkedQueue[Long]()
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     requests.foreach(queue.add)
@@ -128,7 +134,7 @@ object LoadBench {
     val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
     def pct(p: Double): Double = ls(math.min(ls.length - 1, (p * ls.length).toInt)) / 1e9
     val line =
-      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"hit_ratio":$hitRatio%.2f,"n_repeats":$nHits,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"hit_ratio":$hitRatio%.2f,"n_repeats":$nHits,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"probe_sec":$probeSec%.3f,"p50_norm":${pct(0.50) / probeSec}%.3f,"p95_norm":${pct(0.95) / probeSec}%.3f,"rps_x_probe":${ls.length / wall * probeSec}%.3f,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("loadbench_out.json"), line + "\n")
     spark.stop()

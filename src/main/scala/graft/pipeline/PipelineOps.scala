@@ -78,8 +78,18 @@ object PipelineOps {
     graft.sources.EventsSource.read(spark, dir)
 
   /** First 12 hex chars of md5 as int64 (48 bits — exact in any engine). */
-  private def hex12(e: String): String =
+  private[graft] def hex12(e: String): String =
     s"CAST(conv(substr(md5($e), 1, 12), 16, 10) AS BIGINT)"
+
+  /** 63-bit md5 prefix as int64: the top hex char masked to 3 bits plus the
+    * next 15 hex chars (60 bits). Stays strictly below 2^63 so neither
+    * engine can overflow under ANSI semantics while keeping nearly the full
+    * 64-bit keyspace — birthday collision onset ~2^31.5 ≈ 3e9 distinct keys
+    * (vs ~16M for [[hex12]]). Used where key cardinality tracks corpus
+    * size (p30's span census). */
+  private[graft] def hex63(e: String): String =
+    s"((CAST(conv(substr(md5($e), 1, 1), 16, 10) AS BIGINT) % 8) * ${1L << 60}" +
+      s" + CAST(conv(substr(md5($e), 2, 15), 16, 10) AS BIGINT))"
 
   // ===================================================== text analysis
 
@@ -467,8 +477,9 @@ object PipelineOps {
     * identifiers, so a lexicon stands in for the email/phone/IP regexes —
     * the pattern table is data, the operator is the machinery. Patterns
     * are RE2-safe (word boundaries, char classes, bounded quantifiers
-    * only) so Spark's Java regex and the oracle's RE2 agree; the
-    * `digits` entry matches nothing corpus-wide, pinning the zero path.
+    * only) so Spark's Java regex and the oracle's RE2 agree; the zero-hit
+    * path (a pattern that never fires) is pinned by a fixture test on
+    * [[scrubDocs]], not by assuming anything about the current corpus.
     *
     * Per-doc work is a pure projection (regexp_count + sequential
     * regexp_replace in declaration order, all codegen'd); the rollup is
@@ -485,8 +496,14 @@ object PipelineOps {
   val ScrubFlagHits = 3
   val ScrubAuditMod = 1000000000L
 
-  def scrub(spark: SparkSession, dir: String): DataFrame = {
-    val withCounts = ScrubPatterns.foldLeft(docs(spark, dir)) {
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubDocs(docs(spark, dir))
+
+  /** scrub over an explicit docs frame (source, text, ...) — split out so
+    * the zero-hit path can be pinned on a purpose-built fixture instead of
+    * a corpus-content assumption that breaks when testdata regenerates. */
+  private[graft] def scrubDocs(docsDf: DataFrame): DataFrame = {
+    val withCounts = ScrubPatterns.foldLeft(docsDf) {
       case (d, (nm, pat)) =>
         d.withColumn(s"hits_$nm", regexp_count(col("text"), lit(pat)).cast("long"))
     }
@@ -520,12 +537,12 @@ object PipelineOps {
     * never shuffles) → exactly-K candidates by (freq, hash) — a
     * deterministic total order both engines share — → span text joined
     * back for those K only via a broadcast. Distinct spans colliding on
-    * the 48-bit hash merge counts identically in both engines (the min
+    * the 63-bit hash merge counts identically in both engines (the min
     * span text reports); by the birthday bound collisions onset around
-    * ~2^24 (~16M) distinct spans, past which a colliding pair of singleton
-    * spans can surface as a false freq>=2 candidate — the top-K is trustable
-    * below that corpus size, and the hash could widen to 64 bits if a
-    * deployment crosses it; the tie-break-by-hash at the K boundary is what
+    * ~2^31.5 (~3e9) distinct spans — far past any corpus this runs on
+    * single-node, and at a true 100 TB span census (10^12+ distinct spans)
+    * the move is shuffling the span text itself as the key, paying text-
+    * width shuffle for exactness; the tie-break-by-hash at the K boundary is what
     * keeps the candidate set EXACTLY K rows at any corpus size — a
     * tie-break by span text would need the text of every tied span, an
     * unbounded set on template-heavy corpora. */
@@ -552,7 +569,7 @@ object PipelineOps {
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, size(toks) - $SpanLen), i -> concat_ws(' ', $mk))")).as("span"))
-      .withColumn("h", expr(hex12("span")))
+      .withColumn("h", expr(hex63("span")))
     val counts = spans.groupBy("h")
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
       .where(col("freq") >= 2)
@@ -1472,13 +1489,22 @@ object PipelineOps {
       .distinct()
       .localCheckpoint(false)
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // catalog-sized; feeds the grid twice + widths
     val l = sh.select(col("source").as("source_a"), col("h"))
     val r = sh.select(col("source").as("source_b"), col("h"))
-    l.join(r, "h").where(col("source_a") < col("source_b"))
+    val pairs = l.join(r, "h").where(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
-      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+    // report over the FULL source-pair grid (catalog² rows, built from two
+    // broadcast-sized frames): a mixing decision needs "these two sources
+    // share nothing" as an explicit zero row, not an absence that is
+    // indistinguishable from a missing source — same grid-then-left-join
+    // pattern as dedupSensitivity's empty thresholds
+    val grid = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))))
+      .where(col("source_a") < col("source_b"))
+    grid.join(pairs, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
@@ -1874,8 +1900,13 @@ object PipelineOps {
     * scratch (the oracle IS p37's SQL), which is the index-consistency
     * guarantee a serving deployment needs after every rebuild. */
   def annIndexed(spark: SparkSession, dir: String): DataFrame = {
+    // path is keyed by (dataset dir, THIS Spark app): two concurrent runs
+    // over the same dataset each get their own index tree instead of racing
+    // overwrite-vs-read on shared parquet files; within one app the path is
+    // stable, so repeated calls reuse the same build target (the rebuild is
+    // what p49 measures)
     val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      f"graft-ann-index-${md5Long(dir, 12)}%012x").toString
+      f"graft-ann-index-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x").toString
     buildAnnIndex(spark, dir, idx)
     queryAnnIndex(spark, dir, idx)
   }

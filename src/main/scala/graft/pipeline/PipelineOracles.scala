@@ -17,6 +17,12 @@ object PipelineOracles {
   private def hex12(x: String): String =
     s"list_sum([ (strpos('0123456789abcdef', substr(md5($x), hx, 1)) - 1)::BIGINT * (1::BIGINT << (4*(12-hx))) FOR hx IN range(1, 13) ])"
 
+  /** 63-bit md5 prefix as BIGINT — top hex char masked to 3 bits plus the
+    * next 15 chars; the exact arithmetic twin of PipelineOps.hex63. */
+  private def hex63(x: String): String =
+    s"(((strpos('0123456789abcdef', substr(md5($x), 1, 1)) - 1)::BIGINT % 8) * (1::BIGINT << 60)" +
+      s" + list_sum([ (strpos('0123456789abcdef', substr(md5($x), hx, 1)) - 1)::BIGINT * (1::BIGINT << (4*(16-hx))) FOR hx IN range(2, 17) ]))"
+
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
   private val p01 =
@@ -641,7 +647,7 @@ object PipelineOracles {
        |  SELECT doc_id,
        |         unnest([array_to_string(toks[i:i+${len - 1}], ' ') FOR i IN range(1, len(toks) - ${len - 2})]) AS span
        |  FROM t WHERE len(toks) >= $len),
-       |sh AS (SELECT doc_id, span, ${hex12("span")} AS h FROM s),
+       |sh AS (SELECT doc_id, span, ${hex63("span")} AS h FROM s),
        |c AS (
        |  SELECT h, count(*)::BIGINT AS freq, count(DISTINCT doc_id)::BIGINT AS n_docs
        |  FROM sh GROUP BY h HAVING count(*) >= 2),
@@ -1093,11 +1099,16 @@ object PipelineOracles {
        |sz AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY source),
        |p AS (
        |  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
-       |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
-       |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
-       |       CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
-       |FROM p JOIN sz sa ON sa.source = p.source_a JOIN sz sb ON sb.source = p.source_b
-       |ORDER BY source_a, source_b""".stripMargin
+       |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+       |g AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b
+       |  FROM sz a JOIN sz b ON a.source < b.source)
+       |SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+       |       COALESCE(p.n_shared, 0)::BIGINT AS n_shared,
+       |       CAST(COALESCE(p.n_shared, 0) AS DOUBLE)
+       |         / CAST(g.n_a + g.n_b - COALESCE(p.n_shared, 0) AS DOUBLE) AS jaccard
+       |FROM g LEFT JOIN p ON p.source_a = g.source_a AND p.source_b = g.source_b
+       |ORDER BY g.source_a, g.source_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,

@@ -40,12 +40,24 @@ object SemDedupStream {
     * refreshes (the SummaryRefresh checkpointing contract). */
   final case class SemState(members: DataFrame, edges: DataFrame)
 
-  /** One refresh over a quantized batch (vec_id, q, nrm). */
+  /** One refresh over a quantized batch (vec_id, q, nrm).
+    *
+    * Idempotent under at-least-once delivery: vec_ids already in the carried
+    * membership are dropped before assignment (left_anti on vec_id — batch
+    * side is small, state side is the shuffle), so a retried or overlapping
+    * micro-batch changes neither the cell census nor the edge set. Without
+    * this, foreachBatch's replay-on-failure contract would double-count
+    * members, push cells past the cap, and retire edges that the one-shot
+    * keeps. */
   def refreshIncremental(
       cents: DataFrame, batch: DataFrame, prev: Option[SemState],
       maxCell: Int, threshold: Double): SemState = {
-    val assignedNew = PipelineOps.semAssign(batch, cents)
-      .join(batch, "vec_id")
+    val fresh = prev match {
+      case Some(p) => batch.join(p.members.select("vec_id"), Seq("vec_id"), "left_anti")
+      case None    => batch
+    }
+    val assignedNew = PipelineOps.semAssign(fresh, cents)
+      .join(fresh, "vec_id")
       .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
       .localCheckpoint(false)
     val members = prev.map(_.members.unionByName(assignedNew)).getOrElse(assignedNew)

@@ -5,6 +5,21 @@ import graft.SparkTestSession.{spark, SfDir}
 
 class HashingSpec extends AnyFunSuite {
 
+  test("hex63 matches the md5-derived expected value (cross-engine constants)") {
+    // expected values computed independently from the md5 hex digest:
+    // (first_char % 8) * 2^60 + int64(chars 2..16); the DuckDB twin in
+    // PipelineOracles was validated against the same constants
+    val cases = Seq(
+      "hello"               -> 6719722671305337462L,
+      "the quick brown fox" -> 3527384202465209835L,
+      "a b c d e"           -> 2610038962114407229L)
+    import spark.implicits._
+    cases.foreach { case (s, exp) =>
+      val got = Seq(s).toDF("x").selectExpr(PipelineOps.hex63("x")).head().getLong(0)
+      assert(got == exp, s"hex63('$s')")
+    }
+  }
+
   test("md5Long matches known md5 prefixes") {
     // md5("hello") = 5d41402abc4b2a76b9719d911017c592
     assert(Hashing.md5Long("hello", 12) == java.lang.Long.parseLong("5d41402abc4b", 16))
@@ -527,12 +542,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nDocs == spark.read.parquet(s"$SfDir/documents.parquet").count())
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1), "flagged is a subset of docs")
-      assert(r.getLong(5) == 0L, "the digits pattern matches nothing corpus-wide")
+      (3 to 5).foreach(i => assert(r.getLong(i) >= 0, "hit counts are non-negative"))
       val audit = r.getLong(6)
       assert(audit >= 0 && audit < r.getLong(1) * PipelineOps.ScrubAuditMod,
         "audit sum stays inside the per-doc modulus bound")
     }
     assert(rows.map(_.getLong(3)).sum > 0, "the lexicon pattern actually fires")
+  }
+
+  test("scrub fixture: exact hit counts, flagging, and the zero-hit pattern path") {
+    // purpose-built docs: pattern hits are known exactly, including a
+    // pattern ('digits') that never fires — the zero path pinned here
+    // instead of on a corpus-content assumption
+    import spark.implicits._
+    val fixture = Seq(
+      // customer x3 -> flagged (>= ScrubFlagHits); customers does NOT match (\b)
+      ("a", "customer customer customer customers"),
+      ("a", "a vector walks into a bar"),
+      ("b", "no lexicon words here at all"),
+      ("b", "vector vector")
+    ).toDF("source", "text")
+    val rows = PipelineOps.scrubDocs(fixture).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = rows(0); val b = rows(1)
+    assert(a.getLong(1) == 2 && b.getLong(1) == 2, "n_docs")
+    assert(a.getLong(2) == 1 && b.getLong(2) == 0, "only the 3-hit doc is flagged")
+    assert(a.getLong(3) == 3 && b.getLong(3) == 0, "customer hits")
+    assert(a.getLong(4) == 1 && b.getLong(4) == 2, "vector hits")
+    assert(a.getLong(5) == 0 && b.getLong(5) == 0, "digits pattern never fires here")
+    // the audit hashes the REDACTED text: recompute b's expected audit by
+    // hand-applying the only firing pattern ([VECTOR]) and hashing
+    val redactedB = fixture.where($"source" === "b")
+      .selectExpr("regexp_replace(text, '\\\\bvector\\\\b', '[VECTOR]') AS r")
+      .selectExpr(s"sum(${PipelineOps.hex12("r")} % ${PipelineOps.ScrubAuditMod})")
+      .head().getLong(0)
+    assert(b.getLong(6) == redactedB, "audit equals the hash of the redacted text")
   }
 
   test("dedup budget: stage totals nest, and reconcile with the p36 verdict") {
