@@ -1503,7 +1503,7 @@ object PipelineOps {
     val grid = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
       .crossJoin(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))))
       .where(col("source_a") < col("source_b"))
-    grid.join(pairs, Seq("source_a", "source_b"), "left")
+    grid.join(broadcast(pairs), Seq("source_a", "source_b"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
@@ -2206,62 +2206,185 @@ object PipelineOps {
     graft.streaming.SemDedupStream.verdict(e.select("vec_id"), state.get, SemMaxCell)
   }
 
+  /** p52: semantic dedup through a TRAINED quantizer with IVF multi-probe
+    * membership — the production composition p44's docs promise: instead of
+    * the ⌈√n⌉ seed-prefix cells, one p24 Lloyd step turns the seeds into
+    * data-shaped integer-mean centroids, and each vector then belongs to
+    * its top-[[IvfProbes]] nearest trained cells (p15's probe idea applied
+    * to MEMBERSHIP), so near-duplicates that straddle a cell boundary — the
+    * known blind spot of single-cell SemDeDup — meet in their shared
+    * second-choice cell. Pair discovery, the hot-cell cap, and the verdict
+    * shape are p44's unchanged (the cell-local stage is quantizer-agnostic;
+    * SemDedupFuzzSpec proves the same geometry point).
+    *
+    * Scale: training is p24's shape (broadcast assign + 64·K-row centroid
+    * recompute); probe selection uses [[graft.functions.Bottom2]], a
+    * mergeable smallest-2 aggregate, so the corpus×K scored stream
+    * collapses map-side to ONE 32-byte buffer per vector — no window, no
+    * per-vector K-row state (see Bottom2's scaladoc for why the built-in
+    * spellings break at production K). The assignment relation is
+    * localCheckpointed because it is exactly what a production IVF index
+    * persists (p49 writes it as `ivf_assign.parquet`); membership doubles
+    * rows (probes=2) going into the same capped cell-pair join as p44. */
+  def semDedupTrained(spark: SparkSession, dir: String): DataFrame =
+    semDedupTrainedParam(spark, dir, semCells(embs(spark, dir).count()),
+      SemMaxCell, SemDupThreshold)
+
+  /** Parameterized core of p52; SemDedupFuzzSpec differential-tests
+    * geometries against a driver-side oracle that re-derives training,
+    * probes, and verdict from the raw float embeddings. */
+  private[graft] def semDedupTrainedParam(
+      spark: SparkSession, dir: String, k: Long,
+      maxCell: Int, threshold: Double): DataFrame = {
+    require(IvfProbes == 2, "Bottom2 probe selection is specialized to 2 probes")
+    require(k >= 1, s"cell count ($k) must be positive")
+    require(maxCell >= 1, s"cell cap ($maxCell) must be positive")
+    val e = embs(spark, dir)
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val seeds = semCents(q, k)
+    val a0 = semAssign(q, seeds)
+
+    // one Lloyd step (p24's integer-mean recipe: `s DIV cnt` truncates
+    // identically cross-engine; zero-vector centroids drop)
+    val counts = a0.groupBy("cid").agg(count(lit(1)).as("cnt"))
+    val trained = a0.join(q, "vec_id")
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("s"))
+      .join(counts, "cid")
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("pos"), expr("s DIV cnt").as("m")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, x -> x.m)").as("qb"))
+      .withColumn("nrm_b", graft.functions.QuantizedDot(col("qb"), col("qb")))
+      .where(col("nrm_b") > 0)
+      .localCheckpoint(false) // broadcast-sized, feeds probe scoring
+
+    val probed = q.where(col("nrm") > 0)
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(trained))
+      .withColumn("cdot", dotCol)
+      .withColumn("ccos",
+        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .groupBy("vec_id")
+      .agg(graft.functions.Bottom2(-col("ccos"), col("cid")).as("cids"))
+      .localCheckpoint(false) // the persisted-index relation (see scaladoc)
+
+    val rank1 = probed.select(col("vec_id"), element_at(col("cids"), 1).as("cid"))
+    val members = probed.select(col("vec_id"), explode(col("cids")).as("cid"))
+    val cw = Window.partitionBy(col("cid"))
+    val cell = members.join(q, "vec_id")
+      .withColumn("csz", count(lit(1)).over(cw))
+      .where(col("csz") <= maxCell)
+      .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
+    val l = cell.select(col("cid"), col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val r = cell.select(col("cid"), col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val dups = l.join(r, "cid").where(col("vec_a") < col("vec_b"))
+      .withColumn("dot", dotCol)
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= threshold)
+      // a pair sharing both probe cells scores twice; min absorbs the dup
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+
+    e.select(col("vec_id"))
+      .join(rank1, Seq("vec_id"), "left")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
   // ============================================================ multimodal
 
-  /** p13: multimodal asset plumbing — content as an opaque BINARY column
-    * with a typed metadata struct, the schema shape image/audio/video
-    * pipelines use at scale. The decode step is a clearly-marked
-    * deterministic STUB (this container has no media libraries): "frame
-    * dims" derive from the first content bytes, the signature from md5.
-    * Everything around the stub — binary encoding, struct metadata,
-    * per-source rollup — is real, codegen-friendly column work. */
-  def multimodal(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("content", col("text").cast("binary")) // opaque asset bytes
-      .withColumn("meta", struct(
-        length(col("content")).cast("long").as("n_bytes"),
-        expr(s"${hex12("text")}").as("sig"),
-        // STUB decode: width/height faked from leading bytes (deterministic
-        // placeholder for a real image decoder)
-        (expr("ascii(substr(text, 1, 1))") % 16 + 1).cast("long").as("width"),
-        (expr("ascii(substr(text, 2, 1))") % 16 + 1).cast("long").as("height")))
-      .groupBy("source")
+  /** p13: multimodal asset decode — content as an opaque BINARY column, the
+    * schema shape image/audio pipelines have at scale, with a REAL decode
+    * stage: assets are genuine file formats (24-bit BMP images, RIFF/WAVE
+    * 16-bit-PCM audio) manufactured deterministically from document text
+    * (the container ships no media, so the fixture is the generator), and
+    * the stats are parsed back OUT OF THE BYTES by
+    * [[graft.functions.MediaCodec]] — width/height from the BITMAPINFOHEADER,
+    * sample rate and sample data from the chunk-walked RIFF stream. The
+    * DuckDB oracle never sees the binary: it recomputes every statistic
+    * directly from the text formulas, so a header laid out wrong, a row
+    * padded wrong, or a sample in the wrong endianness fails the gate
+    * (position-weighted checksums make the sums order-sensitive; unit
+    * tests additionally pin both formats against hand-built golden bytes).
+    *
+    * Scale shape: encode and decode are single-pass per-row projections
+    * inside whole-stage codegen (static-call native expressions, no UDFs);
+    * the only shuffle is the per-source rollup; malformed assets decode to
+    * NULL — data, not exceptions, at 10^9 assets. All reported sums are
+    * int64-exact. */
+  def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("is_img", (col("doc_id") % 2) === 0)
+      .withColumn("iw", (col("n_chars") % 12 + 1).cast("int"))
+      .withColumn("ih", (col("doc_id") % 9 + 1).cast("int"))
+      .withColumn("rate", (col("doc_id") % 3 * 1000 + 8000).cast("int"))
+      .withColumn("ns", (col("n_chars") % 100 + 64).cast("int"))
+      .withColumn("content", when(col("is_img"),
+          graft.functions.BmpEncode(col("text"), col("iw"), col("ih"), lit(0)))
+        .otherwise(graft.functions.WavEncode(col("text"), col("rate"), col("ns"), lit(0))))
+      // decode: modality-dispatched parsers over the binary column; the
+      // `when` guard routes, the parser itself re-validates (wrong-format
+      // bytes would decode to NULL and surface in the counts)
+      .withColumn("img", when(col("is_img"), graft.functions.BmpStats(col("content"))))
+      .withColumn("aud", when(!col("is_img"), graft.functions.WavStats(col("content"))))
+    d.groupBy("source")
       .agg(
         count(lit(1)).as("n_assets"),
-        sum(col("meta.n_bytes")).as("sum_bytes"),
-        countDistinct(col("meta.sig")).as("n_unique"),
-        sum(col("meta.width") * col("meta.height")).as("sum_pixels"))
-      .withColumn("avg_pixels", col("sum_pixels").cast("double") / col("n_assets").cast("double"))
+        sum(length(col("content")).cast("long")).as("sum_bytes"),
+        sum(when(col("img").isNotNull, 1L).otherwise(0L)).as("n_images"),
+        coalesce(sum(col("img.width").cast("long") * col("img.height")), lit(0L)).as("sum_pixels"),
+        coalesce(sum(col("img.sum_r") + col("img.sum_g") + col("img.sum_b")), lit(0L)).as("sum_rgb"),
+        coalesce(sum(col("img.wsum_b")), lit(0L)).as("wsum_b"),
+        sum(when(col("aud").isNotNull, 1L).otherwise(0L)).as("n_audio"),
+        coalesce(sum(col("aud.n_samples").cast("long")), lit(0L)).as("sum_samples"),
+        coalesce(sum(expr("(CAST(aud.n_samples AS BIGINT) * 1000000) DIV aud.sample_rate")), lit(0L))
+          .as("sum_duration_us"),
+        coalesce(sum(col("aud.sum_abs")), lit(0L)).as("sum_abs"),
+        coalesce(max(col("aud.max_abs").cast("long")), lit(0L)).as("max_abs"),
+        coalesce(sum(col("aud.wsum")), lit(0L)).as("wsum_audio"))
       .orderBy("source")
+  }
 
-  /** p28: video-style frame sampling — the explode/per-frame/re-rollup
-    * batch shape a frame-extraction pipeline has at scale: each asset
-    * yields every k-th "frame" as its own row (frame count derives from
-    * asset length; the decode itself is a deterministic STUB like p13 —
-    * container has no media libs), per-frame feature hashes compute
-    * row-parallel, then frames roll back up to asset-level signatures.
-    * The explode multiplies rows by frames-per-asset — the real resource
-    * model of video pipelines — and every stage stays a projection or
-    * one keyed shuffle. */
-  val FrameStride = 7
-
+  /** p28: video-style frame sampling with REAL per-frame decode — each
+    * asset is a short "video" whose frames are individually encoded BMPs
+    * (per-frame dims and pixel seed vary, like real frames differ);
+    * explode fans each asset into its frames, [[graft.functions.BmpStats]]
+    * parses every frame's bytes back into dimensions and position-weighted
+    * pixel sums, per-frame signatures derive from the DECODED values, and
+    * frames roll back up to asset- then source-level. The explode
+    * multiplies rows by frames-per-asset — the true resource model of
+    * video pipelines — and every stage stays a codegen projection or one
+    * keyed shuffle; the oracle recomputes each frame's stats from the text
+    * formulas without touching bytes. */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id").as("asset_id"), col("source"), col("text"),
-        explode(expr(s"sequence(0, cast(n_chars / $FrameStride as long))")).as("frame_idx"))
-      // STUB decode: the "frame" is a byte window at the sample position
-      .withColumn("frame", expr(s"substring(text, cast(frame_idx * $FrameStride + 1 as int), $FrameStride)"))
-      .withColumn("frame_sig", expr(hex12("frame")))
+      .select(col("doc_id").as("asset_id"), col("source"), col("text"), col("n_chars"))
+      .withColumn("nf", (col("n_chars") % 6 + 2).cast("int"))
+      .select(col("asset_id"), col("source"), col("text"), col("n_chars"),
+        explode(expr("sequence(0, nf - 1)")).as("f"))
+      .withColumn("fw", ((col("asset_id") + col("f")) % 5 + 3).cast("int"))
+      .withColumn("fh", ((col("n_chars") + col("f")) % 4 + 2).cast("int"))
+      .withColumn("frame",
+        graft.functions.BmpEncode(col("text"), col("fw"), col("fh"), (col("f") * 11).cast("int")))
+      .withColumn("st", graft.functions.BmpStats(col("frame")))
+      .withColumn("frame_sig",
+        col("st.sum_b") * lit(1000003L) + col("st.wsum_b") * lit(31L) + col("st.sum_r"))
       .groupBy(col("asset_id"), col("source"))
       .agg(
-        count(lit(1)).as("n_sampled"),
+        count(lit(1)).as("n_frames"),
         countDistinct(col("frame_sig")).as("n_unique_frames"),
+        sum(col("st.width").cast("long") * col("st.height")).as("asset_pixels"),
         min(col("frame_sig")).as("min_sig"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_assets"),
-        sum(col("n_sampled")).as("sum_frames"),
+        sum(col("n_frames")).as("sum_frames"),
         sum(col("n_unique_frames")).as("sum_unique"),
+        sum(col("asset_pixels")).as("sum_pixels"),
         min(col("min_sig")).as("corpus_min_sig"))
       .orderBy("source")
 
@@ -2507,5 +2630,6 @@ object PipelineOps {
     "p48_keep_best"     -> keepBestVerdict,
     "p49_ann_indexed"   -> annIndexed,
     "p50_dedup_sensitivity" -> dedupSensitivity,
-    "p51_dedup_budget"  -> dedupBudget)
+    "p51_dedup_budget"  -> dedupBudget,
+    "p52_semdedup_trained" -> semDedupTrained)
 }

@@ -250,18 +250,53 @@ object PipelineOracles {
        |SELECT doc_id, len(fps)::BIGINT AS n_fingerprints, list_min(fps) AS fp_min, list_max(fps) AS fp_max
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** p13: the oracle never parses BMP/WAV bytes — it recomputes every
+    * decoded statistic straight from the text formulas (pixel channel c of
+    * logical pixel k reads text byte (3k+c) mod len; sample i is
+    * ((byte(i mod len)*131 + 7i) mod 65536) - 32768), plus the exact
+    * on-disk sizes from the format arithmetic (54 + h·pad4(3w) for BMP,
+    * 44 + 2n for WAV). The Spark side must round-trip through real encode
+    * + real parse to land on the same integers. */
   private val p13 =
     s"""WITH t AS (
-       |  SELECT source,
-       |         octet_length(encode(text))::BIGINT AS n_bytes,
-       |         ${hex12("text")} AS sig,
-       |         ((ascii(substr(text, 1, 1)) % 16) + 1)::BIGINT AS w,
-       |         ((ascii(substr(text, 2, 1)) % 16) + 1)::BIGINT AS h
-       |  FROM documents)
-       |SELECT source, count(*)::BIGINT AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
-       |       count(DISTINCT sig)::BIGINT AS n_unique, CAST(sum(w * h) AS BIGINT) AS sum_pixels,
-       |       CAST(CAST(sum(w * h) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_pixels
-       |FROM t GROUP BY source ORDER BY source""".stripMargin
+       |  SELECT doc_id, source, text, n_chars, len(text) AS l,
+       |         (doc_id % 2 = 0) AS is_img,
+       |         (n_chars % 12 + 1) AS iw, (doc_id % 9 + 1) AS ih,
+       |         (doc_id % 3 * 1000 + 8000) AS rate, (n_chars % 100 + 64) AS ns
+       |  FROM documents),
+       |img AS (
+       |  SELECT source, iw * ih AS n_px,
+       |         54 + ih * (((3 * iw + 3) // 4) * 4) AS n_bytes,
+       |         list_sum([ord(text[((3*k) % l)+1]) + ord(text[((3*k+1) % l)+1]) + ord(text[((3*k+2) % l)+1]) FOR k IN range(0, iw * ih)]) AS sum_rgb,
+       |         list_sum([(k+1) * ord(text[((3*k) % l)+1]) FOR k IN range(0, iw * ih)]) AS wsum_b
+       |  FROM t WHERE is_img),
+       |aud AS (
+       |  SELECT source, ns, 44 + 2 * ns AS n_bytes,
+       |         (ns * 1000000) // rate AS dur,
+       |         list_sum([abs(((ord(text[(i % l)+1]) * 131 + i*7) % 65536) - 32768) FOR i IN range(0, ns)]) AS sum_abs,
+       |         list_max([abs(((ord(text[(i % l)+1]) * 131 + i*7) % 65536) - 32768) FOR i IN range(0, ns)]) AS max_abs,
+       |         list_sum([(i+1) * (((ord(text[(i % l)+1]) * 131 + i*7) % 65536) - 32768) FOR i IN range(0, ns)]) AS wsum
+       |  FROM t WHERE NOT is_img),
+       |gi AS (SELECT source, count(*)::BIGINT AS n_images, CAST(sum(n_px) AS BIGINT) AS sum_pixels,
+       |              CAST(sum(n_bytes) AS BIGINT) AS img_bytes, CAST(sum(sum_rgb) AS BIGINT) AS sum_rgb,
+       |              CAST(sum(wsum_b) AS BIGINT) AS wsum_b
+       |       FROM img GROUP BY source),
+       |ga AS (SELECT source, count(*)::BIGINT AS n_audio, CAST(sum(ns) AS BIGINT) AS sum_samples,
+       |              CAST(sum(dur) AS BIGINT) AS sum_duration_us, CAST(sum(n_bytes) AS BIGINT) AS aud_bytes,
+       |              CAST(sum(sum_abs) AS BIGINT) AS sum_abs, CAST(max(max_abs) AS BIGINT) AS max_abs,
+       |              CAST(sum(wsum) AS BIGINT) AS wsum_audio
+       |       FROM aud GROUP BY source),
+       |n AS (SELECT source, count(*)::BIGINT AS n_assets FROM t GROUP BY source)
+       |SELECT n.source, n.n_assets,
+       |       COALESCE(gi.img_bytes, 0) + COALESCE(ga.aud_bytes, 0) AS sum_bytes,
+       |       COALESCE(gi.n_images, 0) AS n_images, COALESCE(gi.sum_pixels, 0) AS sum_pixels,
+       |       COALESCE(gi.sum_rgb, 0) AS sum_rgb, COALESCE(gi.wsum_b, 0) AS wsum_b,
+       |       COALESCE(ga.n_audio, 0) AS n_audio, COALESCE(ga.sum_samples, 0) AS sum_samples,
+       |       COALESCE(ga.sum_duration_us, 0) AS sum_duration_us,
+       |       COALESCE(ga.sum_abs, 0) AS sum_abs, COALESCE(ga.max_abs, 0) AS max_abs,
+       |       COALESCE(ga.wsum_audio, 0) AS wsum_audio
+       |FROM n LEFT JOIN gi ON gi.source = n.source LEFT JOIN ga ON ga.source = n.source
+       |ORDER BY n.source""".stripMargin
 
   private val p14 = {
     // adaptive bits-per-band: smallest k with 2^k * target >= n (clamped) —
@@ -592,28 +627,41 @@ object PipelineOracles {
        |agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM pairs GROUP BY pair)
        |SELECT pair, freq FROM agg ORDER BY freq DESC, pair ASC LIMIT ${PipelineOps.BpeTopK}""".stripMargin
 
-  /** p28: frame sampling — explode to per-frame rows, hash, re-rollup. */
-  private val p28 = {
-    val k = PipelineOps.FrameStride
-    s"""WITH f AS (
-       |  SELECT doc_id AS asset_id, source, text,
-       |         unnest(range(0, (n_chars // $k)::BIGINT + 1)) AS frame_idx
+  /** p28: per-frame BMP stats recomputed from the text formulas (frame f
+    * uses pixel seed 11f), signature arithmetic identical to the Spark
+    * side's decoded-value expression — never parses bytes. */
+  private val p28 =
+    s"""WITH t AS (
+       |  SELECT doc_id AS asset_id, source, text, n_chars, len(text) AS l,
+       |         (n_chars % 6 + 2) AS nf
        |  FROM documents),
-       |h AS (
-       |  SELECT asset_id, source,
-       |         ${hex12(s"substr(text, (frame_idx * $k + 1)::INT, $k)")} AS frame_sig
-       |  FROM f),
+       |fr AS (
+       |  SELECT asset_id, source, text, l, n_chars, unnest(range(0, nf)) AS f FROM t),
+       |dims AS (
+       |  SELECT asset_id, source, text, l, f,
+       |         ((asset_id + f) % 5 + 3) AS fw, ((n_chars + f) % 4 + 2) AS fh
+       |  FROM fr),
+       |d AS (
+       |  SELECT asset_id, source, fw * fh AS n_px,
+       |         list_sum([ord(text[((11*f + 3*k) % l)+1]) FOR k IN range(0, fw * fh)]) AS sum_b,
+       |         list_sum([ord(text[((11*f + 3*k + 2) % l)+1]) FOR k IN range(0, fw * fh)]) AS sum_r,
+       |         list_sum([(k+1) * ord(text[((11*f + 3*k) % l)+1]) FOR k IN range(0, fw * fh)]) AS wsum_b
+       |  FROM dims),
+       |s AS (
+       |  SELECT asset_id, source, n_px,
+       |         sum_b * 1000003 + wsum_b * 31 + sum_r AS sig
+       |  FROM d),
        |a AS (
-       |  SELECT asset_id, source, count(*)::BIGINT AS n_sampled,
-       |         count(DISTINCT frame_sig)::BIGINT AS n_unique_frames,
-       |         min(frame_sig) AS min_sig
-       |  FROM h GROUP BY asset_id, source)
+       |  SELECT asset_id, source, count(*)::BIGINT AS n_frames,
+       |         count(DISTINCT sig)::BIGINT AS n_unique_frames,
+       |         CAST(sum(n_px) AS BIGINT) AS asset_pixels, min(sig) AS min_sig
+       |  FROM s GROUP BY asset_id, source)
        |SELECT source, count(*)::BIGINT AS n_assets,
-       |       CAST(sum(n_sampled) AS BIGINT) AS sum_frames,
+       |       CAST(sum(n_frames) AS BIGINT) AS sum_frames,
        |       CAST(sum(n_unique_frames) AS BIGINT) AS sum_unique,
+       |       CAST(sum(asset_pixels) AS BIGINT) AS sum_pixels,
        |       CAST(min(min_sig) AS BIGINT) AS corpus_min_sig
        |FROM a GROUP BY source ORDER BY source""".stripMargin
-  }
 
   /** p29: relational KMV — distinct hashes, k smallest per group, unbiased
     * (k-1)·2^48/h_(k) estimate; integer inputs keep the double math exact
@@ -1053,6 +1101,60 @@ object PipelineOracles {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** p52: trained-quantizer semantic dedup — p24's Lloyd-step training
+    * (integer-mean centroids, `//` == `DIV`), then TOP-2 probe membership
+    * (row_number ≤ 2 — the oracle can afford the naive window; the Spark
+    * side uses the mergeable Bottom2 aggregate), p44's capped cell-pair
+    * stage over the doubled membership, rank-1 cell in the verdict. */
+  private val p52 = {
+    val K = "(SELECT k FROM kk)"
+    val cap = PipelineOps.SemMaxCell
+    val thr = PipelineOps.SemDupThreshold
+    s"""$quantCte,
+       |kk AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < $K AND nrm > 0),
+       |cr0 AS (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qc)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC, c.cid ASC) AS crn
+       |  FROM n CROSS JOIN seeds c WHERE n.nrm > 0),
+       |a0 AS (SELECT vec_id, cid FROM cr0 WHERE crn = 1),
+       |counts AS (SELECT cid, count(*)::BIGINT AS cnt FROM a0 GROUP BY cid),
+       |sums AS (
+       |  SELECT a0.cid, i.i, CAST(sum(n.q[i.i]) AS BIGINT) AS s
+       |  FROM a0 JOIN n USING (vec_id) CROSS JOIN (SELECT unnest(range(1, ${EmbDim + 1})) AS i) i
+       |  GROUP BY a0.cid, i.i),
+       |newc AS (
+       |  SELECT sums.cid, list(s // cnt ORDER BY i) AS qm FROM sums JOIN counts USING (cid)
+       |  GROUP BY sums.cid, cnt),
+       |tc AS (SELECT cid, qm, list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) AS nm FROM newc
+       |       WHERE list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) > 0),
+       |crp AS (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qm)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nm AS DOUBLE))) DESC, c.cid ASC) AS crn
+       |  FROM n CROSS JOIN tc c WHERE n.nrm > 0),
+       |probes AS (SELECT vec_id, cid, crn FROM crp WHERE crn <= ${PipelineOps.IvfProbes}),
+       |r1 AS (SELECT vec_id, cid FROM probes WHERE crn = 1),
+       |cell AS (
+       |  SELECT p.vec_id, p.cid, n.q, n.nrm FROM probes p JOIN n USING (vec_id)
+       |  QUALIFY count(*) OVER (PARTITION BY p.cid) <= $cap),
+       |dups AS (
+       |  SELECT y.vec_id, CAST(min(x.vec_id) AS BIGINT) AS dup_of
+       |  FROM cell x JOIN cell y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE CAST(list_sum([z[1] * z[2] FOR z IN list_zip(x.q, y.q)]) AS DOUBLE)
+       |          / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) >= $thr
+       |  GROUP BY y.vec_id)
+       |SELECT e.vec_id, r1.cid, d.dup_of,
+       |       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM embeddings e
+       |LEFT JOIN r1 ON r1.vec_id = e.vec_id
+       |LEFT JOIN dups d ON d.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** p45: DuckDB's RE2 and Spark's Java regex agree on the shipped
     * pattern class (word boundaries, char classes, bounded quantifiers);
     * replacement order is declaration order on both sides. */
@@ -1169,5 +1271,6 @@ object PipelineOracles {
     // — p37's oracle IS p49's oracle (the rebuild-consistency guarantee)
     "p49_ann_indexed"   -> p37,
     "p50_dedup_sensitivity" -> p50,
-    "p51_dedup_budget"  -> p51)
+    "p51_dedup_budget"  -> p51,
+    "p52_semdedup_trained" -> p52)
 }

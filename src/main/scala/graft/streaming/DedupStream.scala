@@ -72,9 +72,12 @@ object DedupStream {
   /** Carried pair-discovery state for [[refreshVerdictIncremental]]:
     * per-survivor trigram gram arrays + every near-dup edge found so far.
     * Both are survivor-population-sized projections (gram arrays ~ text
-    * size, edges ~ dup density); a production deployment persists them to
-    * DFS parquet between refreshes and reads them back — the same
-    * checkpointing contract as SummaryRefresh's summary store. */
+    * size, edges ~ dup density); [[StateStore.savePairState]] /
+    * [[StateStore.loadPairState]] persist them between refreshes under the
+    * versioned-directory + atomic-pointer commit protocol, and
+    * StreamStateSpec proves a restart between refreshes (reload from
+    * parquet, in-memory state discarded) still converges to the batch
+    * verdict. */
   final case class PairState(grams: DataFrame, pairs: DataFrame)
 
   /** Incremental near-stage refresh: grams and pairs are computed for the

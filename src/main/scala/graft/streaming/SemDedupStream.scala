@@ -36,8 +36,10 @@ object SemDedupStream {
     * quantized vectors included, since future batches pair against them —
     * and every intra-cell dup edge found so far, keyed by cell so
     * cap-crossing cells can retire their edges. Survivor-population-sized;
-    * a production deployment persists both to DFS parquet between
-    * refreshes (the SummaryRefresh checkpointing contract). */
+    * [[StateStore.saveSemState]] / [[StateStore.loadSemState]] persist both
+    * between refreshes (versioned parquet + atomic pointer), and
+    * StreamStateSpec proves a restart at a cap-crossing geometry still
+    * matches the one-shot p44. */
   final case class SemState(members: DataFrame, edges: DataFrame)
 
   /** One refresh over a quantized batch (vec_id, q, nrm).

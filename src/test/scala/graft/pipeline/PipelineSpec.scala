@@ -163,15 +163,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal metadata rollup covers every doc with plausible dims") {
+  test("multimodal decode rollup: every doc decodes, modalities partition the corpus") {
     val rows = PipelineOps.multimodal(spark, SfDir).collect()
     val total = rows.map(_.getLong(1)).sum
     assert(total == spark.read.parquet(s"$SfDir/documents.parquet").count())
     rows.foreach { r =>
       assert(r.getLong(2) > 0, "sum_bytes")
-      assert(r.getLong(3) <= r.getLong(1), "n_unique <= n_assets")
-      // stub decode: width/height in [1,16] so pixels per asset in [1,256]
-      assert(r.getLong(4) >= r.getLong(1) && r.getLong(4) <= r.getLong(1) * 256)
+      // every asset decoded under exactly one modality — a decode failure
+      // (NULL stats) would break this partition
+      assert(r.getLong(3) + r.getLong(7) == r.getLong(1), "n_images + n_audio = n_assets")
+      // decoded dims: w in [1,12], h in [1,9] so pixels per image in [1,108]
+      assert(r.getLong(4) >= r.getLong(3) && r.getLong(4) <= r.getLong(3) * 108, "sum_pixels")
+      // decoded sample counts: n in [64,163]
+      assert(r.getLong(8) >= r.getLong(7) * 64 && r.getLong(8) <= r.getLong(7) * 163, "sum_samples")
+      assert(r.getLong(11) <= 32768, "max_abs bounded by 16-bit PCM range")
     }
   }
 

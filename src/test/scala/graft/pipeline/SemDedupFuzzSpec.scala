@@ -127,6 +127,88 @@ class SemDedupFuzzSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PipelineOps.semDedupParam(spark, Dir, 4L, 0, 0.4))
   }
 
+  /** Driver oracle for the TRAINED path (p52): Lloyd step with truncating
+    * integer means, top-2 probe membership (ties → lowest cid), capped
+    * cell pairing over the doubled membership, rank-1 cell in the verdict.
+    * Re-derived from the raw floats, independent of Bottom2 and of the
+    * Spark training pipeline. */
+  private def trainedOracle(k: Long, cap: Int, thr: Double)
+      : Vector[(Long, Option[Long], Option[Long], Long)] = {
+    val cents0 = vecs.filter(v => v.id < k && v.nrm > 0)
+    val live = vecs.filter(_.nrm > 0)
+    def rank1(cents: Seq[Vec], v: Vec): Option[Long] = {
+      if (cents.isEmpty) return None
+      var bestCos = Double.NegativeInfinity; var bestCid = Long.MaxValue
+      cents.foreach { c =>
+        val cc = cos(v, c)
+        if (cc > bestCos || (cc == bestCos && c.id < bestCid)) { bestCos = cc; bestCid = c.id }
+      }
+      Some(bestCid)
+    }
+    val a0: Map[Long, Long] = live.flatMap(v => rank1(cents0, v).map(v.id -> _)).toMap
+    val byId = vecs.map(v => v.id -> v).toMap
+    // integer-mean trained centroids (s / cnt truncates toward zero in
+    // Java exactly like Spark DIV / DuckDB //); zero-vector centroids drop
+    val trained: Vector[Vec] = a0.groupBy(_._2).toVector.map { case (cid, m) =>
+      val members = m.keys.toVector.map(byId)
+      val cnt = members.length
+      val mean = Array.tabulate(Hashing.EmbDim)(d => members.map(_.q(d)).sum / cnt)
+      Vec(cid, mean, mean.map(x => x * x).sum)
+    }.filter(_.nrm > 0).sortBy(_.id)
+    // top-2 probe membership
+    def top2(v: Vec): Seq[Long] =
+      trained.map(c => (-cos(v, c), c.id)).sorted.take(2).map(_._2)
+    val probes: Map[Long, Seq[Long]] = live.map(v => v.id -> top2(v)).toMap
+    val r1: Map[Long, Long] = probes.collect { case (id, cs) if cs.nonEmpty => id -> cs.head }
+    val cells: Map[Long, Vector[Long]] = probes.toVector
+      .flatMap { case (id, cs) => cs.map(_ -> id) }
+      .groupBy(_._1).map { case (cid, m) => cid -> m.map(_._2).distinct.sorted }
+    val dupOf = scala.collection.mutable.Map.empty[Long, Long]
+    cells.foreach { case (_, members) =>
+      if (members.length <= cap) {
+        var j = 1
+        while (j < members.length) {
+          val b = byId(members(j))
+          var i = 0
+          while (i < j) {
+            val a = byId(members(i))
+            if (cos(a, b) >= thr && dupOf.get(b.id).forall(_ > a.id)) dupOf(b.id) = a.id
+            i += 1
+          }
+          j += 1
+        }
+      }
+    }
+    vecs.map { v =>
+      val d = dupOf.get(v.id)
+      (v.id, r1.get(v.id), d, if (d.isEmpty) 1L else 0L)
+    }
+  }
+
+  private def runTrained(k: Long, cap: Int, thr: Double)
+      : Vector[(Long, Option[Long], Option[Long], Long)] =
+    PipelineOps.semDedupTrainedParam(spark, Dir, k, cap, thr).collect().iterator.map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))
+    }.toVector
+
+  test("trained-quantizer semdedup (p52) matches the driver oracle across geometries") {
+    // the cell-local stage must be quantizer-agnostic: same pairing/cap/
+    // verdict machinery, different cells — proven by re-deriving training
+    // and probes independently on the driver
+    val geoms = Seq(
+      (PipelineOps.semCells(2000L), PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold),
+      (4L, 256, 0.40),   // few trained cells, cap biting on doubled membership
+      (45L, 16, 0.40),   // tiny cap: most probe-cells skipped
+      (200L, 1024, 0.30)) // many cells, looser threshold
+    geoms.foreach { case (k, cap, thr) =>
+      assert(runTrained(k, cap, thr) == trainedOracle(k, cap, thr),
+        s"trained geometry (k=$k, cap=$cap, thr=$thr)")
+    }
+  }
+
   test("incremental refresh is batch-carving-invariant, including cap-crossing cells") {
     import graft.streaming.SemDedupStream
     import org.apache.spark.sql.functions.col

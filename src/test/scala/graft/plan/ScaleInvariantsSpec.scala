@@ -260,11 +260,21 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       "rollup should partial-aggregate map-side")
   }
 
-  test("source overlap: hash-keyed self-join, totals broadcast, no cross join") {
+  test("source overlap: hash-keyed self-join; only the catalog² grid is non-equi") {
     val p = graft.pipeline.PipelineOps.sourceOverlap(spark, SfDir)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    // the full source-pair grid is a deliberate broadcast NLJ over two
+    // CATALOG-sized frames (one row per source) — bounded at any corpus
+    // size; what must never appear is an unbroadcast cartesian, which is
+    // what a corpus-keyed cross join would plan as
+    assert(!p.contains("CartesianProduct"),
       "pair discovery must stay a keyed equi-join:\n" + p.take(800))
-    assert(p.contains("BroadcastHashJoin"), "per-source totals should broadcast back")
+    // pair discovery is an equi-join keyed on the shingle hash (broadcast
+    // or shuffled, planner's choice by stats — both are h-keyed), and the
+    // count table re-joins the grid via broadcast
+    assert(p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin [h#") || l.contains("SortMergeJoin [h#"))),
+      "shingle self-join must be keyed on h:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, SfDir}
+
+/** Restart-mid-catchup durability of the incremental-dedup carried state:
+  * the in-memory state is DISCARDED between refreshes and reloaded from
+  * the [[StateStore]] parquet checkpoint, and the final verdict must still
+  * equal the one-shot batch operator — the p38/p47 equivalence contracts,
+  * now across a process boundary. Also pins the commit protocol itself:
+  * a crash before the pointer flip must leave the previous version
+  * readable, and committed versions must prune. */
+class StreamStateSpec extends AnyFunSuite {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  // ---- pair-state (p38 contract) fixtures: same corpus augmentation as
+  // DedupIncrementalFuzzSpec so near-dup clusters straddle batches
+  private lazy val corpus = {
+    val base = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(
+      base.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + lit(100000L)))
+  }
+  private lazy val survivors = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    corpus.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .withColumn("content_hash", md5(col("text")))
+      .localCheckpoint(false)
+  }
+  private def img(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  test("pair state survives a restart between refreshes: verdict equals batch p36") {
+    val dir = tmpDir("pairstate")
+    val arrivals = DedupStream.arrivalLog(corpus)
+    val cuts = Seq(0L, 150L, 350L, Long.MaxValue)
+    var verdict: org.apache.spark.sql.DataFrame = null
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      // every refresh begins from DISK ONLY — the previous iteration's
+      // in-memory PairState is gone (restart simulation)
+      val loaded = StateStore.loadPairState(spark, dir)
+      assert(loaded.isDefined == (lo > 0L), "state exists iff a refresh committed")
+      val batch = survivors.where(col("doc_id") >= lo && col("doc_id") < hi)
+      val seen = survivors.where(col("doc_id") < hi)
+      val (v, s) = DedupStream.refreshVerdictIncremental(seen, batch, arrivals, loaded)
+      StateStore.savePairState(dir, s)
+      verdict = v
+    }
+    assert(img(verdict) == img(graft.pipeline.PipelineOps.dedupVerdictOf(corpus)))
+  }
+
+  test("sem state survives a restart at a cap-crossing geometry: verdict equals one-shot p44") {
+    import graft.pipeline.PipelineOps
+    val dir = tmpDir("semstate")
+    // cap 30 sits between half-corpus and full-corpus cell sizes at k=45,
+    // so cells cross the cap BETWEEN the two refreshes — the carried-edge
+    // retirement path must survive the parquet round-trip too
+    val (k, cap, thr) = (45L, 30, 0.40)
+    val q = PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val cents = PipelineOps.semCents(q, k).localCheckpoint(false)
+    Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      c => c <= 1000, c => c > 1000).foreach { pred =>
+      val loaded = StateStore.loadSemState(spark, dir)
+      val st = SemDedupStream.refreshIncremental(
+        cents, q.where(pred(col("vec_id"))), loaded, cap, thr)
+      StateStore.saveSemState(dir, st)
+    }
+    val allIds = spark.read.parquet(s"$SfDir/embeddings.parquet").select("vec_id")
+    val got = SemDedupStream
+      .verdict(allIds, StateStore.loadSemState(spark, dir).get, cap)
+      .collect().toSeq
+    val want = PipelineOps.semDedupParam(spark, SfDir, k, cap, thr).collect().toSeq
+    assert(got == want)
+  }
+
+  test("a crash before the pointer flip leaves the previous version readable") {
+    import spark.implicits._
+    val dir = tmpDir("crash")
+    StateStore.save(dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    // simulate a crash mid-save of version 2: tables written, pointer NOT
+    // flipped — exactly what the protocol promises to survive
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/v2/t.parquet")
+    val loaded = StateStore.load(spark, dir, Seq("t")).get
+    assert(loaded("t").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "reader must still see v1")
+    // the next successful save claims version 2 by overwriting the orphan
+    StateStore.save(dir, Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    assert(StateStore.load(spark, dir, Seq("t")).get("t")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("committed versions prune down to current + previous") {
+    import spark.implicits._
+    val dir = tmpDir("prune")
+    (1 to 4).foreach(i => StateStore.save(dir, Map("t" -> Seq(i.toLong).toDF("id"))))
+    val vdirs = new java.io.File(dir).list().filter(_.startsWith("v")).sorted.toSeq
+    assert(vdirs == Seq("v3", "v4"), s"expected prune to v3/v4, got $vdirs")
+    assert(StateStore.load(spark, dir, Seq("t")).get("t").head().getLong(0) == 4L)
+  }
+}
