@@ -866,6 +866,110 @@ object PipelineOps {
           (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))
       .where(col("jaccard") >= num.toDouble / den)
 
+  /** Prefix-filtered candidate discovery (AllPairs / PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): a pair with
+    * J(A,B) ≥ t = num/den has |A∩B| ≥ t·|A∪B| ≥ t·|X| for BOTH sets, so
+    * the smallest shared gram (in the canonical per-array order — ours is
+    * hash-ascending, the order [[ngramGramsParam]] already sorts by) sits
+    * within the first π(X) = |X| - ceil(t·|X|) + 1 positions of each side
+    * (if it sat later, fewer than ceil(t·|X|) slots would remain for the
+    * intersection). Joining PREFIX explosions therefore finds every
+    * qualifying pair — an exactness-preserving refinement, fuzz-proven
+    * against the all-pairs oracle across the NgramFuzzSpec grid.
+    *
+    * Why this matters at scale: the block keys (lang, source,
+    * length-block) have CATALOG-bounded cardinality, so block populations
+    * grow linearly with the corpus and a full within-block pair join grows
+    * quadratically — the round-11 extra-decade ramp measured p06 at slope
+    * 1.21 in that form (SCALING.md). The prefix join replaces
+    * "every block-mate" with "block-mates sharing a prefix gram", shrinks
+    * the shuffle payload from full gram arrays on every candidate row to
+    * (hash, doc) pairs, and re-joins arrays once per DISTINCT surviving
+    * candidate. Candidates still degrade toward quadratic on a corpus
+    * whose gram vocabulary does not grow (a 31-token synthetic corpus is
+    * the adversarial case; real text adds grams with volume, which is
+    * what keeps posting lists short) — that residual is inherent to EXACT
+    * jaccard; the probabilistic escape at 100 TB remains p04/p14's capped
+    * LSH, with p06 exactness applied to survivors (p36's composition).
+    *
+    * WHICH join wins is a data property, so the choice is COST-BASED, not
+    * hard-coded. On a gram-DIVERSE corpus (real text: vocabulary grows
+    * with volume) posting lists per (block, gram) stay short and the
+    * prefix join's output is far below the block join's. On a
+    * gram-SATURATED corpus the opposite holds — measured on the round-11
+    * ramp fixture (50k docs over a 31-token vocabulary → 410 distinct
+    * trigrams corpus-wide): block-join candidates 3.04M, prefix-join rows
+    * 115M with only 0.03% of distinct candidates eliminated, and wall
+    * times 15.6 s (skinny block join) vs 39.5 s (prefix) vs 30.7 s
+    * (arrays-through-join). [[candidatePairs]] therefore estimates BOTH
+    * join output sizes from per-key counts (two gram-volume-bounded
+    * aggregations — the same bounded-action precedent as p04's adaptive
+    * band bits) and runs the smaller one; either way the pair-discovery
+    * shuffle carries (keys, doc) rows only, and gram arrays join back
+    * once per distinct candidate — the payload change that alone halved
+    * the old arrays-through-the-join plan.
+    *
+    * Requires num ≥ 1: at t = 0 a disjoint pair qualifies but shares no
+    * gram, so prefix filtering would (correctly per the lemma's o ≥ 1
+    * precondition, incorrectly per the operator contract) miss it —
+    * [[candidatePairs]] uses the block join alone for that degenerate
+    * threshold. */
+  private def prefixedView(g: DataFrame, docAs: String, num: Int, den: Int): DataFrame =
+    // π = |g| - ceil(num·|g|/den) + 1; ceil as (x·num + den - 1) DIV den,
+    // integer-exact for any rational threshold
+    g.select((col("doc_id").as(docAs) +:
+        explode(expr(
+          s"slice(grams, 1, size(grams) - CAST((size(grams) * $num + $den - 1) DIV $den AS INT) + 1)"))
+          .as("ph") +:
+        gramBlockCols.map(col)): _*)
+
+  /** Exact estimated output rows of an equi-join on `keys`: Σ cntA·cntB. */
+  private def estJoinRows(a: DataFrame, b: DataFrame, keys: Seq[String]): Long =
+    a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cb")), keys)
+      .agg(sum(col("ca") * col("cb")))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+
+  /** Below this many estimated block-join candidates the strategy choice
+    * cannot matter (the join is cheap either way), so the prefix-side
+    * estimate job is skipped — one bounded action instead of two on small
+    * corpora, where the decision overhead would otherwise dominate. */
+  val PrefixDecisionThreshold: Long = 1L << 22 // ~4M candidate rows
+
+  /** Candidate (doc_a, doc_b) pairs for jaccard verification — the smaller
+    * of the two exact strategies (see [[prefixedView]]'s scaladoc).
+    * `decisionThreshold` is exposed for tests to force the estimate path
+    * on small fixtures; production callers use the default. */
+  private[graft] def candidatePairs(
+      aGrams: DataFrame, bGrams: DataFrame, num: Int, den: Int,
+      decisionThreshold: Long = PrefixDecisionThreshold): DataFrame = {
+    val aK = aGrams.select((col("doc_id").as("doc_a") +: gramBlockCols.map(col)): _*)
+    val bK = bGrams.select((col("doc_id").as("doc_b") +: gramBlockCols.map(col)): _*)
+    lazy val blockJoin = aK.join(bK, gramBlockCols)
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    if (num < 1) return blockJoin
+    val blockEst = estJoinRows(aK, bK, gramBlockCols)
+    if (blockEst <= decisionThreshold) return blockJoin
+    val pa = prefixedView(aGrams, "doc_a", num, den)
+    val pb = prefixedView(bGrams, "doc_b", num, den)
+    val prefixEst = estJoinRows(pa, pb, gramBlockCols :+ "ph")
+    if (prefixEst < blockEst)
+      pa.join(pb, gramBlockCols :+ "ph")
+        .where(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    else blockJoin
+  }
+
+  /** Rejoin gram arrays for verification, once per distinct candidate. */
+  private def withGramArrays(
+      cand: DataFrame, aGrams: DataFrame, bGrams: DataFrame): DataFrame =
+    cand
+      .join(aGrams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
+      .join(bGrams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
+
   /** p06 body over an arbitrary documents frame — p36 runs it on the
     * exact-dedup survivors only. */
   private[graft] def ngramJaccardOf(d: DataFrame): DataFrame =
@@ -883,9 +987,8 @@ object PipelineOps {
     // truncation the per-character md5 hashing runs twice (same reasoning as
     // minhashPairs)
     val grams = ngramGramsParam(d, gramWidth, blockWidth).localCheckpoint(false)
-    val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: gramBlockCols.map(col)): _*)
-    val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: gramBlockCols.map(col)): _*)
-    jaccardVerifiedParam(a.join(b, gramBlockCols).where(col("doc_a") < col("doc_b")), num, den)
+    val cand = candidatePairs(grams, grams, num, den).where(col("doc_a") < col("doc_b"))
+    jaccardVerifiedParam(withGramArrays(cand, grams, grams), num, den)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -907,10 +1010,10 @@ object PipelineOps {
 
   def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
     val grams = ngramGramsParam(docs(spark, dir), 3, 100).localCheckpoint(false)
-    val a = grams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: gramBlockCols.map(col)): _*)
-    val b = grams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: gramBlockCols.map(col)): _*)
-    val tMin = SensitivityThresholds.min // size prune at the loosest τ only
-    val pairs = a.join(b, gramBlockCols).where(col("doc_a") < col("doc_b"))
+    val tMin = SensitivityThresholds.min // candidate pass at the loosest τ only
+    val cand = candidatePairs(grams, grams, tMin.toInt, 100)
+      .where(col("doc_a") < col("doc_b"))
+    val pairs = withGramArrays(cand, grams, grams)
       .where(least(size(col("g_a")), size(col("g_b"))) * (100 + tMin) >=
         (size(col("g_a")) + size(col("g_b"))) * tMin)
       .withColumn("inter", graft.functions.SortedIntersectCount(col("g_a"), col("g_b")).cast("long"))
@@ -943,14 +1046,12 @@ object PipelineOps {
     * O(new × block collisions), not O(history × collisions). Pairs are
     * canonicalized (doc_a < doc_b) and deduped, so new×new pairs seen from
     * both orientations emit once; old×old pairs never re-verify. */
-  private[graft] def ngramPairsAgainst(allGrams: DataFrame, newGrams: DataFrame): DataFrame = {
-    val a = allGrams.select((col("doc_id").as("doc_a") +: col("grams").as("g_a") +: gramBlockCols.map(col)): _*)
-    val b = newGrams.select((col("doc_id").as("doc_b") +: col("grams").as("g_b") +: gramBlockCols.map(col)): _*)
-    jaccardVerified(a.join(b, gramBlockCols).where(col("doc_a") =!= col("doc_b")))
+  private[graft] def ngramPairsAgainst(allGrams: DataFrame, newGrams: DataFrame): DataFrame =
+    jaccardVerified(
+        withGramArrays(candidatePairs(allGrams, newGrams, 3, 5), allGrams, newGrams))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
       .distinct()
-  }
 
   /** p12: winnowing document fingerprints — 8-char-gram rolling hashes, min
     * over each 4-gram window, distinct mins kept. The classic plagiarism /

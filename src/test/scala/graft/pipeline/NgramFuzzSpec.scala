@@ -90,6 +90,39 @@ class NgramFuzzSpec extends AnyFunSuite {
       assert(want.nonEmpty, "degenerate grid point: oracle found no pairs")
     }
 
+  test("cost-based chooser: prefix join fires on a gram-diverse corpus and matches the block join") {
+    // the shipped corpora are gram-saturated (31-token vocab), so the
+    // chooser always picks the block join there; this fixture is the
+    // other regime — every doc a unique random-hex stream, gram vocabulary
+    // ~ corpus volume — where the prefix join's estimate wins. The
+    // decision threshold is forced to 0 so the estimate path runs on a
+    // small fixture; both strategies must return identical pairs.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(0xD1CE)
+    def hexDoc(): String = (0 until 40).map(_ => Integer.toHexString(rng.nextInt(16))).mkString
+    val base = (0 until 60).map(i => (i.toLong, hexDoc()))
+    // plant near-dup pairs: doc i+1000 = doc i with one char changed
+    val dups = base.take(8).map { case (i, t) => (i + 1000L, t.updated(3, 'z')) }
+    val docsDf = (base ++ dups).map { case (i, t) => (i, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val grams = PipelineOps.ngramGrams(docsDf).localCheckpoint(false)
+    val viaPrefix = PipelineOps.candidatePairs(grams, grams, 3, 5, decisionThreshold = 0L)
+    // the prefix plan explodes prefix grams — a Generate node the block
+    // join plan does not have
+    assert(viaPrefix.queryExecution.executedPlan.toString.contains("Generate explode"),
+      "diverse fixture must route through the prefix join")
+    val viaBlock = PipelineOps.candidatePairs(grams, grams, 3, 5, decisionThreshold = Long.MaxValue)
+    assert(!viaBlock.queryExecution.executedPlan.toString.contains("Generate explode"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("doc_a") < col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = pairs(viaPrefix); val b = pairs(viaBlock)
+    assert(p.subsetOf(b), "prefix candidates are a refinement of block candidates")
+    // every planted near-dup pair must survive the refinement (exactness)
+    dups.foreach { case (id, _) => assert(p.contains((id - 1000L, id)), s"lost pair for $id") }
+  }
+
   test("thresholds above 1 and zero widths are rejected") {
     val docsDf = spark.read.parquet(s"$SfDir/documents.parquet")
     intercept[IllegalArgumentException] {
