@@ -1300,6 +1300,79 @@ object PipelineOps {
     * in training tokens, by provenance. Pure composition: the p36 verdict
     * joined back to per-doc token counts, rolled up by source; one
     * doc_id-keyed join + one source shuffle on top of p36's machinery. */
+  /** p53: leakage-safe train/valid/test split — the curation step p18's
+    * plain hash split gets WRONG in the presence of near-duplicates: if a
+    * doc lands in train and its near-copy in test, the eval measures
+    * memorization. The fix every serious pipeline applies: assign the
+    * split by the doc's dedup-cluster CANONICAL (p36's transitively
+    * resolved `canonical_id`), so an entire duplicate family rides one
+    * hash draw and can never straddle a split boundary. Same 80/10/10
+    * md5-bucket recipe as p18 — deterministic, engine-independent,
+    * re-shard-stable — just keyed on the canonical.
+    *
+    * The report quantifies the correction: per split, docs, distinct
+    * clusters, chars, and `n_moved` = docs whose naive (own-id) split
+    * differs from their leakage-safe split — the population a naive
+    * pipeline would have leaked (in either direction) across boundaries.
+    * Scale: p36's machinery + one projection + one 3-key rollup. */
+  def safeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val v = dedupVerdict(spark, dir).select(col("doc_id"), col("canonical_id"))
+    val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+    def splitOf(bucket: Column): Column =
+      when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    v.join(d, "doc_id")
+      .withColumn("cb", expr(s"${hex12("CAST(canonical_id AS STRING)")} % 100"))
+      .withColumn("nb", expr(s"${hex12("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split", splitOf(col("cb")))
+      .withColumn("naive_split", splitOf(col("nb")))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("split") =!= col("naive_split"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy("split")
+  }
+
+  /** p54: token-budget mixture planner — the sampling-rate table a
+    * training run derives before reading a byte: given the
+    * dedup-surviving token mass per source (p51's `tokens_after_near`)
+    * and a corpus-level token budget (half the surviving mass here),
+    * allocate the budget across sources by √-temperature weights
+    * (w_s = ⌊√T_s⌋ — the standard flattening that up-weights small
+    * sources without letting one giant source drown the mixture), then
+    * express each allocation as an integer keep-rate the deterministic
+    * p18/p22 hash-bucket sampler can execute.
+    *
+    * All integer arithmetic, cross-engine exact: ⌊√x⌋ agrees because
+    * int64→double→sqrt is correctly rounded in both engines; the
+    * allocation uses the overflow-safe split form
+    * `(B DIV W)·w + ((B MOD W)·w) DIV W` = ⌊B·w/W⌋ — the direct product
+    * B·w can exceed int64 at a 100 TB token mass, the split form cannot
+    * (the second product is bounded by W·w ≈ corpus tokens). Scale:
+    * p51's machinery + a broadcast single-row total. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val b = dedupBudget(spark, dir)
+      .select(col("source"), col("tokens_after_near").as("kept_tokens"))
+      .withColumn("weight", floor(sqrt(col("kept_tokens").cast("double"))).cast("long"))
+    val tot = b.agg(
+      sum(col("kept_tokens")).as("total_kept"), sum(col("weight")).as("total_w"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total_kept DIV 2"))
+      .withColumn("target_tokens",
+        when(col("total_w") > 0,
+          expr("(budget DIV total_w) * weight + ((budget % total_w) * weight) DIV total_w"))
+          .otherwise(0L))
+      .withColumn("rate_pct",
+        when(col("kept_tokens") > 0,
+          least(lit(100L), expr("(target_tokens * 100) DIV kept_tokens")))
+          .otherwise(0L))
+      .withColumn("planned_tokens", expr("(kept_tokens * rate_pct) DIV 100"))
+      .select(col("source"), col("kept_tokens"), col("weight"),
+        col("target_tokens"), col("rate_pct"), col("planned_tokens"))
+      .orderBy("source")
+  }
+
   def dedupBudget(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -2732,5 +2805,7 @@ object PipelineOps {
     "p49_ann_indexed"   -> annIndexed,
     "p50_dedup_sensitivity" -> dedupSensitivity,
     "p51_dedup_budget"  -> dedupBudget,
-    "p52_semdedup_trained" -> semDedupTrained)
+    "p52_semdedup_trained" -> semDedupTrained,
+    "p53_safe_split"    -> safeSplit,
+    "p54_mixture_plan"  -> mixturePlan)
 }

@@ -1212,6 +1212,61 @@ object PipelineOracles {
        |FROM g LEFT JOIN p ON p.source_a = g.source_a AND p.source_b = g.source_b
        |ORDER BY g.source_a, g.source_b""".stripMargin
 
+  /** p53: wraps the PROVEN p36 verdict SQL as a nested CTE (DuckDB allows
+    * WITH inside a parenthesized subquery) and re-derives the p18 bucket
+    * recipe keyed on the transitively-resolved canonical — consistency
+    * with p36 by construction, not by re-derivation. */
+  private val p53 =
+    s"""WITH v AS (SELECT * FROM ($p36) q),
+       |t AS (
+       |  SELECT v.doc_id, v.canonical_id, d.n_chars,
+       |         ${hex12("CAST(v.canonical_id AS VARCHAR)")} % 100 AS cb,
+       |         ${hex12("CAST(v.doc_id AS VARCHAR)")} % 100 AS nb
+       |  FROM v JOIN documents d ON d.doc_id = v.doc_id),
+       |s AS (
+       |  SELECT *,
+       |         CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'valid' ELSE 'test' END AS split,
+       |         CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'valid' ELSE 'test' END AS naive_split
+       |  FROM t)
+       |SELECT split, count(*)::BIGINT AS n_docs,
+       |       count(DISTINCT canonical_id)::BIGINT AS n_clusters,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(CASE WHEN split <> naive_split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  /** p54: wraps p51's proven budget SQL; `//`/`DIV` and `%` agree on
+    * non-negative BIGINT, and ⌊√x⌋ is the identical correctly-rounded
+    * double in both engines. Allocation uses the overflow-safe split
+    * form ⌊B·w/W⌋ = (B//W)·w + ((B%W)·w)//W. */
+  private val p54 =
+    s"""WITH b AS (SELECT * FROM ($p51) q),
+       |w AS (
+       |  SELECT source, tokens_after_near AS kept_tokens,
+       |         CAST(floor(sqrt(CAST(tokens_after_near AS DOUBLE))) AS BIGINT) AS weight
+       |  FROM b),
+       |t AS (
+       |  SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_kept,
+       |         CAST(sum(weight) AS BIGINT) AS total_w
+       |  FROM w),
+       |p AS (
+       |  SELECT w.source, w.kept_tokens, w.weight,
+       |         (t.total_kept // 2) AS budget, t.total_w
+       |  FROM w CROSS JOIN t),
+       |a AS (
+       |  SELECT source, kept_tokens, weight,
+       |         CASE WHEN total_w > 0
+       |              THEN (budget // total_w) * weight + ((budget % total_w) * weight) // total_w
+       |              ELSE 0 END AS target_tokens
+       |  FROM p)
+       |SELECT source, kept_tokens, weight, target_tokens,
+       |       CASE WHEN kept_tokens > 0
+       |            THEN least(100, (target_tokens * 100) // kept_tokens)
+       |            ELSE 0 END AS rate_pct,
+       |       (kept_tokens * (CASE WHEN kept_tokens > 0
+       |            THEN least(100, (target_tokens * 100) // kept_tokens)
+       |            ELSE 0 END)) // 100 AS planned_tokens
+       |FROM a ORDER BY source""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -1272,5 +1327,7 @@ object PipelineOracles {
     "p49_ann_indexed"   -> p37,
     "p50_dedup_sensitivity" -> p50,
     "p51_dedup_budget"  -> p51,
-    "p52_semdedup_trained" -> p52)
+    "p52_semdedup_trained" -> p52,
+    "p53_safe_split"    -> p53,
+    "p54_mixture_plan"  -> p54)
 }

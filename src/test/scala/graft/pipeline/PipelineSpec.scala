@@ -584,6 +584,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(b.getLong(6) == redactedB, "audit equals the hash of the redacted text")
   }
 
+  test("safe split: partitions the corpus and never splits a dup cluster") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineOps.safeSplit(spark, SfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$SfDir/documents.parquet").count())
+    // THE invariant this operator exists for: every dedup cluster lands in
+    // exactly one split — recomputed from the verdict, not from the report
+    val v = PipelineOps.dedupVerdict(spark, SfDir)
+      .withColumn("cb", expr(s"${PipelineOps.hex12("CAST(canonical_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("cb") < 80, "train").when(col("cb") < 90, "valid").otherwise("test"))
+    val splitsPerCluster = v.groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns"))).head().getLong(0)
+    assert(splitsPerCluster == 1L, "a duplicate family must ride one hash draw")
+    // the correction is real on this corpus: someone moved
+    assert(rows.map(_.getLong(4)).sum > 0, "n_moved should be nonzero with dups present")
+  }
+
+  test("mixture plan: allocations respect the budget and per-source mass") {
+    val rows = PipelineOps.mixturePlan(spark, SfDir).collect()
+    val kept = rows.map(_.getLong(1)).sum
+    val budget = kept / 2
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 100, "rate_pct in [0,100]")
+      assert(r.getLong(5) <= r.getLong(1), "planned cannot exceed surviving mass")
+      assert(r.getLong(3) >= 0, "target non-negative")
+    }
+    assert(rows.map(_.getLong(3)).sum <= budget, "sum of floored targets within budget")
+    // flooring slack only: targets get within n_sources of the budget
+    assert(rows.map(_.getLong(3)).sum >= budget - rows.length,
+      "allocation should exhaust the budget up to flooring")
+    // reconciles with p51's surviving-token column
+    val p51kept = PipelineOps.dedupBudget(spark, SfDir).collect().map(_.getLong(4)).sum
+    assert(kept == p51kept)
+  }
+
   test("dedup budget: stage totals nest, and reconcile with the p36 verdict") {
     val rows = PipelineOps.dedupBudget(spark, SfDir).collect()
     rows.foreach { r =>

@@ -79,6 +79,68 @@ class StreamStateSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("live stream + restart + at-least-once replay: disk-backed state converges to one-shot p44") {
+    // the full production wiring in one scenario: embeddings arrive through
+    // a REAL streaming query; every micro-batch loads the carried state
+    // from the StateStore parquet checkpoint (nothing held in memory
+    // across batches), refreshes, and commits back; midway the query is
+    // STOPPED and a brand-new query continues from a fresh MemoryStream (a
+    // process restart); one already-processed chunk is re-delivered on the
+    // second query (foreachBatch's at-least-once contract) and must be a
+    // no-op thanks to the refresh's vec_id anti-join. The verdict served
+    // from the final on-disk state must equal the one-shot p44.
+    import spark.implicits._
+    import graft.pipeline.PipelineOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val dir = tmpDir("semlive")
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val qAll = PipelineOps.quantizedOf(emb).select(col("vec_id"), col("q"), col("nrm"))
+    val cents = PipelineOps.semCents(qAll, PipelineOps.semCells(rows.length.toLong))
+      .localCheckpoint(false)
+
+    val fold: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty) {
+        val prev = StateStore.loadSemState(spark, dir) // from DISK, every batch
+        val st = SemDedupStream.refreshIncremental(
+          cents,
+          PipelineOps.quantizedOf(batch).select(col("vec_id"), col("q"), col("nrm")),
+          prev, PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
+        StateStore.saveSemState(dir, st)
+      }
+    val chunks = rows.grouped(400).toSeq
+
+    // phase 1: first two chunks, then the process "dies"
+    val in1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = in1.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(fold).start()
+    try {
+      chunks.take(2).foreach { c => in1.addData(c.toSeq); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    // phase 2: a NEW query (fresh stream, no shared driver state) REPLAYS
+    // chunk 1 (at-least-once redelivery), then delivers the rest
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = in2.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(fold).start()
+    try {
+      (chunks(1) +: chunks.drop(2)).foreach { c => in2.addData(c.toSeq); q2.processAllAvailable() }
+    } finally q2.stop()
+
+    def img(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toSeq
+    val finalState = StateStore.loadSemState(spark, dir).get
+    val got = img(SemDedupStream.verdict(
+      emb.select("vec_id"), finalState, PipelineOps.SemMaxCell))
+    val want = img(PipelineOps.semDedup(spark, SfDir))
+    assert(got == want, "disk-backed, restarted, replayed stream != one-shot p44")
+    // the replayed chunk must not have inflated the census
+    assert(finalState.members.count() ==
+      qAll.where(col("nrm") > 0).count(), "one member row per nonzero-norm vector")
+  }
+
   test("a crash before the pointer flip leaves the previous version readable") {
     import spark.implicits._
     val dir = tmpDir("crash")
