@@ -54,6 +54,12 @@ object SkewBench {
 
     val base = java.nio.file.Files.createTempDirectory("graft-skew").toString
 
+    // in-run host-throughput anchor (see CalibrationProbe): emitted as the
+    // first report line so the snapshot's absolute seconds are comparable
+    // across captures — the round-10 snapshot was taken on a 1.3-3× slower
+    // host and its absolute numbers confused the cross-round read
+    val probeSec = CalibrationProbe.measure(spark)
+
     // ------------------------------------------------------------ fixtures
     def doc(id: Long, toks: Seq[String], source: String) = {
       val text = toks.mkString(" ")
@@ -130,6 +136,7 @@ object SkewBench {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
+    report("kind" -> "probe", "probe_sec" -> probeSec)
 
     // ------------------------------------------- bucket stats (probe pass)
     for ((fixture, probe) <- Seq(

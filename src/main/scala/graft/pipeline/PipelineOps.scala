@@ -2404,6 +2404,42 @@ object PipelineOps {
     semDedupTrainedParam(spark, dir, semCells(embs(spark, dir).count()),
       SemMaxCell, SemDupThreshold)
 
+  /** One Lloyd refinement over the ⌈√n⌉ seed prefix → trained integer-mean
+    * centroids (cid, qb, nrm_b). p24's recipe (`s DIV cnt` truncates
+    * identically cross-engine; zero-vector centroids drop); shared by the
+    * one-shot p52 and the incremental p55 so both assign against the
+    * byte-identical quantizer. Output is broadcast-sized. */
+  private[graft] def trainCentroids(q: DataFrame, k: Long): DataFrame = {
+    val a0 = semAssign(q, semCents(q, k))
+    val counts = a0.groupBy("cid").agg(count(lit(1)).as("cnt"))
+    a0.join(q, "vec_id")
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("s"))
+      .join(counts, "cid")
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("pos"), expr("s DIV cnt").as("m")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, x -> x.m)").as("qb"))
+      .withColumn("nrm_b", graft.functions.QuantizedDot(col("qb"), col("qb")))
+      .where(col("nrm_b") > 0)
+      .localCheckpoint(false) // broadcast-sized, feeds probe scoring
+  }
+
+  /** Top-[[IvfProbes]] probe-membership rows (vec_id, cid, rank) for every
+    * nonzero-norm vector — the multi-probe assignment shared by p52's
+    * one-shot and p55's incremental refresh. Bottom2 keeps the scored
+    * corpus×K stream out of any window or per-vector K-row buffer. */
+  private[graft] def probeAssign(q: DataFrame, trained: DataFrame): DataFrame =
+    q.where(col("nrm") > 0)
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(trained))
+      .withColumn("cdot", dotCol)
+      .withColumn("ccos",
+        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .groupBy("vec_id")
+      .agg(graft.functions.Bottom2(-col("ccos"), col("cid")).as("cids"))
+      .select(col("vec_id"), posexplode(col("cids")))
+      .select(col("vec_id"), col("col").as("cid"), (col("pos") + 1).cast("int").as("rank"))
+
   /** Parameterized core of p52; SemDedupFuzzSpec differential-tests
     * geometries against a driver-side oracle that re-derives training,
     * probes, and verdict from the raw float embeddings. */
@@ -2416,35 +2452,13 @@ object PipelineOps {
     val e = embs(spark, dir)
     val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
       .localCheckpoint(false)
-    val seeds = semCents(q, k)
-    val a0 = semAssign(q, seeds)
+    val trained = trainCentroids(q, k)
 
-    // one Lloyd step (p24's integer-mean recipe: `s DIV cnt` truncates
-    // identically cross-engine; zero-vector centroids drop)
-    val counts = a0.groupBy("cid").agg(count(lit(1)).as("cnt"))
-    val trained = a0.join(q, "vec_id")
-      .select(col("cid"), posexplode(col("q")))
-      .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("s"))
-      .join(counts, "cid")
-      .groupBy("cid")
-      .agg(sort_array(collect_list(struct(col("pos"), expr("s DIV cnt").as("m")))).as("ps"))
-      .select(col("cid"), expr("transform(ps, x -> x.m)").as("qb"))
-      .withColumn("nrm_b", graft.functions.QuantizedDot(col("qb"), col("qb")))
-      .where(col("nrm_b") > 0)
-      .localCheckpoint(false) // broadcast-sized, feeds probe scoring
-
-    val probed = q.where(col("nrm") > 0)
-      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
-      .crossJoin(broadcast(trained))
-      .withColumn("cdot", dotCol)
-      .withColumn("ccos",
-        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
-      .groupBy("vec_id")
-      .agg(graft.functions.Bottom2(-col("ccos"), col("cid")).as("cids"))
+    val probed = probeAssign(q, trained)
       .localCheckpoint(false) // the persisted-index relation (see scaladoc)
 
-    val rank1 = probed.select(col("vec_id"), element_at(col("cids"), 1).as("cid"))
-    val members = probed.select(col("vec_id"), explode(col("cids")).as("cid"))
+    val rank1 = probed.where(col("rank") === 1).select(col("vec_id"), col("cid"))
+    val members = probed.select(col("vec_id"), col("cid"))
     val cw = Window.partitionBy(col("cid"))
     val cell = members.join(q, "vec_id")
       .withColumn("csz", count(lit(1)).over(cw))
@@ -2467,6 +2481,29 @@ object PipelineOps {
       .select(col("vec_id"), col("cid"), col("dup_of"),
         when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
       .orderBy("vec_id")
+  }
+
+  /** p55: the incremental trained-quantizer refresh
+    * ([[graft.streaming.SemDedupStream.refreshTrained]]) driven batch-wise
+    * under p52's own oracle — the p47 contract on the trained/multi-probe
+    * path, completing the production lifecycle: the quantizer TRAINS as a
+    * batch job over the backlog (one Lloyd step, fixed thereafter), then
+    * catch-up proceeds in batches, each assigning its top-2 probe cells
+    * against the frozen broadcast centroids and pairing new×state in open
+    * cells; the final verdict must be row-identical to the one-shot p52. */
+  def semDedupTrainedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val trained = trainCentroids(q, semCells(e.count()))
+    val mid = e.agg((max(col("vec_id")) / lit(2)).cast("long")).collect()(0).getLong(0)
+    val batches = Seq(q.where(col("vec_id") <= mid), q.where(col("vec_id") > mid))
+    var state: Option[graft.streaming.SemDedupStream.TrainedState] = None
+    batches.foreach { b =>
+      state = Some(graft.streaming.SemDedupStream
+        .refreshTrained(trained, b, state, SemMaxCell, SemDupThreshold))
+    }
+    graft.streaming.SemDedupStream.trainedVerdict(e.select("vec_id"), state.get, SemMaxCell)
   }
 
   // ============================================================ multimodal
@@ -2807,5 +2844,6 @@ object PipelineOps {
     "p51_dedup_budget"  -> dedupBudget,
     "p52_semdedup_trained" -> semDedupTrained,
     "p53_safe_split"    -> safeSplit,
-    "p54_mixture_plan"  -> mixturePlan)
+    "p54_mixture_plan"  -> mixturePlan,
+    "p55_semdedup_trained_incremental" -> semDedupTrainedIncremental)
 }

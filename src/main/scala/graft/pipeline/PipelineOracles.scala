@@ -1329,5 +1329,9 @@ object PipelineOracles {
     "p51_dedup_budget"  -> p51,
     "p52_semdedup_trained" -> p52,
     "p53_safe_split"    -> p53,
-    "p54_mixture_plan"  -> p54)
+    "p54_mixture_plan"  -> p54,
+    // the incremental trained-quantizer refresh must converge to the
+    // one-shot — p52's oracle IS p55's oracle (the p47 contract on the
+    // trained/multi-probe path)
+    "p55_semdedup_trained_incremental" -> p52)
 }

@@ -90,6 +90,76 @@ object SemDedupStream {
     SemState(members, edges)
   }
 
+  /** Carried state for the TRAINED-quantizer refresh (p55): probe
+    * MEMBERSHIP rows — (vec_id, cid, rank, q, nrm), up to
+    * [[PipelineOps.IvfProbes]] rows per vector — plus the cell-keyed edge
+    * set. Same retirement/census logic as [[SemState]], with the census
+    * counting membership rows (p52's cap is on probe-membership, so the
+    * incremental and one-shot caps bite at identical sizes). Persisted by
+    * [[StateStore.saveTrainedState]]. */
+  final case class TrainedState(members: DataFrame, edges: DataFrame)
+
+  /** One refresh of the p55 trained-quantizer dedup over a quantized batch
+    * — the production catch-up step after the quantizer trained on the
+    * backlog: assign the batch's top-2 probe cells against the FIXED
+    * broadcast trained centroids, union membership, pair new×all within
+    * currently-open cells. Idempotent under at-least-once delivery (same
+    * vec_id anti-join as [[refreshIncremental]]); cap-crossing cells
+    * retire their carried edges at verdict time, and because membership
+    * per vector is fixed at assignment (the quantizer never moves), the
+    * union of new×all-so-far pairs over any batch carving equals the
+    * one-shot p52 pair set cell-for-cell. */
+  def refreshTrained(
+      trained: DataFrame, batch: DataFrame, prev: Option[TrainedState],
+      maxCell: Int, threshold: Double): TrainedState = {
+    val fresh = prev match {
+      case Some(p) => batch.join(
+        p.members.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      case None => batch
+    }
+    val newMembers = PipelineOps.probeAssign(fresh, trained)
+      .join(fresh, "vec_id")
+      .select(col("vec_id"), col("cid"), col("rank"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val members = prev.map(_.members.unionByName(newMembers)).getOrElse(newMembers)
+      .localCheckpoint(false)
+
+    val open = members.groupBy("cid").agg(count(lit(1)).as("csz"))
+      .where(col("csz") <= maxCell).select("cid")
+    val all = members.join(broadcast(open), "cid")
+      .select(col("cid"), col("vec_id").as("va"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val nw = newMembers.join(broadcast(open), "cid")
+      .select(col("cid"), col("vec_id").as("vb"), col("q").as("qb"), col("nrm").as("nrm_b"))
+    val newEdges = all.join(nw, "cid").where(col("va") =!= col("vb"))
+      .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= threshold)
+      .select(col("cid"),
+        least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"))
+      .distinct()
+    val edges = prev.map(_.edges.unionByName(newEdges)).getOrElse(newEdges)
+      .distinct().localCheckpoint(false)
+    TrainedState(members, edges)
+  }
+
+  /** Verdict from the trained state — p52's shape: rank-1 cell, smallest
+    * similar lower id over edges in currently-open cells. */
+  def trainedVerdict(allVecIds: DataFrame, state: TrainedState, maxCell: Int): DataFrame = {
+    val open = state.members.groupBy("cid").agg(count(lit(1)).as("csz"))
+      .where(col("csz") <= maxCell).select("cid")
+    val dups = state.edges.join(broadcast(open), "cid")
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    allVecIds
+      .join(state.members.where(col("rank") === 1).select("vec_id", "cid"), Seq("vec_id"), "left")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Verdict assembly from the carried state — identical shape to the
     * one-shot p44: per vector its cell, the smallest similar lower id
     * (`dup_of`), kept = none. Edges whose cell has grown past the cap are

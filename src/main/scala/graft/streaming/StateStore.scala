@@ -91,4 +91,11 @@ object StateStore {
   def loadSemState(spark: SparkSession, dir: String): Option[SemDedupStream.SemState] =
     load(spark, dir, Seq("members", "edges")).map(m =>
       SemDedupStream.SemState(m("members"), m("edges")))
+
+  def saveTrainedState(dir: String, s: SemDedupStream.TrainedState): Long =
+    save(dir, Map("members" -> s.members, "edges" -> s.edges))
+
+  def loadTrainedState(spark: SparkSession, dir: String): Option[SemDedupStream.TrainedState] =
+    load(spark, dir, Seq("members", "edges")).map(m =>
+      SemDedupStream.TrainedState(m("members"), m("edges")))
 }

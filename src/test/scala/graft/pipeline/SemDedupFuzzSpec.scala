@@ -209,6 +209,36 @@ class SemDedupFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("trained incremental refresh is batch-carving-invariant at cap-crossing membership") {
+    import graft.streaming.SemDedupStream
+    import org.apache.spark.sql.functions.col
+    val q = PipelineOps.quantized(spark, Dir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val allIds = spark.read.parquet(s"$Dir/embeddings.parquet").select("vec_id")
+    // membership doubles rows (2 probes): at k=45 full-corpus cells hold
+    // ~89 membership rows, half-corpus ~44 — cap 60 sits between, so
+    // cells cross the cap between refreshes and must retire carried edges
+    // on the TRAINED path too; 1024 is the no-crossing control
+    val geoms = Seq((45L, 60, 0.40), (45L, 1024, 0.40))
+    val carvings: Seq[Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column]] = Seq(
+      Seq(c => c <= 1000, c => c > 1000),
+      Seq(c => c <= 300, c => c > 300 && c <= 1700, c => c > 1700),
+      Seq(c => c <= 900, c => c < 0, c => c > 900)) // empty middle batch
+    geoms.foreach { case (k, cap, thr) =>
+      val trained = PipelineOps.trainCentroids(q, k)
+      val oneShot = PipelineOps.semDedupTrainedParam(spark, Dir, k, cap, thr).collect().toSeq
+      carvings.foreach { carve =>
+        var state: Option[SemDedupStream.TrainedState] = None
+        carve.foreach { pred =>
+          state = Some(SemDedupStream.refreshTrained(
+            trained, q.where(pred(col("vec_id"))), state, cap, thr))
+        }
+        val inc = SemDedupStream.trainedVerdict(allIds, state.get, cap).collect().toSeq
+        assert(inc == oneShot, s"trained geometry (k=$k, cap=$cap) carving ${carve.length} batches")
+      }
+    }
+  }
+
   test("incremental refresh is batch-carving-invariant, including cap-crossing cells") {
     import graft.streaming.SemDedupStream
     import org.apache.spark.sql.functions.col

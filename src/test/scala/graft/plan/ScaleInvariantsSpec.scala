@@ -260,6 +260,48 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       "rollup should partial-aggregate map-side")
   }
 
+  test("trained semdedup: broadcast centroids, Bottom2 probe agg, no corpus window for assignment") {
+    val p = graft.pipeline.PipelineOps.semDedupTrained(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the only Window is the capped cell census (partitioned by cid);
+    // assignment/probing must never appear as a row_number window
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("cid")),
+      "only the cid-partitioned census may use a window:\n" + windows.mkString("\n"))
+    // the probe stage itself hides behind a localCheckpoint in the full
+    // operator; assert its plan shape directly — the bottom2 aggregate
+    // must run as partial_bottom2 + merge (map-side combinable), with the
+    // centroid side broadcast, never a per-vector window
+    import org.apache.spark.sql.functions._
+    val q = graft.pipeline.PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val cents = graft.pipeline.PipelineOps.semCents(
+      graft.pipeline.PipelineOps.quantized(spark, SfDir), 45L)
+    val probe = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", lit(0.5)) // scoring shape irrelevant to the agg plan
+      .groupBy("vec_id")
+      .agg(graft.functions.Bottom2(-col("ccos"), col("cid")).as("cids"))
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("partial_bottom2"),
+      "probe selection must partial-aggregate map-side:\n" + probe.take(1200))
+    assert(probe.contains("BroadcastNestedLoopJoin") || probe.contains("BroadcastHashJoin"),
+      "centroids must broadcast")
+    assert(!probe.contains("Window"))
+  }
+
+  test("safe split and mixture plan stay on their parents' machinery plus bounded additions") {
+    val p53 = graft.pipeline.PipelineOps.safeSplit(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p53.contains("CartesianProduct") && !p53.contains("BroadcastNestedLoopJoin"), p53.take(800))
+    val p54 = graft.pipeline.PipelineOps.mixturePlan(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // the single-row totals join is the only nested-loop shape allowed
+    assert(!p54.contains("CartesianProduct"), p54.take(800))
+    assert(p54.contains("BroadcastNestedLoopJoin") || p54.contains("BroadcastHashJoin"),
+      "totals must broadcast")
+  }
+
   test("source overlap: hash-keyed self-join; only the catalog² grid is non-equi") {
     val p = graft.pipeline.PipelineOps.sourceOverlap(spark, SfDir)
       .queryExecution.executedPlan.toString
