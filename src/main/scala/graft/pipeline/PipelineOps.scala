@@ -1300,6 +1300,71 @@ object PipelineOps {
     * in training tokens, by provenance. Pure composition: the p36 verdict
     * joined back to per-doc token counts, rolled up by source; one
     * doc_id-keyed join + one source shuffle on top of p36's machinery. */
+  /** p56: scrub-closure over dup clusters — the policy step after p45
+    * flags hit-heavy docs and p36 resolves duplicate families: if ONE copy
+    * of a document trips the PII/lexicon review threshold, every byte-near
+    * copy carries the same content and must be reviewed too, whether or
+    * not its own (possibly truncated/mutated) text re-trips the regex.
+    * Flags therefore propagate over the p36 cluster: a doc is
+    * closure-flagged iff its transitively-resolved `canonical_id` family
+    * contains any directly-flagged member. Per source: docs, directly
+    * flagged, closure-flagged (≥ direct by construction), and the chars
+    * at review risk after propagation. Scale: p36's machinery + one
+    * per-doc projection (the regex counts), one canonical-keyed any()
+    * rollup, one join back — no new pair enumeration anywhere. */
+  def scrubClosure(spark: SparkSession, dir: String): DataFrame = {
+    val hitCols = ScrubPatterns.map { case (nm, _) => col(s"hits_$nm") }
+    val flagged = ScrubPatterns.foldLeft(docs(spark, dir)) {
+      case (d, (nm, pat)) =>
+        d.withColumn(s"hits_$nm", regexp_count(col("text"), lit(pat)).cast("long"))
+    }
+      .withColumn("direct_flag", hitCols.reduce(_ + _) >= ScrubFlagHits)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("direct_flag"))
+    val v = dedupVerdict(spark, dir).select(col("doc_id"), col("canonical_id"))
+    val perDoc = flagged.join(v, "doc_id")
+    // cluster verdict: any direct flag among members (canonical-keyed agg)
+    val clusterFlag = perDoc.groupBy("canonical_id")
+      .agg(max(when(col("direct_flag"), 1L).otherwise(0L)).as("cluster_flag"))
+    perDoc.join(clusterFlag, "canonical_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("direct_flag"), 1L).otherwise(0L)).as("n_flagged_direct"),
+        sum(col("cluster_flag")).as("n_flagged_closure"),
+        sum(when(col("cluster_flag") === 1L, col("n_chars")).otherwise(0L)).as("chars_at_risk"))
+      .orderBy("source")
+  }
+
+  /** p57: corpus drift monitor — the data-quality gate between two corpus
+    * snapshots (here the deterministic doc_id-parity halves stand in for
+    * last-ingest vs this-ingest): per language, arrival counts in each
+    * slice and the per-million rate difference, plus a corpus-level L1
+    * drift score (the sum of absolute ppm deltas — 0 for identical
+    * mixtures, 2,000,000 for disjoint ones). Integer-exact throughout:
+    * rates are `n·1e6 DIV total`, so both engines land on identical ppm.
+    * Scale: two filtered aggregations over one scan + a broadcast totals
+    * join — monitoring must never cost more than the ingest it guards. */
+  def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("slice", (col("doc_id") % 2 === 0).cast("int"))
+    val counts = d.groupBy("lang")
+      .agg(
+        sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_cand"))
+    val tot = counts.agg(
+      sum(col("n_ref")).as("tot_ref"), sum(col("n_cand")).as("tot_cand"))
+    val rated = counts.crossJoin(broadcast(tot))
+      .withColumn("ppm_ref", expr("(n_ref * 1000000) DIV tot_ref"))
+      .withColumn("ppm_cand", expr("(n_cand * 1000000) DIV tot_cand"))
+      .withColumn("ppm_delta", abs(col("ppm_ref") - col("ppm_cand")))
+    val l1 = rated.agg(sum(col("ppm_delta")).as("l1"))
+    rated.crossJoin(broadcast(l1))
+      .select(col("lang"), col("n_ref"), col("n_cand"),
+        col("ppm_ref"), col("ppm_cand"), col("ppm_delta"),
+        col("l1").as("corpus_l1_ppm"))
+      .orderBy("lang")
+  }
+
   /** p53: leakage-safe train/valid/test split — the curation step p18's
     * plain hash split gets WRONG in the presence of near-duplicates: if a
     * doc lands in train and its near-copy in test, the eval measures
@@ -2845,5 +2910,7 @@ object PipelineOps {
     "p52_semdedup_trained" -> semDedupTrained,
     "p53_safe_split"    -> safeSplit,
     "p54_mixture_plan"  -> mixturePlan,
-    "p55_semdedup_trained_incremental" -> semDedupTrainedIncremental)
+    "p55_semdedup_trained_incremental" -> semDedupTrainedIncremental,
+    "p56_scrub_closure" -> scrubClosure,
+    "p57_drift_monitor" -> driftMonitor)
 }

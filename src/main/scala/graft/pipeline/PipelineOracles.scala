@@ -1267,6 +1267,53 @@ object PipelineOracles {
        |            ELSE 0 END)) // 100 AS planned_tokens
        |FROM a ORDER BY source""".stripMargin
 
+  /** p56: direct flags from p45's regex machinery, closure over p36's
+    * proven verdict CTE — flags propagate via the canonical family. */
+  private val p56 = {
+    val hitSum = PipelineOps.ScrubPatterns
+      .map { case (_, p) => s"len(regexp_extract_all(text, '$p'))" }
+      .mkString(" + ")
+    s"""WITH v AS (SELECT * FROM ($p36) q),
+       |f AS (
+       |  SELECT doc_id, source, n_chars,
+       |         (($hitSum) >= ${PipelineOps.ScrubFlagHits}) AS direct_flag
+       |  FROM documents),
+       |pd AS (
+       |  SELECT f.doc_id, f.source, f.n_chars, f.direct_flag, v.canonical_id
+       |  FROM f JOIN v ON v.doc_id = f.doc_id),
+       |cf AS (
+       |  SELECT canonical_id,
+       |         max(CASE WHEN direct_flag THEN 1 ELSE 0 END)::BIGINT AS cluster_flag
+       |  FROM pd GROUP BY canonical_id)
+       |SELECT pd.source, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN pd.direct_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_direct,
+       |       CAST(sum(cf.cluster_flag) AS BIGINT) AS n_flagged_closure,
+       |       CAST(sum(CASE WHEN cf.cluster_flag = 1 THEN pd.n_chars ELSE 0 END) AS BIGINT) AS chars_at_risk
+       |FROM pd JOIN cf ON cf.canonical_id = pd.canonical_id
+       |GROUP BY pd.source ORDER BY pd.source""".stripMargin
+  }
+
+  /** p57: integer-ppm mixture rates per slice; `//` == `DIV` on
+    * non-negative BIGINT keeps the drift score engine-identical. */
+  private val p57 =
+    s"""WITH d AS (SELECT lang, (doc_id % 2 = 0) AS is_ref FROM documents),
+       |c AS (
+       |  SELECT lang,
+       |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cand
+       |  FROM d GROUP BY lang),
+       |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref, CAST(sum(n_cand) AS BIGINT) AS tot_cand FROM c),
+       |r AS (
+       |  SELECT lang, n_ref, n_cand,
+       |         (n_ref * 1000000) // tot_ref AS ppm_ref,
+       |         (n_cand * 1000000) // tot_cand AS ppm_cand
+       |  FROM c CROSS JOIN t),
+       |r2 AS (SELECT *, abs(ppm_ref - ppm_cand) AS ppm_delta FROM r),
+       |l AS (SELECT CAST(sum(ppm_delta) AS BIGINT) AS corpus_l1_ppm FROM r2)
+       |SELECT r2.lang, r2.n_ref, r2.n_cand, r2.ppm_ref, r2.ppm_cand,
+       |       r2.ppm_delta, l.corpus_l1_ppm
+       |FROM r2 CROSS JOIN l ORDER BY r2.lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -1333,5 +1380,7 @@ object PipelineOracles {
     // the incremental trained-quantizer refresh must converge to the
     // one-shot — p52's oracle IS p55's oracle (the p47 contract on the
     // trained/multi-probe path)
-    "p55_semdedup_trained_incremental" -> p52)
+    "p55_semdedup_trained_incremental" -> p52,
+    "p56_scrub_closure" -> p56,
+    "p57_drift_monitor" -> p57)
 }

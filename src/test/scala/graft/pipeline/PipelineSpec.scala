@@ -621,6 +621,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == p51kept)
   }
 
+  test("scrub closure: propagation only adds flags, partitions the corpus") {
+    val rows = PipelineOps.scrubClosure(spark, SfDir).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$SfDir/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), "closure can only widen the direct flag set")
+      assert(r.getLong(3) <= r.getLong(1), "flags bounded by docs")
+    }
+    // direct totals reconcile with p45's n_flagged column
+    val direct = PipelineOps.scrub(spark, SfDir).collect().map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(2)).sum == direct)
+  }
+
+  test("drift monitor: slices partition the corpus, ppm rates and L1 are self-consistent") {
+    val rows = PipelineOps.driftMonitor(spark, SfDir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == spark.read.parquet(s"$SfDir/documents.parquet").count())
+    // floored ppm shares sum to 1e6 minus at most n_langs of flooring
+    val ppmRef = rows.map(_.getLong(3)).sum
+    assert(ppmRef <= 1000000L && ppmRef >= 1000000L - rows.length)
+    // L1 equals the delta sum and is identical on every row
+    val l1 = rows.map(_.getLong(6)).distinct
+    assert(l1.length == 1 && l1.head == rows.map(_.getLong(5)).sum)
+  }
+
   test("dedup budget: stage totals nest, and reconcile with the p36 verdict") {
     val rows = PipelineOps.dedupBudget(spark, SfDir).collect()
     rows.foreach { r =>
