@@ -2151,9 +2151,14 @@ object PipelineOps {
   }
 
   /** BUILD half of p49: derive and persist the index relations. */
-  private[graft] def buildAnnIndex(spark: SparkSession, dir: String, idx: String): Unit = {
-    val n = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
-      .localCheckpoint(false)
+  private[graft] def buildAnnIndex(spark: SparkSession, dir: String, idx: String): Unit =
+    buildAnnIndexOf(
+      quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false),
+      idx)
+
+  /** BUILD over an explicit quantized frame — split out so p58 can build
+    * the initial index over a corpus prefix and then grow it. */
+  private[graft] def buildAnnIndexOf(n: DataFrame, idx: String): Unit = {
     val cents = n.where(col("vec_id") < IvfCentroids && col("nrm") > 0)
       .select(col("vec_id").as("ccid"), col("q").as("qb"), col("nrm").as("nrm_b"))
     val assigned = n
@@ -2216,6 +2221,65 @@ object PipelineOps {
       .select(col("vec_id").as("query_id"), col("m"), col("cid"),
         graft.functions.QuantizedL2Sq(col("sub"), col("subc")).as("qdist"))
     ivfPqCompose(assigned, codes, probes, adc)
+  }
+
+  /** Incremental half of the index lifecycle (p58): encode a NEW batch of
+    * vectors against the index's PERSISTED centroid tables — the quantizer
+    * is frozen at build time, exactly how a serving IVF/PQ index grows —
+    * and append its assignment and code rows. Per-batch cost is
+    * batch×(K + M·256) dots; the corpus-sized relations are touched only
+    * by the parquet append. Because assignment and codes are per-vector
+    * independent, build-then-append over any corpus carving is
+    * row-identical to a full rebuild (p58 gates this under p37's oracle). */
+  private[graft] def appendAnnIndex(spark: SparkSession, batch: DataFrame, idx: String): Unit = {
+    val cents = spark.read.parquet(s"$idx/ivf_cents.parquet")
+    val pqCents = spark.read.parquet(s"$idx/pq_cents.parquet")
+    // no nrm filter: mirrors buildAnnIndexOf's assignment exactly (append
+    // must be indistinguishable from having built with the batch included)
+    val assigned = batch
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotCol)
+      .withColumn("ccos",
+        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("ccid"))).as("best"))
+      .select(col("vec_id").as("nbr_id"), col("best.ccid").as("ccid"))
+    val d = EmbDim / PqSubspaces
+    val codes = batch
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+      .join(broadcast(pqCents), Seq("m"))
+      .withColumn("dist", graft.functions.QuantizedL2Sq(col("sub"), col("subc")))
+      .groupBy(col("vec_id").as("nbr_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("nbr_id"), col("m"), col("best.cid").as("cid"))
+    assigned.write.mode("append").parquet(s"$idx/ivf_assign.parquet")
+    codes.write.mode("append").parquet(s"$idx/pq_codes.parquet")
+  }
+
+  /** p58: incremental index refresh — the grow-in-place half p49's
+    * build-once/query-many lifecycle was missing: the index is built over
+    * the first half of the corpus, the second half arrives later and is
+    * encoded against the FROZEN persisted quantizer and APPENDED (no
+    * rebuild, no touch of existing rows), and the query phase must answer
+    * exactly as if the index had been built from the full corpus in one
+    * shot — the oracle IS p37's SQL, the same rebuild-consistency
+    * guarantee p49 proves for the build path. (The centroid tables derive
+    * from the lowest-id vectors, which sit in the initial build's half, so
+    * the frozen quantizer equals the full-corpus one — in production the
+    * quantizer is trained once and versioned with the index either way.) */
+  def annIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      f"graft-ann-refresh-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x").toString
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val mid = embs(spark, dir).agg((max(col("vec_id")) / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+    buildAnnIndexOf(q.where(col("vec_id") <= mid), idx)
+    appendAnnIndex(spark, q.where(col("vec_id") > mid), idx)
+    queryAnnIndex(spark, dir, idx)
   }
 
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
@@ -2912,5 +2976,6 @@ object PipelineOps {
     "p54_mixture_plan"  -> mixturePlan,
     "p55_semdedup_trained_incremental" -> semDedupTrainedIncremental,
     "p56_scrub_closure" -> scrubClosure,
-    "p57_drift_monitor" -> driftMonitor)
+    "p57_drift_monitor" -> driftMonitor,
+    "p58_ann_index_refresh" -> annIndexRefresh)
 }

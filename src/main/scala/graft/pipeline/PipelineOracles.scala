@@ -1382,5 +1382,9 @@ object PipelineOracles {
     // trained/multi-probe path)
     "p55_semdedup_trained_incremental" -> p52,
     "p56_scrub_closure" -> p56,
-    "p57_drift_monitor" -> p57)
+    "p57_drift_monitor" -> p57,
+    // build-half + frozen-quantizer append must answer exactly like a
+    // one-shot full build — p37's oracle IS p58's (the p49 contract
+    // extended to the grow-in-place path)
+    "p58_ann_index_refresh" -> p37)
 }

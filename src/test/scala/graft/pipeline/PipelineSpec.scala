@@ -646,6 +646,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(l1.length == 1 && l1.head == rows.map(_.getLong(5)).sum)
   }
 
+  test("ann index refresh: build-half + append answers identically to the one-shot index") {
+    val grown = PipelineOps.annIndexRefresh(spark, SfDir).collect().toSeq
+    val oneShot = PipelineOps.annIndexed(spark, SfDir).collect().toSeq
+    assert(grown == oneShot, "grow-in-place must be indistinguishable from a full rebuild")
+  }
+
   test("dedup budget: stage totals nest, and reconcile with the p36 verdict") {
     val rows = PipelineOps.dedupBudget(spark, SfDir).collect()
     rows.foreach { r =>
