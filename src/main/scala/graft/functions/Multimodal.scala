@@ -86,10 +86,15 @@ object MediaCodec {
     val planes = u16le(bytes, 26)
     val bpp = u16le(bytes, 28)
     val comp = i32le(bytes, 30)
-    if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 || comp != 0) return null
+    // adversarial-header guards: all size arithmetic in Long, dims capped —
+    // a width near 2^31 would make the Int rowBytes negative and slip past
+    // a naive bounds check into an out-of-bounds read; corrupt input must
+    // yield null, never an exception (MultimodalSpec fuzzes random bytes)
+    if (w <= 0 || w > (1 << 20) || hRaw == 0 || hRaw == Int.MinValue ||
+        math.abs(hRaw) > (1 << 20) || planes != 1 || bpp != 24 || comp != 0) return null
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    val rowBytes = (3 * w + 3) & ~3
+    val rowBytes = ((3L * w + 3) & ~3L).toInt
     if (off < 54 || off.toLong + rowBytes.toLong * h > bytes.length) return null
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumB = 0L
     var fileRow = 0
@@ -114,7 +119,8 @@ object MediaCodec {
     * i*7) mod 65536) - 32768, signed 16-bit — again the exact formula the
     * oracle recomputes. */
   def wavEncode(text: Array[Byte], rate: Int, n: Int, seed: Int): Array[Byte] = {
-    require(rate >= 1 && n >= 1 && n <= (1 << 24), s"wav params out of range: rate=$rate n=$n")
+    require(rate >= 1 && rate <= (1 << 22) && n >= 1 && n <= (1 << 24),
+      s"wav params out of range: rate=$rate n=$n")
     require(text.length > 0, "empty sample source")
     val l = text.length
     val dataSize = 2 * n
@@ -151,7 +157,9 @@ object MediaCodec {
     var dataOff = -1; var dataSize = -1
     while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val size = i32le(bytes, pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return null
+      // Long bound check: a chunk size near 2^31 would wrap pos+8+size
+      // negative and slip past an Int comparison
+      if (size < 0 || pos.toLong + 8L + size > bytes.length) return null
       val isFmt = bytes(pos) == 'f' && bytes(pos + 1) == 'm' && bytes(pos + 2) == 't' && bytes(pos + 3) == ' '
       val isData = bytes(pos) == 'd' && bytes(pos + 1) == 'a' && bytes(pos + 2) == 't' && bytes(pos + 3) == 'a'
       if (isFmt) {

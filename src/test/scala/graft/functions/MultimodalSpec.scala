@@ -131,6 +131,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial bytes never throw: random and header-mutated inputs yield null or a valid row") {
+    // the null-on-malformed contract at 10^9-asset scale: NO byte stream
+    // may crash the decoder — including headers crafted to overflow Int
+    // size arithmetic (width near 2^31, chunk size near 2^31)
+    val rng = new scala.util.Random(0xBAD5EED)
+    for (trial <- 0 until 300) {
+      val len = rng.nextInt(200)
+      val junk = Array.fill[Byte](len)(rng.nextInt().toByte)
+      MediaCodec.bmpDecode(junk); MediaCodec.wavDecode(junk) // must not throw
+    }
+    // mutate every header byte of the golden files to random values
+    for (_ <- 0 until 300) {
+      val b = goldenBmp.clone()
+      (0 until 4).foreach(_ => b(rng.nextInt(54)) = rng.nextInt().toByte)
+      MediaCodec.bmpDecode(b)
+      val w = goldenWav.clone()
+      (0 until 4).foreach(_ => w(rng.nextInt(44)) = rng.nextInt().toByte)
+      MediaCodec.wavDecode(w)
+    }
+    // targeted overflow headers: width = Int.MaxValue/3-ish, height Int.MinValue
+    val wide = goldenBmp.clone()
+    val leMax = Seq(0xfe, 0xff, 0xff, 0x7f).map(_.toByte)
+    (0 until 4).foreach(i => wide(18 + i) = leMax(i))
+    assert(MediaCodec.bmpDecode(wide) == null)
+    val negH = goldenBmp.clone()
+    val leMin = Seq(0x00, 0x00, 0x00, 0x80).map(_.toByte)
+    (0 until 4).foreach(i => negH(22 + i) = leMin(i))
+    assert(MediaCodec.bmpDecode(negH) == null)
+    val hugeChunk = goldenWav.clone()
+    (0 until 4).foreach(i => hugeChunk(16 + i) = leMax(i)) // fmt size ~ 2^31
+    assert(MediaCodec.wavDecode(hugeChunk) == null)
+  }
+
   test("decode expressions run inside codegen and null out corrupt assets") {
     import graft.SparkTestSession.spark
     import spark.implicits._
