@@ -223,7 +223,10 @@ class SemDedupFuzzSpec extends AnyFunSuite {
     val carvings: Seq[Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column]] = Seq(
       Seq(c => c <= 1000, c => c > 1000),
       Seq(c => c <= 300, c => c > 300 && c <= 1700, c => c > 1700),
-      Seq(c => c <= 900, c => c < 0, c => c > 900)) // empty middle batch
+      Seq(c => c <= 900, c => c < 0, c => c > 900), // empty middle batch
+      // OVERLAPPING batches (at-least-once redelivery): vec_ids 601-1000
+      // arrive twice; the anti-join must make the second delivery a no-op
+      Seq(c => c <= 1000, c => c > 600))
     geoms.foreach { case (k, cap, thr) =>
       val trained = PipelineOps.trainCentroids(q, k)
       val oneShot = PipelineOps.semDedupTrainedParam(spark, Dir, k, cap, thr).collect().toSeq
@@ -258,7 +261,10 @@ class SemDedupFuzzSpec extends AnyFunSuite {
       Seq(c => c <= 1000, c => c > 1000),
       Seq(c => c <= 300, c => c > 300 && c <= 1700, c => c > 1700),
       Seq(c => c === 0, c => c > 0),
-      Seq(c => c <= 900, c => c < 0, c => c > 900))
+      Seq(c => c <= 900, c => c < 0, c => c > 900),
+      // OVERLAPPING batches — the at-least-once idempotency contract at
+      // fuzz level: redelivered vec_ids must not change census or edges
+      Seq(c => c <= 1200, c => c > 500))
     geoms.foreach { case (k, cap, thr) =>
       val cents = PipelineOps.semCents(q, k).localCheckpoint(false)
       val oneShot = PipelineOps.semDedupParam(spark, Dir, k, cap, thr).collect().toSeq
