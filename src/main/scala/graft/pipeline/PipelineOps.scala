@@ -1300,6 +1300,53 @@ object PipelineOps {
     * in training tokens, by provenance. Pure composition: the p36 verdict
     * joined back to per-doc token counts, rolled up by source; one
     * doc_id-keyed join + one source shuffle on top of p36's machinery. */
+  /** p59: corpus snapshot delta — the CDC pass between two ingest
+    * versions that decides what downstream work (re-dedup, re-index,
+    * re-tokenize) actually needs to run: a full-outer doc_id join
+    * comparing content hashes classifies every document as added /
+    * removed / changed / unchanged, rolled up per source with the char
+    * mass entering and leaving the corpus. Deterministic stand-in
+    * snapshots carve the fixture (old = doc_id%10 ≠ 9, new = doc_id%10 ≠
+    * 0, and every common doc with doc_id%7 = 3 carries revised text in
+    * the new snapshot), so both engines derive identical versions from
+    * one table; a production deployment points the two sides at real
+    * snapshot paths — the operator is the keyed hash-compare machinery,
+    * which is one shuffle on doc_id plus a projection at any corpus
+    * size. */
+  def corpusDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.where(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"),
+        col("n_chars").as("chars_old"))
+    val neu = d.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("source_new"),
+        md5(col("text2")).as("h_new"),
+        length(col("text2")).cast("long").as("chars_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("src", coalesce(col("source"), col("source_new")))
+      .withColumn("cls",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("src")
+      .agg(
+        sum(when(col("cls") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("cls") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("cls") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        coalesce(sum(when(col("cls").isin("added", "changed"), col("chars_new"))), lit(0L))
+          .as("chars_in"),
+        coalesce(sum(when(col("cls").isin("removed", "changed"), col("chars_old"))), lit(0L))
+          .as("chars_out"))
+      .select(col("src").as("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"), col("chars_in"), col("chars_out"))
+      .orderBy("source")
+  }
+
   /** p56: scrub-closure over dup clusters — the policy step after p45
     * flags hit-heavy docs and p36 resolves duplicate families: if ONE copy
     * of a document trips the PII/lexicon review threshold, every byte-near
@@ -2977,5 +3024,6 @@ object PipelineOps {
     "p55_semdedup_trained_incremental" -> semDedupTrainedIncremental,
     "p56_scrub_closure" -> scrubClosure,
     "p57_drift_monitor" -> driftMonitor,
-    "p58_ann_index_refresh" -> annIndexRefresh)
+    "p58_ann_index_refresh" -> annIndexRefresh,
+    "p59_corpus_delta"  -> corpusDelta)
 }

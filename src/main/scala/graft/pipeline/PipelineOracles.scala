@@ -1314,6 +1314,33 @@ object PipelineOracles {
        |       r2.ppm_delta, l.corpus_l1_ppm
        |FROM r2 CROSS JOIN l ORDER BY r2.lang""".stripMargin
 
+  /** p59: same deterministic snapshot carving, full-outer hash compare. */
+  private val p59 =
+    s"""WITH o AS (
+       |  SELECT doc_id, source, md5(text) AS h_old, n_chars AS chars_old
+       |  FROM documents WHERE doc_id % 10 <> 9),
+       |n AS (
+       |  SELECT doc_id, source AS source_new,
+       |         md5(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END) AS h_new,
+       |         len(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END)::BIGINT AS chars_new
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |j AS (
+       |  SELECT COALESCE(o.source, n.source_new) AS src,
+       |         CASE WHEN o.h_old IS NULL THEN 'added'
+       |              WHEN n.h_new IS NULL THEN 'removed'
+       |              WHEN o.h_old <> n.h_new THEN 'changed'
+       |              ELSE 'unchanged' END AS cls,
+       |         n.chars_new, o.chars_old
+       |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id)
+       |SELECT src AS source,
+       |       CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |       CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |       CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       |       CAST(COALESCE(sum(CASE WHEN cls IN ('added','changed') THEN chars_new END), 0) AS BIGINT) AS chars_in,
+       |       CAST(COALESCE(sum(CASE WHEN cls IN ('removed','changed') THEN chars_old END), 0) AS BIGINT) AS chars_out
+       |FROM j GROUP BY src ORDER BY src""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats"    -> p01,
     "p02_quality"       -> p02,
@@ -1386,5 +1413,6 @@ object PipelineOracles {
     // build-half + frozen-quantizer append must answer exactly like a
     // one-shot full build — p37's oracle IS p58's (the p49 contract
     // extended to the grow-in-place path)
-    "p58_ann_index_refresh" -> p37)
+    "p58_ann_index_refresh" -> p37,
+    "p59_corpus_delta"  -> p59)
 }

@@ -652,6 +652,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grown == oneShot, "grow-in-place must be indistinguishable from a full rebuild")
   }
 
+  test("corpus delta: classes partition the union of snapshots, char flows reconcile") {
+    val rows = PipelineOps.corpusDelta(spark, SfDir).collect()
+    val n = spark.read.parquet(s"$SfDir/documents.parquet").count()
+    // union of snapshots = all docs (every doc is in old, new, or both)
+    val classified = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+    assert(classified == n, "every doc classified exactly once")
+    // the deterministic carving guarantees all four classes are non-empty
+    (1 to 4).foreach(i => assert(rows.map(_.getLong(i)).sum > 0, s"class column $i empty"))
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0 && r.getLong(6) >= 0)
+      // changed docs contribute to BOTH flows; added only in, removed only out
+      if (r.getLong(3) == 0 && r.getLong(1) == 0) assert(r.getLong(5) == 0)
+    }
+  }
+
   test("dedup budget: stage totals nest, and reconcile with the p36 verdict") {
     val rows = PipelineOps.dedupBudget(spark, SfDir).collect()
     rows.foreach { r =>
