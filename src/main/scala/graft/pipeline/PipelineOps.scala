@@ -1243,6 +1243,50 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Materialization root for the p36 verdict over `dir` — keyed by
+    * (dataset dir, THIS Spark app) exactly like p49's index tree, so two
+    * concurrent apps over the same dataset never race overwrite-vs-read,
+    * while within one app every composer resolves the same build target. */
+  private[graft] def verdictTablePath(spark: SparkSession, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      f"graft-dedup-verdict-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x").toString
+
+  private val verdictBuildLock = new Object
+
+  /** The build-once / read-many seam for the dedup verdict (p60): the
+    * first caller materializes p36's verdict table to parquet, every later
+    * caller — including a concurrent one; the double-checked lock plus the
+    * ready-marker make the build idempotent under multi-threaded serving —
+    * reads the stored relation. This is the production shape of dedup
+    * composition: at 100 TB the verdict is a corpus-scale artifact you
+    * compute ONCE per ingest and join against many times (budget reports,
+    * split assignment, scrub closure, keep-best selection), not a pipeline
+    * you re-run inside every downstream query. The five composers
+    * (p48/p51/p53/p54/p56) route through here, so their cost drops to
+    * their own marginal joins; table-served ≡ recomputed is oracle-gated
+    * by the p60 entry (p36's SQL) and plan-asserted in
+    * ScaleInvariantsSpec (the served plan is a parquet scan — no gram
+    * explosion, no pair join, no star-contraction rounds). */
+  private[graft] def dedupVerdictTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = verdictTablePath(spark, dir)
+    val ready = new java.io.File(root, "_VERDICT_READY")
+    if (!ready.exists()) verdictBuildLock.synchronized {
+      if (!ready.exists()) {
+        dedupVerdictOf(docs(spark, dir))
+          .write.mode("overwrite").parquet(s"$root/verdict.parquet")
+        ready.createNewFile()
+      }
+    }
+    spark.read.parquet(s"$root/verdict.parquet")
+  }
+
+  /** p60: the table-served verdict — what every production consumer of
+    * p36 actually reads. Gated under p36's own oracle SQL: the stored
+    * relation must hash-match recomputing the verdict from scratch (the
+    * p49 rebuild-consistency pattern applied to the dedup artifact). */
+  def dedupVerdictServed(spark: SparkSession, dir: String): DataFrame =
+    dedupVerdictTable(spark, dir).orderBy("doc_id")
+
   /** p48: quality-weighted dedup verdict — p36 with the OTHER production
     * canonical rule. Keep-first (min id) is the right call for exact
     * duplicates (identical bytes, the id is the only differentiator), but
@@ -1254,42 +1298,40 @@ object PipelineOps {
     * int64 so the argmax is cross-engine exact, ties → lowest id — and
     * exact drops resolve transitively through their survivor's cluster.
     * The argmax is the same partial-min struct trick as kmeans assignment
-    * (map-side combine, no window over the cluster members). */
+    * (map-side combine, no window over the cluster members).
+    *
+    * Composition (round 12): the cluster structure IS p36's — a doc's
+    * duplicate family is exactly its transitively-resolved `canonical_id`
+    * group, and the family's near-dup survivors are its `reason ≠ 'exact'`
+    * members — so the operator reads the materialized verdict
+    * ([[dedupVerdictTable]]) and re-canonicalizes each family by argmax
+    * score, instead of re-running the gram/pair/contraction machinery a
+    * second time. One per-doc score projection + one family-keyed argmax
+    * + one join back; result-identical to the from-scratch composition
+    * (the p48 oracle recomputes everything and must still hash-match). */
   def keepBestVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val scored = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("score",
+      .select(col("doc_id"),
         (size(col("toks")) - lit(2) * expr(
           s"size(filter(toks, t -> array_contains(array(${sqlList(Stopwords)}), t)))"))
-          .cast("long"))
-      .drop("toks")
-    val ew = Window.partitionBy(md5(col("text")))
-    val ex = d
-      .withColumn("canon_exact", min(col("doc_id")).over(ew))
-      .localCheckpoint(false)
-    val survivors = ex.where(col("doc_id") === col("canon_exact"))
-    val pairs = ngramJaccardOf(
-        survivors.select("doc_id", "text", "lang", "source", "n_chars"))
-      .select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(pairs)
-    val withCluster = survivors
-      .join(labels, col("doc_id") === labels("node"), "left")
-      .select(col("doc_id"), col("score"),
-        coalesce(col("label"), col("doc_id")).as("cluster"))
-    val best = withCluster.groupBy("cluster")
+          .cast("long").as("score"))
+    val perDoc = dedupVerdictTable(spark, dir).join(scored, "doc_id")
+    // family best over the near-dup SURVIVORS only (exact drops are
+    // byte-identical to their keeper — scoring them would be redundant,
+    // and the keeper is always present in the family by construction)
+    val best = perDoc.where(col("reason") =!= "exact")
+      .groupBy("canonical_id")
       .agg(min(struct((-col("score")).as("neg"), col("doc_id"))).as("b"))
-      .select(col("cluster"), col("b.doc_id").as("best_id"),
+      .select(col("canonical_id"), col("b.doc_id").as("best_id"),
         (-col("b.neg")).as("best_score"))
-    val survCanon = withCluster.join(best, "cluster")
-      .select(col("doc_id").as("surv_id"), col("best_id").as("surv_canon"),
-        col("best_score").as("surv_score"))
-    ex.join(survCanon, ex("canon_exact") === survCanon("surv_id"))
+    perDoc.join(best, "canonical_id")
       .select(col("doc_id"),
-        when(col("doc_id") =!= col("canon_exact"), lit("exact"))
-          .when(col("doc_id") =!= col("surv_canon"), lit("near"))
+        when(col("reason") === "exact", lit("exact"))
+          .when(col("doc_id") =!= col("best_id"), lit("near"))
           .otherwise(lit("kept")).as("reason"),
-        col("surv_canon").as("canonical_id"),
-        col("surv_score").as("canonical_score"))
+        col("best_id").as("canonical_id"),
+        col("best_score").as("canonical_score"))
       .orderBy("doc_id")
   }
 
@@ -1297,9 +1339,11 @@ object PipelineOps {
     * kills) a dedup config in front of a training-data budget: per source,
     * how many docs/tokens arrive raw, how many tokens survive the exact
     * stage, and how many survive near-dedup — i.e. what each stage COSTS
-    * in training tokens, by provenance. Pure composition: the p36 verdict
-    * joined back to per-doc token counts, rolled up by source; one
-    * doc_id-keyed join + one source shuffle on top of p36's machinery. */
+    * in training tokens, by provenance. Pure composition: the MATERIALIZED
+    * p36 verdict ([[dedupVerdictTable]]) joined back to per-doc token
+    * counts, rolled up by source; one doc_id-keyed join + one source
+    * shuffle — the dedup machinery itself runs once per ingest, not once
+    * per report. */
   /** p59: corpus snapshot delta — the CDC pass between two ingest
     * versions that decides what downstream work (re-dedup, re-index,
     * re-tokenize) actually needs to run: a full-outer doc_id join
@@ -1356,9 +1400,10 @@ object PipelineOps {
     * closure-flagged iff its transitively-resolved `canonical_id` family
     * contains any directly-flagged member. Per source: docs, directly
     * flagged, closure-flagged (≥ direct by construction), and the chars
-    * at review risk after propagation. Scale: p36's machinery + one
-    * per-doc projection (the regex counts), one canonical-keyed any()
-    * rollup, one join back — no new pair enumeration anywhere. */
+    * at review risk after propagation. Scale: a scan of the materialized
+    * verdict ([[dedupVerdictTable]]) + one per-doc projection (the regex
+    * counts), one canonical-keyed any() rollup, one join back — no new
+    * pair enumeration anywhere. */
   def scrubClosure(spark: SparkSession, dir: String): DataFrame = {
     val hitCols = ScrubPatterns.map { case (nm, _) => col(s"hits_$nm") }
     val flagged = ScrubPatterns.foldLeft(docs(spark, dir)) {
@@ -1367,7 +1412,7 @@ object PipelineOps {
     }
       .withColumn("direct_flag", hitCols.reduce(_ + _) >= ScrubFlagHits)
       .select(col("doc_id"), col("source"), col("n_chars"), col("direct_flag"))
-    val v = dedupVerdict(spark, dir).select(col("doc_id"), col("canonical_id"))
+    val v = dedupVerdictTable(spark, dir).select(col("doc_id"), col("canonical_id"))
     val perDoc = flagged.join(v, "doc_id")
     // cluster verdict: any direct flag among members (canonical-keyed agg)
     val clusterFlag = perDoc.groupBy("canonical_id")
@@ -1426,9 +1471,10 @@ object PipelineOps {
     * clusters, chars, and `n_moved` = docs whose naive (own-id) split
     * differs from their leakage-safe split — the population a naive
     * pipeline would have leaked (in either direction) across boundaries.
-    * Scale: p36's machinery + one projection + one 3-key rollup. */
+    * Scale: a scan of the materialized verdict ([[dedupVerdictTable]]) +
+    * one projection + one 3-key rollup. */
   def safeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val v = dedupVerdict(spark, dir).select(col("doc_id"), col("canonical_id"))
+    val v = dedupVerdictTable(spark, dir).select(col("doc_id"), col("canonical_id"))
     val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
     def splitOf(bucket: Column): Column =
       when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
@@ -1489,7 +1535,7 @@ object PipelineOps {
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    toks.join(dedupVerdictOf(docs(spark, dir)).select("doc_id", "reason"), "doc_id")
+    toks.join(dedupVerdictTable(spark, dir).select("doc_id", "reason"), "doc_id")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -3025,5 +3071,6 @@ object PipelineOps {
     "p56_scrub_closure" -> scrubClosure,
     "p57_drift_monitor" -> driftMonitor,
     "p58_ann_index_refresh" -> annIndexRefresh,
-    "p59_corpus_delta"  -> corpusDelta)
+    "p59_corpus_delta"  -> corpusDelta,
+    "p60_verdict_table" -> dedupVerdictServed)
 }

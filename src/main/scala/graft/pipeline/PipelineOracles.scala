@@ -1414,5 +1414,9 @@ object PipelineOracles {
     // one-shot full build — p37's oracle IS p58's (the p49 contract
     // extended to the grow-in-place path)
     "p58_ann_index_refresh" -> p37,
-    "p59_corpus_delta"  -> p59)
+    "p59_corpus_delta"  -> p59,
+    // the table-served verdict must hash-match recomputing p36 from
+    // scratch — p36's oracle IS p60's oracle (the p49 rebuild-consistency
+    // guarantee applied to the materialized dedup artifact)
+    "p60_verdict_table" -> p36)
 }

@@ -584,6 +584,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(b.getLong(6) == redactedB, "audit equals the hash of the redacted text")
   }
 
+  test("p60: table-served verdict is row-identical to recomputing p36") {
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(img(PipelineOps.dedupVerdictServed(spark, SfDir)) ==
+      img(PipelineOps.dedupVerdict(spark, SfDir)),
+      "the materialized verdict must equal the from-scratch computation")
+  }
+
   test("safe split: partitions the corpus and never splits a dup cluster") {
     import org.apache.spark.sql.functions._
     val rows = PipelineOps.safeSplit(spark, SfDir).collect()

@@ -302,6 +302,33 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       "totals must broadcast")
   }
 
+  test("materialized verdict: served plan reads the stored parquet, composers skip the dedup machinery") {
+    // the p60 read path must be a parquet scan of the persisted relation —
+    // zero gram explosion, zero pair join, zero star-contraction rounds.
+    // If any of those shapes reappear, the materialization seam regressed
+    // to recomputing five corpus-scale dedup passes at 100 TB.
+    val served = graft.pipeline.PipelineOps.dedupVerdictServed(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(served.contains("verdict.parquet"),
+      "served verdict must scan the materialized table:\n" + served.take(800))
+    assert(!served.contains("Generate") && !served.contains("Join") &&
+      !served.contains("Window"),
+      "served verdict is a bare scan + sort:\n" + served.take(800))
+    // every composer routes through the table: the stored relation appears
+    // in the plan and the gram explosion (Generate) does not
+    for ((nm, df) <- Seq(
+        "p48" -> graft.pipeline.PipelineOps.keepBestVerdict(spark, SfDir),
+        "p51" -> graft.pipeline.PipelineOps.dedupBudget(spark, SfDir),
+        "p53" -> graft.pipeline.PipelineOps.safeSplit(spark, SfDir),
+        "p56" -> graft.pipeline.PipelineOps.scrubClosure(spark, SfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("verdict.parquet"),
+        s"$nm must read the stored verdict:\n" + p.take(800))
+      assert(!p.contains("Generate"),
+        s"$nm must not re-run the gram machinery:\n" + p.take(800))
+    }
+  }
+
   test("source overlap: hash-keyed self-join; only the catalog² grid is non-equi") {
     val p = graft.pipeline.PipelineOps.sourceOverlap(spark, SfDir)
       .queryExecution.executedPlan.toString
