@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable checkpoint store for the incremental-dedup carried state — the
@@ -10,53 +10,98 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * refresh silently degrades to a from-scratch rebuild (or, worse, a
   * partial state that yields a wrong verdict).
   *
+  * All filesystem traffic goes through the Hadoop `FileSystem` resolved
+  * from the path itself, so `dir` may be a local path, HDFS, or any other
+  * Hadoop-supported scheme — the same resolution Spark's own parquet
+  * writers use. CAVEAT (object stores): the commit protocol below leans on
+  * atomic rename, which holds on POSIX filesystems and HDFS but NOT on
+  * S3-style object stores (rename there is copy+delete and the pointer
+  * flip can be observed torn). On such stores, front the pointer with a
+  * metadata service (what table formats do) or run the store against an
+  * HDFS/NFS scratch namespace.
+  *
   * Commit protocol — the classic versioned-directory + atomic-pointer
   * scheme every table-format checkpoint uses (and the reason a parquet
   * `overwrite` alone is NOT a checkpoint: it deletes the old state before
   * the new one is fully written, so a crash mid-save loses both):
   *
-  *   1. write all state tables under a fresh `v{N+1}/` directory;
-  *   2. flip the `_CURRENT` pointer file to `N+1` via write-temp +
-  *      ATOMIC_MOVE — readers see either the old version or the new one,
-  *      never a torn state;
-  *   3. prune versions older than the previous one (the previous survives
+  *   1. claim a fresh version directory by CREATE-EXCLUSIVE on its
+  *      `_ALLOC` marker — two writers that both read `_CURRENT = N` land
+  *      on DISTINCT versions instead of racing file contents inside one
+  *      directory (the single-writer guard: the deployment is meant to be
+  *      single-writer, but a misconfigured second writer now degrades to
+  *      last-flip-wins between two internally-consistent versions, never
+  *      to a torn state);
+  *   2. write all state tables under the claimed `v{N+1}/` directory;
+  *   3. flip the `_CURRENT` pointer file to `N+1` via write-temp +
+  *      atomic rename — readers see either the old version or the new
+  *      one, never a torn pointer;
+  *   4. prune versions older than the previous one (the previous survives
   *      one extra cycle for in-flight readers).
   *
-  * A crash between (1) and (2) leaves an orphaned `v{N+1}` that the next
-  * save overwrites; `load` keeps serving `vN`. StreamStateSpec kills the
-  * in-memory state between refreshes, reloads from disk, and proves the
-  * final verdict identical to the never-restarted run — and that a
-  * simulated crash-before-flip leaves the previous state readable. */
+  * A crash between (2) and (3) leaves an orphaned `v{N+1}` that later
+  * allocations skip (its `_ALLOC` marker loses the exclusivity race) and
+  * a later prune removes; `load` keeps serving `vN`. StreamStateSpec
+  * kills the in-memory state between refreshes, reloads from disk, and
+  * proves the final verdict identical to the never-restarted run — plus
+  * the crash-before-flip, two-concurrent-writers, and prune behaviors of
+  * the protocol itself. */
 object StateStore {
 
-  private def currentVersion(dir: String): Option[Long] = {
-    val p = Paths.get(dir, "_CURRENT")
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentVersion(fs: FileSystem, dir: String): Option[Long] = {
+    val p = new HPath(dir, "_CURRENT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
   }
 
   /** Persist `tables` as the next state version; returns the version. */
   def save(dir: String, tables: Map[String, DataFrame]): Long = {
-    Files.createDirectories(Paths.get(dir))
-    val prev = currentVersion(dir)
-    val next = prev.getOrElse(0L) + 1
+    require(tables.nonEmpty, "cannot checkpoint an empty table set")
+    val spark = tables.head._2.sparkSession
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new HPath(dir))
+    val prev = currentVersion(fs, dir)
+    // (1) claim a version: first writer to create v{N}/_ALLOC owns v{N};
+    // a loser (concurrent writer, or a crashed save's leftover) advances
+    var next = prev.getOrElse(0L) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(new HPath(s"$dir/v$next/_ALLOC"), false).close()
+        claimed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    // (2) state tables into the claimed directory
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/v$next/$name.parquet")
     }
-    val tmp = Paths.get(dir, "_CURRENT.tmp")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, Paths.get(dir, "_CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // prune everything older than the previous version
+    // (3) atomic pointer flip
+    val tmp = new HPath(dir, s"_CURRENT.tmp.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new HPath(dir, "_CURRENT"), Options.Rename.OVERWRITE)
+    // (4) prune everything older than the previous version (listStatus
+    // returns a materialized array — nothing to leak on repeated saves)
     prev.foreach { p =>
-      val d = Paths.get(dir)
-      if (Files.isDirectory(d)) {
-        val it = Files.list(d).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          val n = f.getFileName.toString
-          if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < p)
-            deleteRecursively(f)
-        }
+      fs.listStatus(new HPath(dir)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong < p)
+          fs.delete(st.getPath, true)
       }
     }
     next
@@ -64,17 +109,9 @@ object StateStore {
 
   /** Read the committed state tables, None if no version was ever flipped. */
   def load(spark: SparkSession, dir: String, names: Seq[String]): Option[Map[String, DataFrame]] =
-    currentVersion(dir).map { v =>
+    currentVersion(fsOf(spark, dir), dir).map { v =>
       names.map(n => n -> spark.read.parquet(s"$dir/v$v/$n.parquet")).toMap
     }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
-    }
-    Files.deleteIfExists(p)
-  }
 
   // ------------------------------------------------- typed wrappers
 
