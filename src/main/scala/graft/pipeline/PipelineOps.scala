@@ -1353,22 +1353,32 @@ object PipelineOps {
     * snapshots carve the fixture (old = doc_id%10 ≠ 9, new = doc_id%10 ≠
     * 0, and every common doc with doc_id%7 = 3 carries revised text in
     * the new snapshot), so both engines derive identical versions from
-    * one table; a production deployment points the two sides at real
-    * snapshot paths — the operator is the keyed hash-compare machinery,
-    * which is one shuffle on doc_id plus a projection at any corpus
-    * size. */
+    * one table; a production deployment calls [[corpusDeltaOf]] with the
+    * two real snapshot frames directly — the operator is the keyed
+    * hash-compare machinery, which is one shuffle on doc_id plus a
+    * projection at any corpus size. */
   def corpusDelta(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val old = d.where(col("doc_id") % 10 =!= 9)
+    corpusDeltaOf(
+      d.where(col("doc_id") % 10 =!= 9),
+      d.where(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))))
+  }
+
+  /** p59 over two explicit snapshot frames — the production seam: each
+    * side needs (doc_id, source, text); content identity is md5(text)
+    * and char mass is length(text), both computed here so callers hand
+    * over raw snapshots, not pre-hashed derivatives. */
+  private[graft] def corpusDeltaOf(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val old = oldDf
       .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"),
-        col("n_chars").as("chars_old"))
-    val neu = d.where(col("doc_id") % 10 =!= 0)
-      .withColumn("text2",
-        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")))
+        length(col("text")).cast("long").as("chars_old"))
+    val neu = newDf
       .select(col("doc_id"), col("source").as("source_new"),
-        md5(col("text2")).as("h_new"),
-        length(col("text2")).cast("long").as("chars_new"))
+        md5(col("text")).as("h_new"),
+        length(col("text")).cast("long").as("chars_new"))
     old.join(neu, Seq("doc_id"), "full_outer")
       .withColumn("src", coalesce(col("source"), col("source_new")))
       .withColumn("cls",
@@ -1429,7 +1439,8 @@ object PipelineOps {
 
   /** p57: corpus drift monitor — the data-quality gate between two corpus
     * snapshots (here the deterministic doc_id-parity halves stand in for
-    * last-ingest vs this-ingest): per language, arrival counts in each
+    * last-ingest vs this-ingest; production points [[driftMonitorOf]] at
+    * the two real snapshots): per language, arrival counts in each
     * slice and the per-million rate difference, plus a corpus-level L1
     * drift score (the sum of absolute ppm deltas — 0 for identical
     * mixtures, 2,000,000 for disjoint ones). Integer-exact throughout:
@@ -1438,11 +1449,21 @@ object PipelineOps {
     * join — monitoring must never cost more than the ingest it guards. */
   def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("slice", (col("doc_id") % 2 === 0).cast("int"))
-    val counts = d.groupBy("lang")
-      .agg(
-        sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_ref"),
-        sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_cand"))
+    driftMonitorOf(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 =!= 0))
+  }
+
+  /** p57 over two explicit corpus frames — the production seam: each side
+    * needs a `lang` column; a language present on only one side gets an
+    * explicit zero on the other (full-outer count join), so its entire
+    * ppm mass lands in the drift score rather than silently vanishing. */
+  private[graft] def driftMonitorOf(refDf: DataFrame, candDf: DataFrame): DataFrame = {
+    val counts = refDf.groupBy("lang").agg(count(lit(1)).as("n_ref"))
+      .join(candDf.groupBy("lang").agg(count(lit(1)).as("n_cand")),
+        Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
     val tot = counts.agg(
       sum(col("n_ref")).as("tot_ref"), sum(col("n_cand")).as("tot_cand"))
     val rated = counts.crossJoin(broadcast(tot))

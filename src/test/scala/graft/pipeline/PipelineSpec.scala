@@ -660,6 +660,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grown == oneShot, "grow-in-place must be indistinguishable from a full rebuild")
   }
 
+  test("corpus delta seam: two genuinely distinct snapshot frames classify correctly") {
+    import spark.implicits._
+    val old = Seq((1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"))
+      .toDF("doc_id", "source", "text")
+    val neu = Seq((2L, "s1", "beta"), (3L, "s2", "gamma2"), (4L, "s2", "delta"))
+      .toDF("doc_id", "source", "text")
+    val by = PipelineOps.corpusDeltaOf(old, neu).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // s1: doc 1 removed ("alpha" leaves), doc 2 byte-identical
+    assert(by("s1") == ((0L, 1L, 0L, 1L, 0L, 5L)), s"s1: ${by("s1")}")
+    // s2: doc 3 changed (gamma -> gamma2), doc 4 added ("delta" arrives)
+    assert(by("s2") == ((1L, 0L, 1L, 0L, 11L, 5L)), s"s2: ${by("s2")}")
+  }
+
+  test("drift monitor seam: a one-sided language carries its full ppm mass into L1") {
+    import spark.implicits._
+    val ref = Seq("en", "en", "fr", "de").toDF("lang")
+    val cand = Seq("en", "en", "es", "es").toDF("lang")
+    val rows = PipelineOps.driftMonitorOf(ref, cand).collect()
+    val by = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(by("es") == ((0L, 2L, 0L, 500000L, 500000L)), s"es: ${by("es")}")
+    assert(by("fr") == ((1L, 0L, 250000L, 0L, 250000L)), s"fr: ${by("fr")}")
+    assert(by("en")._5 == 0L, "balanced language contributes no drift")
+    // L1 = 0 (en) + 250k (fr) + 250k (de) + 500k (es)
+    assert(rows.head.getLong(6) == 1000000L, "corpus L1 sums every one-sided delta")
+  }
+
   test("corpus delta: classes partition the union of snapshots, char flows reconcile") {
     val rows = PipelineOps.corpusDelta(spark, SfDir).collect()
     val n = spark.read.parquet(s"$SfDir/documents.parquet").count()
