@@ -13,7 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Real (not stubbed) multimodal asset codecs for the p13/p28 pipelines —
   * pure-JVM formats that need no media libraries: uncompressed 24-bit BMP
   * (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows with 4-byte
-  * row padding) and RIFF/WAVE PCM (16-bit mono, chunk-walked). The encode
+  * row padding), RIFF/WAVE PCM (16-bit mono, chunk-walked), and 8-bit
+  * truecolor PNG (CRC-checked chunk walk, real zlib inflate via
+  * `java.util.zip`, full five-filter scanline reconstruction). The encode
   * side manufactures the binary assets deterministically from document
   * text (the container ships no real media, so the fixture IS the
   * generator); the decode side is a genuine parser: it reads dimensions,
@@ -46,7 +48,10 @@ object MediaCodec {
     * recomputes directly from the text. */
   def bmpEncode(text: Array[Byte], w: Int, h: Int, seed: Int): Array[Byte] = {
     require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, s"bmp dims out of range: ${w}x$h")
-    require(text.length > 0, "empty pixel source")
+    // an empty document can't source pixels: that's DATA (null asset, the
+    // decode side's own contract), not an exception — one empty doc must
+    // not kill a corpus-wide encode pass
+    if (text.length == 0) return null
     val l = text.length
     val rowBytes = (3 * w + 3) & ~3
     val imgSize = rowBytes * h
@@ -121,7 +126,7 @@ object MediaCodec {
   def wavEncode(text: Array[Byte], rate: Int, n: Int, seed: Int): Array[Byte] = {
     require(rate >= 1 && rate <= (1 << 22) && n >= 1 && n <= (1 << 24),
       s"wav params out of range: rate=$rate n=$n")
-    require(text.length > 0, "empty sample source")
+    if (text.length == 0) return null // data, not an exception (see bmpEncode)
     val l = text.length
     val dataSize = 2 * n
     val out = new Array[Byte](44 + dataSize)
@@ -189,40 +194,311 @@ object MediaCodec {
     }
     new GenericInternalRow(Array[Any](rate, n, sumAbs, maxAbs, wsum))
   }
+
+  // ------------------------------------------------------------- PNG
+
+  private val PngSig: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def u32be(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def putU32be(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+    b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+  private def crcOf(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  /** Raw (filtered) scanline bytes of a w×h truecolor PNG: one filter
+    * byte + 3w pixel bytes per row. */
+  private def pngRawSize(w: Int, h: Int): Int = h * (1 + 3 * w)
+
+  /** Exact encoded size — formula-computable because [[pngEncode]] emits
+    * the zlib stream as STORED blocks: the oracle recomputes
+    * 63 + 5·⌈raw/65535⌉ + raw without ever deflating anything. */
+  def pngSize(w: Int, h: Int): Int = {
+    val raw = pngRawSize(w, h)
+    63 + 5 * ((raw + 65534) / 65535) + raw
+  }
+
+  /** Deterministic pixel source shared with [[bmpEncode]] at the LOGICAL
+    * channel level — blue of pixel k reads text byte (seed+3k), green
+    * +1, red +2 — serialized in PNG's RGB order with filter-0 rows, so
+    * both image formats decode to identical stats for the same inputs
+    * and the oracle needs one formula set. The zlib stream is written
+    * here as stored (uncompressed) deflate blocks + Adler-32: byte-
+    * deterministic and size-predictable, while [[pngDecode]] runs a real
+    * `Inflater` and accepts ANY conforming zlib stream (golden tests
+    * feed it best-compression Deflater output and all four nontrivial
+    * row filters). */
+  def pngEncode(text: Array[Byte], w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, s"png dims out of range: ${w}x$h")
+    if (text.length == 0) return null // data, not an exception (see bmpEncode)
+    val l = text.length
+    val raw = new Array[Byte](pngRawSize(w, h))
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      raw(pos) = 0 // filter type None
+      pos += 1
+      var x = 0
+      while (x < w) {
+        val k = y * w + x
+        raw(pos) = text((seed + 3 * k + 2) % l)     // R
+        raw(pos + 1) = text((seed + 3 * k + 1) % l) // G
+        raw(pos + 2) = text((seed + 3 * k) % l)     // B
+        pos += 3; x += 1
+      }
+      y += 1
+    }
+    // zlib stream: 2-byte header, stored blocks (5-byte header each), adler
+    val nblocks = (raw.length + 65534) / 65535
+    val idat = new Array[Byte](2 + 5 * nblocks + raw.length + 4)
+    idat(0) = 0x78; idat(1) = 0x01
+    var ip = 2; var rp = 0
+    while (rp < raw.length) {
+      val blk = math.min(raw.length - rp, 65535)
+      idat(ip) = if (rp + blk == raw.length) 1 else 0 // BFINAL + BTYPE=00
+      idat(ip + 1) = (blk & 0xff).toByte; idat(ip + 2) = ((blk >> 8) & 0xff).toByte
+      idat(ip + 3) = (~blk & 0xff).toByte; idat(ip + 4) = ((~blk >> 8) & 0xff).toByte
+      System.arraycopy(raw, rp, idat, ip + 5, blk)
+      ip += 5 + blk; rp += blk
+    }
+    val adler = new java.util.zip.Adler32
+    adler.update(raw, 0, raw.length)
+    putU32be(idat, idat.length - 4, adler.getValue.toInt)
+    // file: signature + IHDR + IDAT + IEND, each chunk CRC'd over type+data
+    val out = new Array[Byte](8 + 25 + (12 + idat.length) + 12)
+    System.arraycopy(PngSig, 0, out, 0, 8)
+    def chunk(off: Int, name: String, data: Array[Byte]): Int = {
+      putU32be(out, off, data.length)
+      var i = 0
+      while (i < 4) { out(off + 4 + i) = name.charAt(i).toByte; i += 1 }
+      System.arraycopy(data, 0, out, off + 8, data.length)
+      putU32be(out, off + 8 + data.length, crcOf(out, off + 4, 4 + data.length))
+      off + 12 + data.length
+    }
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, w); putU32be(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (truecolor)
+    var off = chunk(8, "IHDR", ihdr)
+    off = chunk(off, "IDAT", idat)
+    chunk(off, "IEND", Array.emptyByteArray)
+    out
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Parse an 8-bit truecolor PNG — a genuine decoder: chunk walk with
+    * per-chunk CRC verification, multi-IDAT concatenation, real zlib
+    * inflate (`java.util.zip.Inflater` — deflate ships in the JDK, which
+    * is why PNG needs no native media library), and full scanline
+    * UNFILTERING for all five filter types (None/Sub/Up/Average/Paeth).
+    * Output schema matches [[bmpDecode]] so the two image formats mix in
+    * one pipeline: (width, height, sum_r, sum_g, sum_b, wsum_b), wsum_b
+    * position-weighted over top-down logical pixel order. Null on
+    * anything malformed: bad signature, CRC mismatch, oversized dims
+    * (the same Long-bounds discipline as the BMP header guards),
+    * interlaced/paletted/non-8-bit files, a zlib stream that inflates to
+    * the wrong length, or an unknown filter byte. */
+  def pngDecode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 57) return null
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return null; i += 1 }
+    var pos = 8
+    var w = 0; var h = 0
+    var sawIhdr = false; var sawIend = false
+    // IDAT payload bounded by the file itself, so pre-size conservatively
+    var idat = new Array[Byte](0); var idatLen = 0
+    while (pos + 12 <= bytes.length && !sawIend) {
+      val len = u32be(bytes, pos)
+      // Long bound: a length near 2^31 would wrap pos+12+len negative
+      if (len < 0 || pos.toLong + 12L + len > bytes.length) return null
+      if (crcOf(bytes, pos + 4, 4 + len) != u32be(bytes, pos + 8 + len)) return null
+      val t0 = bytes(pos + 4); val t1 = bytes(pos + 5)
+      val t2 = bytes(pos + 6); val t3 = bytes(pos + 7)
+      if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+        if (sawIhdr || len != 13) return null
+        sawIhdr = true
+        w = u32be(bytes, pos + 8); h = u32be(bytes, pos + 12)
+        val (depth, color, comp, filt, ilace) = (bytes(pos + 16), bytes(pos + 17),
+          bytes(pos + 18), bytes(pos + 19), bytes(pos + 20))
+        if (w <= 0 || w > 16384 || h <= 0 || h > 16384 ||
+            depth != 8 || color != 2 || comp != 0 || filt != 0 || ilace != 0) return null
+      } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        if (!sawIhdr) return null
+        if (idatLen + len > idat.length) {
+          val grown = new Array[Byte](math.max(idat.length * 2, idatLen + len))
+          System.arraycopy(idat, 0, grown, 0, idatLen)
+          idat = grown
+        }
+        System.arraycopy(bytes, pos + 8, idat, idatLen, len)
+        idatLen += len
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        sawIend = true
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr || !sawIend || idatLen == 0) return null
+    // inflate to EXACTLY the expected raw size (h·(1+3w) ≤ ~768 MB is
+    // already excluded by the 16384 dim cap; allocation is raw-bounded,
+    // never attacker-chosen — a zip bomb can't expand past `raw.length`)
+    val raw = new Array[Byte](pngRawSize(w, h))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat, 0, idatLen)
+      var got = 0
+      try {
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && inf.needsInput()) return null // truncated stream
+          got += n
+        }
+      } catch { case _: java.util.zip.DataFormatException => return null }
+      if (got != raw.length || !inf.finished()) return null
+    } finally inf.end()
+    // unfilter + accumulate in one pass; prior row needed for Up/Avg/Paeth
+    val rowBytes = 3 * w
+    val prev = new Array[Byte](rowBytes)
+    val cur = new Array[Byte](rowBytes)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumB = 0L
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + rowBytes)
+      val f = raw(base) & 0xff
+      if (f > 4) return null
+      var x = 0
+      while (x < rowBytes) {
+        val v = raw(base + 1 + x) & 0xff
+        val left = if (x >= 3) cur(x - 3) & 0xff else 0
+        val up = prev(x) & 0xff
+        val upLeft = if (x >= 3) prev(x - 3) & 0xff else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + ((left + up) >> 1)
+          case _ => v + paeth(left, up, upLeft)
+        }
+        cur(x) = (recon & 0xff).toByte
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val k = y.toLong * w + px
+        sumR += cur(3 * px) & 0xff
+        sumG += cur(3 * px + 1) & 0xff
+        val b = cur(3 * px + 2) & 0xff
+        sumB += b
+        wsumB += (k + 1) * b
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sumR, sumG, sumB, wsumB))
+  }
 }
 
-/** Encode a BMP from (text, width, height, seed). */
+/** Encode a BMP from (text, width, height, seed). NULL on null inputs AND
+  * on an empty text (no pixel source — the encode mirror of the decoders'
+  * malformed-is-data contract), so the result is nullable even over
+  * non-null children and codegen must re-check the call result. */
 final case class BmpEncode(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(t: Any, w: Any, h: Any, s: Any): Any =
     MediaCodec.bmpEncode(t.asInstanceOf[UTF8String].getBytes,
       w.asInstanceOf[Int], h.asInstanceOf[Int], s.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, w, h, s) =>
-      s"${ev.value} = graft.functions.MediaCodec.bmpEncode($t.getBytes(), $w, $h, $s);")
+      s"""${ev.value} = graft.functions.MediaCodec.bmpEncode($t.getBytes(), $w, $h, $s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): BmpEncode =
     copy(first = f, second = s, third = t, fourth = q)
 }
 
-/** Encode a PCM WAV from (text, sampleRate, nSamples, seed). */
+/** Encode a PCM WAV from (text, sampleRate, nSamples, seed); NULL on an
+  * empty sample source (see [[BmpEncode]]). */
 final case class WavEncode(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(t: Any, r: Any, n: Any, s: Any): Any =
     MediaCodec.wavEncode(t.asInstanceOf[UTF8String].getBytes,
       r.asInstanceOf[Int], n.asInstanceOf[Int], s.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, r, n, s) =>
-      s"${ev.value} = graft.functions.MediaCodec.wavEncode($t.getBytes(), $r, $n, $s);")
+      s"""${ev.value} = graft.functions.MediaCodec.wavEncode($t.getBytes(), $r, $n, $s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): WavEncode =
     copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Encode a truecolor PNG from (text, width, height, seed); NULL on an
+  * empty pixel source (see [[BmpEncode]]). */
+final case class PngEncode(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any, w: Any, h: Any, s: Any): Any =
+    MediaCodec.pngEncode(t.asInstanceOf[UTF8String].getBytes,
+      w.asInstanceOf[Int], h.asInstanceOf[Int], s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w, h, s) =>
+      s"""${ev.value} = graft.functions.MediaCodec.pngEncode($t.getBytes(), $w, $h, $s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PngEncode =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+object PngEncode {
+  def apply(text: Column, w: Column, h: Column, seed: Column): Column =
+    ColumnBridge.column(PngEncode(ColumnBridge.expression(text),
+      ColumnBridge.expression(w), ColumnBridge.expression(h), ColumnBridge.expression(seed)))
+}
+
+/** Decode a truecolor PNG to the [[BmpStats]] stat schema (width, height,
+  * sum_r, sum_g, sum_b, wsum_b); NULL for malformed bytes. */
+final case class PngStats(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BmpStats.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.pngDecode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.MediaCodec.pngDecode(${c.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PngStats = copy(child = newChild)
+}
+object PngStats {
+  def apply(c: Column): Column = ColumnBridge.column(PngStats(ColumnBridge.expression(c)))
 }
 
 /** Decode a BMP binary to (width, height, sum_r, sum_g, sum_b, wsum_b);

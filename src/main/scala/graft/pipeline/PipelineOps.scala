@@ -2753,8 +2753,10 @@ object PipelineOps {
 
   /** p13: multimodal asset decode — content as an opaque BINARY column, the
     * schema shape image/audio pipelines have at scale, with a REAL decode
-    * stage: assets are genuine file formats (24-bit BMP images, RIFF/WAVE
-    * 16-bit-PCM audio) manufactured deterministically from document text
+    * stage: assets are genuine file formats (24-bit BMP and zlib-deflated
+    * truecolor PNG images — the PNG decode runs a real `Inflater` plus
+    * five-filter scanline reconstruction — and RIFF/WAVE 16-bit-PCM
+    * audio) manufactured deterministically from document text
     * (the container ships no media, so the fixture is the generator), and
     * the stats are parsed back OUT OF THE BYTES by
     * [[graft.functions.MediaCodec]] — width/height from the BITMAPINFOHEADER,
@@ -2773,23 +2775,34 @@ object PipelineOps {
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("is_img", (col("doc_id") % 2) === 0)
+      // images alternate real formats: every other image is a PNG (zlib
+      // stream + filtered scanlines) instead of a BMP — same deterministic
+      // pixel source at the logical channel level, so both decode to
+      // identical stats and the oracle keeps one formula set
+      .withColumn("is_png", (col("doc_id") % 4) === 0)
       .withColumn("iw", (col("n_chars") % 12 + 1).cast("int"))
       .withColumn("ih", (col("doc_id") % 9 + 1).cast("int"))
       .withColumn("rate", (col("doc_id") % 3 * 1000 + 8000).cast("int"))
       .withColumn("ns", (col("n_chars") % 100 + 64).cast("int"))
       .withColumn("content", when(col("is_img"),
-          graft.functions.BmpEncode(col("text"), col("iw"), col("ih"), lit(0)))
+          when(col("is_png"),
+            graft.functions.PngEncode(col("text"), col("iw"), col("ih"), lit(0)))
+          .otherwise(
+            graft.functions.BmpEncode(col("text"), col("iw"), col("ih"), lit(0))))
         .otherwise(graft.functions.WavEncode(col("text"), col("rate"), col("ns"), lit(0))))
       // decode: modality-dispatched parsers over the binary column; the
       // `when` guard routes, the parser itself re-validates (wrong-format
       // bytes would decode to NULL and surface in the counts)
-      .withColumn("img", when(col("is_img"), graft.functions.BmpStats(col("content"))))
+      .withColumn("img", when(col("is_img"),
+          when(col("is_png"), graft.functions.PngStats(col("content")))
+            .otherwise(graft.functions.BmpStats(col("content")))))
       .withColumn("aud", when(!col("is_img"), graft.functions.WavStats(col("content"))))
     d.groupBy("source")
       .agg(
         count(lit(1)).as("n_assets"),
         sum(length(col("content")).cast("long")).as("sum_bytes"),
         sum(when(col("img").isNotNull, 1L).otherwise(0L)).as("n_images"),
+        sum(when(col("is_png") && col("img").isNotNull, 1L).otherwise(0L)).as("n_png"),
         coalesce(sum(col("img.width").cast("long") * col("img.height")), lit(0L)).as("sum_pixels"),
         coalesce(sum(col("img.sum_r") + col("img.sum_g") + col("img.sum_b")), lit(0L)).as("sum_rgb"),
         coalesce(sum(col("img.wsum_b")), lit(0L)).as("wsum_b"),

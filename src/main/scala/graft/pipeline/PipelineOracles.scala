@@ -250,23 +250,28 @@ object PipelineOracles {
        |SELECT doc_id, len(fps)::BIGINT AS n_fingerprints, list_min(fps) AS fp_min, list_max(fps) AS fp_max
        |FROM f ORDER BY doc_id""".stripMargin
 
-  /** p13: the oracle never parses BMP/WAV bytes — it recomputes every
+  /** p13: the oracle never parses BMP/PNG/WAV bytes — it recomputes every
     * decoded statistic straight from the text formulas (pixel channel c of
     * logical pixel k reads text byte (3k+c) mod len; sample i is
     * ((byte(i mod len)*131 + 7i) mod 65536) - 32768), plus the exact
     * on-disk sizes from the format arithmetic (54 + h·pad4(3w) for BMP,
-    * 44 + 2n for WAV). The Spark side must round-trip through real encode
-    * + real parse to land on the same integers. */
+    * 63 + 5·⌈raw/65535⌉ + raw with raw = h·(1+3w) for PNG — computable
+    * because the encoder emits stored deflate blocks — and 44 + 2n for
+    * WAV). The Spark side must round-trip through real encode + real
+    * parse (including a real zlib inflate for PNG) to land on the same
+    * integers. */
   private val p13 =
     s"""WITH t AS (
        |  SELECT doc_id, source, text, n_chars, len(text) AS l,
-       |         (doc_id % 2 = 0) AS is_img,
+       |         (doc_id % 2 = 0) AS is_img, (doc_id % 4 = 0) AS is_png,
        |         (n_chars % 12 + 1) AS iw, (doc_id % 9 + 1) AS ih,
        |         (doc_id % 3 * 1000 + 8000) AS rate, (n_chars % 100 + 64) AS ns
        |  FROM documents),
        |img AS (
-       |  SELECT source, iw * ih AS n_px,
-       |         54 + ih * (((3 * iw + 3) // 4) * 4) AS n_bytes,
+       |  SELECT source, is_png, iw * ih AS n_px,
+       |         CASE WHEN is_png
+       |              THEN 63 + 5 * ((ih * (1 + 3 * iw) + 65534) // 65535) + ih * (1 + 3 * iw)
+       |              ELSE 54 + ih * (((3 * iw + 3) // 4) * 4) END AS n_bytes,
        |         list_sum([ord(text[((3*k) % l)+1]) + ord(text[((3*k+1) % l)+1]) + ord(text[((3*k+2) % l)+1]) FOR k IN range(0, iw * ih)]) AS sum_rgb,
        |         list_sum([(k+1) * ord(text[((3*k) % l)+1]) FOR k IN range(0, iw * ih)]) AS wsum_b
        |  FROM t WHERE is_img),
@@ -277,7 +282,9 @@ object PipelineOracles {
        |         list_max([abs(((ord(text[(i % l)+1]) * 131 + i*7) % 65536) - 32768) FOR i IN range(0, ns)]) AS max_abs,
        |         list_sum([(i+1) * (((ord(text[(i % l)+1]) * 131 + i*7) % 65536) - 32768) FOR i IN range(0, ns)]) AS wsum
        |  FROM t WHERE NOT is_img),
-       |gi AS (SELECT source, count(*)::BIGINT AS n_images, CAST(sum(n_px) AS BIGINT) AS sum_pixels,
+       |gi AS (SELECT source, count(*)::BIGINT AS n_images,
+       |              CAST(sum(CASE WHEN is_png THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+       |              CAST(sum(n_px) AS BIGINT) AS sum_pixels,
        |              CAST(sum(n_bytes) AS BIGINT) AS img_bytes, CAST(sum(sum_rgb) AS BIGINT) AS sum_rgb,
        |              CAST(sum(wsum_b) AS BIGINT) AS wsum_b
        |       FROM img GROUP BY source),
@@ -289,7 +296,8 @@ object PipelineOracles {
        |n AS (SELECT source, count(*)::BIGINT AS n_assets FROM t GROUP BY source)
        |SELECT n.source, n.n_assets,
        |       COALESCE(gi.img_bytes, 0) + COALESCE(ga.aud_bytes, 0) AS sum_bytes,
-       |       COALESCE(gi.n_images, 0) AS n_images, COALESCE(gi.sum_pixels, 0) AS sum_pixels,
+       |       COALESCE(gi.n_images, 0) AS n_images, COALESCE(gi.n_png, 0) AS n_png,
+       |       COALESCE(gi.sum_pixels, 0) AS sum_pixels,
        |       COALESCE(gi.sum_rgb, 0) AS sum_rgb, COALESCE(gi.wsum_b, 0) AS wsum_b,
        |       COALESCE(ga.n_audio, 0) AS n_audio, COALESCE(ga.sum_samples, 0) AS sum_samples,
        |       COALESCE(ga.sum_duration_us, 0) AS sum_duration_us,

@@ -164,6 +164,159 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.wavDecode(hugeChunk) == null)
   }
 
+  // ---- PNG: goldens hand-assembled from the spec in this file (chunk
+  // layout, CRCs, forward filtering, Deflater compression all written
+  // here, independent of the encoder) so an encode/decode bug pair that
+  // cancels in the round-trip still fails
+
+  private def pngChunk(name: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(data.length)
+    dos.write(name.getBytes("US-ASCII")); dos.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(name.getBytes("US-ASCII")); crc.update(data)
+    dos.writeInt(crc.getValue.toInt)
+    bos.toByteArray
+  }
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val n = d.deflate(buf); d.end()
+    buf.take(n)
+  }
+  private def mkPng(w: Int, h: Int, idat: Array[Byte], split: Boolean = false): Array[Byte] = {
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val di = new java.io.DataOutputStream(ihdr)
+    di.writeInt(w); di.writeInt(h); di.write(8); di.write(2); di.write(0); di.write(0); di.write(0)
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 13.toByte, 10.toByte, 26.toByte, 10.toByte)
+    val idats =
+      if (split) pngChunk("IDAT", idat.take(idat.length / 2)) ++ pngChunk("IDAT", idat.drop(idat.length / 2))
+      else pngChunk("IDAT", idat)
+    sig ++ pngChunk("IHDR", ihdr.toByteArray) ++ idats ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+  private def testPaeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+  /** Forward-apply a spec filter to one row (the inverse of what the
+    * decoder reconstructs). */
+  private def filterRow(f: Int, cur: Array[Byte], prev: Array[Byte]): Array[Byte] =
+    cur.indices.map { x =>
+      val left = if (x >= 3) cur(x - 3) & 0xff else 0
+      val up = prev(x) & 0xff
+      val ul = if (x >= 3) prev(x - 3) & 0xff else 0
+      val pred = f match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) >> 1
+        case 4 => testPaeth(left, up, ul)
+      }
+      (((cur(x) & 0xff) - pred) & 0xff).toByte
+    }.toArray
+
+  test("pngDecode inflates a Deflater-compressed stream and undoes every filter type") {
+    // 2x3 RGB pixels, values chosen to exercise byte wraparound in filters
+    val px = Array[Int](
+      10, 250, 3, 200, 7, 99,
+      1, 128, 255, 30, 40, 50,
+      77, 0, 13, 211, 180, 5)
+    val w = 2; val h = 3
+    val sumR = px.grouped(3).map(_(0)).sum
+    val sumG = px.grouped(3).map(_(1)).sum
+    val sumB = px.grouped(3).map(_(2)).sum
+    val wsumB = px.grouped(3).zipWithIndex.map { case (p, k) => (k + 1L) * p(2) }.sum
+    for (f <- 0 to 4; split <- Seq(false, true)) {
+      val rows = px.map(_.toByte).grouped(3 * w).toSeq
+      var prev = new Array[Byte](3 * w)
+      val raw = rows.flatMap { r =>
+        val fr = f.toByte +: filterRow(f, r, prev)
+        prev = r
+        fr
+      }.toArray
+      val r = MediaCodec.pngDecode(mkPng(w, h, deflate(raw), split))
+      assert(r != null, s"filter $f split=$split must decode")
+      assert(r.getInt(0) == w && r.getInt(1) == h)
+      assert(r.getLong(2) == sumR && r.getLong(3) == sumG && r.getLong(4) == sumB,
+        s"filter $f channel sums")
+      assert(r.getLong(5) == wsumB, s"filter $f position weights")
+    }
+  }
+
+  test("pngDecode returns null on malformed input: signature, CRC, IHDR, stream, filter") {
+    val raw = Array[Byte](0, 1, 2, 3) // 1x1: filter 0 + one RGB pixel
+    val good = mkPng(1, 1, deflate(raw))
+    assert(MediaCodec.pngDecode(good) != null)
+    assert(MediaCodec.pngDecode(null) == null)
+    assert(MediaCodec.pngDecode(Array[Byte](1, 2, 3)) == null)
+    val badSig = good.clone(); badSig(0) = 'X'
+    assert(MediaCodec.pngDecode(badSig) == null)
+    val badCrc = good.clone(); badCrc(good.length - 5) = (badCrc(good.length - 5) ^ 0x7f).toByte
+    assert(MediaCodec.pngDecode(badCrc) == null, "chunk CRC must be verified")
+    // IHDR variants: 16-bit depth, palette color, interlaced
+    for ((off, v) <- Seq((24, 16), (25, 3), (28, 1))) {
+      val b = good.clone(); b(off) = v.toByte
+      // re-CRC the IHDR chunk so only the field (not the checksum) differs
+      val crc = new java.util.zip.CRC32; crc.update(b, 12, 17)
+      val cv = crc.getValue.toInt
+      b(29) = ((cv >> 24) & 0xff).toByte; b(30) = ((cv >> 16) & 0xff).toByte
+      b(31) = ((cv >> 8) & 0xff).toByte; b(32) = (cv & 0xff).toByte
+      assert(MediaCodec.pngDecode(b) == null, s"IHDR byte $off=$v must be rejected")
+    }
+    // truncated zlib stream
+    assert(MediaCodec.pngDecode(mkPng(1, 1, deflate(raw).dropRight(3))) == null)
+    // stream inflates to the wrong size (2 pixels declared, 1 present)
+    assert(MediaCodec.pngDecode(mkPng(2, 1, deflate(raw))) == null)
+    // unknown filter type 5
+    assert(MediaCodec.pngDecode(mkPng(1, 1, deflate(Array[Byte](5, 1, 2, 3)))) == null)
+    // random junk must never throw
+    val rng = new scala.util.Random(0x5EED)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill[Byte](rng.nextInt(200))(rng.nextInt().toByte)
+      MediaCodec.pngDecode(junk)
+      val mut = good.clone()
+      (0 until 4).foreach(_ => mut(rng.nextInt(good.length)) = rng.nextInt().toByte)
+      MediaCodec.pngDecode(mut)
+    }
+  }
+
+  test("png encode/decode round-trip equals BMP stats and the size formula") {
+    val texts = Seq("hello world example text", "a", (0 until 200).map(i => ('a' + i % 26).toChar).mkString)
+    for (t <- texts; (w, h) <- Seq((1, 1), (3, 2), (12, 9), (5, 4)); seed <- Seq(0, 11, 33)) {
+      val bytes = t.getBytes("UTF-8")
+      val png = MediaCodec.pngEncode(bytes, w, h, seed)
+      assert(png.length == MediaCodec.pngSize(w, h), "stored-block size formula")
+      val r = MediaCodec.pngDecode(png)
+      assert(r != null && r.getInt(0) == w && r.getInt(1) == h)
+      // the two image formats share the logical pixel source: stats equal
+      val b = MediaCodec.bmpDecode(MediaCodec.bmpEncode(bytes, w, h, seed))
+      assert((2 to 5).forall(i => r.getLong(i) == b.getLong(i)),
+        "png and bmp must decode to identical stats for the same inputs")
+    }
+  }
+
+  test("encode expressions null out empty sources instead of throwing") {
+    import graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("ok", "some pixel text"), ("empty", ""))
+      .toDF("tag", "text")
+      .withColumn("bmp", BmpEncode($"text", lit(2), lit(2), lit(0)))
+      .withColumn("wav", WavEncode($"text", lit(8000), lit(4), lit(0)))
+      .withColumn("png", PngEncode($"text", lit(2), lit(2), lit(0)))
+      .withColumn("png_st", PngStats($"png"))
+    val rows = df.select($"tag", $"bmp", $"wav", $"png", $"png_st").collect()
+    val bad = rows.find(_.getString(0) == "empty").get
+    // an empty doc is DATA: null asset, row survives, job does not die
+    assert(bad.isNullAt(1) && bad.isNullAt(2) && bad.isNullAt(3) && bad.isNullAt(4))
+    val ok = rows.find(_.getString(0) == "ok").get
+    assert(!ok.isNullAt(1) && !ok.isNullAt(2) && !ok.isNullAt(3))
+    assert(ok.getStruct(4).getInt(0) == 2, "png decodes through the expression pipeline")
+  }
+
   test("decode expressions run inside codegen and null out corrupt assets") {
     import graft.SparkTestSession.spark
     import spark.implicits._
