@@ -914,7 +914,7 @@ object PipelineOps {
     * precondition, incorrectly per the operator contract) miss it —
     * [[candidatePairs]] uses the block join alone for that degenerate
     * threshold. */
-  private def prefixedView(g: DataFrame, docAs: String, num: Int, den: Int): DataFrame =
+  private[graft] def prefixedView(g: DataFrame, docAs: String, num: Int, den: Int): DataFrame =
     // π = |g| - ceil(num·|g|/den) + 1; ceil as (x·num + den - 1) DIV den,
     // integer-exact for any rational threshold
     g.select((col("doc_id").as(docAs) +:
@@ -923,19 +923,52 @@ object PipelineOps {
           .as("ph") +:
         gramBlockCols.map(col)): _*)
 
-  /** Exact estimated output rows of an equi-join on `keys`: Σ cntA·cntB. */
-  private def estJoinRows(a: DataFrame, b: DataFrame, keys: Seq[String]): Long =
-    a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("ca"))
-      .join(b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cb")), keys)
-      .agg(sum(col("ca") * col("cb")))
-      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
+  /** Estimated output rows of an equi-join on `keys`: Σ cntA·cntB. The
+    * sum runs in DOUBLE and saturates at Long.MaxValue — a pathologically
+    * hot key (~3·10⁹ rows per side) would wrap an int64 product under
+    * non-ANSI semantics and could silently flip the join-strategy choice;
+    * the estimate only feeds an ordering decision, so double's ≥2⁵³
+    * rounding is irrelevant while its 2¹⁰²⁴ range is not.
+    *
+    * `sampleMod` > 1 estimates from a deterministic 1-in-`sampleMod`
+    * KEY-space sample (murmur3 of the key tuple — no RNG, re-run-stable)
+    * scaled back up: sampling whole keys keeps E[Σ ca·cb] unbiased
+    * (sampling ROWS would bias the quadratic term down by the square of
+    * the rate). Used when the gram explosion is large enough that exact
+    * per-key counting would cost a visible fraction of the join it's
+    * trying to avoid; a hot key missing from the sample under-estimates,
+    * but at the scale where sampling engages the decision needs coarse
+    * ordering, not exact counts. */
+  private[graft] def estJoinRows(
+      a: DataFrame, b: DataFrame, keys: Seq[String], sampleMod: Long = 1L): Long = {
+    def side(d: DataFrame) = {
+      val s = if (sampleMod > 1)
+        d.where(pmod(hash(keys.map(col): _*), lit(sampleMod)) === 0)
+      else d
+      s.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+    }
+    val est = side(a).withColumnRenamed("c", "ca")
+      .join(side(b).withColumnRenamed("c", "cb"), keys)
+      .agg(sum(col("ca").cast("double") * col("cb").cast("double")))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+      .getOrElse(0.0) * sampleMod
+    if (est >= Long.MaxValue.toDouble) Long.MaxValue else est.toLong
+  }
 
   /** Below this many estimated block-join candidates the strategy choice
     * cannot matter (the join is cheap either way), so the prefix-side
     * estimate job is skipped — one bounded action instead of two on small
     * corpora, where the decision overhead would otherwise dominate. */
   val PrefixDecisionThreshold: Long = 1L << 22 // ~4M candidate rows
+
+  /** Once the block-join estimate clears the decision threshold by this
+    * factor, the prefix-side estimate switches to a 1-in-[[EstSampleMod]]
+    * key-space sample: at that scale the gram explosion's exact per-key
+    * counts would cost a visible fraction of the join being avoided,
+    * while the decision itself only needs coarse ordering (the two
+    * strategies differ by >10× whenever the choice matters). */
+  val EstSampleFactor: Long = 100L
+  val EstSampleMod: Long = 64L
 
   /** Candidate (doc_a, doc_b) pairs for jaccard verification — the smaller
     * of the two exact strategies (see [[prefixedView]]'s scaladoc).
@@ -954,7 +987,10 @@ object PipelineOps {
     if (blockEst <= decisionThreshold) return blockJoin
     val pa = prefixedView(aGrams, "doc_a", num, den)
     val pb = prefixedView(bGrams, "doc_b", num, den)
-    val prefixEst = estJoinRows(pa, pb, gramBlockCols :+ "ph")
+    // huge explosions estimate from a key-space sample (see estJoinRows)
+    val sampleMod =
+      if (blockEst / EstSampleFactor > decisionThreshold) EstSampleMod else 1L
+    val prefixEst = estJoinRows(pa, pb, gramBlockCols :+ "ph", sampleMod)
     if (prefixEst < blockEst)
       pa.join(pb, gramBlockCols :+ "ph")
         .where(col("doc_a") =!= col("doc_b"))
@@ -1045,7 +1081,16 @@ object PipelineOps {
     * joining the full gram history against only the new docs — cost is
     * O(new × block collisions), not O(history × collisions). Pairs are
     * canonicalized (doc_a < doc_b) and deduped, so new×new pairs seen from
-    * both orientations emit once; old×old pairs never re-verify. */
+    * both orientations emit once; old×old pairs never re-verify.
+    *
+    * PER-REFRESH DECISION COST: [[candidatePairs]] runs 1-2 eager
+    * estimate jobs (bounded 1-row actions) before choosing a join
+    * strategy, so every streaming refresh pays that latency on top of the
+    * join itself. Below [[PrefixDecisionThreshold]] estimated candidates
+    * only the cheap block-side count runs; above [[EstSampleFactor]]× the
+    * threshold the prefix estimate switches to a key-space sample. A
+    * deployment whose batches are uniformly tiny can treat the one
+    * block-estimate job as the floor cost of adaptivity. */
   private[graft] def ngramPairsAgainst(allGrams: DataFrame, newGrams: DataFrame): DataFrame =
     jaccardVerified(
         withGramArrays(candidatePairs(allGrams, newGrams, 3, 5), allGrams, newGrams))
