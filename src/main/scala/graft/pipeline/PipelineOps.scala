@@ -2297,15 +2297,45 @@ object PipelineOps {
     * rejoin the path. The result is row-identical to computing p37 from
     * scratch (the oracle IS p37's SQL), which is the index-consistency
     * guarantee a serving deployment needs after every rebuild. */
+  private val annBuildLock = new Object
+
+  /** Allocate a fresh version directory under an app-keyed index root and
+    * run `build` into it, pruning all versions older than the previous
+    * one. The root is keyed by (dataset dir, THIS Spark app) so two
+    * concurrent APPS never share a tree; within one app the JVM lock plus
+    * the per-invocation version directory mean concurrent invocations
+    * (a multi-threaded serving layer) each build into their own exclusive
+    * directory and read exactly the version they built — no
+    * overwrite-vs-append-vs-read interleaving on shared parquet files.
+    * The previous version survives one extra cycle for in-flight readers
+    * (the StateStore prune contract); a reader holding a plan across two
+    * newer builds is out of the supported window. */
+  private def withFreshIndexVersion(tag: String, spark: SparkSession, dir: String)(
+      build: String => Unit): String = annBuildLock.synchronized {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      f"graft-$tag-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x")
+    root.mkdirs()
+    def versions() = Option(root.list()).getOrElse(Array.empty[String])
+      .filter(s => s.startsWith("v") && s.length > 1 && s.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+    var n = versions().foldLeft(0L)(math.max) + 1
+    var vdir = new java.io.File(root, s"v$n")
+    while (!vdir.mkdir()) { n += 1; vdir = new java.io.File(root, s"v$n") } // crash leftovers
+    build(vdir.toString)
+    versions().filter(_ < n - 1).foreach { old =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root, s"v$old"))
+    }
+    vdir.toString
+  }
+
   def annIndexed(spark: SparkSession, dir: String): DataFrame = {
-    // path is keyed by (dataset dir, THIS Spark app): two concurrent runs
-    // over the same dataset each get their own index tree instead of racing
-    // overwrite-vs-read on shared parquet files; within one app the path is
-    // stable, so repeated calls reuse the same build target (the rebuild is
-    // what p49 measures)
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      f"graft-ann-index-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x").toString
-    buildAnnIndex(spark, dir, idx)
+    // every invocation rebuilds into its own fresh version directory (the
+    // rebuild is what p49 measures) and queries exactly that version
+    val idx = withFreshIndexVersion("ann-index", spark, dir)(
+      buildAnnIndex(spark, dir, _))
     queryAnnIndex(spark, dir, idx)
   }
 
@@ -2430,14 +2460,17 @@ object PipelineOps {
     * the frozen quantizer equals the full-corpus one — in production the
     * quantizer is trained once and versioned with the index either way.) */
   def annIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      f"graft-ann-refresh-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x").toString
     val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
       .localCheckpoint(false)
     val mid = embs(spark, dir).agg((max(col("vec_id")) / lit(2)).cast("long"))
       .collect()(0).getLong(0)
-    buildAnnIndexOf(q.where(col("vec_id") <= mid), idx)
-    appendAnnIndex(spark, q.where(col("vec_id") > mid), idx)
+    // build + grow-in-place append both target THIS invocation's fresh
+    // version, so a concurrent refresh can never interleave its append
+    // with ours (see withFreshIndexVersion)
+    val idx = withFreshIndexVersion("ann-refresh", spark, dir) { v =>
+      buildAnnIndexOf(q.where(col("vec_id") <= mid), v)
+      appendAnnIndex(spark, q.where(col("vec_id") > mid), v)
+    }
     queryAnnIndex(spark, dir, idx)
   }
 

@@ -660,6 +660,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grown == oneShot, "grow-in-place must be indistinguishable from a full rebuild")
   }
 
+  test("concurrent annIndexed invocations never race each other's index files") {
+    // a multi-threaded serving layer may rebuild the same dataset's index
+    // from two threads at once; each invocation must build into its own
+    // version directory and answer from exactly that version (the
+    // pre-fix failure mode was overwrite-vs-read interleaving on one
+    // shared parquet tree)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[org.apache.spark.sql.Row]]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() =>
+        try results.put(i, PipelineOps.annIndexed(spark, SfDir).collect().toSeq)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent invocation failed: ${Option(errs.peek()).map(_.getMessage)}")
+    assert(results.get(0) == results.get(1),
+      "both concurrent builds must answer identically (deterministic index)")
+  }
+
   test("corpus delta seam: two genuinely distinct snapshot frames classify correctly") {
     import spark.implicits._
     val old = Seq((1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"))
