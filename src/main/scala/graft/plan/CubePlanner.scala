@@ -191,6 +191,123 @@ final class CubePlanner(
     }
   }
 
+  /** Single-plan fusion of a logic-layer cut fan-out (round 12; SURVEY
+    * §7.4 risk 2's "OR-cuts/grouping-sets behind a flag"). The fan-out's N
+    * member queries share everything except (a) which cut of each
+    * multi-cut dimension they carry and (b) that cut's level auto-added as
+    * a drilldown — so N near-identical plans each scan and shuffle the
+    * fact table. This fuses them into ONE plan:
+    *
+    *   1. cuts common to every combo (the single-cut dimensions) push
+    *      into one shared [[buildSource]] — full scan pushdown preserved;
+    *   2. the union of all combos' drill levels joins once, so every
+    *      varying cut's key is a column of the wide frame;
+    *   3. each row is tagged with EVERY combo whose varying cuts it
+    *      satisfies (a row can satisfy several — cuts on different levels
+    *      of one dimension overlap) via an explode over the matching
+    *      combo ids, after an OR-of-all-combos row filter;
+    *   4. grouping columns are null-padded per combo (the manual
+    *      grouping-sets expansion: a column groups only in the combos
+    *      whose grouping set contains it) and ONE aggregate runs, keyed by
+    *      (combo id, union grain) — one shuffle instead of N;
+    *   5. the output projects each position through its combo's own
+    *      column, consolidating disagreeing types to string — exactly the
+    *      positional union-by-first-combo's-headers contract of the
+    *      fan-out path (aggregate.rs:333-534), minus the N-way Union.
+    *
+    * Semantics are proven equal to the fan-out path on the q31 family and
+    * the logic-layer fuzz corpus (LogicLayerFusedSpec). Callers gate
+    * eligibility (no top/sort/limit/growth/rca/rate/sparse — those apply
+    * PER COMBO in the fan-out and would need per-combo windows here);
+    * HAVING filters are identical across combos, hence applied once on
+    * the fused aggregate. */
+  private[plan] def planFanOutFused(spark: SparkSession, queries: Seq[CubeQuery]): DataFrame = {
+    require(queries.length > 1, "fusion needs a real fan-out")
+    queries.foreach(validate)
+    val q0 = queries.head
+
+    val comboOuts = queries.map(q => outLevels(q.drilldowns, q.parents, q.properties, q.captions))
+    val comboHeaders = comboOuts.map(drillHeaders)
+    val width = comboHeaders.head.length
+    comboHeaders.drop(1).foreach { h =>
+      if (h.length != width)
+        fail(s"fan-out result width mismatch: ${h.length + q0.measures.length} vs ${width + q0.measures.length}")
+    }
+
+    val unionDrills = queries.flatMap(_.drilldowns).distinct
+    val unionCaptions = queries.flatMap(_.captions).distinct
+    val unionOuts = outLevels(unionDrills, q0.parents, q0.properties, unionCaptions)
+    val meas = q0.measures.map(m => cube.measure(m.name).get -> m.name)
+    val meaNames = meas.map(_._2)
+    val hidden = hiddenFor(meas.map(_._1))
+
+    // each combo's columns in the union namespace, positionally aligned
+    // with its own headers (identity = (dim, hier, level); the header
+    // NAMES may differ between the combo-local and union-wide duplicate
+    // disambiguation, the column structure cannot)
+    def unionOf(o: OutLevel): OutLevel = unionOuts
+      .find(u => u.dim.name == o.dim.name && u.hier.name == o.hier.name &&
+        u.level.name == o.level.name)
+      .getOrElse(fail(s"fan-out fusion lost level '${o.level.name}'"))
+    def headersOf(o: OutLevel): Seq[String] =
+      (o.keyHeader +: o.nameHeader.toSeq) ++ o.props.map(_._1)
+    val comboUnionCols: Seq[Seq[String]] = comboOuts.map(_.flatMap(o => headersOf(unionOf(o))))
+
+    // cuts present in EVERY combo (the single-cut dims) push into the
+    // shared source; the per-combo remainder becomes row predicates on
+    // the wide frame's key headers
+    val commonCuts = queries.map(_.cuts.toSet).reduce(_ intersect _)
+    val varCuts = queries.map(_.cuts.filterNot(commonCuts.contains))
+    val wide = buildSource(spark, unionOuts, commonCuts.toSeq, q0, hidden)
+    val comboPreds = varCuts.map(
+      _.map(c => cutPredicate(wide, levelKeyHeader(unionOuts, c.levelName), c))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+
+    val tagArr = array(comboPreds.zipWithIndex.map { case (p, i) =>
+      when(p, lit(i)).otherwise(lit(null).cast("int"))
+    }: _*)
+    val tagged = wide
+      .where(comboPreds.reduce(_ || _))
+      .withColumn("__combo", explode(filter(tagArr, x => x.isNotNull)))
+
+    val unionGroupHeaders = groupHeaders(unionOuts)
+    val padded = unionGroupHeaders.foldLeft(tagged) { (d, h) =>
+      val in = comboUnionCols.zipWithIndex.collect { case (cols, i) if cols.contains(h) => i }
+      if (in.length == queries.length) d
+      else d.withColumn(h, when(cq("__combo").isin(in: _*), cq(h)))
+    }
+
+    var agg = aggregate(padded, "__combo" +: unionGroupHeaders, meas, hidden.map(_.keyHeader))
+
+    // HAVING filters are identical in every combo's CubeQuery — one pass
+    val filterPreds = q0.filters.map { f =>
+      val c = meaOrCalcCol(f.byMeaOrCalc, Map.empty)
+      val p1 = constraintPred(c, f.constraint)
+      (f.operator, f.constraint2) match {
+        case (Some(FilterOp.And), Some(c2)) => p1 && constraintPred(c, c2)
+        case (Some(FilterOp.Or), Some(c2))  => p1 || constraintPred(c, c2)
+        case _                              => p1
+      }
+    }
+    filterPreds.reduceOption(_ && _).foreach(p => agg = agg.where(p))
+
+    // positional consolidation under combo 0's headers (types disagreeing
+    // across combos collapse to string, the consolidate() rule)
+    val outCols = (0 until width).map { j =>
+      val srcCols = comboUnionCols.map(_(j))
+      val types = srcCols.map(c => agg.schema(c).dataType).distinct
+      val t = if (types.length == 1) types.head else StringType
+      val pick =
+        if (srcCols.distinct.length == 1) cq(srcCols.head).cast(t)
+        else srcCols.zipWithIndex.tail.foldLeft(
+          when(cq("__combo") === 0, cq(srcCols.head).cast(t))) {
+            case (acc, (c, i)) => acc.when(cq("__combo") === i, cq(c).cast(t))
+          }
+      pick.as(comboHeaders.head(j))
+    }
+    agg.select(outCols ++ meaNames.map(cq): _*)
+  }
+
   // ---------------------------------------------------------------- growth
 
   /** Period-over-period growth via `lag` over a window partitioned by the

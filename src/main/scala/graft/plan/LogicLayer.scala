@@ -52,7 +52,18 @@ final class LogicLayer(
     uniqueNames: Map[LevelName, String] = Map.empty,
     /** Property → unique display name (config.rs:108-127): the property
       * header (= the property's name) renames to the unique name. */
-    uniquePropNames: Map[PropertyName, String] = Map.empty) {
+    uniquePropNames: Map[PropertyName, String] = Map.empty,
+    /** Flag-gated single-plan fan-out (SURVEY §7.4 risk 2): when a cut
+      * fan-out is ELIGIBLE (no per-combo post-aggregation options — top,
+      * top_where, sort, limit, growth, rca, rate, sparse — which the
+      * fan-out threads into each member query), the N member plans fuse
+      * into one scan + one tagged aggregate
+      * ([[CubePlanner.planFanOutFused]]) instead of an N-way union of
+      * near-identical plans. Defaults from `-Dgraft.ll.fusedFanOut=true`;
+      * ineligible queries fall back to the fan-out either way. Proven
+      * result-identical to the fan-out on the q31 family and the
+      * logic-layer fuzz corpus (LogicLayerFusedSpec). */
+    fusedFanOut: Boolean = sys.props.get("graft.ll.fusedFanOut").exists(_.toBoolean)) {
   import CubePlanner.{cq, fail}
 
   /** Member cache (reference logic_layer/cache.rs:168-904 builds these maps
@@ -219,15 +230,25 @@ final class LogicLayer(
     }
   }
 
+  /** Options the fan-out threads into EACH member query, where they apply
+    * per combo before the union — fusing those would need per-combo
+    * windows, so such queries keep the fan-out path. */
+  private def fusionEligible(q: LogicLayerQuery): Boolean =
+    q.top.isEmpty && q.topWhere.isEmpty && q.sort.isEmpty && q.limit.isEmpty &&
+      q.growth.isEmpty && q.rca.isEmpty && q.rate.isEmpty && !q.sparse
+
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq
     val cuts = resolveCutOps(spark, substituteSets(q.cuts)) ++ timeCut
-    val dfs = fanOut(q, cuts).map(planner.plan(spark, _))
-    val merged = consolidate(dfs)
+    val queries = fanOut(q, cuts)
+    val merged =
+      if (fusedFanOut && queries.length > 1 && fusionEligible(q))
+        planner.planFanOutFused(spark, queries)
+      else consolidate(queries.map(planner.plan(spark, _)))
     val out = applyExclude(merged, q.exclude)
-    // the union of independently-ordered sub-results is unordered; re-sort
-    // on all columns for a deterministic response
+    // the union (or fused equivalent) of independently-ordered sub-results
+    // is unordered; re-sort on all columns for a deterministic response
     applyUniqueNames(
-      if (dfs.length > 1) out.orderBy(out.columns.map(c => cq(c).asc): _*) else out)
+      if (queries.length > 1) out.orderBy(out.columns.map(c => cq(c).asc): _*) else out)
   }
 }

@@ -1,0 +1,99 @@
+package graft.plan
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.engine.TpchStar
+import graft.fuzz.QueryFuzzer
+import graft.SparkTestSession.{spark, SfDir}
+
+/** The flag-gated single-plan fan-out (SURVEY §7.4 risk 2, landed round
+  * 12): eligible logic-layer cut fan-outs fuse into one scan + one tagged
+  * aggregate instead of an N-way union of near-identical plans. This spec
+  * proves the fused path result-identical to the fan-out on the q31
+  * family and the SAME 60-case fuzz corpus FuzzSpec gates against its SQL
+  * oracle — and that fusion actually engages (no Union in the physical
+  * plan) where eligible. */
+class LogicLayerFusedSpec extends AnyFunSuite {
+
+  private def die(m: String): Nothing = throw PlanError(m)
+  private def drill(s: String) = Drilldown.parse(s).fold(die, identity)
+  private def mea(s: String) = MeasureName.parse(s).fold(die, identity)
+  private def cut(s: String) = CutSpec.parse(s).fold(die, identity)
+  private def image(df: org.apache.spark.sql.DataFrame) = graft.SparkTestSession.rowImage(df)
+
+  private val planner = TpchStar.planner(SfDir)
+  private val fan = new LogicLayer(planner, fusedFanOut = false)
+  private val fused = new LogicLayer(planner, fusedFanOut = true)
+
+  private def bothAgree(q: LogicLayerQuery, mustFuse: Boolean): Unit = {
+    val f = fused.plan(spark, q)
+    assert(image(f) == image(fan.plan(spark, q)), s"fused != fan-out for $q")
+    if (mustFuse) {
+      val p = f.queryExecution.executedPlan.toString
+      assert(!p.contains("Union"),
+        "eligible fan-out must fuse to a single plan:\n" + p.take(1200))
+      assert(p.contains("Expand") || p.contains("Generate"),
+        "fused plan should carry the combo-tagging explode:\n" + p.take(1200))
+    }
+  }
+
+  test("q31: two-level cut fan-out fuses to one plan with identical results") {
+    bothAgree(LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity"))), mustFuse = true)
+  }
+
+  test("q31 variants: filters, exclude, two measures, 4-way double-dim fan-out") {
+    // HAVING filter applies once on the fused aggregate
+    bothAgree(LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity")),
+      filters = Seq(FilterQuery.parse("Quantity.gt.1000").fold(die, identity))),
+      mustFuse = true)
+    // exclude= post-filter on the consolidated headers
+    bothAgree(LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity"), mea("Revenue")),
+      exclude = Seq(cut("Ship Date.Year.1996"))), mustFuse = true)
+    // two multi-cut dimensions -> 2x2 = 4 combos in one plan
+    bothAgree(LogicLayerQuery(
+      drilldowns = Nil,
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3"),
+        cut("Ship Date.Year.1996,1997"), cut("Ship Date.Month.3,4,5")),
+      measures = Seq(mea("Quantity"))), mustFuse = true)
+  }
+
+  test("ineligible options fall back to the fan-out with identical results") {
+    // sort/limit apply PER COMBO in the fan-out — the fused path must
+    // decline, not approximate
+    val q = LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity")),
+      limit = Some(LimitQuery.parse("3").fold(die, identity)))
+    val f = fused.plan(spark, q)
+    assert(image(f) == image(fan.plan(spark, q)))
+    assert(f.queryExecution.executedPlan.toString.contains("Union"),
+      "per-combo limit must keep the union fan-out")
+  }
+
+  test("60-case LL fuzz corpus: the fused flag is result-invariant, and fusion engages") {
+    var fusedCount = 0
+    val failures = QueryFuzzer.llCases(60).flatMap { fc =>
+      val q = graft.server.QueryParams.toLogicLayerQuery(fc.params, TpchStar.salesCube)
+      val a = fan.plan(spark, q)
+      val b = fused.plan(spark, q)
+      val (ia, ib) = (image(a), image(b))
+      val pa = a.queryExecution.executedPlan.toString
+      val pb = b.queryExecution.executedPlan.toString
+      if (pa.contains("Union") && !pb.contains("Union")) fusedCount += 1
+      if (ia == ib) None
+      else Some(s"${fc.name}: fan=${ia.take(3)}... fused=${ib.take(3)}...\n  params=${fc.params}")
+    }
+    assert(failures.isEmpty, s"${failures.length} mismatches:\n${failures.mkString("\n")}")
+    assert(fusedCount >= 3, s"only $fusedCount corpus cases exercised the fused path")
+  }
+}
