@@ -171,13 +171,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) > 0, "sum_bytes")
       // every asset decoded under exactly one modality — a decode failure
       // (NULL stats) would break this partition
-      assert(r.getLong(3) + r.getLong(7) == r.getLong(1), "n_images + n_audio = n_assets")
+      assert(r.getLong(3) + r.getLong(8) == r.getLong(1), "n_images + n_audio = n_assets")
+      // the PNG/BMP split: every other image is a PNG (doc_id % 4 over the
+      // % 2 image half); a small source may land zero PNGs
+      assert(r.getLong(4) <= r.getLong(3), "n_png <= n_images")
       // decoded dims: w in [1,12], h in [1,9] so pixels per image in [1,108]
-      assert(r.getLong(4) >= r.getLong(3) && r.getLong(4) <= r.getLong(3) * 108, "sum_pixels")
+      assert(r.getLong(5) >= r.getLong(3) && r.getLong(5) <= r.getLong(3) * 108, "sum_pixels")
       // decoded sample counts: n in [64,163]
-      assert(r.getLong(8) >= r.getLong(7) * 64 && r.getLong(8) <= r.getLong(7) * 163, "sum_samples")
-      assert(r.getLong(11) <= 32768, "max_abs bounded by 16-bit PCM range")
+      assert(r.getLong(9) >= r.getLong(8) * 64 && r.getLong(9) <= r.getLong(8) * 163, "sum_samples")
+      assert(r.getLong(12) <= 32768, "max_abs bounded by 16-bit PCM range")
     }
+    // corpus-wide the PNG mix is real: some (not all) images are PNGs
+    val (png, img) = (rows.map(_.getLong(4)).sum, rows.map(_.getLong(3)).sum)
+    assert(png > 0 && png < img, s"png mix should be a strict subset: $png of $img")
   }
 
   test("session histogram accounts for every event") {
