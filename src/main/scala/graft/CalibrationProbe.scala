@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   * codegen end to end, no input I/O and no data shuffle. Identical work
   * every run regardless of SF dir, so its wall time IS the host's current
   * CPU throughput: ~0.6-1.2 s steady-state on this box. Measured warmup
-  * profile: the first execution pays ~3 s of Janino+JIT, runs 2-3 land at
-  * steady state with occasional +0.3 s scheduler spikes — hence one untimed
-  * warmup then min-of-3 per [[measure]] call.
+  * profile (fresh JVM, 10 back-to-back runs): the first execution pays
+  * ~3 s of Janino+JIT, runs 2-4 still sit 15-25% above the eventual floor
+  * while C2 finishes, and the floor arrives around run 5-7 — so one
+  * warmup + min-of-3 systematically inflated the PRE-pass probe relative
+  * to the fully-warm POST-pass one (the round-11/12 captures tripped
+  * their own drift flag on exactly that bias). [[measure]] therefore
+  * warms up FOUR untimed runs before its min-of-3: `probe_sec =
+  * min(pre, post)` was always post-dominated, so the change sharpens the
+  * pre/post drift FLAG without moving the normalization anchor.
   *
   * Reported metrics divide by the probe: `x_norm = x_sec / probe_sec` is a
   * dimensionless cost in units of "one calibration workload". A real plan
@@ -32,9 +38,9 @@ object CalibrationProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One untimed warmup, then min-of-3. */
+  /** Four untimed warmups (see the warmup profile above), then min-of-3. */
   def measure(spark: SparkSession): Double = {
-    once(spark)
+    (1 to 4).foreach(_ => once(spark))
     Seq.fill(3)(once(spark)).min
   }
 }
