@@ -309,6 +309,16 @@ object SparkEntry {
       drilldowns = Seq(drill("Ship Date.Year")),
       cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
       measures = Seq(mea("Quantity")))),
+    // round 12: the SAME fan-out served by the flag-gated single-plan
+    // fusion (CubePlanner.planFanOutFused) — one scan + one tagged
+    // aggregate instead of the N-way union; must hash-match q31's oracle
+    // (the rebuild-consistency pattern applied to the plan strategy)
+    "q52_ll_fused" -> ((spark: SparkSession, sfDir: String) =>
+      new LogicLayer(TpchStar.planner(sfDir), namedSets, fusedFanOut = true)
+        .plan(spark, LogicLayerQuery(
+          drilldowns = Seq(drill("Ship Date.Year")),
+          cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+          measures = Seq(mea("Quantity"))))),
     // #25: exclude= post-filter drops result rows by ID
     "q32_exclude" -> runLL(LogicLayerQuery(
       drilldowns = Seq(drill("Geography.Nation")),
@@ -522,6 +532,10 @@ object SparkEntry {
     "q46_ll_topwhere" ->
       s"""WITH a AS (SELECT r_regionkey AS "Region ID", r_name AS "Region", n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO GROUP BY 1, 2, 3, 4) SELECT * FROM a WHERE "Quantity" > 50000 QUALIFY row_number() OVER (PARTITION BY "Region ID" ORDER BY "Quantity" DESC, "Region" ASC, "Nation ID" ASC, "Nation" ASC) <= 3 ORDER BY "Region ID" ASC, "Quantity" DESC""",
     "q31_cut_fanout" ->
+      s"""WITH u AS (SELECT year(l_shipdate) AS "Year", r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (0, 2) GROUP BY 1, 2, 3 UNION ALL SELECT year(l_shipdate), n_nationkey, n_name, sum(l_quantity) FROM $GEO WHERE n_nationkey IN (1, 2, 3) GROUP BY 1, 2, 3) SELECT * FROM u ORDER BY "Year", "Region ID", "Region", "Quantity"""",
+    // the fused single-plan strategy must produce exactly the fan-out's
+    // answer — q31's oracle IS q52's oracle
+    "q52_ll_fused" ->
       s"""WITH u AS (SELECT year(l_shipdate) AS "Year", r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (0, 2) GROUP BY 1, 2, 3 UNION ALL SELECT year(l_shipdate), n_nationkey, n_name, sum(l_quantity) FROM $GEO WHERE n_nationkey IN (1, 2, 3) GROUP BY 1, 2, 3) SELECT * FROM u ORDER BY "Year", "Region ID", "Region", "Quantity"""",
     "q32_exclude" ->
       s"""SELECT * FROM (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", sum(l_quantity) AS "Quantity" FROM $GEO WHERE r_regionkey IN (0, 2) GROUP BY 1, 2) WHERE "Nation ID" NOT IN (5, 10) ORDER BY 1, 2""",
