@@ -217,11 +217,21 @@ final class CubePlanner(
     *
     * Semantics are proven equal to the fan-out path on the q31 family and
     * the logic-layer fuzz corpus (LogicLayerFusedSpec). Callers gate
-    * eligibility (no top/sort/limit/growth/rca/rate/sparse — those apply
-    * PER COMBO in the fan-out and would need per-combo windows here);
-    * HAVING filters are identical across combos, hence applied once on
-    * the fused aggregate. */
-  private[plan] def planFanOutFused(spark: SparkSession, queries: Seq[CubeQuery]): DataFrame = {
+    * eligibility (no top/top_where/growth/rca/rate — those apply PER
+    * COMBO in the fan-out with shapes a shared plan can't cheaply
+    * replicate); HAVING filters and `sparse` are identical across combos,
+    * hence applied once on the fused aggregate. A per-combo `limit`
+    * becomes a row_number window partitioned by the combo tag over the
+    * combo's own deterministic total order (the applyOptions no-top
+    * rule: explicit sort measure first, then drill columns asc) — valid
+    * only while every output position keeps ONE type, because the
+    * string-consolidation fallback would reorder numerics; on a type
+    * disagreement with a limit present this returns None and the caller
+    * falls back to the fan-out. A `sort` without a limit selects no rows
+    * and the fan-out path re-sorts the union deterministically anyway,
+    * so it fuses as a no-op. */
+  private[plan] def planFanOutFused(
+      spark: SparkSession, queries: Seq[CubeQuery]): Option[DataFrame] = {
     require(queries.length > 1, "fusion needs a real fan-out")
     queries.foreach(validate)
     val q0 = queries.head
@@ -279,7 +289,8 @@ final class CubePlanner(
 
     var agg = aggregate(padded, "__combo" +: unionGroupHeaders, meas, hidden.map(_.keyHeader))
 
-    // HAVING filters are identical in every combo's CubeQuery — one pass
+    // HAVING filters + sparse are identical in every combo's CubeQuery —
+    // one pass on the fused aggregate
     val filterPreds = q0.filters.map { f =>
       val c = meaOrCalcCol(f.byMeaOrCalc, Map.empty)
       val p1 = constraintPred(c, f.constraint)
@@ -289,23 +300,49 @@ final class CubePlanner(
         case _                              => p1
       }
     }
-    filterPreds.reduceOption(_ && _).foreach(p => agg = agg.where(p))
+    val sparsePreds = if (q0.sparse) meaNames.map(cq(_).isNotNull) else Nil
+    (filterPreds ++ sparsePreds).reduceOption(_ && _).foreach(p => agg = agg.where(p))
 
     // positional consolidation under combo 0's headers (types disagreeing
     // across combos collapse to string, the consolidate() rule)
-    val outCols = (0 until width).map { j =>
-      val srcCols = comboUnionCols.map(_(j))
-      val types = srcCols.map(c => agg.schema(c).dataType).distinct
-      val t = if (types.length == 1) types.head else StringType
-      val pick =
-        if (srcCols.distinct.length == 1) cq(srcCols.head).cast(t)
-        else srcCols.zipWithIndex.tail.foldLeft(
-          when(cq("__combo") === 0, cq(srcCols.head).cast(t))) {
-            case (acc, (c, i)) => acc.when(cq("__combo") === i, cq(c).cast(t))
-          }
-      pick.as(comboHeaders.head(j))
+    val posTypes = (0 until width).map { j =>
+      comboUnionCols.map(c => agg.schema(c(j)).dataType).distinct
     }
-    agg.select(outCols ++ meaNames.map(cq): _*)
+    if (q0.limit.isDefined && posTypes.exists(_.length > 1))
+      return None // string-fallback would reorder the per-combo slice
+    def pickCol(j: Int, cast: Boolean): Column = {
+      val srcCols = comboUnionCols.map(_(j))
+      val t = if (posTypes(j).length == 1) posTypes(j).head else StringType
+      def c(name: String) = if (cast) cq(name).cast(t) else cq(name)
+      if (srcCols.distinct.length == 1) c(srcCols.head)
+      else srcCols.zipWithIndex.tail.foldLeft(
+        when(cq("__combo") === 0, c(srcCols.head))) {
+          case (acc, (s, i)) => acc.when(cq("__combo") === i, c(s))
+        }
+    }
+
+    // per-combo limit/offset: each combo slices its own frame under its
+    // deterministic total order, replicated as a combo-partitioned window
+    q0.limit.foreach { l =>
+      val tiebreak = (0 until width).map(j => pickCol(j, cast = false).asc)
+      val ordered: Seq[Column] = q0.sort match {
+        case Some(s) =>
+          val c = meaOrCalcCol(s.measure, Map.empty)
+          val head = s.direction match {
+            case SortDirection.Asc => c.asc
+            case SortDirection.Desc => c.desc
+          }
+          head +: tiebreak
+        case None => tiebreak
+      }
+      val w = Window.partitionBy(cq("__combo")).orderBy(ordered: _*)
+      val off = l.offset.getOrElse(0L)
+      agg = agg.withColumn("__rn", row_number().over(w))
+        .where(cq("__rn") > off && cq("__rn") <= off + l.n).drop("__rn")
+    }
+
+    val outCols = (0 until width).map(j => pickCol(j, cast = true).as(comboHeaders.head(j)))
+    Some(agg.select(outCols ++ meaNames.map(cq): _*))
   }
 
   // ---------------------------------------------------------------- growth

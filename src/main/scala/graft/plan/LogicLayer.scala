@@ -230,21 +230,27 @@ final class LogicLayer(
     }
   }
 
-  /** Options the fan-out threads into EACH member query, where they apply
-    * per combo before the union — fusing those would need per-combo
-    * windows, so such queries keep the fan-out path. */
+  /** Options the fan-out threads into EACH member query with shapes a
+    * shared plan can't cheaply replicate (top/top_where/growth/rca/rate)
+    * keep the fan-out path. Filters and sparse apply identically per
+    * combo, a per-combo limit becomes a combo-partitioned window, and a
+    * sort without a limit selects no rows (the union is deterministically
+    * re-sorted below either way) — all fusable. */
   private def fusionEligible(q: LogicLayerQuery): Boolean =
-    q.top.isEmpty && q.topWhere.isEmpty && q.sort.isEmpty && q.limit.isEmpty &&
-      q.growth.isEmpty && q.rca.isEmpty && q.rate.isEmpty && !q.sparse
+    q.top.isEmpty && q.topWhere.isEmpty &&
+      q.growth.isEmpty && q.rca.isEmpty && q.rate.isEmpty
 
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq
     val cuts = resolveCutOps(spark, substituteSets(q.cuts)) ++ timeCut
     val queries = fanOut(q, cuts)
-    val merged =
-      if (fusedFanOut && queries.length > 1 && fusionEligible(q))
-        planner.planFanOutFused(spark, queries)
-      else consolidate(queries.map(planner.plan(spark, _)))
+    val merged = {
+      val fused =
+        if (fusedFanOut && queries.length > 1 && fusionEligible(q))
+          planner.planFanOutFused(spark, queries)
+        else None
+      fused.getOrElse(consolidate(queries.map(planner.plan(spark, _))))
+    }
     val out = applyExclude(merged, q.exclude)
     // the union (or fused equivalent) of independently-ordered sub-results
     // is unordered; re-sort on all columns for a deterministic response

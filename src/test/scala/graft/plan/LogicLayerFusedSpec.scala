@@ -66,18 +66,40 @@ class LogicLayerFusedSpec extends AnyFunSuite {
       measures = Seq(mea("Quantity"))), mustFuse = true)
   }
 
+  test("per-combo limit/offset, sort, and sparse fuse via the combo-partitioned window") {
+    val base = LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity")))
+    // limit slices EACH combo's frame under its own deterministic order
+    bothAgree(base.copy(limit = Some(LimitQuery.parse("3").fold(die, identity))),
+      mustFuse = true)
+    // offset + limit
+    bothAgree(base.copy(limit = Some(LimitQuery.parse("2,4").fold(die, identity))),
+      mustFuse = true)
+    // explicit sort changes WHICH rows the limit keeps
+    bothAgree(base.copy(
+      sort = Some(SortQuery.parse("Quantity.desc").fold(die, identity)),
+      limit = Some(LimitQuery.parse("3").fold(die, identity))), mustFuse = true)
+    // sort alone: no row selection (the union is re-sorted either way)
+    bothAgree(base.copy(
+      sort = Some(SortQuery.parse("Quantity.asc").fold(die, identity))), mustFuse = true)
+    // sparse applies identically per combo
+    bothAgree(base.copy(sparse = true), mustFuse = true)
+  }
+
   test("ineligible options fall back to the fan-out with identical results") {
-    // sort/limit apply PER COMBO in the fan-out — the fused path must
-    // decline, not approximate
+    // top applies PER COMBO with its own window shape — the fused path
+    // must decline, not approximate
     val q = LogicLayerQuery(
       drilldowns = Seq(drill("Ship Date.Year")),
       cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
       measures = Seq(mea("Quantity")),
-      limit = Some(LimitQuery.parse("3").fold(die, identity)))
+      top = Some(TopQuery.parse("2,Ship Date.Year,Quantity,desc").fold(die, identity)))
     val f = fused.plan(spark, q)
     assert(image(f) == image(fan.plan(spark, q)))
     assert(f.queryExecution.executedPlan.toString.contains("Union"),
-      "per-combo limit must keep the union fan-out")
+      "per-combo top must keep the union fan-out")
   }
 
   test("60-case LL fuzz corpus: the fused flag is result-invariant, and fusion engages") {
