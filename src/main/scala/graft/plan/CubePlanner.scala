@@ -289,6 +289,54 @@ final class CubePlanner(
 
     var agg = aggregate(padded, "__combo" +: unionGroupHeaders, meas, hidden.map(_.keyHeader))
 
+    // positional consolidation under combo 0's headers (types disagreeing
+    // across combos collapse to string, the consolidate() rule)
+    val posTypes = (0 until width).map { j =>
+      comboUnionCols.map(c => agg.schema(c(j)).dataType).distinct
+    }
+    if ((q0.limit.isDefined || q0.top.isDefined) && posTypes.exists(_.length > 1))
+      return None // string-fallback would reorder the per-combo slice
+    // top + limit together: the fan-out slices the limit over the
+    // top-derived order (by-level asc, measure desc), which is NOT a
+    // total order — ties make the member queries' own slices
+    // tie-arbitrary, and a fused replica could legitimately pick
+    // different ties. Decline rather than approximate.
+    if (q0.top.isDefined && q0.limit.isDefined && q0.sort.isEmpty) return None
+    def pickCol(j: Int, cast: Boolean): Column = {
+      val srcCols = comboUnionCols.map(_(j))
+      val t = if (posTypes(j).length == 1) posTypes(j).head else StringType
+      def c(name: String) = if (cast) cq(name).cast(t) else cq(name)
+      if (srcCols.distinct.length == 1) c(srcCols.head)
+      else srcCols.zipWithIndex.tail.foldLeft(
+        when(cq("__combo") === 0, c(srcCols.head))) {
+          case (acc, (s, i)) => acc.when(cq("__combo") === i, c(s))
+        }
+    }
+
+    // the applyOptions order: top_where → top → filters+sparse → limit —
+    // each stage per combo, replicated as __combo-partitioned operations
+    q0.top.foreach { top =>
+      q0.topWhere.foreach { tw =>
+        agg = agg.where(constraintPred(meaOrCalcCol(tw.byMeaOrCalc, Map.empty), tw.constraint))
+      }
+      // the by-level must be a drilldown of EVERY member query (the
+      // fan-out path resolves it per combo), so it is a shared base
+      // drill and maps to one union column for all combos
+      val byHeader = levelKeyHeader(unionOuts, top.byDimension)
+      val sortCols = top.sortMeaOrCalc.map(meaOrCalcCol(_, Map.empty))
+      val ordered = top.sortDirection match {
+        case SortDirection.Asc  => sortCols.map(_.asc)
+        case SortDirection.Desc => sortCols.map(_.desc)
+      }
+      val tiebreak = (0 until width)
+        .filterNot(j => comboUnionCols.forall(_(j) == byHeader))
+        .map(j => pickCol(j, cast = false).asc)
+      val w = Window.partitionBy(cq("__combo"), cq(byHeader))
+        .orderBy(ordered ++ tiebreak: _*)
+      agg = agg.withColumn("__rn", row_number().over(w))
+        .where(cq("__rn") <= top.n).drop("__rn")
+    }
+
     // HAVING filters + sparse are identical in every combo's CubeQuery —
     // one pass on the fused aggregate
     val filterPreds = q0.filters.map { f =>
@@ -303,24 +351,6 @@ final class CubePlanner(
     val sparsePreds = if (q0.sparse) meaNames.map(cq(_).isNotNull) else Nil
     (filterPreds ++ sparsePreds).reduceOption(_ && _).foreach(p => agg = agg.where(p))
 
-    // positional consolidation under combo 0's headers (types disagreeing
-    // across combos collapse to string, the consolidate() rule)
-    val posTypes = (0 until width).map { j =>
-      comboUnionCols.map(c => agg.schema(c(j)).dataType).distinct
-    }
-    if (q0.limit.isDefined && posTypes.exists(_.length > 1))
-      return None // string-fallback would reorder the per-combo slice
-    def pickCol(j: Int, cast: Boolean): Column = {
-      val srcCols = comboUnionCols.map(_(j))
-      val t = if (posTypes(j).length == 1) posTypes(j).head else StringType
-      def c(name: String) = if (cast) cq(name).cast(t) else cq(name)
-      if (srcCols.distinct.length == 1) c(srcCols.head)
-      else srcCols.zipWithIndex.tail.foldLeft(
-        when(cq("__combo") === 0, c(srcCols.head))) {
-          case (acc, (s, i)) => acc.when(cq("__combo") === i, c(s))
-        }
-    }
-
     // per-combo limit/offset: each combo slices its own frame under its
     // deterministic total order, replicated as a combo-partitioned window
     q0.limit.foreach { l =>
@@ -333,7 +363,7 @@ final class CubePlanner(
             case SortDirection.Desc => c.desc
           }
           head +: tiebreak
-        case None => tiebreak
+        case None => tiebreak // top+limit without sort declined above
       }
       val w = Window.partitionBy(cq("__combo")).orderBy(ordered: _*)
       val off = l.offset.getOrElse(0L)

@@ -230,15 +230,17 @@ final class LogicLayer(
     }
   }
 
-  /** Options the fan-out threads into EACH member query with shapes a
-    * shared plan can't cheaply replicate (top/top_where/growth/rca/rate)
-    * keep the fan-out path. Filters and sparse apply identically per
-    * combo, a per-combo limit becomes a combo-partitioned window, and a
-    * sort without a limit selects no rows (the union is deterministically
-    * re-sorted below either way) — all fusable. */
+  /** Only the calculation rewrites (growth/rca/rate) are structurally
+    * unfusable — their member plans aren't groupBy+options shapes.
+    * Everything else fuses: filters and sparse apply identically per
+    * combo, top/top_where and limit become combo-partitioned windows, and
+    * a sort without a limit selects no rows (the union is
+    * deterministically re-sorted below either way). planFanOutFused
+    * itself still declines two data-dependent cases (a type-consolidation
+    * fallback under a row slice, and top+limit without an explicit sort —
+    * a tie-arbitrary slice in the fan-out) by returning None. */
   private def fusionEligible(q: LogicLayerQuery): Boolean =
-    q.top.isEmpty && q.topWhere.isEmpty &&
-      q.growth.isEmpty && q.rca.isEmpty && q.rate.isEmpty
+    q.growth.isEmpty && q.rca.isEmpty && q.rate.isEmpty
 
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq

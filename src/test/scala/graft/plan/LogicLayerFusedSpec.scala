@@ -88,18 +88,32 @@ class LogicLayerFusedSpec extends AnyFunSuite {
     bothAgree(base.copy(sparse = true), mustFuse = true)
   }
 
-  test("ineligible options fall back to the fan-out with identical results") {
-    // top applies PER COMBO with its own window shape — the fused path
-    // must decline, not approximate
-    val q = LogicLayerQuery(
+  test("per-combo top and top_where fuse via the (combo, by-level) window") {
+    val base = LogicLayerQuery(
       drilldowns = Seq(drill("Ship Date.Year")),
       cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
       measures = Seq(mea("Quantity")),
       top = Some(TopQuery.parse("2,Ship Date.Year,Quantity,desc").fold(die, identity)))
+    bothAgree(base, mustFuse = true)
+    bothAgree(base.copy(
+      topWhere = Some(TopWhereQuery.parse("Quantity,gt.100").fold(die, identity))),
+      mustFuse = true)
+  }
+
+  test("tie-arbitrary top+limit (no sort) falls back to the fan-out with identical rows") {
+    // the fan-out slices the limit over (by-level asc, measure desc),
+    // which is not a total order — the fused path declines rather than
+    // risk picking different ties
+    val q = LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity")),
+      top = Some(TopQuery.parse("2,Ship Date.Year,Quantity,desc").fold(die, identity)),
+      limit = Some(LimitQuery.parse("3").fold(die, identity)))
     val f = fused.plan(spark, q)
     assert(image(f) == image(fan.plan(spark, q)))
     assert(f.queryExecution.executedPlan.toString.contains("Union"),
-      "per-combo top must keep the union fan-out")
+      "tie-arbitrary top+limit must keep the union fan-out")
   }
 
   test("60-case LL fuzz corpus: the fused flag is result-invariant, and fusion engages") {
