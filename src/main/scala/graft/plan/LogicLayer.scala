@@ -54,17 +54,47 @@ final class LogicLayer(
       * header (= the property's name) renames to the unique name. */
     uniquePropNames: Map[PropertyName, String] = Map.empty,
     /** Flag-gated single-plan fan-out (SURVEY §7.4 risk 2): when a cut
-      * fan-out is ELIGIBLE (no per-combo post-aggregation options — top,
-      * top_where, sort, limit, growth, rca, rate, sparse — which the
-      * fan-out threads into each member query), the N member plans fuse
-      * into one scan + one tagged aggregate
+      * fan-out is eligible (anything except the growth/rca/rate
+      * calculation rewrites; see [[fusionEligible]]), the N member plans
+      * fuse into one scan + one tagged aggregate
       * ([[CubePlanner.planFanOutFused]]) instead of an N-way union of
       * near-identical plans. Defaults from `-Dgraft.ll.fusedFanOut=true`;
       * ineligible queries fall back to the fan-out either way. Proven
       * result-identical to the fan-out on the q31 family and the
       * logic-layer fuzz corpus (LogicLayerFusedSpec). */
-    fusedFanOut: Boolean = sys.props.get("graft.ll.fusedFanOut").exists(_.toBoolean)) {
+    fusedFanOut: Boolean = sys.props.get("graft.ll.fusedFanOut").exists(_.toBoolean),
+    /** Summary-cube planners tried before the base planner, in order —
+      * [[PreaggPlanner]]'s routing applied to the /data surface (round
+      * 12): a member query a summary can answer (drills at/above the
+      * grain, pre-aggregable measures) scans the dim-cardinality summary
+      * parquet instead of the fact; anything it can't falls through per
+      * query. Member resolution (cut ops, time, members cache) always
+      * uses the BASE planner — summaries may carry only a level subset. */
+    summaries: Seq[CubePlanner] = Nil) {
   import CubePlanner.{cq, fail}
+
+  /** The [[PreaggPlanner]] routing rule, per member query. */
+  private def route(spark: SparkSession, q: CubeQuery): DataFrame = {
+    for (s <- summaries)
+      try return s.plan(spark, q)
+      catch { case _: PlanError => () }
+    planner.plan(spark, q)
+  }
+
+  /** Fused fan-out with summary routing: fuse on the first summary that
+    * covers EVERY member query, else fuse on the base fact. (A summary
+    * covering only some members would force the per-query fan-out; the
+    * all-or-nothing rule keeps the single-plan property, and results are
+    * identical either way by the routed ≡ direct invariant.) */
+  private def routeFused(spark: SparkSession, queries: Seq[CubeQuery]): Option[DataFrame] = {
+    for (s <- summaries) {
+      try {
+        val f = s.planFanOutFused(spark, queries)
+        if (f.isDefined) return f
+      } catch { case _: PlanError => () }
+    }
+    planner.planFanOutFused(spark, queries)
+  }
 
   /** Member cache (reference logic_layer/cache.rs:168-904 builds these maps
     * at startup): cut-op and time-member resolutions are dim-bounded scans,
@@ -249,9 +279,9 @@ final class LogicLayer(
     val merged = {
       val fused =
         if (fusedFanOut && queries.length > 1 && fusionEligible(q))
-          planner.planFanOutFused(spark, queries)
+          routeFused(spark, queries)
         else None
-      fused.getOrElse(consolidate(queries.map(planner.plan(spark, _))))
+      fused.getOrElse(consolidate(queries.map(route(spark, _))))
     }
     val out = applyExclude(merged, q.exclude)
     // the union (or fused equivalent) of independently-ordered sub-results

@@ -119,11 +119,14 @@ final class GraftServer(
     val aggPlanners = planners.map { case (n, p) =>
       n -> new graft.plan.PreaggPlanner(p, summaries.getOrElse(n, Nil))
     }
-    // one LogicLayer per cube so its member cache persists across requests
+    // one LogicLayer per cube so its member cache persists across requests;
+    // the /data surface rides the same summary routing as /aggregate
+    // (round 12 — previously only the core endpoint consulted summaries)
     val logicLayers = planners.map { case (n, p) =>
       n -> new LogicLayer(p, allNamedSets,
         uniqueNames ++ llConf.map(_.levelNamesFor(n)).getOrElse(Map.empty),
-        llConf.map(_.propertyNamesFor(n)).getOrElse(Map.empty))
+        llConf.map(_.propertyNamesFor(n)).getOrElse(Map.empty),
+        summaries = summaries.getOrElse(n, Nil))
     }
     // fingerprint the COMPLETE schema + config state via case-class
     // toString (recursively includes every field — source columns, tables,

@@ -211,6 +211,35 @@ class PreaggSpec extends AnyFunSuite {
     }
   }
 
+  test("logic layer rides the summary: fan-out, fused fan-out, and fallback all match the base") {
+    def llq(meas: String*) = LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = meas.map(mea))
+    def img(df: org.apache.spark.sql.DataFrame) = graft.SparkTestSession.rowImage(df)
+    val plain = new LogicLayer(base)
+    // fan-out path: both member queries route to the summary
+    val routed = new LogicLayer(base, summaries = Seq(summaryPlanner))
+    val r = routed.plan(spark, llq("Quantity"))
+    assert(img(r) == img(plain.plan(spark, llq("Quantity"))))
+    val p = r.queryExecution.executedPlan.toString
+    assert(p.contains("sales_nation_year") && !p.contains("lineitem.parquet"),
+      "fan-out members must scan the summary, never the fact:\n" + p.take(800))
+    // fused fan-out path: the single plan fuses ON the summary cube
+    val fusedRouted = new LogicLayer(base, fusedFanOut = true, summaries = Seq(summaryPlanner))
+    val f = fusedRouted.plan(spark, llq("Quantity"))
+    assert(img(f) == img(plain.plan(spark, llq("Quantity"))))
+    val fp = f.queryExecution.executedPlan.toString
+    assert(!fp.contains("Union") && fp.contains("sales_nation_year") &&
+      !fp.contains("lineitem.parquet"),
+      "fused fan-out must be one summary-backed plan:\n" + fp.take(800))
+    // a non-reaggregable measure falls through to the base fact per query
+    val fb = routed.plan(spark, llq("Quantity", "Revenue"))
+    assert(img(fb) == img(plain.plan(spark, llq("Quantity", "Revenue"))))
+    assert(fb.queryExecution.executedPlan.toString.contains("lineitem.parquet"),
+      "Revenue cannot ride the summary — must fall back to the fact")
+  }
+
   test("non-reaggregable aggregators are excluded from the derived cube") {
     val derived = Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("s"))
     val aggs = derived.measures.map(_.aggregator).toSet
