@@ -1621,14 +1621,19 @@ object PipelineOps {
     * puts the production catch-up path (what a restarted streaming
     * deployment runs over its backlog) under the same cross-engine
     * hash-exactness gate as the one-shot operator. */
-  def dedupVerdictIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  /** Exact-stage survivors of a documents-shaped frame: min doc_id per
+    * content hash, with the hash carried (the DedupStream refresh input
+    * shape). */
+  private[graft] def survivorsOf(d: DataFrame): DataFrame = {
     val ew = Window.partitionBy(md5(col("text")))
-    val survivors = d
-      .withColumn("canon_exact", min(col("doc_id")).over(ew))
+    d.withColumn("canon_exact", min(col("doc_id")).over(ew))
       .where(col("doc_id") === col("canon_exact")).drop("canon_exact")
       .withColumn("content_hash", md5(col("text")))
-      .localCheckpoint(false)
+  }
+
+  def dedupVerdictIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val survivors = survivorsOf(d).localCheckpoint(false)
     val arrivals = d.select(col("doc_id"), md5(col("text")).as("content_hash"))
     val mid = d.agg((max(col("doc_id")) / lit(2)).cast("long")).collect()(0).getLong(0)
     val batches = Seq(
@@ -1643,6 +1648,54 @@ object PipelineOps {
       state = Some(s); verdict = v
     }
     verdict
+  }
+
+  /** p61: CDC-driven dedup maintenance — the composition p59 + p38 exist
+    * for: when an ingest produces a new corpus version, the near-dedup
+    * state is MAINTAINED, not rebuilt. Removed and changed docs RETIRE
+    * their carried grams and edges ([[graft.streaming.DedupStream.retain]]
+    * keeps only new-snapshot survivors whose content is byte-unchanged —
+    * which also demotes an old survivor displaced by a lower-id arrival
+    * of the same text, and promotes an old exact-dup whose keeper left);
+    * added/changed docs and fresh promotions gram and pair as ONE
+    * ordinary incremental batch against the retained history. Cost is
+    * O(delta + state), never O(corpus). The final verdict must be
+    * row-identical to running the one-shot p36 on the new snapshot from
+    * scratch — the oracle IS p36's SQL over the derived new-snapshot
+    * relation, and DedupIncrementalFuzzSpec drives random
+    * add/remove/change deltas against the batch oracle. Snapshots here
+    * are p59's deterministic carvings; production calls [[deltaDedupOf]]
+    * with its two real versions. */
+  def dedupVerdictDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    deltaDedupOf(
+      d.where(col("doc_id") % 10 =!= 9),
+      d.where(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+  }
+
+  /** p61 over two explicit snapshot frames (doc_id, text, lang, source,
+    * n_chars) — ingest `oldDf`, then maintain the state across the delta
+    * to `newDf` and serve `newDf`'s verdict. */
+  private[graft] def deltaDedupOf(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    import graft.streaming.DedupStream
+    val oldSurv = survivorsOf(oldDf).localCheckpoint(false)
+    val (_, st0) = DedupStream.refreshVerdictIncremental(
+      oldSurv, oldSurv, DedupStream.arrivalLog(oldDf), None)
+    val newSurv = survivorsOf(newDf).localCheckpoint(false)
+    // valid = still a survivor under the SAME doc_id with unchanged bytes
+    val validIds = oldSurv.select(col("doc_id"), col("content_hash"))
+      .join(newSurv.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
+      .where(col("content_hash") === col("h2"))
+      .select("doc_id")
+    val batch = newSurv.join(validIds, Seq("doc_id"), "left_anti")
+    val (v, _) = DedupStream.refreshVerdictIncremental(
+      newSurv, batch, DedupStream.arrivalLog(newDf),
+      Some(DedupStream.retain(st0, validIds)))
+    v
   }
 
   /** Connected components of an undirected pair graph by alternating
@@ -3184,5 +3237,6 @@ object PipelineOps {
     "p57_drift_monitor" -> driftMonitor,
     "p58_ann_index_refresh" -> annIndexRefresh,
     "p59_corpus_delta"  -> corpusDelta,
-    "p60_verdict_table" -> dedupVerdictServed)
+    "p60_verdict_table" -> dedupVerdictServed,
+    "p61_dedup_delta"   -> dedupVerdictDelta)
 }

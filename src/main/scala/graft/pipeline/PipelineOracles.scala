@@ -503,11 +503,15 @@ object PipelineOracles {
        |SELECT cluster_id, count(*)::BIGINT AS n_members, max(d) AS max_doc
        |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
-  private val p36 =
-    s"""WITH RECURSIVE ex AS (
+  /** p36's CTE chain over an arbitrary documents-shaped relation — shared
+    * with p61, whose oracle is exactly this body over the derived
+    * new-snapshot relation (the delta-maintained state must converge to
+    * the one-shot verdict of the new corpus). */
+  private def p36Body(src: String) =
+    s"""ex AS (
        |  SELECT doc_id, text, lang, source, n_chars,
        |         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
-       |  FROM documents),
+       |  FROM $src),
        |surv AS (SELECT * FROM ex WHERE doc_id = canon),
        |g AS (
        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS block,
@@ -539,6 +543,20 @@ object PipelineOracles {
        |            ELSE ex.doc_id END AS canonical_id
        |FROM ex JOIN scl ON scl.sid = ex.canon LEFT JOIN cl ON cl.d = ex.doc_id
        |ORDER BY ex.doc_id""".stripMargin
+
+  private val p36 = s"WITH RECURSIVE ${p36Body("documents")}"
+
+  /** p61: the one-shot p36 semantics over p59's derived NEW snapshot —
+    * the delta-maintained incremental state must answer as if the new
+    * corpus had been dedup'd from scratch. */
+  private val p61 =
+    s"""WITH RECURSIVE newsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END AS text,
+       |         lang, source,
+       |         len(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END)::BIGINT AS n_chars
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |${p36Body("newsnap")}""".stripMargin
 
   /** `//` (DuckDB) and `DIV` (Spark) both truncate toward zero on BIGINT, so
     * the integer-mean centroids are bit-identical cross-engine. */
@@ -1426,5 +1444,9 @@ object PipelineOracles {
     // the table-served verdict must hash-match recomputing p36 from
     // scratch — p36's oracle IS p60's oracle (the p49 rebuild-consistency
     // guarantee applied to the materialized dedup artifact)
-    "p60_verdict_table" -> p36)
+    "p60_verdict_table" -> p36,
+    // delta-maintained state (retire + one incremental batch) must answer
+    // as a from-scratch dedup of the new snapshot — p36's body over the
+    // derived new-snapshot relation IS p61's oracle
+    "p61_dedup_delta"   -> p61)
 }

@@ -109,6 +109,22 @@ object DedupStream {
     (verdictFrom(survivors, arrivals, pairs), PairState(allGrams, pairs))
   }
 
+  /** CDC retirement (p61): restrict the carried state to the doc ids that
+    * remain VALID after an ingest delta — survivors of the new snapshot
+    * whose content is byte-unchanged. Grams of removed/changed/demoted
+    * docs must stop generating candidates, and carried edges with a dead
+    * endpoint must leave the cluster graph (a changed doc's new text
+    * re-grams as part of the next batch and re-discovers its edges
+    * against the retained history). Two semi-joins — O(state), no text. */
+  def retain(state: PairState, validIds: DataFrame): PairState = {
+    val v = validIds.select(col("doc_id"))
+    PairState(
+      state.grams.join(v, Seq("doc_id"), "left_semi"),
+      state.pairs
+        .join(v.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(v.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi"))
+  }
+
   /** Verdict assembly from the (doc_a, doc_b) near-dup edge set:
     *   - exact: the arrival's hash survives under a different doc_id
     *   - near: a surviving doc whose cluster canonical is another doc

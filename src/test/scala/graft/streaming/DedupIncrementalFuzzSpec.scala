@@ -71,4 +71,42 @@ class DedupIncrementalFuzzSpec extends AnyFunSuite {
     test(s"incremental refresh over $name split equals batch p36") {
       assert(incremental(cuts) == want)
     }
+
+  test("CDC delta: add/remove/change deltas converge to the new snapshot's one-shot verdict") {
+    // the p61 path: ingest OLD, retire what the delta invalidates, refresh
+    // ONE batch of what it introduces — and the verdict must equal running
+    // p36 on the NEW snapshot from scratch. Scenario coverage: removals
+    // that PROMOTE an exact duplicate to survivor (its keeper leaves),
+    // changes that retire-and-re-gram under the same doc_id, survivor
+    // displacement (a lower-id copy arrives), pure growth, heavy churn.
+    import org.apache.spark.sql.Column
+    import graft.pipeline.PipelineOps
+    def snap(drop: Column => Column, change: Column => Column) =
+      corpus.where(!drop(col("doc_id")))
+        .withColumn("text",
+          when(change(col("doc_id")), concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val none: Column => Column = _ => lit(false)
+    val trials = Seq(
+      ("classic-cdc",
+        snap(id => id % 11 === 3, none), snap(id => id % 13 === 5, id => id % 7 === 2)),
+      // replays (+100000) duplicate docs 0..19; dropping the low-id
+      // keepers from NEW promotes the replays to survivors, whose grams
+      // were never carried — the retirement+batch seam must pick them up
+      ("keeper-removal-promotes-replays",
+        snap(none, none), snap(id => id < 10, none)),
+      // NEW adds the low-id originals back: they DISPLACE the replay
+      // survivors (min doc_id per hash), so carried replay grams retire
+      ("survivor-displacement",
+        snap(id => id < 10, none), snap(none, none)),
+      ("heavy-churn",
+        snap(id => id % 3 === 0, id => id % 5 === 1),
+        snap(id => id % 3 === 1, id => id % 5 === 2)),
+      ("pure-growth",
+        snap(id => id >= 250L && id < 100000L, none), snap(none, none)))
+    for ((nm, old, neu) <- trials)
+      assert(img(PipelineOps.deltaDedupOf(old, neu)) ==
+        img(PipelineOps.dedupVerdictOf(neu)), nm)
+  }
 }
