@@ -2527,6 +2527,48 @@ object PipelineOps {
     queryAnnIndex(spark, dir, idx)
   }
 
+  /** p62: CDC-driven semantic-dedup maintenance — p61's contract on the
+    * vector side: embeddings are immutable per vec_id, so an ingest delta
+    * is pure membership (vectors leave, vectors arrive), and the carried
+    * cell/edge state is maintained across it:
+    * [[graft.streaming.SemDedupStream.retain]] retires departed vectors'
+    * membership and edges AND rebuilds the pair sets of cells the removal
+    * shrinks back under the cap (the one place "cells only grow" leaned on
+    * ingest-only streams), then the arrivals refresh as one ordinary
+    * incremental batch against the frozen seed quantizer. Cost
+    * O(delta + state + reopened cells), never O(corpus); the verdict must
+    * be row-identical to a from-scratch dedup of the new snapshot (the
+    * oracle is p44's body over the derived new-snapshot relation, with
+    * the quantizer's seed count pinned to the DEPLOYED k — ⌈√n⌉ of the
+    * full fixture, seeds preserved by both carvings, exactly how a
+    * production quantizer is versioned independently of any one
+    * snapshot). Snapshots here are deterministic carvings; production
+    * calls [[semDeltaOf]] with its two real versions. */
+  def semDedupDelta(spark: SparkSession, dir: String): DataFrame = {
+    val full = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val k = semCells(embs(spark, dir).count())
+    val oldQ = full.where(col("vec_id") < k || col("vec_id") % 10 =!= 9)
+    val newQ = full.where(col("vec_id") < k || col("vec_id") % 10 =!= 0)
+    val newIds = embs(spark, dir).select("vec_id")
+      .where(col("vec_id") < k || col("vec_id") % 10 =!= 0)
+    semDeltaOf(semCents(full, k), oldQ, newQ, newIds, SemMaxCell, SemDupThreshold)
+  }
+
+  /** p62 over explicit quantized snapshot frames and a frozen seed set —
+    * ingest `oldQ`, maintain across the delta to `newQ`, serve `newIds`'
+    * verdict. */
+  private[graft] def semDeltaOf(
+      cents: DataFrame, oldQ: DataFrame, newQ: DataFrame, newIds: DataFrame,
+      maxCell: Int, threshold: Double): DataFrame = {
+    import graft.streaming.SemDedupStream
+    val st0 = SemDedupStream.refreshIncremental(cents, oldQ, None, maxCell, threshold)
+    val st1 = SemDedupStream.retain(st0, newQ.select("vec_id"), maxCell, threshold)
+    val batch = newQ.join(oldQ.select("vec_id"), Seq("vec_id"), "left_anti")
+    val st2 = SemDedupStream.refreshIncremental(cents, batch, Some(st1), maxCell, threshold)
+    SemDedupStream.verdict(newIds, st2, maxCell)
+  }
+
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
     * minhash dedup, with the same two scale guards as p04:
     *
@@ -3238,5 +3280,6 @@ object PipelineOps {
     "p58_ann_index_refresh" -> annIndexRefresh,
     "p59_corpus_delta"  -> corpusDelta,
     "p60_verdict_table" -> dedupVerdictServed,
-    "p61_dedup_delta"   -> dedupVerdictDelta)
+    "p61_dedup_delta"   -> dedupVerdictDelta,
+    "p62_semdedup_delta" -> semDedupDelta)
 }

@@ -1097,11 +1097,18 @@ object PipelineOracles {
 
   /** p44: same ⌈√n⌉ cell count (double sqrt both sides), same argmax-cosine
     * assignment as p24's cr0, same hot-cell QUALIFY as the Spark window. */
-  private val p44 = {
+  /** p44's CTE chain over an arbitrary embeddings-shaped relation, with
+    * the seed count pinned over `kkSrc` — shared with p62, whose oracle is
+    * this body over the derived new-snapshot relation while the quantizer
+    * size stays the DEPLOYED one (⌈√n⌉ of the full table). */
+  private def p44Sql(embSrc: String, kkSrc: String): String = {
     val cap = PipelineOps.SemMaxCell
     val thr = PipelineOps.SemDupThreshold
-    s"""$quantCte,
-       |kk AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
+    s"""qz AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS q
+       |  FROM $embSrc),
+       |n AS (SELECT vec_id, q, list_sum([x[1] * x[2] FOR x IN list_zip(q, q)]) AS nrm FROM qz),
+       |kk AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM $kkSrc),
        |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < (SELECT k FROM kk) AND nrm > 0),
        |cr AS (
        |  SELECT n.vec_id, c.cid,
@@ -1121,11 +1128,22 @@ object PipelineOracles {
        |  GROUP BY y.vec_id)
        |SELECT e.vec_id, a.cid, d.dup_of,
        |       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
-       |FROM embeddings e
+       |FROM $embSrc e
        |LEFT JOIN a ON a.vec_id = e.vec_id
        |LEFT JOIN dups d ON d.vec_id = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
   }
+
+  private val p44 = s"WITH ${p44Sql("embeddings", "embeddings")}"
+
+  /** p62: one-shot p44 semantics over the derived NEW embedding snapshot,
+    * seeds (vec_id < deployed k) preserved by the carving. */
+  private val p62 =
+    s"""WITH newemb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)
+       |     OR vec_id % 10 <> 0),
+       |${p44Sql("newemb", "embeddings")}""".stripMargin
 
   /** p52: trained-quantizer semantic dedup — p24's Lloyd-step training
     * (integer-mean centroids, `//` == `DIV`), then TOP-2 probe membership
@@ -1448,5 +1466,9 @@ object PipelineOracles {
     // delta-maintained state (retire + one incremental batch) must answer
     // as a from-scratch dedup of the new snapshot — p36's body over the
     // derived new-snapshot relation IS p61's oracle
-    "p61_dedup_delta"   -> p61)
+    "p61_dedup_delta"   -> p61,
+    // the p61 contract on the vector side: retire + reopened-cell rebuild
+    // + one incremental batch must answer as one-shot p44 over the new
+    // snapshot under the deployed (full-table) quantizer
+    "p62_semdedup_delta" -> p62)
 }

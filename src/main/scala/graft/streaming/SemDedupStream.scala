@@ -90,6 +90,49 @@ object SemDedupStream {
     SemState(members, edges)
   }
 
+  /** CDC retirement for the vector side (p62): restrict the carried state
+    * to `validIds` (the new snapshot's vectors — embeddings are immutable
+    * per vec_id, so validity is pure membership). Members and edges
+    * semi-join as on the text side, with one cap subtlety the text path
+    * doesn't have: [[refreshIncremental]]'s exactness leans on cell sizes
+    * only GROWING (an over-cap cell never returns, so skipping its
+    * enumeration loses nothing). A removal breaks that — a cell shrunk
+    * back under the cap RE-OPENS, and its carried edges are INCOMPLETE
+    * (pairs involving members that arrived after the cap crossing were
+    * never enumerated). Those cells' pair sets are rebuilt in full from
+    * the surviving members: bounded by (reopened cells × ≤cap members)²
+    * per cell — a delta-sized cost, never corpus-sized. */
+  def retain(
+      state: SemState, validIds: DataFrame,
+      maxCell: Int, threshold: Double): SemState = {
+    val v = validIds.select(col("vec_id"))
+    val members = state.members.join(v, Seq("vec_id"), "left_semi")
+      .localCheckpoint(false)
+    val kept = state.edges
+      .join(v.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_semi")
+      .join(v.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_semi")
+    val reopened = state.members.groupBy("cid").agg(count(lit(1)).as("szb"))
+      .join(members.groupBy("cid").agg(count(lit(1)).as("sza")), "cid")
+      .where(col("szb") > maxCell && col("sza") <= maxCell)
+      .select("cid")
+    val cellM = members.join(broadcast(reopened), "cid")
+    val rebuilt = cellM
+      .select(col("cid"), col("vec_id").as("va"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .join(cellM.select(col("cid"), col("vec_id").as("vb"), col("q").as("qb"),
+        col("nrm").as("nrm_b")), "cid")
+      .where(col("va") < col("vb"))
+      .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= threshold)
+      .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
+    // a reopened cell's surviving carried edges are a SUBSET of its
+    // rebuilt set — replace rather than union so the state stays canonical
+    val edges = kept.join(broadcast(reopened), Seq("cid"), "left_anti")
+      .unionByName(rebuilt).distinct().localCheckpoint(false)
+    SemState(members, edges)
+  }
+
   /** Carried state for the TRAINED-quantizer refresh (p55): probe
     * MEMBERSHIP rows — (vec_id, cid, rank, q, nrm), up to
     * [[PipelineOps.IvfProbes]] rows per vector — plus the cell-keyed edge

@@ -279,4 +279,41 @@ class SemDedupFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CDC delta (p62): retire + reopened-cell rebuild converge to a fresh ingest of the new snapshot") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SemDedupStream
+    val q = PipelineOps.quantized(spark, Dir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val allIds = spark.read.parquet(s"$Dir/embeddings.parquet").select("vec_id")
+    // cap 30 sits between the full-corpus cell occupancy (~n/k) and the
+    // halved new snapshot's, so removals REOPEN closed cells — the path
+    // whose carried edges are provably incomplete and must be rebuilt
+    val (k, cap, thr) = (45L, 30, 0.40)
+    val cents = PipelineOps.semCents(q, k).localCheckpoint(false)
+    val scenarios = Seq(
+      // pure removals halving the corpus: maximal reopening
+      ("half-corpus",
+        q, q.where(col("vec_id") < k || col("vec_id") % 2 === 0)),
+      // mild churn: a few removals, most cells unaffected
+      ("mild-churn",
+        q, q.where(col("vec_id") < k || col("vec_id") % 13 =!= 5)),
+      // both directions: some vectors only in old, some only in new
+      ("two-way",
+        q.where(col("vec_id") < k || col("vec_id") % 3 =!= 0),
+        q.where(col("vec_id") < k || col("vec_id") % 3 =!= 1)))
+    // the geometry must actually exercise reopening, or this test rots
+    val fullSizes = PipelineOps.semAssign(q, cents).groupBy("cid").count()
+    assert(fullSizes.where(col("count") > cap).count() > 0,
+      "fixture geometry must close some cells pre-delta")
+    for ((nm, oldQ, newQ) <- scenarios) {
+      val newIds = allIds.join(newQ.select("vec_id"), Seq("vec_id"), "left_semi")
+      val got = PipelineOps.semDeltaOf(cents, oldQ, newQ, newIds, cap, thr)
+        .collect().toSeq
+      val fresh = SemDedupStream.verdict(newIds,
+        SemDedupStream.refreshIncremental(cents, newQ, None, cap, thr), cap)
+        .collect().toSeq
+      assert(got == fresh, s"delta-maintained != fresh ingest for $nm")
+    }
+  }
 }
