@@ -2436,7 +2436,19 @@ object PipelineOps {
   private[graft] def queryAnnIndex(spark: SparkSession, dir: String, idx: String): DataFrame = {
     val cents = spark.read.parquet(s"$idx/ivf_cents.parquet")
     val pqCents = spark.read.parquet(s"$idx/pq_cents.parquet")
-    val assigned = spark.read.parquet(s"$idx/ivf_assign.parquet")
+    // tombstones (p63): removed vectors mask OUT of the assignment —
+    // codes rows for them orphan harmlessly (the compose joins codes
+    // through the assignment). The mask is an anti-join against a
+    // delta-sized relation, so deletes never rewrite the corpus-sized
+    // index files — the standard immutable-segment + tombstone design.
+    val assigned0 = spark.read.parquet(s"$idx/ivf_assign.parquet")
+    val assigned =
+      if (new java.io.File(s"$idx/tombstones.parquet").exists)
+        assigned0.join(
+          spark.read.parquet(s"$idx/tombstones.parquet")
+            .select(col("vec_id").as("nbr_id")),
+          Seq("nbr_id"), "left_anti")
+      else assigned0
     val codes = spark.read.parquet(s"$idx/pq_codes.parquet")
     // no lineage truncation here: the query set is 10 pushed-filtered rows
     // (recomputing it is free), and keeping the scans in the plan is what
@@ -2567,6 +2579,37 @@ object PipelineOps {
     val batch = newQ.join(oldQ.select("vec_id"), Seq("vec_id"), "left_anti")
     val st2 = SemDedupStream.refreshIncremental(cents, batch, Some(st1), maxCell, threshold)
     SemDedupStream.verdict(newIds, st2, maxCell)
+  }
+
+  /** p63: CDC-driven ANN index maintenance — the delta lifecycle for the
+    * persisted IVF/PQ index (p49 builds, p58 grows; this handles the full
+    * two-way delta): arrivals encode against the FROZEN persisted
+    * quantizer and parquet-append (exactly p58's path), departures write
+    * a delta-sized TOMBSTONE relation the query phase anti-joins — the
+    * immutable-segment + tombstone design every production vector store
+    * uses, because rewriting corpus-sized index files per delta would be
+    * O(index), not O(delta). Compaction (folding tombstones into a
+    * rewrite) is a separate offline job, exactly as in those systems.
+    * Query answers must be row-identical to an index BUILT FROM SCRATCH
+    * on the new snapshot — p37's body over the derived new-snapshot
+    * relation is the oracle; the carvings preserve the seed ids (< max
+    * centroid count) and the query set, so the frozen quantizer equals
+    * the one a fresh build would train (the p58 argument, extended to
+    * deletes). */
+  def annIndexDelta(spark: SparkSession, dir: String): DataFrame = {
+    val seedBound = math.max(IvfCentroids, PqCentroids).max(10).toLong
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val oldQ = q.where(col("vec_id") < seedBound || col("vec_id") % 10 =!= 9)
+    val newQ = q.where(col("vec_id") < seedBound || col("vec_id") % 10 =!= 0)
+    val idx = withFreshIndexVersion("ann-delta", spark, dir) { v =>
+      buildAnnIndexOf(oldQ, v)
+      appendAnnIndex(spark,
+        newQ.join(oldQ.select("vec_id"), Seq("vec_id"), "left_anti"), v)
+      oldQ.select("vec_id").join(newQ.select("vec_id"), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$v/tombstones.parquet")
+    }
+    queryAnnIndex(spark, dir, idx)
   }
 
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of
@@ -3281,5 +3324,6 @@ object PipelineOps {
     "p59_corpus_delta"  -> corpusDelta,
     "p60_verdict_table" -> dedupVerdictServed,
     "p61_dedup_delta"   -> dedupVerdictDelta,
-    "p62_semdedup_delta" -> semDedupDelta)
+    "p62_semdedup_delta" -> semDedupDelta,
+    "p63_ann_index_delta" -> annIndexDelta)
 }

@@ -829,10 +829,18 @@ object PipelineOracles {
   /** p37: composed IVF→PQ (IVFADC) — p15's coarse routing CTEs feeding
     * p34's encode/ADC CTEs; candidates restricted to probed cells before
     * any ADC scoring. Same exact-int64 distances, so ranks can't flap. */
-  private val p37 = {
+  /** p37's CTE chain over an arbitrary embeddings-shaped relation —
+    * shared with p63, whose oracle is this body over the derived
+    * new-snapshot relation (seed ids < max(IvfCentroids, PqCentroids) and
+    * the query set are preserved by the carving, so the frozen quantizer
+    * equals the one a from-scratch build would train). */
+  private def p37Sql(embSrc: String): String = {
     val m = PipelineOps.PqSubspaces
     val d = Hashing.EmbDim / m
-    s"""$quantCte,
+    s"""qz AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS q
+       |  FROM $embSrc),
+       |n AS (SELECT vec_id, q, list_sum([x[1] * x[2] FOR x IN list_zip(q, q)]) AS nrm FROM qz),
        |cents AS (SELECT vec_id AS ccid, q AS qc, nrm AS nc FROM n WHERE vec_id < ${PipelineOps.IvfCentroids} AND nrm > 0),
        |cranked AS (
        |  SELECT n.vec_id, c.ccid,
@@ -869,6 +877,19 @@ object PipelineOracles {
        |  FROM approx)
        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", nbr_id, adist
        |FROM ranked WHERE rnk <= ${PipelineOps.PqTopK} ORDER BY query_id, rnk""".stripMargin
+  }
+
+  private val p37 = s"WITH ${p37Sql("embeddings")}"
+
+  /** p63: one-shot p37 semantics over the derived NEW embedding snapshot
+    * (tombstoned old index + frozen-quantizer appends must answer as a
+    * from-scratch build on the new corpus). */
+  private val p63 = {
+    val seedBound = math.max(PipelineOps.IvfCentroids, PipelineOps.PqCentroids).max(10)
+    s"""WITH newemb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < $seedBound OR vec_id % 10 <> 0),
+       |${p37Sql("newemb")}""".stripMargin
   }
 
   // p39's oracle is the direct exact computation — the sketch pass is an
@@ -1470,5 +1491,9 @@ object PipelineOracles {
     // the p61 contract on the vector side: retire + reopened-cell rebuild
     // + one incremental batch must answer as one-shot p44 over the new
     // snapshot under the deployed (full-table) quantizer
-    "p62_semdedup_delta" -> p62)
+    "p62_semdedup_delta" -> p62,
+    // tombstoned index + frozen-quantizer appends must answer as a
+    // from-scratch p37 build on the new snapshot (the p58 contract
+    // extended to deletes)
+    "p63_ann_index_delta" -> p63)
 }

@@ -666,6 +666,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grown == oneShot, "grow-in-place must be indistinguishable from a full rebuild")
   }
 
+  test("ann index delta: tombstoned + appended index answers as a fresh build on the new snapshot") {
+    import org.apache.spark.sql.functions._
+    val seedBound = math.max(PipelineOps.IvfCentroids, PipelineOps.PqCentroids).max(10).toLong
+    val got = PipelineOps.annIndexDelta(spark, SfDir).collect().toSeq
+    // fresh build over the same carved new snapshot through the raw seams
+    val newQ = PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm"))
+      .where(col("vec_id") < seedBound || col("vec_id") % 10 =!= 0)
+      .localCheckpoint(false)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-fresh").toString
+    PipelineOps.buildAnnIndexOf(newQ, idx)
+    val fresh = PipelineOps.queryAnnIndex(spark, SfDir, idx).collect().toSeq
+    assert(got == fresh, "delta-maintained index must answer as a from-scratch build")
+    // a removed (tombstoned) vector must never surface as a neighbor
+    assert(got.forall(r => !(r.getLong(2) >= seedBound && r.getLong(2) % 10 == 0)),
+      "tombstoned ids leaked into the neighbor lists")
+    assert(got.nonEmpty)
+  }
+
   test("concurrent annIndexed invocations never race each other's index files") {
     // a multi-threaded serving layer may rebuild the same dataset's index
     // from two threads at once; each invocation must build into its own
