@@ -685,6 +685,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ann index compaction folds tombstones into a rewrite with identical answers") {
+    import org.apache.spark.sql.functions._
+    val seedBound = math.max(PipelineOps.IvfCentroids, PipelineOps.PqCentroids).max(10).toLong
+    val q = PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val oldQ = q.where(col("vec_id") < seedBound || col("vec_id") % 10 =!= 9)
+    val newQ = q.where(col("vec_id") < seedBound || col("vec_id") % 10 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-compact").toString
+    PipelineOps.buildAnnIndexOf(oldQ, idx)
+    PipelineOps.appendAnnIndex(spark,
+      newQ.join(oldQ.select("vec_id"), Seq("vec_id"), "left_anti"), idx)
+    oldQ.select("vec_id").join(newQ.select("vec_id"), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$idx/tombstones.parquet")
+    val before = PipelineOps.queryAnnIndex(spark, SfDir, idx).collect().toSeq
+    val rowsBefore = spark.read.parquet(s"$idx/ivf_assign.parquet").count()
+    PipelineOps.compactAnnIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones.parquet").exists,
+      "compaction must consume the tombstones")
+    assert(spark.read.parquet(s"$idx/ivf_assign.parquet").count() < rowsBefore,
+      "compaction must physically reclaim rows")
+    val after = PipelineOps.queryAnnIndex(spark, SfDir, idx).collect().toSeq
+    assert(after == before, "compaction must not change a single answer")
+    // idempotent: compacting an already-compacted index is a no-op
+    PipelineOps.compactAnnIndex(spark, idx)
+    assert(PipelineOps.queryAnnIndex(spark, SfDir, idx).collect().toSeq == before)
+  }
+
   test("concurrent annIndexed invocations never race each other's index files") {
     // a multi-threaded serving layer may rebuild the same dataset's index
     // from two threads at once; each invocation must build into its own
