@@ -585,6 +585,59 @@ object PipelineOps {
   }
 
 
+  /** p64: repeated-span REMOVAL planning — p30 counts boilerplate spans;
+    * this emits the actionable artifact the Lee et al. 2022 span-dedup
+    * pass actually applies: for every document, the merged token ranges
+    * covered by corpus-wide-repeated windows — i.e. exactly what a
+    * scrubber would cut. Windows hash as in p30 ([[SpanLen]] tokens,
+    * 63-bit md5); a window is DUPLICATED iff its hash occurs ≥ 2 times
+    * corpus-wide; each duplicated window marks [i, i+L), and per-doc
+    * overlapping/adjacent marks merge by the classic gaps-and-islands
+    * pass — running max of range ends over a doc-ordered window, a new
+    * island where the next start clears it. The report is per source:
+    * docs affected, merged ranges, tokens flagged, widest range, and an
+    * order-sensitive checksum over the exact range boundaries (both
+    * engines must agree on every start/end, not just on totals).
+    *
+    * Scale shape: p30's explode + ONE count shuffle on the span hash +
+    * one hash-keyed join back, then per-DOC windows (bounded by the
+    * doc's own marked-window count, never corpus-wide) and a source
+    * rollup. The frequency threshold is corpus-global like p30 —
+    * self-repeats inside one doc count toward it, matching the
+    * substring-dedup semantics. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val mk = (0 until SpanLen).map(k => s"toks[i+$k]").mkString(", ")
+    val spans = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= SpanLen)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"transform(sequence(0, size(toks) - $SpanLen), i -> struct(i AS s, concat_ws(' ', $mk) AS span))")).as("w"))
+      .select(col("doc_id"), col("source"), col("w.s").as("s"), col("w.span").as("span"))
+      .withColumn("h", expr(hex63("span"))).drop("span")
+    val dup = spans.groupBy("h").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= 2).select("h")
+    val marked = spans.join(dup, "h")
+      .select(col("doc_id"), col("source"), col("s"), (col("s") + SpanLen).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s").asc, col("e").asc)
+    val ranges = marked
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("source"), col("island"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+    ranges.groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs_flagged"),
+        count(lit(1)).as("n_ranges"),
+        sum((col("re") - col("rs")).cast("long")).as("tokens_flagged"),
+        max((col("re") - col("rs")).cast("long")).as("max_range"),
+        sum((col("doc_id") % 997 + 1) * (col("rs") * 131 + col("re"))).as("range_checksum"))
+      .orderBy("source")
+  }
+
   /** p03: exact dedup by content hash — keep the lowest doc_id per md5(text)
     * group, report kept counts and surviving chars per source. At scale this
     * is one shuffle on the 128-bit content hash. */
@@ -3352,5 +3405,6 @@ object PipelineOps {
     "p60_verdict_table" -> dedupVerdictServed,
     "p61_dedup_delta"   -> dedupVerdictDelta,
     "p62_semdedup_delta" -> semDedupDelta,
-    "p63_ann_index_delta" -> annIndexDelta)
+    "p63_ann_index_delta" -> annIndexDelta,
+    "p64_span_scrub"    -> spanScrub)
 }

@@ -892,6 +892,45 @@ object PipelineOracles {
        |${p37Sql("newemb")}""".stripMargin
   }
 
+  /** p64: positions ride DuckDB's zipped parallel unnest (the range list
+    * and the hash-comprehension list have equal lengths); the islands
+    * merge is the textbook gaps-and-islands window pair, frames pinned to
+    * ROWS so both engines exclude the current row from the running max
+    * identically. */
+  private val p64 = {
+    val len = PipelineOps.SpanLen
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, source,
+       |         unnest(range(1, len(toks) - ${len - 2})) - 1 AS s,
+       |         unnest([${hex63(s"array_to_string(toks[i:i+${len - 1}], ' ')")} FOR i IN range(1, len(toks) - ${len - 2})]) AS h
+       |  FROM t WHERE len(toks) >= $len),
+       |dup AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
+       |m AS (SELECT s.doc_id, s.source, s.s AS rs, s.s + $len AS re FROM s JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, source, rs, re,
+       |         CASE WHEN max(re) OVER (PARTITION BY doc_id ORDER BY rs ASC, re ASC
+       |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |                OR rs > max(re) OVER (PARTITION BY doc_id ORDER BY rs ASC, re ASC
+       |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              THEN 1 ELSE 0 END AS ni
+       |  FROM m),
+       |isl2 AS (
+       |  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY rs ASC, re ASC
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |r AS (
+       |  SELECT doc_id, source, island, min(rs) AS rs, max(re) AS re
+       |  FROM isl2 GROUP BY doc_id, source, island)
+       |SELECT source,
+       |       count(DISTINCT doc_id)::BIGINT AS n_docs_flagged,
+       |       count(*)::BIGINT AS n_ranges,
+       |       CAST(sum(re - rs) AS BIGINT) AS tokens_flagged,
+       |       CAST(max(re - rs) AS BIGINT) AS max_range,
+       |       CAST(sum((doc_id % 997 + 1) * (rs * 131 + re)) AS BIGINT) AS range_checksum
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // p39's oracle is the direct exact computation — the sketch pass is an
   // execution strategy, not a semantics change, so the oracle never
   // mentions it: candidates + exact confirm must equal the full groupBy.
@@ -1495,5 +1534,6 @@ object PipelineOracles {
     // tombstoned index + frozen-quantizer appends must answer as a
     // from-scratch p37 build on the new snapshot (the p58 contract
     // extended to deletes)
-    "p63_ann_index_delta" -> p63)
+    "p63_ann_index_delta" -> p63,
+    "p64_span_scrub"    -> p64)
 }

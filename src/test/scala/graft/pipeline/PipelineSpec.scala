@@ -685,6 +685,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("span scrub: ranges bound by span arithmetic and consistent with p30's census") {
+    val rows = PipelineOps.spanScrub(spark, SfDir).collect()
+    assert(rows.nonEmpty, "the fixture's 31-token vocabulary must repeat spans")
+    rows.foreach { r =>
+      val (nDocs, nRanges, toks, maxR) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nRanges >= nDocs, "every flagged doc carries at least one range")
+      // a merged range covers at least one full window
+      assert(toks >= nRanges * PipelineOps.SpanLen, "ranges at least window-sized")
+      assert(maxR >= PipelineOps.SpanLen)
+    }
+    // p30 found corpus-wide repeated spans, so the scrubber must flag work
+    val p30Rows = PipelineOps.dupSpans(spark, SfDir).collect()
+    assert(p30Rows.forall(_.getLong(1) >= 2))
+    assert(rows.map(_.getLong(3)).sum > 0)
+  }
+
   test("ann index compaction folds tombstones into a rewrite with identical answers") {
     import org.apache.spark.sql.functions._
     val seedBound = math.max(PipelineOps.IvfCentroids, PipelineOps.PqCentroids).max(10).toLong
