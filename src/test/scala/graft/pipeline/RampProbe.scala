@@ -26,7 +26,9 @@ object RampProbe {
       "p55_trained_incremental" -> (PipelineOps.semDedupTrainedIncremental _),
       "p58_ann_index_refresh" -> (PipelineOps.annIndexRefresh _),
       "p61_dedup_delta" -> (PipelineOps.dedupVerdictDelta _),
-      "p62_semdedup_delta" -> (PipelineOps.semDedupDelta _))
+      "p62_semdedup_delta" -> (PipelineOps.semDedupDelta _),
+      "p63_ann_index_delta" -> (PipelineOps.annIndexDelta _),
+      "p64_span_scrub" -> (PipelineOps.spanScrub _))
     def run(f: (SparkSession, String) => org.apache.spark.sql.DataFrame, d: String): Double =
       time(f(spark, d).write.format("noop").mode("overwrite").save())
     ops.foreach { case (_, f) => run(f, s"$root/sfA") } // warmup
