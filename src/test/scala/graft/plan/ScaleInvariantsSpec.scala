@@ -329,6 +329,43 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("span scrub: per-doc windows only, hash-keyed dup join, no cartesian") {
+    val p = graft.pipeline.PipelineOps.spanScrub(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the islands merge windows ONLY per doc — a global (empty-partition)
+    // window would funnel the corpus-wide marked set through one task
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      "islands windows must partition by doc_id:\n" + windows.mkString("\n"))
+  }
+
+  test("tombstoned ann index: the query phase masks via anti-join and stays corpus-scan-free") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.pipeline.PipelineOps
+    val seedBound = math.max(ops.IvfCentroids, ops.PqCentroids).max(10).toLong
+    val q = ops.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val oldQ = q.where(col("vec_id") < seedBound || col("vec_id") % 10 =!= 9)
+    val newQ = q.where(col("vec_id") < seedBound || col("vec_id") % 10 =!= 0)
+    val idx = new java.io.File(sys.props("java.io.tmpdir"), "graft-test-ann-tomb").toString
+    ops.buildAnnIndexOf(oldQ, idx)
+    oldQ.select("vec_id").join(newQ.select("vec_id"), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$idx/tombstones.parquet")
+    val p = ops.queryAnnIndex(spark, SfDir, idx)
+      .queryExecution.executedPlan.toString
+    // deletes must be an anti-join against the delta-sized tombstone
+    // relation, never a rewrite of (or full scan over) the corpus index
+    assert(p.contains("LeftAnti"), "tombstones must mask via anti-join:\n" + p.take(800))
+    assert(p.contains("tombstones.parquet"), p.take(800))
+    // the p49 invariant survives tombstoning: raw embeddings scans stay
+    // query-side (pushed vec_id < 10 filter)
+    val embScans = p.linesIterator
+      .filter(l => l.contains("embeddings.parquet") && l.contains("PushedFilters")).toSeq
+    assert(embScans.nonEmpty && embScans.forall(_.contains("LessThan(vec_id,10)")),
+      embScans.mkString("\n"))
+  }
+
   test("source overlap: hash-keyed self-join; only the catalog² grid is non-equi") {
     val p = graft.pipeline.PipelineOps.sourceOverlap(spark, SfDir)
       .queryExecution.executedPlan.toString
