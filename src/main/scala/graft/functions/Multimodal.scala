@@ -358,7 +358,13 @@ object MediaCodec {
       try {
         while (got < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, got, raw.length - got)
-          if (n == 0 && inf.needsInput()) return null // truncated stream
+          // zero-progress without finishing = malformed: truncated stream
+          // (needsInput) or an FDICT zlib header demanding a preset
+          // dictionary (needsDictionary) — our encoder never emits FDICT,
+          // so treat both as NULL rather than spinning forever on
+          // adversarial bytes. (n == 0 with finished() is the legal
+          // trailer-consuming final call; the loop condition exits it.)
+          if (n == 0 && !inf.finished()) return null
           got += n
         }
       } catch { case _: java.util.zip.DataFormatException => return null }

@@ -634,7 +634,8 @@ object PipelineOps {
         count(lit(1)).as("n_ranges"),
         sum((col("re") - col("rs")).cast("long")).as("tokens_flagged"),
         max((col("re") - col("rs")).cast("long")).as("max_range"),
-        sum((col("doc_id") % 997 + 1) * (col("rs") * 131 + col("re"))).as("range_checksum"))
+        sum((col("doc_id") % 997 + 1) *
+          (col("rs").cast("long") * 131 + col("re").cast("long"))).as("range_checksum"))
       .orderBy("source")
   }
 
@@ -1342,12 +1343,16 @@ object PipelineOps {
   }
 
   /** Materialization root for the p36 verdict over `dir` — keyed by
-    * (dataset dir, THIS Spark app) exactly like p49's index tree, so two
-    * concurrent apps over the same dataset never race overwrite-vs-read,
-    * while within one app every composer resolves the same build target. */
+    * (dataset dir, corpus fingerprint, THIS Spark app) exactly like
+    * p49's index tree, so two concurrent apps over the same dataset
+    * never race overwrite-vs-read, a dataset dir REWRITTEN
+    * mid-application hashes to a new root (rebuild, never a stale
+    * verdict), and within one app every composer resolves the same
+    * build target. Routed through [[ArtifactStore]]: the root lives on
+    * whatever filesystem `GRAFT_INDEX_DIR` names (DFS in production),
+    * and markers/data resolve on that same filesystem. */
   private[graft] def verdictTablePath(spark: SparkSession, dir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      f"graft-dedup-verdict-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x").toString
+    ArtifactStore.artifactPath(spark, "dedup-verdict", dir, "documents.parquet")
 
   private val verdictBuildLock = new Object
 
@@ -1367,12 +1372,12 @@ object PipelineOps {
     * explosion, no pair join, no star-contraction rounds). */
   private[graft] def dedupVerdictTable(spark: SparkSession, dir: String): DataFrame = {
     val root = verdictTablePath(spark, dir)
-    val ready = new java.io.File(root, "_VERDICT_READY")
-    if (!ready.exists()) verdictBuildLock.synchronized {
-      if (!ready.exists()) {
+    val ready = s"$root/_VERDICT_READY"
+    if (!ArtifactStore.exists(spark, ready)) verdictBuildLock.synchronized {
+      if (!ArtifactStore.exists(spark, ready)) {
         dedupVerdictOf(docs(spark, dir))
           .write.mode("overwrite").parquet(s"$root/verdict.parquet")
-        ready.createNewFile()
+        ArtifactStore.createMarker(spark, ready)
       }
     }
     spark.read.parquet(s"$root/verdict.parquet")
@@ -2418,23 +2423,19 @@ object PipelineOps {
     * newer builds is out of the supported window. */
   private def withFreshIndexVersion(tag: String, spark: SparkSession, dir: String)(
       build: String => Unit): String = annBuildLock.synchronized {
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      f"graft-$tag-${md5Long(dir + "#" + spark.sparkContext.applicationId, 12)}%012x")
-    root.mkdirs()
-    def versions() = Option(root.list()).getOrElse(Array.empty[String])
-      .filter(s => s.startsWith("v") && s.length > 1 && s.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong)
-    var n = versions().foldLeft(0L)(math.max) + 1
-    var vdir = new java.io.File(root, s"v$n")
-    while (!vdir.mkdir()) { n += 1; vdir = new java.io.File(root, s"v$n") } // crash leftovers
-    build(vdir.toString)
-    versions().filter(_ < n - 1).foreach { old =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-      }
-      rm(new java.io.File(root, s"v$old"))
-    }
-    vdir.toString
+    // FS-routed ([[ArtifactStore]]): the index tree lives under the
+    // configurable GRAFT_INDEX_DIR root, version allocation is
+    // CREATE-EXCLUSIVE on v{N}/_ALLOC (crash leftovers and concurrent
+    // claimants advance past each other), and the prune acts on the
+    // SAME filesystem the parquet writers target — keyed additionally
+    // by the embeddings fingerprint so a rewritten corpus rebuilds
+    // instead of serving a stale index.
+    val root = ArtifactStore.artifactPath(spark, tag, dir, "embeddings.parquet")
+    val (n, vdir) = ArtifactStore.claimVersion(spark, root)
+    build(vdir)
+    ArtifactStore.versions(spark, root).filter(_ < n - 1)
+      .foreach(old => ArtifactStore.delete(spark, s"$root/v$old"))
+    vdir
   }
 
   def annIndexed(spark: SparkSession, dir: String): DataFrame = {
@@ -2496,7 +2497,7 @@ object PipelineOps {
     // index files — the standard immutable-segment + tombstone design.
     val assigned0 = spark.read.parquet(s"$idx/ivf_assign.parquet")
     val assigned =
-      if (new java.io.File(s"$idx/tombstones.parquet").exists)
+      if (ArtifactStore.exists(spark, s"$idx/tombstones.parquet"))
         assigned0.join(
           spark.read.parquet(s"$idx/tombstones.parquet")
             .select(col("vec_id").as("nbr_id")),
@@ -2673,8 +2674,8 @@ object PipelineOps {
     * (spec-pinned); the rewrite targets fresh files then swaps, so a
     * crash mid-compaction leaves the tombstoned (still-correct) view. */
   private[graft] def compactAnnIndex(spark: SparkSession, idx: String): Unit = {
-    val tombFile = new java.io.File(s"$idx/tombstones.parquet")
-    if (!tombFile.exists) return
+    val tombPath = s"$idx/tombstones.parquet"
+    if (!ArtifactStore.exists(spark, tombPath)) return
     val tomb = spark.read.parquet(s"$idx/tombstones.parquet")
       .select(col("vec_id").as("nbr_id"))
     // EAGER checkpoints: the filtered relations must be fully materialized
@@ -2686,10 +2687,7 @@ object PipelineOps {
       .join(tomb, Seq("nbr_id"), "left_anti").localCheckpoint()
     assigned.write.mode("overwrite").parquet(s"$idx/ivf_assign.parquet")
     codes.write.mode("overwrite").parquet(s"$idx/pq_codes.parquet")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    rm(tombFile)
+    ArtifactStore.delete(spark, tombPath)
   }
 
   /** p14: embedding-cosine near-duplicate pairs — the vector analogue of

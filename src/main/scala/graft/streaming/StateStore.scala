@@ -57,9 +57,14 @@ object StateStore {
     else {
       val in = fs.open(p)
       try {
+        // loop to EOF — Hadoop streams may legally short-read, and a
+        // truncated version string would parse as the wrong version
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        var total = 0
+        var n = 0
+        while (total < buf.length &&
+               { n = in.read(buf, total, buf.length - total); n > 0 }) total += n
+        Some(new String(buf, 0, total, "UTF-8").trim.toLong)
       } finally in.close()
     }
   }
