@@ -58,11 +58,13 @@ final class LogicLayer(
       * calculation rewrites; see [[fusionEligible]]), the N member plans
       * fuse into one scan + one tagged aggregate
       * ([[CubePlanner.planFanOutFused]]) instead of an N-way union of
-      * near-identical plans. Defaults from `-Dgraft.ll.fusedFanOut=true`;
-      * ineligible queries fall back to the fan-out either way. Proven
-      * result-identical to the fan-out on the q31 family and the
-      * logic-layer fuzz corpus (LogicLayerFusedSpec). */
-    fusedFanOut: Boolean = sys.props.get("graft.ll.fusedFanOut").exists(_.toBoolean),
+      * near-identical plans. Default ON since round 13 (proven
+      * result-identical on the q31 family + the logic-layer fuzz corpus
+      * in LogicLayerFusedSpec, and 2.2× throughput / p95 −62% at 16-way
+      * load, SCALING.md); `-Dgraft.ll.fusedFanOut=false` is the
+      * off-switch. Ineligible queries fall back to the fan-out either
+      * way. */
+    fusedFanOut: Boolean = sys.props.get("graft.ll.fusedFanOut").forall(_.toBoolean),
     /** Summary-cube planners tried before the base planner, in order —
       * [[PreaggPlanner]]'s routing applied to the /data surface (round
       * 12): a member query a summary can answer (drills at/above the
