@@ -93,12 +93,30 @@ object StateStore {
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/v$next/$name.parquet")
     }
-    // (3) atomic pointer flip
+    // (3) atomic pointer flip. The OVERWRITE rename is atomic with respect
+    // to READERS on POSIX/HDFS (they see old or new, never torn), but the
+    // local-FS AbstractFileSystem implements it as delete-then-rename, so
+    // a CONCURRENT flip can land its pointer in that window and fail this
+    // one with FileAlreadyExists. Retry — each attempt re-runs the
+    // delete+rename, so with finitely many racers every flip eventually
+    // lands and the pointer is last-flip-wins between complete versions
+    // (the degradation mode documented above), never a lost commit.
     val tmp = new HPath(dir, s"_CURRENT.tmp.$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new HPath(dir, "_CURRENT"), Options.Rename.OVERWRITE)
+    val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    var flipped = false
+    var attempts = 0
+    while (!flipped) {
+      try {
+        fc.rename(tmp, new HPath(dir, "_CURRENT"), Options.Rename.OVERWRITE)
+        flipped = true
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > 100) throw e
+      }
+    }
     // (4) prune everything older than the previous version (listStatus
     // returns a materialized array — nothing to leak on repeated saves)
     prev.foreach { p =>
