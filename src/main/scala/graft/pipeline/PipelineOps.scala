@@ -3337,6 +3337,176 @@ object PipelineOps {
       .orderBy("user_id")
   }
 
+  // ================================================= round-13 operators
+
+  /** Shard count for the training-order plan (p65). A parallelism knob,
+    * never a correctness contract: production sets this so each shard's
+    * token stream is reader-sized (100 TB / 100k shards ≈ 1 GB/shard) —
+    * the per-shard window's state is corpus/S, so the plan scales by
+    * RAISING S with the corpus, exactly like p21's shard key. Small here
+    * so the sf0.01 fixture populates every shard. */
+  val TrainShards = 8
+
+  /** p65: deterministic training-order plan — the global corpus shuffle a
+    * training run needs, with no RNG and no global sort. Every serious
+    * pretraining pipeline randomizes document order (curriculum effects,
+    * gradient decorrelation) but must do it REPRODUCIBLY (re-runs, resume
+    * from step k, auditing which doc landed at which position). The
+    * standard trick: order by a salted content-independent hash. A single
+    * global order would be a corpus-wide range sort; instead the hash
+    * splits into S independent shards (readers consume shards in
+    * parallel), and ORDER WITHIN each shard is the same hash — so the
+    * composition behaves like one global shuffle while every window
+    * partitions on the shard key. Each doc also gets its starting token
+    * offset within the shard's packed stream (p21's running-sum idea), so
+    * a resume-from-token-t seek is a binary search on this table, not a
+    * re-tokenization.
+    *
+    * Determinism: `ord` = 48-bit md5 of "ord:"||doc_id (salt fixed, so
+    * the order is stable across runs and engines; ties — possible at
+    * ~16M-key birthday scale — break by doc_id). Scale: one hash
+    * projection + per-shard windows; see [[TrainShards]]. */
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("ord", expr(hex12("concat('ord:', CAST(doc_id AS STRING))")))
+      .withColumn("shard", col("ord") % TrainShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    ordered
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("pos"), col("start_tok"), col("n_tokens"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Bottom quartile dropped per source: threshold = the k-th smallest
+    * score with k = ⌈n/4⌉ (the exact 25th-percentile member). */
+  val CalibDropPct = 25
+
+  /** p66: per-source calibrated quality filtering — the CCNet-style
+    * per-domain threshold a global cutoff gets wrong: a single corpus-wide
+    * quality bar drops most of a low-register source (forums) and nothing
+    * from a high-register one (encyclopedias), destroying the mixture.
+    * The fix: score every doc (the p48 integer score, n_tokens − 2·n_stop),
+    * find each SOURCE's own 25th-percentile score, and drop that source's
+    * bottom quartile — each domain is judged against itself.
+    *
+    * The threshold selection never sorts the corpus: per-(source, score)
+    * counts first (map-side partial; the histogram is score-domain-sized,
+    * bounded by doc length, not corpus-sized), then a running cumsum over
+    * each source's histogram picks the k-th-smallest score exactly — the
+    * p42 bounded-distribution argument. Classification joins the tiny
+    * threshold table back (broadcast at any corpus size) and rolls up.
+    * All integer arithmetic; ceil(n·25/100) = (n·25 + 99) DIV 100. */
+  def calibratedFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(toks, t -> array_contains(array(${sqlList(Stopwords)}), t))) AS BIGINT)"))
+      .withColumn("score", col("n_tokens") - lit(2L) * col("n_stop"))
+      .select(col("source"), col("score"), col("n_chars").cast("long").as("n_chars"), col("n_tokens"))
+    val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy("source").agg(sum(col("cnt")).as("n_src"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("score"))
+    val thresholds = hist.join(totals, "source")
+      .withColumn("cumn", sum(col("cnt")).over(cum))
+      .withColumn("k", expr(s"(n_src * $CalibDropPct + 99) DIV 100"))
+      .where(col("cumn") >= col("k"))
+      .groupBy("source").agg(min(col("score")).as("threshold"))
+    scored.join(broadcast(thresholds), "source")
+      .groupBy(col("source"), col("threshold"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("score") >= col("threshold"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(col("score") >= col("threshold"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** p67: embedding-space drift monitor — p57's contract on the vector
+    * side: language mix can hold steady while the SEMANTIC mix shifts
+    * (a scrape pivots from news to product pages; an upstream encoder
+    * changes). The standard production signal: assign both snapshots to
+    * the DEPLOYED coarse quantizer's cells (frozen — the p62/p63 pinned-
+    * quantizer contract, here the full table's ⌈√n⌉ seed cells) and
+    * compare per-cell occupancy. Deterministic doc-parity halves stand in
+    * for consecutive ingests, exactly like p57. Integer-ppm rates and an
+    * L1 drift score; zero-norm vectors (unassignable) are outside both
+    * censuses by the same rule on both engines.
+    *
+    * Scale: broadcast centroid assignment (the p44 map-side partial-min,
+    * never a corpus×K window), ONE cell-keyed count shuffle folding both
+    * halves in a single pass (a cell emptied by the shift still reports —
+    * its whole ppm mass lands in the score), and two broadcast single-row
+    * totals — p57's shape with the assign pass in front. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val cents = semCents(q, semCells(embs(spark, dir).count()))
+    val counts = semAssign(q, cents)
+      .groupBy("cid")
+      .agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cand"))
+    val tot = counts.agg(
+      sum(col("n_ref")).as("tot_ref"), sum(col("n_cand")).as("tot_cand"))
+    val rated = counts.crossJoin(broadcast(tot))
+      .withColumn("ppm_ref", expr("(n_ref * 1000000) DIV tot_ref"))
+      .withColumn("ppm_cand", expr("(n_cand * 1000000) DIV tot_cand"))
+      .withColumn("ppm_delta", abs(col("ppm_ref") - col("ppm_cand")))
+    val l1 = rated.agg(sum(col("ppm_delta")).as("l1"))
+    rated.crossJoin(broadcast(l1))
+      .select(col("cid"), col("n_ref"), col("n_cand"),
+        col("ppm_ref"), col("ppm_cand"), col("ppm_delta"),
+        col("l1").as("corpus_l1_ppm"))
+      .orderBy("cid")
+  }
+
+  /** p68: dataset card — the per-source composition report every corpus
+    * release ships (the "Datasheets for Datasets" audit table): docs,
+    * whitespace tokens, chars, integer-ppm share of the corpus token
+    * mass, language spread, the dedup outcome split (exact / near /
+    * kept from p36's verdict) as counts and a dup-ppm rate, and the
+    * exact integer quality mass (the p48 score summed — engines agree
+    * exactly; a mean would hit the DIV-of-negative seam). Pure
+    * composition over PROVEN artifacts: the materialized verdict table
+    * (p60's build-once seam — the corpus-scale dedup machinery never
+    * re-runs inside a report) joined to one documents projection,
+    * one source rollup, one broadcast single-row total. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val v = dedupVerdictTable(spark, dir).select(col("doc_id"), col("reason"))
+    val d = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(toks, t -> array_contains(array(${sqlList(Stopwords)}), t))) AS BIGINT)"))
+      .withColumn("score", col("n_tokens") - lit(2L) * col("n_stop"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("n_tokens"), col("score"))
+    val per = d.join(v, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("reason") === "exact", 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("reason") === "near", 1L).otherwise(0L)).as("n_near_dups"),
+        sum(when(col("reason") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("sum_score"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("token_ppm", expr("(n_tokens * 1000000) DIV tot_tokens"))
+      .withColumn("dup_ppm", expr("((n_exact_dups + n_near_dups) * 1000000) DIV n_docs"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+        col("n_chars"), col("token_ppm"), col("n_kept"), col("n_exact_dups"),
+        col("n_near_dups"), col("dup_ppm"), col("sum_score"))
+      .orderBy("source")
+  }
+
   // ============================================================== registry
 
   /** Pipeline entries for SparkEntry.queries. */
@@ -3404,5 +3574,9 @@ object PipelineOps {
     "p61_dedup_delta"   -> dedupVerdictDelta,
     "p62_semdedup_delta" -> semDedupDelta,
     "p63_ann_index_delta" -> annIndexDelta,
-    "p64_span_scrub"    -> spanScrub)
+    "p64_span_scrub"    -> spanScrub,
+    "p65_training_order" -> trainingOrder,
+    "p66_calibrated_filter" -> calibratedFilter,
+    "p67_embedding_drift" -> embeddingDrift,
+    "p68_dataset_card"  -> datasetCard)
 }

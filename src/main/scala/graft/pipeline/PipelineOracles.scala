@@ -931,6 +931,109 @@ object PipelineOracles {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** p65: the same salted-hash order, shard split, per-shard rank and
+    * exclusive token cumsum — windows written directly over the hash. */
+  private val p65 = {
+    val s = PipelineOps.TrainShards
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |         CAST(${hex12("'ord:' || CAST(doc_id AS VARCHAR)")} AS BIGINT) AS ord
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_tokens, ord, ord % $s AS shard FROM t)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER w AS BIGINT) AS pos,
+       |       coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok,
+       |       n_tokens
+       |FROM s WINDOW w AS (PARTITION BY shard ORDER BY ord, doc_id)
+       |ORDER BY shard, pos""".stripMargin
+  }
+
+  /** p66: per-source score histogram → running cumsum → k-th-smallest
+    * threshold → keep/drop rollup, all integer. */
+  private val p66 = {
+    val pct = PipelineOps.CalibDropPct
+    s"""WITH sc AS (
+       |  SELECT source, n_chars::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+       |         len(toks)::BIGINT - 2 * len(list_filter(toks, t -> list_contains([${sqlList(PipelineOps.Stopwords)}], t)))::BIGINT AS score
+       |  FROM (SELECT source, n_chars, string_split(text, ' ') AS toks FROM documents)),
+       |h AS (SELECT source, score, count(*)::BIGINT AS cnt FROM sc GROUP BY 1, 2),
+       |tt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src FROM h GROUP BY 1),
+       |cum AS (
+       |  SELECT h.source, h.score, tt.n_src,
+       |         CAST(sum(h.cnt) OVER (PARTITION BY h.source ORDER BY h.score) AS BIGINT) AS cumn
+       |  FROM h JOIN tt USING (source)),
+       |thr AS (
+       |  SELECT source, CAST(min(score) AS BIGINT) AS threshold
+       |  FROM cum WHERE cumn >= (n_src * $pct + 99) // 100 GROUP BY source)
+       |SELECT sc.source, thr.threshold, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN score >= threshold THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       |       CAST(sum(CASE WHEN score >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM sc JOIN thr USING (source) GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
+  /** p67: p44's deployed-quantizer assignment CTEs (same tie order), then
+    * p57's ppm/L1 ladder over the parity halves. */
+  private val p67 =
+    s"""WITH qz AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_sum([x[1] * x[2] FOR x IN list_zip(q, q)]) AS nrm FROM qz),
+       |kk AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, q AS qc, nrm AS nc FROM n WHERE vec_id < (SELECT k FROM kk) AND nrm > 0),
+       |cr AS (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qc)]) AS DOUBLE)
+       |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC, c.cid ASC) AS crn
+       |  FROM n CROSS JOIN cents c WHERE n.nrm > 0),
+       |a AS (SELECT vec_id, cid FROM cr WHERE crn = 1),
+       |c AS (
+       |  SELECT cid,
+       |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
+       |  FROM a GROUP BY cid),
+       |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref, CAST(sum(n_cand) AS BIGINT) AS tot_cand FROM c),
+       |r AS (
+       |  SELECT cid, n_ref, n_cand,
+       |         (n_ref * 1000000) // tot_ref AS ppm_ref,
+       |         (n_cand * 1000000) // tot_cand AS ppm_cand
+       |  FROM c CROSS JOIN t),
+       |r2 AS (SELECT *, abs(ppm_ref - ppm_cand) AS ppm_delta FROM r),
+       |l AS (SELECT CAST(sum(ppm_delta) AS BIGINT) AS corpus_l1_ppm FROM r2)
+       |SELECT r2.cid, r2.n_ref, r2.n_cand, r2.ppm_ref, r2.ppm_cand,
+       |       r2.ppm_delta, l.corpus_l1_ppm
+       |FROM r2 CROSS JOIN l ORDER BY r2.cid""".stripMargin
+
+  /** p68: wraps the PROVEN p36 verdict SQL as a nested CTE (the p53
+    * pattern), joined to one documents projection, per-source rollup +
+    * corpus token total. */
+  private lazy val p68 =
+    s"""WITH v AS (SELECT * FROM ($p36) q),
+       |d AS (
+       |  SELECT doc_id, source, lang, n_chars::BIGINT AS n_chars,
+       |         len(toks)::BIGINT AS n_tokens,
+       |         len(toks)::BIGINT - 2 * len(list_filter(toks, t -> list_contains([${sqlList(PipelineOps.Stopwords)}], t)))::BIGINT AS score
+       |  FROM (SELECT doc_id, source, lang, n_chars, string_split(text, ' ') AS toks FROM documents)),
+       |j AS (SELECT d.*, v.reason FROM d JOIN v USING (doc_id)),
+       |per AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs, count(DISTINCT lang)::BIGINT AS n_langs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |         CAST(sum(CASE WHEN reason = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       |         CAST(sum(CASE WHEN reason = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+       |         CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |         CAST(sum(score) AS BIGINT) AS sum_score
+       |  FROM j GROUP BY source),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per)
+       |SELECT per.source, per.n_docs, per.n_langs, per.n_tokens, per.n_chars,
+       |       (per.n_tokens * 1000000) // t.tot_tokens AS token_ppm,
+       |       per.n_kept, per.n_exact_dups, per.n_near_dups,
+       |       ((per.n_exact_dups + per.n_near_dups) * 1000000) // per.n_docs AS dup_ppm,
+       |       per.sum_score
+       |FROM per CROSS JOIN t ORDER BY per.source""".stripMargin
+
   // p39's oracle is the direct exact computation — the sketch pass is an
   // execution strategy, not a semantics change, so the oracle never
   // mentions it: candidates + exact confirm must equal the full groupBy.
@@ -1535,5 +1638,9 @@ object PipelineOracles {
     // from-scratch p37 build on the new snapshot (the p58 contract
     // extended to deletes)
     "p63_ann_index_delta" -> p63,
-    "p64_span_scrub"    -> p64)
+    "p64_span_scrub"    -> p64,
+    "p65_training_order" -> p65,
+    "p66_calibrated_filter" -> p66,
+    "p67_embedding_drift" -> p67,
+    "p68_dataset_card"  -> p68)
 }

@@ -873,4 +873,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     val totals = rows.flatMap(r => Seq(r.getString(0) -> r.getLong(2), r.getString(1) -> r.getLong(3)))
     totals.groupBy(_._1).foreach { case (_, vs) => assert(vs.map(_._2).distinct.length == 1) }
   }
+
+  test("training order: a deterministic permutation with exact per-shard token offsets") {
+    val rows = PipelineOps.trainingOrder(spark, SfDir).collect()
+    val n = spark.read.parquet(s"$SfDir/documents.parquet").count()
+    assert(rows.length == n, "every doc gets exactly one slot")
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    val byShard = rows.groupBy(_.getLong(1))
+    assert(byShard.keySet == (0L until PipelineOps.TrainShards.toLong).toSet,
+      "the fixture populates every shard")
+    byShard.values.foreach { sh =>
+      val ordered = sh.sortBy(_.getLong(2))
+      assert(ordered.map(_.getLong(2)).toSeq == (1L to sh.length.toLong),
+        "positions are contiguous ranks within the shard")
+      // start_tok is the exclusive running token sum in shard order
+      ordered.foldLeft(0L) { (expect, r) =>
+        assert(r.getLong(3) == expect, s"start_tok of doc ${r.getLong(0)}")
+        expect + r.getLong(4)
+      }
+    }
+    // content-independent hash order: a re-run reproduces the plan exactly
+    assert(PipelineOps.trainingOrder(spark, SfDir).collect().toSeq == rows.toSeq)
+  }
+
+  test("calibrated filter: each source drops its own bottom quartile, never more") {
+    val rows = PipelineOps.calibratedFilter(spark, SfDir).collect()
+    val nBySource = spark.read.parquet(s"$SfDir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == nBySource.keySet, "every source reported")
+    rows.foreach { r =>
+      val (src, nDocs, nKept) = (r.getString(0), r.getLong(2), r.getLong(3))
+      assert(nDocs == nBySource(src))
+      val k = (nDocs * PipelineOps.CalibDropPct + 99) / 100
+      // the threshold is the k-th smallest score, so strictly fewer than k
+      // docs sit below it — the drop can never exceed the quartile
+      assert(nDocs - nKept < k, s"$src dropped ${nDocs - nKept} >= k=$k")
+      assert(nKept >= 1, "the percentile member itself always survives")
+    }
+  }
+
+  test("embedding drift: cell censuses cover every assignable vector, ppm/L1 self-consistent") {
+    val rows = PipelineOps.embeddingDrift(spark, SfDir).collect()
+    import org.apache.spark.sql.functions.col
+    val assignable = PipelineOps.quantized(spark, SfDir).where(col("nrm") > 0).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == assignable,
+      "both halves together census every nonzero-norm vector")
+    val ppmRef = rows.map(_.getLong(3)).sum
+    assert(ppmRef <= 1000000L && ppmRef >= 1000000L - rows.length,
+      "floored ppm shares sum to 1e6 minus at most one unit per cell")
+    val l1 = rows.map(_.getLong(6)).distinct
+    assert(l1.length == 1 && l1.head == rows.map(_.getLong(5)).sum)
+  }
+
+  test("dataset card: per-source classes partition the docs and reconcile with the verdict") {
+    val rows = PipelineOps.datasetCard(spark, SfDir).collect()
+    val n = spark.read.parquet(s"$SfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n, "cards cover the whole corpus")
+    rows.foreach { r =>
+      assert(r.getLong(6) + r.getLong(7) + r.getLong(8) == r.getLong(1),
+        "kept + exact + near partition each source's docs")
+      assert(r.getLong(2) >= 1, "at least one language per source")
+    }
+    val ppm = rows.map(_.getLong(5)).sum
+    assert(ppm <= 1000000L && ppm >= 1000000L - rows.length)
+    // the dedup split reconciles with p36's verdict corpus-wide
+    val kept = PipelineOps.dedupVerdict(spark, SfDir).collect()
+      .count(_.getString(1) == "kept")
+    assert(rows.map(_.getLong(6)).sum == kept)
+  }
 }
