@@ -28,7 +28,11 @@ object RampProbe {
       "p61_dedup_delta" -> (PipelineOps.dedupVerdictDelta _),
       "p62_semdedup_delta" -> (PipelineOps.semDedupDelta _),
       "p63_ann_index_delta" -> (PipelineOps.annIndexDelta _),
-      "p64_span_scrub" -> (PipelineOps.spanScrub _))
+      "p64_span_scrub" -> (PipelineOps.spanScrub _),
+      "p65_training_order" -> (PipelineOps.trainingOrder _),
+      "p66_calibrated_filter" -> (PipelineOps.calibratedFilter _),
+      "p67_embedding_drift" -> (PipelineOps.embeddingDrift _),
+      "p68_dataset_card" -> (PipelineOps.datasetCard _))
     def run(f: (SparkSession, String) => org.apache.spark.sql.DataFrame, d: String): Double =
       time(f(spark, d).write.format("noop").mode("overwrite").save())
     ops.foreach { case (_, f) => run(f, s"$root/sfA") } // warmup

@@ -383,4 +383,53 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       "shingle self-join must be keyed on h:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("training order: shard-partitioned windows, no joins, no corpus funnel") {
+    val p = graft.pipeline.PipelineOps.trainingOrder(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "a pure projection + windows:\n" + p.take(800))
+    // rank and token-offset windows must both partition by the shard key —
+    // an empty partitionBy would range-sort the whole corpus into one task
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("shard")),
+      "order windows must partition by shard:\n" + windows.mkString("\n"))
+  }
+
+  test("calibrated filter: histogram agg + tiny source window, threshold table broadcasts back") {
+    val p = graft.pipeline.PipelineOps.calibratedFilter(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the corpus-side classification join must build on the broadcast
+    // threshold table, never shuffle the corpus to meet source-cardinality
+    assert(p.contains("BroadcastHashJoin"),
+      "threshold join should broadcast:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // the cumsum window runs on the HISTOGRAM (source, score) — keyed by
+    // source, bounded by the score domain, never the corpus
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      "cumsum windows must partition by source:\n" + windows.mkString("\n"))
+  }
+
+  test("embedding drift: broadcast centroid assignment, no corpus window, single-row totals broadcast") {
+    val p = graft.pipeline.PipelineOps.embeddingDrift(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // assignment is the partial-min groupBy against broadcast centroids —
+    // a corpus×K window would materialize every scored row into state
+    assert(!p.contains("windowspecdefinition"), "assignment must not use a window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids and totals must broadcast:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("dataset card: reads the materialized verdict, never re-runs the dedup machinery") {
+    val p = graft.pipeline.PipelineOps.datasetCard(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("verdict.parquet"),
+      "card must read the stored verdict:\n" + p.take(800))
+    assert(!p.contains("Generate"),
+      "card must not re-gram the corpus:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
