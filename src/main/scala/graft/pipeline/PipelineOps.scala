@@ -3366,8 +3366,15 @@ object PipelineOps {
     * the order is stable across runs and engines; ties — possible at
     * ~16M-key birthday scale — break by doc_id). Scale: one hash
     * projection + per-shard windows; see [[TrainShards]]. */
-  def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
-    val ordered = docs(spark, dir)
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame =
+    trainingOrderOf(docs(spark, dir))
+
+  /** p65 over an explicit documents-shaped frame — the seam the
+    * subset-stability property tests through: the hash order is
+    * content-independent, so removing docs (a dedup pass, a filter) never
+    * REORDERS the remainder, only compacts ranks and offsets. */
+  private[graft] def trainingOrderOf(d: DataFrame): DataFrame = {
+    val ordered = d
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("ord", expr(hex12("concat('ord:', CAST(doc_id AS STRING))")))
       .withColumn("shard", col("ord") % TrainShards)
@@ -3400,14 +3407,19 @@ object PipelineOps {
     * p42 bounded-distribution argument. Classification joins the tiny
     * threshold table back (broadcast at any corpus size) and rolls up.
     * All integer arithmetic; ceil(n·25/100) = (n·25 + 99) DIV 100. */
-  def calibratedFilter(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docs(spark, dir)
+  def calibratedFilter(spark: SparkSession, dir: String): DataFrame =
+    calibratedFilterOf(docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
         expr(s"CAST(size(filter(toks, t -> array_contains(array(${sqlList(Stopwords)}), t))) AS BIGINT)"))
       .withColumn("score", col("n_tokens") - lit(2L) * col("n_stop"))
-      .select(col("source"), col("score"), col("n_chars").cast("long").as("n_chars"), col("n_tokens"))
+      .select(col("source"), col("score"), col("n_chars").cast("long").as("n_chars"), col("n_tokens")))
+
+  /** p66 over an explicit (source, score, n_chars, n_tokens) frame — the
+    * seam CalibratedFilterFuzzSpec differential-tests against a driver
+    * sort-and-index oracle across tie/negative/degenerate geometries. */
+  private[graft] def calibratedFilterOf(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("cnt"))
     val totals = hist.groupBy("source").agg(sum(col("cnt")).as("n_src"))
     val cum = Window.partitionBy(col("source")).orderBy(col("score"))

@@ -896,6 +896,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(PipelineOps.trainingOrder(spark, SfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("training order: dropping docs never reorders the remainder (subset stability)") {
+    import org.apache.spark.sql.functions.col
+    val full = PipelineOps.trainingOrder(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a downstream filter (dedup, quality) removes ~a third of the corpus;
+    // the surviving docs must keep their shard AND relative order — a
+    // training run can re-derive the plan after any filter without the
+    // schedule reshuffling under it
+    val sub = PipelineOps.trainingOrderOf(
+      spark.read.parquet(s"$SfDir/documents.parquet").where(col("doc_id") % 3 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sub.length < full.length)
+    val shardOf = full.map(t => t._1 -> t._2).toMap
+    sub.foreach { case (id, shard, _) => assert(shard == shardOf(id), s"doc $id changed shard") }
+    val surviving = full.filter(t => t._1 % 3 != 0)
+    (0L until PipelineOps.TrainShards.toLong).foreach { s =>
+      val before = surviving.filter(_._2 == s).sortBy(_._3).map(_._1).toSeq
+      val after = sub.filter(_._2 == s).sortBy(_._3).map(_._1).toSeq
+      assert(after == before, s"shard $s reordered")
+    }
+  }
+
   test("calibrated filter: each source drops its own bottom quartile, never more") {
     val rows = PipelineOps.calibratedFilter(spark, SfDir).collect()
     val nBySource = spark.read.parquet(s"$SfDir/documents.parquet")
