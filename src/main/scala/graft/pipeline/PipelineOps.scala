@@ -1991,17 +1991,28 @@ object PipelineOps {
     * intermediate state are catalog²-bounded at any corpus size. The
     * per-source totals are a broadcast join back. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // distinct (source, shingle-hash) feeds the totals AND both join
-    // sides — truncate lineage so shingling+hashing runs once
-    val sh = shingled(spark, dir)
+    // ONE hash-keyed shuffle collapses the exploded corpus to one row per
+    // distinct shingle hash carrying its (sorted, deduped) source set —
+    // collect_set partial-aggregates map-side and its state is
+    // catalog-bounded per hash. Everything downstream is hash-cardinality:
+    // per-source distinct counts come from re-exploding the sets, and the
+    // shared counts expand each row's in-row source combinations
+    // (≤ catalog²/2 per row) instead of a corpus-scale h-keyed self-join —
+    // the round-12 shape paid two extra exploded-corpus shuffles (distinct,
+    // then both join sides repartitioned by h) for the same pair multiset.
+    val byH = shingled(spark, dir)
       .select(col("source"), explode(col("hashes")).as("h"))
-      .distinct()
-      .localCheckpoint(false)
-    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint(false) // feeds sizes AND pairs; shingling runs once
+    val sizes = byH.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
       .localCheckpoint(false) // catalog-sized; feeds the grid twice + widths
-    val l = sh.select(col("source").as("source_a"), col("h"))
-    val r = sh.select(col("source").as("source_b"), col("h"))
-    val pairs = l.join(r, "h").where(col("source_a") < col("source_b"))
+    val pairs = byH.where(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            b -> struct(a AS source_a, b AS source_b))))""".stripMargin)).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))
     // report over the FULL source-pair grid (catalog² rows, built from two

@@ -366,7 +366,7 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       embScans.mkString("\n"))
   }
 
-  test("source overlap: hash-keyed self-join; only the catalog² grid is non-equi") {
+  test("source overlap: one hash-keyed set aggregate, in-row pair expansion, no self-join") {
     val p = graft.pipeline.PipelineOps.sourceOverlap(spark, SfDir)
       .queryExecution.executedPlan.toString
     // the full source-pair grid is a deliberate broadcast NLJ over two
@@ -374,13 +374,18 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     // size; what must never appear is an unbroadcast cartesian, which is
     // what a corpus-keyed cross join would plan as
     assert(!p.contains("CartesianProduct"),
-      "pair discovery must stay a keyed equi-join:\n" + p.take(800))
-    // pair discovery is an equi-join keyed on the shingle hash (broadcast
-    // or shuffled, planner's choice by stats — both are h-keyed), and the
-    // count table re-joins the grid via broadcast
-    assert(p.linesIterator.exists(l =>
+      "grid must broadcast, pair discovery must stay in-row:\n" + p.take(800))
+    // pair discovery collapses to ONE corpus-scale shuffle (the per-hash
+    // collect_set aggregate, truncated behind the localCheckpoint here) —
+    // downstream the pairs come from an IN-ROW expansion of each hash's
+    // source set (Generate over the hash-cardinality frame), and the
+    // exploded corpus must never hit an h-keyed self-join (round-12's
+    // shape paid two extra exploded-corpus shuffles for the same multiset)
+    assert(p.contains("Generate explode"),
+      "pairs must expand in-row from the per-hash source sets:\n" + p.take(800))
+    assert(!p.linesIterator.exists(l =>
         (l.contains("BroadcastHashJoin [h#") || l.contains("SortMergeJoin [h#"))),
-      "shingle self-join must be keyed on h:\n" +
+      "no h-keyed self-join should remain:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
