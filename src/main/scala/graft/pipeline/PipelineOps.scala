@@ -3530,6 +3530,46 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** p69: ANN recall report — the index-quality gate a production pipeline
+    * runs after every build/refresh/delta before flipping traffic to the
+    * new index: determinism (the oracle gate) proves the index computes
+    * what it says; recall proves what it says is USEFUL. Ground truth is
+    * the exact quantized-L2 top-[[PqTopK]] per query (the metric ADC
+    * approximates — so the number isolates the IVF-routing + PQ-coding
+    * loss, not a metric mismatch); the candidate is p37's composed
+    * IVF→PQ answer. Per query: hit count and integer-ppm recall; corpus
+    * recall replicated on every row (the p57/p67 report shape).
+    *
+    * Scale: ground truth is inherently exact search, so production runs it
+    * over an EVAL-SIZED query sample (here the p07/p37 query set) — the
+    * broadcast query side keeps the corpus scan embarrassingly parallel
+    * and the top-k window partitions by query. The candidate side is
+    * p37's own plan; the report joins two (queries × k)-sized frames. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(spark, dir).select(col("vec_id").as("nbr_id"), col("q").as("qb"))
+    val queries = quantized(spark, dir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2").asc, col("nbr_id").asc)
+    val exact = broadcast(queries).crossJoin(corpus)
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("l2", graft.functions.QuantizedL2Sq(col("qa"), col("qb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= PqTopK)
+      .select(col("query_id"), col("nbr_id"))
+    val approx = annIvfPq(spark, dir).select(col("query_id"), col("nbr_id"))
+    val hits = exact.join(approx, Seq("query_id", "nbr_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val per = exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", expr(s"(n_hits * 1000000) DIV $PqTopK"))
+    val tot = per.agg(sum(col("n_hits")).as("s"), count(lit(1)).as("nq"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("corpus_recall_ppm", expr(s"(s * 1000000) DIV (nq * $PqTopK)"))
+      .select(col("query_id"), col("n_hits"), col("recall_ppm"), col("corpus_recall_ppm"))
+      .orderBy("query_id")
+  }
+
   // ============================================================== registry
 
   /** Pipeline entries for SparkEntry.queries. */
@@ -3601,5 +3641,6 @@ object PipelineOps {
     "p65_training_order" -> trainingOrder,
     "p66_calibrated_filter" -> calibratedFilter,
     "p67_embedding_drift" -> embeddingDrift,
-    "p68_dataset_card"  -> datasetCard)
+    "p68_dataset_card"  -> datasetCard,
+    "p69_ann_recall"    -> annRecall)
 }

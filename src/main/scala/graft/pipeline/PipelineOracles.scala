@@ -1034,6 +1034,34 @@ object PipelineOracles {
        |       per.sum_score
        |FROM per CROSS JOIN t ORDER BY per.source""".stripMargin
 
+  /** p69: exact quantized-L2 top-k ground truth (brute force — ground
+    * truth for a recall gate is exact search by definition) joined against
+    * p37's PROVEN answer embedded as a nested CTE (the p53/p68 pattern);
+    * recall as integer ppm over k, corpus recall replicated per row. */
+  private lazy val p69 = {
+    val k = PipelineOps.PqTopK
+    s"""$quantCte,
+       |ap AS (SELECT query_id, nbr_id FROM ($p37) x),
+       |exr AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |           CAST(list_sum([(x[1]-x[2])*(x[1]-x[2]) FOR x IN list_zip(a.q, b.q)]) AS BIGINT) ASC,
+       |           b.vec_id ASC) AS rn
+       |  FROM n a CROSS JOIN n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+       |ex AS (SELECT query_id, nbr_id FROM exr WHERE rn <= $k),
+       |hits AS (
+       |  SELECT query_id, count(*)::BIGINT AS n_hits
+       |  FROM ex JOIN ap USING (query_id, nbr_id) GROUP BY 1),
+       |per AS (
+       |  SELECT q.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |         ((coalesce(h.n_hits, 0) * 1000000) // $k)::BIGINT AS recall_ppm
+       |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits h USING (query_id)),
+       |tot AS (SELECT CAST(sum(n_hits) AS BIGINT) AS s, count(*)::BIGINT AS nq FROM per)
+       |SELECT per.query_id, per.n_hits, per.recall_ppm,
+       |       ((tot.s * 1000000) // (tot.nq * $k))::BIGINT AS corpus_recall_ppm
+       |FROM per CROSS JOIN tot ORDER BY per.query_id""".stripMargin
+  }
+
   // p39's oracle is the direct exact computation — the sketch pass is an
   // execution strategy, not a semantics change, so the oracle never
   // mentions it: candidates + exact confirm must equal the full groupBy.
@@ -1642,5 +1670,6 @@ object PipelineOracles {
     "p65_training_order" -> p65,
     "p66_calibrated_filter" -> p66,
     "p67_embedding_drift" -> p67,
-    "p68_dataset_card"  -> p68)
+    "p68_dataset_card"  -> p68,
+    "p69_ann_recall"    -> p69)
 }

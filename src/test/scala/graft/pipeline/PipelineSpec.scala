@@ -964,4 +964,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       .count(_.getString(1) == "kept")
     assert(rows.map(_.getLong(6)).sum == kept)
   }
+
+  test("ann recall: one row per query, hits bounded by k, corpus recall is the exact mean") {
+    val rows = PipelineOps.annRecall(spark, SfDir).collect()
+    assert(rows.length == 10, "one report row per eval query")
+    rows.foreach { r =>
+      val (hits, ppm) = (r.getLong(1), r.getLong(2))
+      assert(hits >= 0 && hits <= PipelineOps.PqTopK)
+      assert(ppm == hits * 1000000L / PipelineOps.PqTopK)
+    }
+    val corpus = rows.map(_.getLong(3)).distinct
+    assert(corpus.length == 1 &&
+      corpus.head == rows.map(_.getLong(1)).sum * 1000000L / (rows.length * PipelineOps.PqTopK))
+    // regression floor, matching AnnRecallSpec: the deliberately tiny
+    // untrained config measures ~0.28 here (vs ~0.01 random chance); a
+    // routing/ADC break craters it to ~0 — that is what this catches
+    assert(corpus.head >= 150000L, s"corpus recall ${corpus.head} ppm — routing/ADC regressed")
+  }
 }
