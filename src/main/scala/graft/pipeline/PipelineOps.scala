@@ -3499,9 +3499,15 @@ object PipelineOps {
     * (p60's build-once seam — the corpus-scale dedup machinery never
     * re-runs inside a report) joined to one documents projection,
     * one source rollup, one broadcast single-row total. */
-  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
-    val v = dedupVerdictTable(spark, dir).select(col("doc_id"), col("reason"))
-    val d = docs(spark, dir)
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardOf(docs(spark, dir),
+      dedupVerdictTable(spark, dir).select(col("doc_id"), col("reason")))
+
+  /** p68's rollup over explicit (documents-shaped, verdict) frames — the
+    * seam p70 reuses to serve the same card over a DELTA-maintained
+    * verdict instead of the materialized one-shot table. */
+  private[graft] def datasetCardOf(docsDf: DataFrame, v: DataFrame): DataFrame = {
+    val d = docsDf
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
@@ -3528,6 +3534,27 @@ object PipelineOps {
         col("n_chars"), col("token_ppm"), col("n_kept"), col("n_exact_dups"),
         col("n_near_dups"), col("dup_ppm"), col("sum_score"))
       .orderBy("source")
+  }
+
+  /** p70: CDC-driven dataset card — p68's release report regenerated
+    * after an ingest delta WITHOUT re-running corpus-scale dedup: the
+    * delta-maintained verdict state (p61's retire + one incremental
+    * batch, O(delta + state)) serves the dedup split, and the card's own
+    * layer is one projection + rollup over the new snapshot. The claim an
+    * auditor needs — "this card describes snapshot N+1 exactly as a
+    * from-scratch pipeline would" — is the oracle: p68's body over the
+    * derived new snapshot (p61's carving), so the delta path is
+    * cross-engine invisible in the published card. */
+  def datasetCardDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val oldDf = d.where(col("doc_id") % 10 =!= 9)
+    val newDf = d.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val v = deltaDedupOf(oldDf, newDf).select(col("doc_id"), col("reason"))
+    datasetCardOf(newDf, v)
   }
 
   /** p69: ANN recall report — the index-quality gate a production pipeline
@@ -3642,5 +3669,6 @@ object PipelineOps {
     "p66_calibrated_filter" -> calibratedFilter,
     "p67_embedding_drift" -> embeddingDrift,
     "p68_dataset_card"  -> datasetCard,
-    "p69_ann_recall"    -> annRecall)
+    "p69_ann_recall"    -> annRecall,
+    "p70_dataset_card_delta" -> datasetCardDelta)
 }

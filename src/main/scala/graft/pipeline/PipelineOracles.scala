@@ -1006,16 +1006,19 @@ object PipelineOracles {
        |       r2.ppm_delta, l.corpus_l1_ppm
        |FROM r2 CROSS JOIN l ORDER BY r2.cid""".stripMargin
 
-  /** p68: wraps the PROVEN p36 verdict SQL as a nested CTE (the p53
-    * pattern), joined to one documents projection, per-source rollup +
-    * corpus token total. */
-  private lazy val p68 =
-    s"""WITH v AS (SELECT * FROM ($p36) q),
+  /** p68's body over an arbitrary documents-shaped relation: the PROVEN
+    * p36 verdict SQL nested as a CTE (the p53 pattern) over the same
+    * relation, joined to one projection, per-source rollup + corpus token
+    * total. Shared with p70, whose oracle is exactly this body over the
+    * p61-carved new snapshot (the delta-maintained card must match the
+    * from-scratch card of the new corpus). */
+  private def p68Sql(src: String) =
+    s"""v AS (SELECT * FROM (WITH RECURSIVE ${p36Body(src)}) q),
        |d AS (
        |  SELECT doc_id, source, lang, n_chars::BIGINT AS n_chars,
        |         len(toks)::BIGINT AS n_tokens,
        |         len(toks)::BIGINT - 2 * len(list_filter(toks, t -> list_contains([${sqlList(PipelineOps.Stopwords)}], t)))::BIGINT AS score
-       |  FROM (SELECT doc_id, source, lang, n_chars, string_split(text, ' ') AS toks FROM documents)),
+       |  FROM (SELECT doc_id, source, lang, n_chars, string_split(text, ' ') AS toks FROM $src)),
        |j AS (SELECT d.*, v.reason FROM d JOIN v USING (doc_id)),
        |per AS (
        |  SELECT source, count(*)::BIGINT AS n_docs, count(DISTINCT lang)::BIGINT AS n_langs,
@@ -1033,6 +1036,19 @@ object PipelineOracles {
        |       ((per.n_exact_dups + per.n_near_dups) * 1000000) // per.n_docs AS dup_ppm,
        |       per.sum_score
        |FROM per CROSS JOIN t ORDER BY per.source""".stripMargin
+
+  private lazy val p68 = s"WITH ${p68Sql("documents")}"
+
+  /** p70: p68's card over the p61-carved NEW snapshot — the
+    * delta-maintained card must equal the from-scratch card. */
+  private lazy val p70 =
+    s"""WITH newsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END AS text,
+       |         lang, source,
+       |         len(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END)::BIGINT AS n_chars
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |${p68Sql("newsnap")}""".stripMargin
 
   /** p69: exact quantized-L2 top-k ground truth (brute force — ground
     * truth for a recall gate is exact search by definition) joined against
@@ -1671,5 +1687,8 @@ object PipelineOracles {
     "p66_calibrated_filter" -> p66,
     "p67_embedding_drift" -> p67,
     "p68_dataset_card"  -> p68,
-    "p69_ann_recall"    -> p69)
+    "p69_ann_recall"    -> p69,
+    // the delta-maintained card must equal the from-scratch card of the
+    // new snapshot — p68's body over p61's carving IS p70's oracle
+    "p70_dataset_card_delta" -> p70)
 }

@@ -965,6 +965,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(6)).sum == kept)
   }
 
+  test("dataset card delta: the delta-maintained card equals the from-scratch card of the new snapshot") {
+    import org.apache.spark.sql.functions._
+    val got = PipelineOps.datasetCardDelta(spark, SfDir).collect().toSeq
+    val newDf = spark.read.parquet(s"$SfDir/documents.parquet")
+      .where(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val fresh = PipelineOps.datasetCardOf(newDf,
+      PipelineOps.dedupVerdictOf(newDf).select(col("doc_id"), col("reason")))
+      .collect().toSeq
+    assert(got == fresh, "delta path must be invisible in the published card")
+    assert(got.nonEmpty)
+  }
+
   test("ann recall: one row per query, hits bounded by k, corpus recall is the exact mean") {
     val rows = PipelineOps.annRecall(spark, SfDir).collect()
     assert(rows.length == 10, "one report row per eval query")
