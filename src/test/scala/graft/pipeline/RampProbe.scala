@@ -32,7 +32,8 @@ object RampProbe {
       "p65_training_order" -> (PipelineOps.trainingOrder _),
       "p66_calibrated_filter" -> (PipelineOps.calibratedFilter _),
       "p67_embedding_drift" -> (PipelineOps.embeddingDrift _),
-      "p68_dataset_card" -> (PipelineOps.datasetCard _))
+      "p68_dataset_card" -> (PipelineOps.datasetCard _),
+      "p70_dataset_card_delta" -> (PipelineOps.datasetCardDelta _))
     def run(f: (SparkSession, String) => org.apache.spark.sql.DataFrame, d: String): Double =
       time(f(spark, d).write.format("noop").mode("overwrite").save())
     ops.foreach { case (_, f) => run(f, s"$root/sfA") } // warmup
