@@ -51,6 +51,29 @@ object Preagg {
   def eligibleMeasures(cube: Cube): Seq[Measure] =
     cube.measures.filter(m => reAggregator(m.aggregator).isDefined)
 
+  /** The summary frame at `grain` in STORE schema (grain + ancestor header
+    * columns via `parents=true`, measures in their storage form — sketch
+    * arrays, not estimates). This is both the one-shot materialization body
+    * and the per-chunk partial of the streamed refresh: a chunk's summary
+    * frame IS its partial aggregate, and [[mergeSummaries]] folds chunks
+    * under the same re-agg algebra rollup queries use. */
+  def summaryFrame(
+      spark: SparkSession,
+      planner: CubePlanner,
+      cube: Cube,
+      grain: Seq[LevelName]): DataFrame = {
+    val meas = eligibleMeasures(cube)
+    if (meas.isEmpty) throw PlanError(s"cube '${cube.name}' has no pre-aggregable measures")
+    // sketch measures store their raw sketch array, not the estimate —
+    // plan through a cube variant whose aggregators are the storage forms
+    val storeCube = cube.copy(measures =
+      cube.measures.map(m => m.copy(aggregator = storeAggregator(m.aggregator))))
+    planner.withCube(storeCube).plan(spark, CubeQuery(
+      drilldowns = grain.map(Drilldown(_)),
+      parents = true,
+      measures = meas.map(m => MeasureName(m.name))))
+  }
+
   /** Computes and writes the summary at `grain` (one parquet per grain).
     * `parents=true` carries every ancestor level, so any rollup at or above
     * the grain resolves without re-joining dims. */
@@ -59,18 +82,37 @@ object Preagg {
       planner: CubePlanner,
       cube: Cube,
       grain: Seq[LevelName],
-      path: String): Unit = {
+      path: String): Unit =
+    summaryFrame(spark, planner, cube, grain).write.mode("overwrite").parquet(path)
+
+  /** Keyed combine of two summary frames (store schema) under the cube's
+    * re-agg algebra — sums/counts add, min/min, max/max, KMV sketches
+    * union (lossless). Keys are every non-measure column, i.e. the grain +
+    * ancestor headers, so merging a new chunk's [[summaryFrame]] into the
+    * store is one hash aggregation over store + chunk — O(store + chunk),
+    * never a fact rescan. This is the streaming maintenance algebra:
+    * [[graft.streaming.SummaryRefresh]] folds micro-batches with it and
+    * the result is bit-identical to one-shot [[materialize]] for every
+    * measure whose partials combine losslessly (integer-valued sums,
+    * counts, min/max, sketch union). */
+  def mergeSummaries(cube: Cube, existing: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, min, sum}
     val meas = eligibleMeasures(cube)
-    if (meas.isEmpty) throw PlanError(s"cube '${cube.name}' has no pre-aggregable measures")
-    // sketch measures store their raw sketch array, not the estimate —
-    // plan through a cube variant whose aggregators are the storage forms
-    val storeCube = cube.copy(measures =
-      cube.measures.map(m => m.copy(aggregator = storeAggregator(m.aggregator))))
-    planner.withCube(storeCube).plan(spark, CubeQuery(
-        drilldowns = grain.map(Drilldown(_)),
-        parents = true,
-        measures = meas.map(m => MeasureName(m.name))))
-      .write.mode("overwrite").parquet(path)
+    val measNames = meas.map(_.name).toSet
+    val keys = existing.columns.filterNot(measNames).toSeq
+    val aggs = meas.map { m =>
+      val c = col(s"`${m.name}`")
+      (m.aggregator match {
+        case Aggregator.Sum | Aggregator.Count => sum(c)
+        case Aggregator.Min                    => min(c)
+        case Aggregator.Max                    => max(c)
+        case Aggregator.ApproxDistinct(k)      => graft.functions.KmvSketch.mergeCol(c, k)
+        case other => throw PlanError(s"measure '${m.name}': aggregator $other is not re-aggregable")
+      }).as(m.name)
+    }
+    existing.unionByName(delta)
+      .groupBy(keys.map(k => col(s"`$k`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** The summary-as-a-cube: grain + ancestor levels become degenerate levels

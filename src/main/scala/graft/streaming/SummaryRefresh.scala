@@ -61,6 +61,28 @@ object SummaryRefresh {
       meas: Seq[MeasureSpec],
       maxFilesPerTrigger: Int = 1,
       transform: DataFrame => DataFrame = identity): StreamingQuery =
+    runFold(spark, factDir, factSchema, storePath, checkpoint,
+      partialsOf = batch => partials(transform(batch), keys, meas),
+      combine = (existing, delta) => merge(existing, delta, keys, meas),
+      maxFilesPerTrigger = maxFilesPerTrigger)
+
+  /** The generalized fold: each micro-batch maps to its partial-aggregate
+    * frame via `partialsOf`, then folds into the store via `combine` (a
+    * keyed re-agg combine of two store-shaped frames). [[run]] is the
+    * MeasureSpec instantiation; [[graft.plan.Preagg]] instantiates it with
+    * the full cube algebra (`summaryFrame` per chunk +
+    * `mergeSummaries`) so a streamed store can serve the SAME
+    * [[graft.plan.PreaggPlanner]] routing as a batch-materialized summary
+    * — including KMV sketch columns, whose union is lossless. */
+  def runFold(
+      spark: SparkSession,
+      factDir: String,
+      factSchema: StructType,
+      storePath: String,
+      checkpoint: String,
+      partialsOf: DataFrame => DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
     spark.readStream
       .schema(factSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -68,10 +90,10 @@ object SummaryRefresh {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = partials(transform(batch), keys, meas)
+        val delta = partialsOf(batch)
         val merged =
           if (Files.exists(Paths.get(storePath, "_SUCCESS")))
-            merge(batch.sparkSession.read.parquet(storePath), delta, keys, meas)
+            combine(batch.sparkSession.read.parquet(storePath), delta)
           else delta
         // swap-replace: stage next to the store, then move into place (the
         // local stand-in for a transactional commit)
