@@ -558,6 +558,24 @@ object PipelineOracles {
        |  FROM documents WHERE doc_id % 10 <> 0),
        |${p36Body("newsnap")}""".stripMargin
 
+  /** p71: the one-shot p36 semantics over the CHAIN's final snapshot S2
+    * (docs % 10 <> 1, `%7=3` docs carrying ' rev2', `%13=4` docs
+    * additionally carrying ' rev3') — two consecutive maintained bumps
+    * through durable state must answer as a from-scratch dedup of S2. */
+  private val p71 =
+    s"""WITH RECURSIVE b1 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END AS t2,
+       |         lang, source
+       |  FROM documents WHERE doc_id % 10 <> 1),
+       |newsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 4 THEN t2 || ' rev3' ELSE t2 END AS text,
+       |         lang, source,
+       |         len(CASE WHEN doc_id % 13 = 4 THEN t2 || ' rev3' ELSE t2 END)::BIGINT AS n_chars
+       |  FROM b1),
+       |${p36Body("newsnap")}""".stripMargin
+
   /** `//` (DuckDB) and `DIV` (Spark) both truncate toward zero on BIGINT, so
     * the integer-mean centroids are bit-identical cross-engine. */
   private val p24 = {
@@ -1690,5 +1708,8 @@ object PipelineOracles {
     "p69_ann_recall"    -> p69,
     // the delta-maintained card must equal the from-scratch card of the
     // new snapshot — p68's body over p61's carving IS p70's oracle
-    "p70_dataset_card_delta" -> p70)
+    "p70_dataset_card_delta" -> p70,
+    // two chained CDC bumps through durable StateStore checkpoints must
+    // converge to the from-scratch p36 verdict of the final snapshot
+    "p71_ingest_bump"   -> p71)
 }

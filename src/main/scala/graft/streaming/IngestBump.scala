@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ArtifactStore, PipelineOps}
+
+/** The ingest-version-bump driver: ONE orchestrated pass that takes the
+  * corpus from snapshot N to snapshot N+1 across every maintained
+  * artifact — the composition the CDC trilogy (p61 text / p62 vector /
+  * p63 ANN-index deltas) exists for. Where p61/p62/p63 each prove one
+  * family's delta path against a from-scratch oracle by re-ingesting the
+  * old snapshot in-query, this driver is the PRODUCTION shape: carried
+  * state lives in [[StateStore]] (versioned parquet + atomic pointer, DFS
+  * via Hadoop-FS routing), the ANN index is a persistent grow-in-place
+  * tree, and each `bump(newSnapshot)` call pays only the delta:
+  *
+  *   1. text dedup — retire departed/changed docs from the carried
+  *      gram/edge state ([[DedupStream.retain]]), re-gram the delta as
+  *      one incremental batch, emit the new snapshot's p36 verdict;
+  *   2. p60 refresh — optionally PUBLISH that verdict as the
+  *      materialized verdict table of the new snapshot's dataset dir, so
+  *      every downstream composer (budget, splits, scrub closure,
+  *      dataset card) serves the ingest in O(scan) without the
+  *      build-once seam ever re-running corpus-scale dedup;
+  *   3. semantic dedup — retire departed vectors (with reopened-cell
+  *      rebuild, [[SemDedupStream.retain]]) and refresh arrivals against
+  *      the frozen seed quantizer;
+  *   4. ANN index — append arrivals through the frozen persisted
+  *      quantizer, tombstone departures, and COMPACT when the tombstone
+  *      ratio crosses [[PipelineOps.CompactTombstoneRatio]] (the
+  *      LSM-style reclaim economics, measured in SCALING.md).
+  *
+  * Cost per bump is O(delta + state) for pair discovery and O(snapshot
+  * hash projections) for verdict assembly — never a corpus re-gram, a
+  * corpus re-pair, or an index rebuild. The p71 entry gates the chained
+  * driver (two consecutive bumps) under p36's own oracle on the final
+  * snapshot; IngestBumpSpec drives all four artifact families across a
+  * three-snapshot chain against from-scratch oracles, through a
+  * state-on-disk restart.
+  *
+  * Crash contract: each family's state commits via StateStore's atomic
+  * pointer flip, so a crash mid-bump leaves every family at EITHER
+  * snapshot N or N+1, and re-running the bump converges: the text/sem
+  * refreshes are idempotent (valid-id retirement and membership
+  * anti-joins make a replayed delta a no-op), and the index bump derives
+  * arrivals/departures from the index's OWN live set rather than the
+  * state tables, so a replay appends nothing and re-tombstones nothing.
+  * Single concurrent bumper per root (the ingest pipeline's natural
+  * shape); two racing bumpers degrade to last-flip-wins between
+  * internally-consistent versions, never a torn state.
+  *
+  * Reference: the reference engine has no ingest maintenance at all (a
+  * schema reload is a full flush, tesseract-server `handlers/flush.rs`);
+  * this driver is the beyond-parity lifecycle a 100 TB training-data
+  * pipeline needs. */
+object IngestBump {
+
+  /** The per-snapshot outputs: the text verdict (p36 shape: doc_id,
+    * reason, canonical_id) and, when vectors ride the bump, the semantic
+    * verdict (p44 shape). Both carry a LAZY local checkpoint: an
+    * intermediate bump's unread verdict costs nothing (the chain entry
+    * evaluates only the final one), and the first evaluation pins the
+    * result off the state files. Evaluate within one further bump —
+    * StateStore keeps each state version alive for exactly one more
+    * save cycle. */
+  final case class Artifacts(verdict: DataFrame, semVerdict: Option[DataFrame])
+
+  /** The vector half of a snapshot: quantized vectors (vec_id, q, nrm)
+    * plus the FROZEN seed quantizer (trained once, versioned with the
+    * deployment — exactly how production coarse quantizers ship). */
+  final case class VectorSnapshot(
+      vecs: DataFrame,
+      cents: DataFrame,
+      maxCell: Int = PipelineOps.SemMaxCell,
+      threshold: Double = PipelineOps.SemDupThreshold)
+
+  private def textDir(root: String) = s"$root/text"
+  private def semDir(root: String) = s"$root/sem"
+
+  /** The persistent ANN index tree under a bump root (query it with the
+    * p49 query half). */
+  def indexDir(root: String): String = s"$root/ann"
+
+  /** Advance every artifact under `root` to `newDocs` (+ optional vector
+    * snapshot); returns the new snapshot's verdicts. `publishDir`: the
+    * dataset directory whose materialized p60 verdict table this verdict
+    * IS — the ingest updates the table in O(delta + state), where the
+    * build-once seam would pay a full corpus dedup. */
+  def bump(
+      spark: SparkSession,
+      root: String,
+      newDocs: DataFrame,
+      vectors: Option[VectorSnapshot] = None,
+      publishDir: Option[String] = None): Artifacts = {
+    val verdict = bumpText(spark, textDir(root), newDocs)
+    publishDir.foreach(d => PipelineOps.publishVerdictTable(spark, d, verdict))
+    val sem = vectors.map { vs =>
+      val sv = bumpSem(spark, semDir(root), vs)
+      bumpIndex(spark, indexDir(root), vs.vecs)
+      sv
+    }
+    Artifacts(verdict, sem)
+  }
+
+  /** Text family: exact-stage survivors of the new snapshot, valid ids =
+    * still-a-survivor-with-unchanged-bytes (the carried survivor-hash
+    * projection against the new one — hash-sized, no text), retire +
+    * one incremental batch, commit (grams, pairs, survhash) as one
+    * atomic state version. First bump (no state) ingests the snapshot
+    * as one batch — the same code path, with an empty retained prefix. */
+  private def bumpText(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
+    val newSurv = PipelineOps.survivorsOf(newDocs).localCheckpoint(false)
+    val arrivals = DedupStream.arrivalLog(newDocs)
+    val (verdict, st) =
+      StateStore.load(spark, dir, Seq("grams", "pairs", "survhash")) match {
+        case None =>
+          DedupStream.refreshVerdictIncremental(newSurv, newSurv, arrivals, None)
+        case Some(m) =>
+          val validIds = m("survhash")
+            .join(newSurv.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
+            .where(col("content_hash") === col("h2"))
+            .select("doc_id")
+          val batch = newSurv.join(validIds, Seq("doc_id"), "left_anti")
+          DedupStream.refreshVerdictIncremental(
+            newSurv, batch, arrivals,
+            Some(DedupStream.retain(DedupStream.PairState(m("grams"), m("pairs")), validIds)))
+      }
+    StateStore.save(dir, Map(
+      "grams" -> st.grams, "pairs" -> st.pairs,
+      "survhash" -> newSurv.select("doc_id", "content_hash")))
+    verdict.localCheckpoint(false)
+  }
+
+  /** Vector family: retire departures (reopened-cell rebuild included),
+    * refresh arrivals against the frozen seeds — refreshIncremental's
+    * membership anti-join makes passing the whole snapshot as the batch
+    * both correct and replay-idempotent. */
+  private def bumpSem(spark: SparkSession, dir: String, vs: VectorSnapshot): DataFrame = {
+    val prior = StateStore.load(spark, dir, Seq("members", "edges"))
+      .map(m => SemDedupStream.SemState(m("members"), m("edges")))
+      .map(SemDedupStream.retain(_, vs.vecs.select("vec_id"), vs.maxCell, vs.threshold))
+    val st = SemDedupStream.refreshIncremental(vs.cents, vs.vecs, prior, vs.maxCell, vs.threshold)
+    StateStore.save(dir, Map("members" -> st.members, "edges" -> st.edges))
+    SemDedupStream.verdict(vs.vecs.select("vec_id"), st, vs.maxCell).localCheckpoint(false)
+  }
+
+  /** Index family: first bump builds; later bumps reconcile the index's
+    * PHYSICAL id set (every assignment row, tombstoned or not) against
+    * the snapshot: ids never indexed append through the frozen quantizer,
+    * and the tombstone relation is REDERIVED as physical-minus-snapshot.
+    * Deriving tombstones from (physical, snapshot) alone — rather than
+    * folding deltas into the previous tombstone set — is what makes a
+    * departed-then-restored vector resurrect for free (embeddings are
+    * immutable per vec_id, so its existing rows are still valid; it
+    * simply drops out of the tombstone set) instead of being re-appended
+    * into a duplicate row while its tombstone still masks both; it is
+    * also what makes a replayed bump a no-op. Compaction fires when the
+    * tombstone ratio crosses the measured threshold. Arrivals and the
+    * tombstone set are EAGERLY checkpointed before any write — their
+    * lineage reads the very files the append/overwrite touches. */
+  private def bumpIndex(spark: SparkSession, idx: String, vecs: DataFrame): Unit = {
+    if (!ArtifactStore.exists(spark, s"$idx/ivf_assign.parquet")) {
+      PipelineOps.buildAnnIndexOf(vecs.localCheckpoint(false), idx)
+      return
+    }
+    val physical = spark.read.parquet(s"$idx/ivf_assign.parquet")
+      .select(col("nbr_id").as("vec_id"))
+    val arrivals = vecs.join(physical, Seq("vec_id"), "left_anti").localCheckpoint()
+    val tomb = physical.join(vecs.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    PipelineOps.appendAnnIndex(spark, arrivals, idx)
+    tomb.write.mode("overwrite").parquet(s"$idx/tombstones.parquet")
+    val nTomb = tomb.count()
+    if (nTomb == 0) ArtifactStore.delete(spark, s"$idx/tombstones.parquet")
+    else {
+      val nAssigned = spark.read.parquet(s"$idx/ivf_assign.parquet").count()
+      if (nTomb.toDouble >= PipelineOps.CompactTombstoneRatio * (nAssigned - nTomb))
+        PipelineOps.compactAnnIndex(spark, idx)
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ArtifactStore, PipelineOps}
+import graft.SparkTestSession.{spark, rowImage, SfDir}
+
+/** The composed ingest-version-bump driver ([[IngestBump]]): one
+  * orchestrated `bump` per ingest advances EVERY maintained artifact —
+  * text dedup state, the materialized p60 verdict table, semantic-dedup
+  * state, and the persistent ANN index — and each family must track its
+  * from-scratch oracle across a three-snapshot chain (S0 → S1 → S2 with
+  * adds, removes, and in-place revisions at every step). The chain runs
+  * through [[StateStore]]'s on-disk checkpoints only (IngestBump holds no
+  * memory between calls), so snapshot-to-snapshot convergence here IS the
+  * restart-safety proof: every bump begins from the persisted parquet
+  * state a crashed-and-restarted driver would load. */
+class IngestBumpSpec extends AnyFunSuite {
+
+  private val d = spark.read.parquet(s"$SfDir/documents.parquet")
+
+  private def rev(df: DataFrame, m: Int, r: Int, tag: String) = df.withColumn("text",
+    when(col("doc_id") % m === r, concat(col("text"), lit(tag))).otherwise(col("text")))
+  private def snap(df: DataFrame) =
+    df.withColumn("n_chars", length(col("text")).cast("long"))
+
+  private val s0 = snap(d.where(col("doc_id") % 10 =!= 9))
+  private val s1 = snap(rev(d.where(col("doc_id") % 10 =!= 0), 7, 3, " rev2"))
+  private val s2 = snap(rev(rev(d.where(col("doc_id") % 10 =!= 1), 7, 3, " rev2"), 13, 4, " rev3"))
+  private val chain = Seq(s0, s1, s2)
+
+  test("text chain: every bump's verdict equals the from-scratch p36 of its snapshot, " +
+       "and the carried state stays canonical (exactly the snapshot's survivor grams)") {
+    val root = Files.createTempDirectory("graft_bump_text").toString
+    for (si <- chain) {
+      val a = IngestBump.bump(spark, root, si)
+      assert(rowImage(a.verdict) == rowImage(PipelineOps.dedupVerdictOf(si)))
+      // state canonicality: after retire + batch, the gram state must be
+      // row-identical to gramming the snapshot's survivors from scratch —
+      // no stale grams (a revised doc's old text), no duplicates (a
+      // replayed batch), no leaks (a departed doc)
+      val st = StateStore.loadPairState(spark, s"$root/text").get
+      assert(rowImage(st.grams.select("doc_id", "grams")) ==
+        rowImage(PipelineOps.ngramGrams(PipelineOps.survivorsOf(si)
+          .select("doc_id", "text", "lang", "source", "n_chars")).select("doc_id", "grams")))
+    }
+  }
+
+  test("publishDir refreshes the materialized p60 verdict table from the delta-maintained " +
+       "state; the served relation is a bare scan and composers route through it") {
+    val root = Files.createTempDirectory("graft_bump_pub").toString
+    val facade = Files.createTempDirectory("graft_bump_facade").toString
+    IngestBump.bump(spark, root, s0)
+    s1.write.mode("overwrite").parquet(s"$facade/documents.parquet")
+    IngestBump.bump(spark, root, spark.read.parquet(s"$facade/documents.parquet"),
+      publishDir = Some(facade))
+    val served = PipelineOps.dedupVerdictServed(spark, facade)
+    assert(rowImage(served) == rowImage(PipelineOps.dedupVerdictOf(s1)))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "published verdict table must serve as a scan, not a rebuild:\n" + plan.take(600))
+    // a downstream composer (the p68 dataset card) over the facade dir now
+    // serves the ingest's O(delta)-maintained verdict — and must agree with
+    // composing the card directly over the from-scratch verdict
+    val card = PipelineOps.datasetCard(spark, facade)
+    assert(rowImage(card) == rowImage(PipelineOps.datasetCardOf(
+      spark.read.parquet(s"$facade/documents.parquet"),
+      PipelineOps.dedupVerdictOf(s1).select(col("doc_id"), col("reason")))))
+  }
+
+  test("vector families ride the same bumps: sem verdict and ANN answers track " +
+       "from-scratch builds; mass removal trips the compaction threshold") {
+    val root = Files.createTempDirectory("graft_bump_vec").toString
+    val full = PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val nEmb = spark.read.parquet(s"$SfDir/embeddings.parquet").count()
+    val k = PipelineOps.semCells(nEmb)
+    val cents = PipelineOps.semCents(full, k).localCheckpoint(false)
+    // seeds (sem + IVF + PQ + the query set) survive every carving, the
+    // way production versions its quantizers independently of snapshots
+    val seedBound = Seq(k, PipelineOps.IvfCentroids.toLong,
+      PipelineOps.PqCentroids.toLong, 10L).max
+    val keep = col("vec_id") < seedBound
+    val v0 = full.where(keep || col("vec_id") % 10 =!= 9)
+    val v1 = full.where(keep || col("vec_id") % 10 =!= 0)
+    // v2 removes 60% of the non-seed tail: tombstones/live crosses the
+    // CompactTombstoneRatio trigger, so THIS bump must also compact
+    val v2 = full.where(keep || col("vec_id") % 10 < 4)
+    val idx = IngestBump.indexDir(root)
+
+    for ((vi, di) <- Seq(v0, v1, v2).zip(chain)) {
+      val a = IngestBump.bump(spark, root, di,
+        Some(IngestBump.VectorSnapshot(vi, cents)))
+      // sem one-shot oracle: the whole snapshot as a single first batch
+      val oneShot = SemDedupStream.refreshIncremental(
+        cents, vi, None, PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
+      assert(rowImage(a.semVerdict.get) == rowImage(SemDedupStream.verdict(
+        vi.select("vec_id"), oneShot, PipelineOps.SemMaxCell)))
+      // ANN oracle: a from-scratch index over the same snapshot
+      val scratch = Files.createTempDirectory("graft_bump_scratch").toString
+      PipelineOps.buildAnnIndexOf(vi.localCheckpoint(false), scratch)
+      assert(rowImage(PipelineOps.queryAnnIndex(spark, SfDir, idx)) ==
+        rowImage(PipelineOps.queryAnnIndex(spark, SfDir, scratch)))
+    }
+    // the 60%-removal bump crossed the threshold: tombstones were folded
+    // into a rewrite (and the post-compaction answers matched, above)
+    assert(!ArtifactStore.exists(spark, s"$idx/tombstones.parquet"),
+      "compaction should have fired at a tombstone ratio far above the trigger")
+  }
+}
