@@ -289,6 +289,49 @@ final class CubePlanner(
 
     var agg = aggregate(padded, "__combo" +: unionGroupHeaders, meas, hidden.map(_.keyHeader))
 
+    // growth fuses as a __combo-partitioned lag (round 13): the member
+    // path's window partitions by the combo's non-time drill keys; in the
+    // fused frame a combo's out-of-combo columns are null-padded CONSTANTS,
+    // so partitioning by (__combo, every non-time union key) is the same
+    // per-combo partition. Valid only while the time columns sit at the
+    // SAME positions in every combo (the positional-consolidation premise
+    // applied to the growth reorder) — a varying cut on the time dimension
+    // itself breaks that, so it declines to the fan-out path.
+    val perPosTime: Option[Seq[Boolean]] = q0.growth.map { g =>
+      val (tDim, tHier, _) = resolveLevel(g.timeDrill.levelName)
+      def isTime(o: OutLevel) = o.dim.name == tDim.name && o.hier.name == tHier.name
+      val flags = comboOuts.map(_.flatMap(o => Seq.fill(headersOf(o).length)(isTime(o))))
+      if (flags.distinct.length > 1) return None
+      flags.head
+    }
+    // position order for tiebreaks and the output projection: the member
+    // path's growth reorder moves time drills to the back (stable within
+    // each group); without growth it is the natural order
+    val ordIdx: Seq[Int] = perPosTime match {
+      case Some(flags) =>
+        (0 until width).filterNot(flags) ++ (0 until width).filter(flags)
+      case None => 0 until width
+    }
+    val calcs = calcCols(q0)
+    q0.growth.foreach { g =>
+      val (tDim, tHier, _) = resolveLevel(g.timeDrill.levelName)
+      def isTime(o: OutLevel) = o.dim.name == tDim.name && o.hier.name == tHier.name
+      // KEY headers only, like the member path's applyGrowth window; a
+      // combo's out-of-combo keys are null-padded constants, so this is
+      // per-combo exactly the member partition
+      val partCols = cq("__combo") +:
+        unionOuts.filterNot(isTime).map(o => cq(o.keyHeader))
+      val w = Window.partitionBy(partCols: _*)
+        .orderBy(unionOuts.filter(isTime).map(o => cq(o.keyHeader).asc): _*)
+      val m = cq(g.mea.name)
+      val prev = lag(m, 1).over(w)
+      val mDiff = m - prev
+      agg = agg
+        .withColumn(s"${g.mea.name} Growth",
+          when(prev > lit(0), mDiff / prev).otherwise(mDiff / lit(0.0)))
+        .withColumn(s"${g.mea.name} Growth Value", mDiff)
+    }
+
     // positional consolidation under combo 0's headers (types disagreeing
     // across combos collapse to string, the consolidate() rule)
     val posTypes = (0 until width).map { j =>
@@ -317,18 +360,18 @@ final class CubePlanner(
     // each stage per combo, replicated as __combo-partitioned operations
     q0.top.foreach { top =>
       q0.topWhere.foreach { tw =>
-        agg = agg.where(constraintPred(meaOrCalcCol(tw.byMeaOrCalc, Map.empty), tw.constraint))
+        agg = agg.where(constraintPred(meaOrCalcCol(tw.byMeaOrCalc, calcs), tw.constraint))
       }
       // the by-level must be a drilldown of EVERY member query (the
       // fan-out path resolves it per combo), so it is a shared base
       // drill and maps to one union column for all combos
       val byHeader = levelKeyHeader(unionOuts, top.byDimension)
-      val sortCols = top.sortMeaOrCalc.map(meaOrCalcCol(_, Map.empty))
+      val sortCols = top.sortMeaOrCalc.map(meaOrCalcCol(_, calcs))
       val ordered = top.sortDirection match {
         case SortDirection.Asc  => sortCols.map(_.asc)
         case SortDirection.Desc => sortCols.map(_.desc)
       }
-      val tiebreak = (0 until width)
+      val tiebreak = ordIdx
         .filterNot(j => comboUnionCols.forall(_(j) == byHeader))
         .map(j => pickCol(j, cast = false).asc)
       val w = Window.partitionBy(cq("__combo"), cq(byHeader))
@@ -340,7 +383,7 @@ final class CubePlanner(
     // HAVING filters + sparse are identical in every combo's CubeQuery —
     // one pass on the fused aggregate
     val filterPreds = q0.filters.map { f =>
-      val c = meaOrCalcCol(f.byMeaOrCalc, Map.empty)
+      val c = meaOrCalcCol(f.byMeaOrCalc, calcs)
       val p1 = constraintPred(c, f.constraint)
       (f.operator, f.constraint2) match {
         case (Some(FilterOp.And), Some(c2)) => p1 && constraintPred(c, c2)
@@ -354,10 +397,10 @@ final class CubePlanner(
     // per-combo limit/offset: each combo slices its own frame under its
     // deterministic total order, replicated as a combo-partitioned window
     q0.limit.foreach { l =>
-      val tiebreak = (0 until width).map(j => pickCol(j, cast = false).asc)
+      val tiebreak = ordIdx.map(j => pickCol(j, cast = false).asc)
       val ordered: Seq[Column] = q0.sort match {
         case Some(s) =>
-          val c = meaOrCalcCol(s.measure, Map.empty)
+          val c = meaOrCalcCol(s.measure, calcs)
           val head = s.direction match {
             case SortDirection.Asc => c.asc
             case SortDirection.Desc => c.desc
@@ -371,8 +414,15 @@ final class CubePlanner(
         .where(cq("__rn") > off && cq("__rn") <= off + l.n).drop("__rn")
     }
 
-    val outCols = (0 until width).map(j => pickCol(j, cast = true).as(comboHeaders.head(j)))
-    Some(agg.select(outCols ++ meaNames.map(cq): _*))
+    val outCols = ordIdx.map(j => pickCol(j, cast = true).as(comboHeaders.head(j)))
+    // the member path's growth reorder: growth measure to the back of the
+    // measures, then the two growth columns
+    val outMeas = q0.growth match {
+      case Some(g) => meaNames.filterNot(_ == g.mea.name) ++
+        Seq(g.mea.name, s"${g.mea.name} Growth", s"${g.mea.name} Growth Value")
+      case None => meaNames
+    }
+    Some(agg.select(outCols ++ outMeas.map(cq): _*))
   }
 
   // ---------------------------------------------------------------- growth

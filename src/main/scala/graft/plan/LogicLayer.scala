@@ -262,17 +262,23 @@ final class LogicLayer(
     }
   }
 
-  /** Only the calculation rewrites (growth/rca/rate) are structurally
-    * unfusable — their member plans aren't groupBy+options shapes.
-    * Everything else fuses: filters and sparse apply identically per
-    * combo, top/top_where and limit become combo-partitioned windows, and
-    * a sort without a limit selects no rows (the union is
-    * deterministically re-sorted below either way). planFanOutFused
-    * itself still declines two data-dependent cases (a type-consolidation
-    * fallback under a row slice, and top+limit without an explicit sort —
-    * a tie-arbitrary slice in the fan-out) by returning None. */
+  /** Only the rca/rate rewrites are structurally unfusable — their member
+    * plans are whole different aggregates (grouping-sets rollup / fused
+    * conditional pass), not groupBy+options shapes. Everything else
+    * fuses: filters and sparse apply identically per combo, top/top_where
+    * and limit become combo-partitioned windows, a sort without a limit
+    * selects no rows (the union is deterministically re-sorted below
+    * either way), and growth (round 13) is a combo-partitioned lag over
+    * the fused aggregate — the member window's non-time partition keys
+    * are per-combo null-padded constants in the fused frame, so one
+    * window replicates every member's. planFanOutFused itself still
+    * declines data-dependent cases by returning None (a
+    * type-consolidation fallback under a row slice, top+limit without an
+    * explicit sort — a tie-arbitrary slice in the fan-out — and a
+    * varying cut on the growth time dimension, which would break the
+    * positional identity of the time columns). */
   private def fusionEligible(q: LogicLayerQuery): Boolean =
-    q.growth.isEmpty && q.rca.isEmpty && q.rate.isEmpty
+    q.rca.isEmpty && q.rate.isEmpty
 
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq

@@ -116,6 +116,75 @@ class LogicLayerFusedSpec extends AnyFunSuite {
       "tie-arbitrary top+limit must keep the union fan-out")
   }
 
+  test("growth fuses as a combo-partitioned lag (round 13), including the " +
+       "reordered headers, calc-referencing options, and the time-dim decline") {
+    val g = GrowthQuery.parse("Ship Date.Year,Quantity").fold(die, identity)
+    val base = LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Nation.1,2,3")),
+      measures = Seq(mea("Quantity")),
+      growth = Some(g))
+    // combo-partitioned lag over each combo's own (auto-added cut level)
+    // partition, null-padded in the union frame
+    bothAgree(base, mustFuse = true)
+    // two measures: the growth measure reorders to the back per the member
+    // path, and the non-growth measure stays in front
+    bothAgree(base.copy(measures = Seq(mea("Quantity"), mea("Revenue"))),
+      mustFuse = true)
+    // limit under growth slices on the REORDERED (other ++ time) tiebreaks
+    bothAgree(base.copy(limit = Some(LimitQuery.parse("3").fold(die, identity))),
+      mustFuse = true)
+    // sort + filter referencing the growth CALC column
+    bothAgree(base.copy(
+      sort = Some(SortQuery(SortDirection.Desc, MeaOrCalc.GrowthCalc)),
+      limit = Some(LimitQuery.parse("2").fold(die, identity))), mustFuse = true)
+    bothAgree(base.copy(
+      filters = Seq(FilterQuery(MeaOrCalc.GrowthCalc,
+        Constraint(Comparison.Gt, 0.0), None, None))), mustFuse = true)
+    // a deeper non-time drill alongside the fan-out
+    bothAgree(base.copy(
+      drilldowns = Seq(drill("Ship Date.Year"), drill("Customer.Segment"))),
+      mustFuse = true)
+    // a varying cut on the TIME dimension breaks the positional identity of
+    // the time columns — the fused path must decline, results identical
+    val timeFan = LogicLayerQuery(
+      drilldowns = Seq(drill("Geography.Region")),
+      cuts = Seq(cut("Ship Date.Year.1996,1997"), cut("Ship Date.Month.3,4,5")),
+      measures = Seq(mea("Quantity")),
+      growth = Some(GrowthQuery.parse("Geography.Region,Quantity").fold(die, identity)))
+    val f = fused.plan(spark, timeFan)
+    assert(image(f) == image(fan.plan(spark, timeFan)))
+  }
+
+  test("growth-augmented LL fuzz slice: fused == fan-out wherever a time level is drilled") {
+    // the LL fuzz corpus doesn't generate growth; bolt it onto every case
+    // that drills a time level (growth's precondition) and differentially
+    // gate the fused path against the fan-out — which is itself
+    // oracle-gated through q48/q50 and the single-query fuzz corpus
+    var exercised = 0
+    val failures = QueryFuzzer.llCases(60).flatMap { fc =>
+      val q0 = graft.server.QueryParams.toLogicLayerQuery(fc.params, TpchStar.salesCube)
+      q0.drilldowns.find(_.levelName.dimension == "Ship Date").toSeq.flatMap { td =>
+        val q = q0.copy(growth = Some(GrowthQuery(td, q0.measures.head)),
+          // the fan-out threads top per combo over the GROWN frame; the
+          // corpus' tops are rare and already covered — drop only rca/rate
+          rca = None, rate = None)
+        val a = try Right(fan.plan(spark, q)) catch { case e: PlanError => Left(e) }
+        val b = try Right(fused.plan(spark, q)) catch { case e: PlanError => Left(e) }
+        (a, b) match {
+          case (Right(x), Right(y)) =>
+            exercised += 1
+            if (image(x) == image(y)) None
+            else Some(s"${fc.name}: growth fused != fan-out\n  params=${fc.params}")
+          case (Left(_), Left(_)) => None // both reject identically-shaped queries
+          case _ => Some(s"${fc.name}: one path rejected, the other planned")
+        }
+      }
+    }
+    assert(failures.isEmpty, s"${failures.length} mismatches:\n${failures.mkString("\n")}")
+    assert(exercised >= 5, s"only $exercised corpus cases carried growth")
+  }
+
   test("60-case LL fuzz corpus: the fused flag is result-invariant, and fusion engages") {
     var fusedCount = 0
     val failures = QueryFuzzer.llCases(60).flatMap { fc =>
