@@ -3625,6 +3625,52 @@ object PipelineOps {
     out
   }
 
+  /** p72: the CDC-FED ingest chain — [[ingestBumpChain]]'s snapshots
+    * advanced through [[graft.streaming.IngestBump.bumpTextCdc]], the
+    * production-marginal path: where p71's bumps re-hash each full
+    * snapshot to discover the delta, this chain hands the driver an
+    * explicit (removed, changed, added) feed and the only text the bump
+    * ever hashes or grams is the delta's. State persists as
+    * [[graft.streaming.StateStore]] DELTA versions (O(delta) writes, the
+    * LSM chain), snapshotting every [[graft.streaming.IngestBump
+    * .SnapshotEvery]] bumps. The entry derives the feed by diffing
+    * snapshot hash projections in-query — oracle scaffolding, same as
+    * p61/p70 paying their from-scratch baselines in-query; a production
+    * ingest log carries the feed for free. Oracle: identical to p71 —
+    * the from-scratch p36 of the final snapshot; equality gates that
+    * feed-trusting maintenance never drifts from rebuild semantics,
+    * including survivor promotion (a removed keeper's copy re-grammed
+    * from a corpus fetch, IngestBumpSpec). */
+  def ingestCdcChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IngestBump
+    val d = docs(spark, dir)
+    def rev(df: DataFrame, m: Int, r: Int, tag: String) = df.withColumn("text",
+      when(col("doc_id") % m === r, concat(col("text"), lit(tag)))
+        .otherwise(col("text")))
+    def snap(df: DataFrame) = df.withColumn("n_chars", length(col("text")).cast("long"))
+    val s0 = snap(d.where(col("doc_id") % 10 =!= 9))
+    val s1 = snap(rev(d.where(col("doc_id") % 10 =!= 0), 7, 3, " rev2"))
+    val s2 = snap(rev(rev(d.where(col("doc_id") % 10 =!= 1), 7, 3, " rev2"), 13, 4, " rev3"))
+    def feed(prev: DataFrame, next: DataFrame) = {
+      val pk = prev.select(col("doc_id"), md5(col("text")).as("h0"))
+      val nk = next.select(col("doc_id"), md5(col("text")).as("h1"))
+      IngestBump.CorpusDelta(
+        removedIds = pk.join(nk, Seq("doc_id"), "left_anti").select("doc_id"),
+        changed = next.join(
+          pk.join(nk, "doc_id").where(col("h0") =!= col("h1")).select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        added = next.join(pk, Seq("doc_id"), "left_anti"))
+    }
+    val root = ArtifactStore.artifactPath(spark, "ingest-cdc", dir, "documents.parquet")
+    val (n, vroot) = ArtifactStore.claimVersion(spark, root)
+    IngestBump.bump(spark, vroot, s0)
+    IngestBump.bumpTextCdc(spark, vroot, feed(s0, s1), s1)
+    val out = IngestBump.bumpTextCdc(spark, vroot, feed(s1, s2), s2).orderBy("doc_id")
+    ArtifactStore.versions(spark, root).filter(_ < n - 1)
+      .foreach(old => ArtifactStore.delete(spark, s"$root/v$old"))
+    out
+  }
+
   /** p69: ANN recall report — the index-quality gate a production pipeline
     * runs after every build/refresh/delta before flipping traffic to the
     * new index: determinism (the oracle gate) proves the index computes
@@ -3739,5 +3785,6 @@ object PipelineOps {
     "p68_dataset_card"  -> datasetCard,
     "p69_ann_recall"    -> annRecall,
     "p70_dataset_card_delta" -> datasetCardDelta,
-    "p71_ingest_bump"   -> ingestBumpChain)
+    "p71_ingest_bump"   -> ingestBumpChain,
+    "p72_cdc_chain"     -> ingestCdcChain)
 }

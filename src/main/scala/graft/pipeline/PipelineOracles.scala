@@ -1711,5 +1711,10 @@ object PipelineOracles {
     "p70_dataset_card_delta" -> p70,
     // two chained CDC bumps through durable StateStore checkpoints must
     // converge to the from-scratch p36 verdict of the final snapshot
-    "p71_ingest_bump"   -> p71)
+    "p71_ingest_bump"   -> p71,
+    // p72 gates the CDC-FED chain against the same from-scratch p36 of
+    // the final snapshot — the oracle is identical by design; the paths
+    // under test (feed-trusting delta hashing, LSM delta persistence,
+    // survivor promotion via corpus fetch) differ entirely
+    "p72_cdc_chain"     -> p71)
 }

@@ -97,16 +97,71 @@ object DedupStream {
       newSurvivors: DataFrame,
       arrivals: DataFrame,
       prev: Option[PairState]): (DataFrame, PairState) = {
+    val (v, st, _) = refreshVerdictDelta(survivors, newSurvivors, arrivals, prev)
+    (v, st)
+  }
+
+  /** The delta payload of one incremental refresh — exactly the rows the
+    * refresh ADDED to the carried state: the batch's gram arrays and the
+    * new edges. Persisting these (plus the retirement keys) via
+    * [[StateStore.saveDelta]] makes the per-bump state WRITE O(delta),
+    * where re-saving the folded [[PairState]] rewrites the corpus-sized
+    * gram history on every ingest (the write-amplification term the
+    * CdcMarginalProbe decomposition exposed). New pairs are disjoint
+    * from every retained pair by construction — a retained edge has both
+    * endpoints in the valid-old set, a new edge has ≥1 endpoint in the
+    * batch, and the batch is anti-joined against valid ids — so the fold
+    * needs no distinct. */
+  final case class PairDelta(newGrams: DataFrame, newPairs: DataFrame)
+
+  /** [[refreshVerdictIncremental]], also returning the delta payload. */
+  def refreshVerdictDelta(
+      survivors: DataFrame,
+      newSurvivors: DataFrame,
+      arrivals: DataFrame,
+      prev: Option[PairState]): (DataFrame, PairState, PairDelta) = {
     val newGrams = PipelineOps.ngramGrams(
         newSurvivors.select("doc_id", "text", "lang", "source", "n_chars"))
       .localCheckpoint(false)
     val allGrams = prev.map(_.grams.unionByName(newGrams)).getOrElse(newGrams)
       .localCheckpoint(false)
     val newPairs = PipelineOps.ngramPairsAgainst(allGrams, newGrams)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint(false)
     val pairs = prev.map(_.pairs.unionByName(newPairs)).getOrElse(newPairs)
-      .distinct().localCheckpoint(false)
-    (verdictFrom(survivors, arrivals, pairs), PairState(allGrams, pairs))
+      .localCheckpoint(false)
+    (verdictFrom(survivors, arrivals, pairs), PairState(allGrams, pairs),
+      PairDelta(newGrams, newPairs))
+  }
+
+  /** Fold a [[StateStore.loadChain]] pair-state chain back into the live
+    * state: each delta retires its `retired` survivor ids from
+    * grams/pairs/survhash (the [[retire]] anti-joins), drops its
+    * `departed` corpus ids from the live arrival log, then unions its
+    * new rows. Lazy — the fold is parquet scans + broadcast anti-joins
+    * under the consuming query's plan, cost O(state projections), no
+    * rewrite. Chain tables: snapshot (grams, pairs, survhash, livelog);
+    * each delta (retired, departed, grams, pairs, survhash, livelog)
+    * where the delta's survhash/livelog rows are the BATCH survivors' /
+    * the delta arrivals' (doc_id, content_hash). */
+  def foldPairChain(
+      snap: Map[String, DataFrame],
+      deltas: Seq[Map[String, DataFrame]]): Map[String, DataFrame] = {
+    var st = PairState(snap("grams"), snap("pairs"))
+    var survhash = snap("survhash")
+    var livelog = snap("livelog")
+    deltas.foreach { d =>
+      val r = d("retired").select(col("doc_id"))
+      val restricted = retire(st, r)
+      st = PairState(
+        restricted.grams.unionByName(d("grams")),
+        restricted.pairs.unionByName(d("pairs")))
+      survhash = survhash.join(r, Seq("doc_id"), "left_anti").unionByName(d("survhash"))
+      livelog = livelog
+        .join(d("departed").select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(d("livelog"))
+    }
+    Map("grams" -> st.grams, "pairs" -> st.pairs,
+      "survhash" -> survhash, "livelog" -> livelog)
   }
 
   /** CDC retirement (p61): restrict the carried state to the doc ids that
@@ -123,6 +178,22 @@ object DedupStream {
       state.pairs
         .join(v.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(v.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi"))
+  }
+
+  /** [[retain]]'s anti-join twin for when the DEPARTED set is at hand:
+    * restrict the carried state by retiring `retiredIds`. Equivalent to
+    * retain when retiredIds = state ids ∖ valid ids, but the build side
+    * is DELTA-sized — the anti-joins broadcast, where retain's valid-id
+    * semi-join ships a survivor-population key set. The shape every
+    * per-bump state restriction should take once the retired set is
+    * computed (it is, in [[IngestBump]] — old survhash ∖ valid). */
+  def retire(state: PairState, retiredIds: DataFrame): PairState = {
+    val r = retiredIds.select(col("doc_id"))
+    PairState(
+      state.grams.join(r, Seq("doc_id"), "left_anti"),
+      state.pairs
+        .join(r.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(r.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti"))
   }
 
   /** Verdict assembly from the (doc_a, doc_b) near-dup edge set:

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline.{ArtifactStore, PipelineOps}
 
@@ -102,33 +103,180 @@ object IngestBump {
     Artifacts(verdict, sem)
   }
 
+  /** A CDC delta feed — the shape an ingest log provides: ids whose docs
+    * left the corpus, changed docs (full new bodies, live ids), added
+    * docs (fresh ids). The three are disjoint by doc_id. */
+  final case class CorpusDelta(
+      removedIds: DataFrame, changed: DataFrame, added: DataFrame)
+
+  private val DocCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Text-family bump fed by a CDC DELTA instead of a full snapshot.
+    * [[bump]] must re-hash the whole snapshot to discover what changed —
+    * an O(corpus text) scan per ingest; this path trusts the feed, so
+    * the only text that is ever hashed or grammed is the delta's
+    * (changed ∪ added ∪ promoted). Per bump it pays O(delta text) +
+    * corpus-HASH-projection shuffles (the 40-byte-row live log that
+    * survivor selection and verdict assembly are defined over) +
+    * state-projection anti-joins — never a corpus text scan, never a
+    * state rewrite (delta persistence, [[persistText]]).
+    *
+    * `corpus` is the NEW snapshot's documents frame, consulted ONLY to
+    * fetch the bodies of PROMOTED survivors — an old non-survivor whose
+    * exact-duplicate survivor just departed, the one body the feed
+    * cannot carry. That lookup is a delta-sized id semi-join (with an
+    * id-partitioned corpus layout it partition-prunes; promotions only
+    * happen when an exact-dup's keeper leaves, so the matched set is
+    * tiny). Verdict ≡ [[bump]] on the same snapshot — spec-gated and
+    * entry-gated (p72) under p36's own oracle. */
+  def bumpTextCdc(
+      spark: SparkSession,
+      root: String,
+      delta: CorpusDelta,
+      corpus: DataFrame,
+      publishDir: Option[String] = None): DataFrame = {
+    val dir = textDir(root)
+    val m = loadTextState(spark, dir).getOrElse(throw new IllegalStateException(
+      "bumpTextCdc needs an ingested base — run bump() on the first snapshot"))
+    val deltaDocs = delta.changed.select(DocCols.map(col): _*)
+      .unionByName(delta.added.select(DocCols.map(col): _*))
+      .localCheckpoint(false)
+    val deltaLog = DedupStream.arrivalLog(deltaDocs).localCheckpoint(false)
+    // a changed doc departs the log under its old hash and re-enters via
+    // the delta log under its new one
+    val departed = delta.removedIds.select("doc_id")
+      .unionByName(delta.changed.select("doc_id")).localCheckpoint(false)
+    val livelog = m("livelog").join(departed, Seq("doc_id"), "left_anti")
+      .unionByName(deltaLog)
+    // survivor selection over the live log: min doc_id per content hash —
+    // one corpus-hash shuffle, no text
+    val sw = Window.partitionBy(col("content_hash"))
+    val newSurvIds = livelog
+      .withColumn("__min", min(col("doc_id")).over(sw))
+      .where(col("doc_id") === col("__min")).drop("__min")
+      .localCheckpoint(false)
+    val validIds = m("survhash")
+      .join(newSurvIds.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
+      .where(col("content_hash") === col("h2")).select("doc_id")
+    val retired = m("survhash").select("doc_id")
+      .join(validIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
+    val batchSurvhash = newSurvIds.join(validIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    // batch bodies: from the feed where present; promoted ids fetch from
+    // the corpus
+    val promoted = batchSurvhash.select("doc_id")
+      .join(deltaDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val batchDocs = deltaDocs
+      .join(batchSurvhash.select("doc_id"), Seq("doc_id"), "left_semi")
+      .unionByName(corpus.select(DocCols.map(col): _*)
+        .join(promoted, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(false)
+    val (verdict, st, pd) = DedupStream.refreshVerdictDelta(
+      newSurvIds, batchDocs, livelog,
+      Some(DedupStream.retire(DedupStream.PairState(m("grams"), m("pairs")), retired)))
+    persistText(spark, dir, st, pd,
+      retired = retired,
+      departed = departed,
+      batchSurvhash = batchSurvhash.select("doc_id", "content_hash"),
+      logDelta = deltaLog,
+      fullSurvhash = newSurvIds.select("doc_id", "content_hash"),
+      fullLog = livelog)
+    publishDir.foreach(d => PipelineOps.publishVerdictTable(spark, d, verdict))
+    verdict.localCheckpoint(false)
+  }
+
+  /** Snapshot the folded text state every this many delta commits — the
+    * LSM compaction cadence: the read-side fold depth stays ≤ this while
+    * the other bumps write O(delta). 8 balances fold depth (8 broadcast
+    * anti-join layers under the consuming plan) against amortized write
+    * amplification (the corpus-sized gram rewrite lands on 1 bump in 8). */
+  private[streaming] val SnapshotEvery = 8
+
+  private val TextSnapTables = Seq("grams", "pairs", "survhash", "livelog")
+  private val TextDeltaTables =
+    Seq("retired", "departed", "grams", "pairs", "survhash", "livelog")
+
+  /** The folded text state under a bump root — the delta chain's
+    * snapshot with every retirement + new-row layer applied, lazily.
+    * What a restarted driver (and the canonicality spec) reads. */
+  def textState(spark: SparkSession, root: String): Option[Map[String, DataFrame]] =
+    loadTextState(spark, textDir(root))
+
+  /** The folded text state: the chain's snapshot with every delta's
+    * retirement + new rows applied, lazily. None before the first bump. */
+  private def loadTextState(
+      spark: SparkSession, dir: String): Option[Map[String, DataFrame]] =
+    StateStore.loadChain(spark, dir, TextSnapTables, TextDeltaTables)
+      .map { case (snap, deltas) => DedupStream.foldPairChain(snap, deltas) }
+
+  /** Commit a text bump's state: one bump in [[SnapshotEvery]] folds to
+    * a full snapshot (pruning the chain), the rest write the delta
+    * payload alone — O(delta), the write-amplification fix the
+    * CdcMarginalProbe decomposition demanded. */
+  private def persistText(
+      spark: SparkSession,
+      dir: String,
+      st: DedupStream.PairState,
+      delta: DedupStream.PairDelta,
+      retired: DataFrame,
+      departed: DataFrame,
+      batchSurvhash: DataFrame,
+      logDelta: DataFrame,
+      fullSurvhash: => DataFrame,
+      fullLog: => DataFrame): Unit =
+    if (StateStore.chainLength(spark, dir) + 1 >= SnapshotEvery)
+      StateStore.save(dir, Map(
+        "grams" -> st.grams, "pairs" -> st.pairs,
+        "survhash" -> fullSurvhash, "livelog" -> fullLog))
+    else
+      StateStore.saveDelta(dir, Map(
+        "retired" -> retired, "departed" -> departed,
+        "grams" -> delta.newGrams, "pairs" -> delta.newPairs,
+        "survhash" -> batchSurvhash, "livelog" -> logDelta))
+
   /** Text family: exact-stage survivors of the new snapshot, valid ids =
     * still-a-survivor-with-unchanged-bytes (the carried survivor-hash
     * projection against the new one — hash-sized, no text), retire +
-    * one incremental batch, commit (grams, pairs, survhash) as one
-    * atomic state version. First bump (no state) ingests the snapshot
-    * as one batch — the same code path, with an empty retained prefix. */
+    * one incremental batch, commit as one atomic state version — a
+    * DELTA version on most bumps (see [[persistText]]). First bump (no
+    * state) ingests the snapshot as one batch — the same code path,
+    * with an empty retained prefix. */
   private def bumpText(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
     val newSurv = PipelineOps.survivorsOf(newDocs).localCheckpoint(false)
-    val arrivals = DedupStream.arrivalLog(newDocs)
-    val (verdict, st) =
-      StateStore.load(spark, dir, Seq("grams", "pairs", "survhash")) match {
-        case None =>
-          DedupStream.refreshVerdictIncremental(newSurv, newSurv, arrivals, None)
-        case Some(m) =>
-          val validIds = m("survhash")
-            .join(newSurv.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
-            .where(col("content_hash") === col("h2"))
-            .select("doc_id")
-          val batch = newSurv.join(validIds, Seq("doc_id"), "left_anti")
-          DedupStream.refreshVerdictIncremental(
-            newSurv, batch, arrivals,
-            Some(DedupStream.retain(DedupStream.PairState(m("grams"), m("pairs")), validIds)))
-      }
-    StateStore.save(dir, Map(
-      "grams" -> st.grams, "pairs" -> st.pairs,
-      "survhash" -> newSurv.select("doc_id", "content_hash")))
-    verdict.localCheckpoint(false)
+    val arrivals = DedupStream.arrivalLog(newDocs).localCheckpoint(false)
+    loadTextState(spark, dir) match {
+      case None =>
+        val (verdict, st, _) =
+          DedupStream.refreshVerdictDelta(newSurv, newSurv, arrivals, None)
+        StateStore.save(dir, Map(
+          "grams" -> st.grams, "pairs" -> st.pairs,
+          "survhash" -> newSurv.select("doc_id", "content_hash"),
+          "livelog" -> arrivals))
+        verdict.localCheckpoint(false)
+      case Some(m) =>
+        val validIds = m("survhash")
+          .join(newSurv.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
+          .where(col("content_hash") === col("h2"))
+          .select("doc_id")
+        val retired = m("survhash").select("doc_id")
+          .join(validIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
+        val batch = newSurv.join(validIds, Seq("doc_id"), "left_anti")
+        val (verdict, st, delta) = DedupStream.refreshVerdictDelta(
+          newSurv, batch, arrivals,
+          Some(DedupStream.retire(DedupStream.PairState(m("grams"), m("pairs")), retired)))
+        // livelog delta/departures by (id, hash) comparison against the
+        // carried log: corpus-hash-sized joins, delta-sized writes
+        val logKey = Seq("doc_id", "content_hash")
+        persistText(spark, dir, st, delta,
+          retired = retired,
+          departed = m("livelog").join(arrivals, logKey, "left_anti")
+            .select("doc_id").localCheckpoint(false),
+          batchSurvhash = batch.select("doc_id", "content_hash"),
+          logDelta = arrivals.join(m("livelog"), logKey, "left_anti"),
+          fullSurvhash = newSurv.select("doc_id", "content_hash"),
+          fullLog = arrivals)
+        verdict.localCheckpoint(false)
+    }
   }
 
   /** Vector family: retire departures (reopened-cell rebuild included),

@@ -69,13 +69,88 @@ object StateStore {
     }
   }
 
+  private def baseOf(fs: FileSystem, dir: String, v: Long): Option[Long] = {
+    val p = new HPath(s"$dir/v$v/_DELTA")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        var total = 0
+        var n = 0
+        while (total < buf.length &&
+               { n = in.read(buf, total, buf.length - total); n > 0 }) total += n
+        Some(new String(buf, 0, total, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** The version chain ending at `v`: snapshot first, deltas in commit
+    * order. */
+  private def chainOf(fs: FileSystem, dir: String, v: Long): Seq[Long] = {
+    var chain = List(v)
+    var base = baseOf(fs, dir, v)
+    while (base.isDefined) {
+      chain = base.get :: chain
+      base = baseOf(fs, dir, base.get)
+    }
+    chain
+  }
+
   /** Persist `tables` as the next state version; returns the version. */
-  def save(dir: String, tables: Map[String, DataFrame]): Long = {
+  def save(dir: String, tables: Map[String, DataFrame]): Long =
+    commit(dir, tables, delta = false)
+
+  /** LSM-style delta commit: persist ONLY the delta payload (new rows /
+    * retirement keys — whatever the domain's fold consumes) as the next
+    * version, chained onto the current one via a `_DELTA` base pointer.
+    * The write is O(delta) where [[save]] rewrites the full state — the
+    * difference between a CDC ingest bump paying for its delta and
+    * paying corpus-state write amplification on every bump. Readers go
+    * through [[loadChain]] (a [[load]] against a delta head fails fast);
+    * the FOLD semantics — which tombstone table anti-joins which state
+    * table, what unions in — belong to the domain (see
+    * [[DedupStream.foldPairChain]]). Fold cost is read-side and lazy:
+    * the chain is parquet scans under the consuming query's plan. Bound
+    * the chain with a periodic [[save]] of the folded state (compaction
+    * — [[chainLength]] tells you when), which prunes the chain. */
+  def saveDelta(dir: String, tables: Map[String, DataFrame]): Long =
+    commit(dir, tables, delta = true)
+
+  /** Number of delta versions stacked on the current chain's snapshot —
+    * 0 when the current version is itself a snapshot; the compaction
+    * trigger input. */
+  def chainLength(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    currentVersion(fs, dir).map(v => chainOf(fs, dir, v).length - 1).getOrElse(0)
+  }
+
+  /** The committed chain: the snapshot version's tables (names in
+    * `snapshotNames`) plus each delta version's tables (`deltaNames`) in
+    * commit order, for the domain to fold. None if nothing committed. */
+  def loadChain(
+      spark: SparkSession,
+      dir: String,
+      snapshotNames: Seq[String],
+      deltaNames: Seq[String]): Option[(Map[String, DataFrame], Seq[Map[String, DataFrame]])] = {
+    val fs = fsOf(spark, dir)
+    currentVersion(fs, dir).map { v =>
+      val chain = chainOf(fs, dir, v)
+      val snap = snapshotNames.map(n =>
+        n -> spark.read.parquet(s"$dir/v${chain.head}/$n.parquet")).toMap
+      val deltas = chain.tail.map(dv =>
+        deltaNames.map(n => n -> spark.read.parquet(s"$dir/v$dv/$n.parquet")).toMap)
+      (snap, deltas)
+    }
+  }
+
+  private def commit(dir: String, tables: Map[String, DataFrame], delta: Boolean): Long = {
     require(tables.nonEmpty, "cannot checkpoint an empty table set")
     val spark = tables.head._2.sparkSession
     val fs = fsOf(spark, dir)
     fs.mkdirs(new HPath(dir))
     val prev = currentVersion(fs, dir)
+    require(!delta || prev.isDefined, "a delta commit needs a base version")
     // (1) claim a version: first writer to create v{N}/_ALLOC owns v{N};
     // a loser (concurrent writer, or a crashed save's leftover) advances
     var next = prev.getOrElse(0L) + 1
@@ -89,9 +164,15 @@ object StateStore {
         case _: java.nio.file.FileAlreadyExistsException => next += 1
       }
     }
-    // (2) state tables into the claimed directory
+    // (2) state tables into the claimed directory; a delta also records
+    // its base version — the chain pointer loadChain walks. Written
+    // BEFORE the _CURRENT flip, so a committed delta always has its base.
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/v$next/$name.parquet")
+    }
+    if (delta) {
+      val out = fs.create(new HPath(s"$dir/v$next/_DELTA"), true)
+      try out.write(prev.get.toString.getBytes("UTF-8")) finally out.close()
     }
     // (3) atomic pointer flip. The OVERWRITE rename is atomic with respect
     // to READERS on POSIX/HDFS (they see old or new, never torn), but the
@@ -117,24 +198,38 @@ object StateStore {
           if (attempts > 100) throw e
       }
     }
-    // (4) prune everything older than the previous version (listStatus
-    // returns a materialized array — nothing to leak on repeated saves)
-    prev.foreach { p =>
+    // (4) prune: a SNAPSHOT commit retires the previous chain — delete
+    // everything older than the previous version's chain START, so
+    // in-flight readers mid-walk over that chain stay whole for one more
+    // cycle (for all-snapshot stores this is exactly the old "keep one
+    // prior version" rule). A DELTA commit prunes nothing: every version
+    // back to its snapshot IS the live state. (listStatus returns a
+    // materialized array — nothing to leak on repeated saves.)
+    if (!delta) prev.foreach { p =>
+      val keepFrom = chainOf(fs, dir, p).head
       fs.listStatus(new HPath(dir)).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong < p)
+            n.drop(1).toLong < keepFrom)
           fs.delete(st.getPath, true)
       }
     }
     next
   }
 
-  /** Read the committed state tables, None if no version was ever flipped. */
-  def load(spark: SparkSession, dir: String, names: Seq[String]): Option[Map[String, DataFrame]] =
-    currentVersion(fsOf(spark, dir), dir).map { v =>
+  /** Read the committed state tables, None if no version was ever flipped.
+    * Fails fast if the head version is a delta — a chained store must be
+    * read through [[loadChain]] (reading a delta's tables as if they were
+    * the full state would silently serve a fragment). */
+  def load(spark: SparkSession, dir: String, names: Seq[String]): Option[Map[String, DataFrame]] = {
+    val fs = fsOf(spark, dir)
+    currentVersion(fs, dir).map { v =>
+      if (baseOf(fs, dir, v).isDefined)
+        throw new IllegalStateException(
+          s"$dir head v$v is a delta — read the chain via loadChain")
       names.map(n => n -> spark.read.parquet(s"$dir/v$v/$n.parquet")).toMap
     }
+  }
 
   // ------------------------------------------------- typed wrappers
 

@@ -37,15 +37,81 @@ class IngestBumpSpec extends AnyFunSuite {
     for (si <- chain) {
       val a = IngestBump.bump(spark, root, si)
       assert(rowImage(a.verdict) == rowImage(PipelineOps.dedupVerdictOf(si)))
-      // state canonicality: after retire + batch, the gram state must be
-      // row-identical to gramming the snapshot's survivors from scratch —
-      // no stale grams (a revised doc's old text), no duplicates (a
-      // replayed batch), no leaks (a departed doc)
-      val st = StateStore.loadPairState(spark, s"$root/text").get
-      assert(rowImage(st.grams.select("doc_id", "grams")) ==
+      // state canonicality: after retire + batch, the FOLDED gram state
+      // (the delta chain collapsed) must be row-identical to gramming the
+      // snapshot's survivors from scratch — no stale grams (a revised
+      // doc's old text), no duplicates (a replayed batch), no leaks (a
+      // departed doc)
+      val grams = IngestBump.textState(spark, root).get("grams")
+      assert(rowImage(grams.select("doc_id", "grams")) ==
         rowImage(PipelineOps.ngramGrams(PipelineOps.survivorsOf(si)
           .select("doc_id", "text", "lang", "source", "n_chars")).select("doc_id", "grams")))
     }
+  }
+
+  test("CDC-fed text bumps: a (removed, changed, added) delta feed converges to each " +
+       "snapshot's from-scratch verdict — including survivor promotion — with only " +
+       "delta text ever hashed, and the folded state stays canonical") {
+    val root = Files.createTempDirectory("graft_bump_cdc").toString
+    IngestBump.bump(spark, root, s0)
+    for ((prev, next) <- chain.zip(chain.tail)) {
+      // derive the feed the ingest log would carry (the spec pays the
+      // full-snapshot diff so the code under test doesn't have to)
+      val pk = prev.select(col("doc_id"), md5(col("text")).as("h0"))
+      val nk = next.select(col("doc_id"), md5(col("text")).as("h1"))
+      val delta = IngestBump.CorpusDelta(
+        removedIds = pk.join(nk, Seq("doc_id"), "left_anti").select("doc_id"),
+        changed = next.join(
+          pk.join(nk, "doc_id").where(col("h0") =!= col("h1")).select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        added = next.join(pk, Seq("doc_id"), "left_anti"))
+      val v = IngestBump.bumpTextCdc(spark, root, delta, next)
+      assert(rowImage(v) == rowImage(PipelineOps.dedupVerdictOf(next)))
+    }
+    val st = IngestBump.textState(spark, root).get
+    assert(rowImage(st("grams").select("doc_id", "grams")) ==
+      rowImage(PipelineOps.ngramGrams(PipelineOps.survivorsOf(s2)
+        .select("doc_id", "text", "lang", "source", "n_chars")).select("doc_id", "grams")))
+    // the live log is the corpus hash projection — verdict assembly's input
+    assert(rowImage(st("livelog")) == rowImage(DedupStream.arrivalLog(s2)))
+  }
+
+  test("survivor promotion under a CDC feed: removing an exact-dup's keeper promotes " +
+       "the copy, whose body the feed never carried (fetched from the corpus)") {
+    val root = Files.createTempDirectory("graft_bump_promo").toString
+    // doc B is a byte-exact copy of doc A; A departs in the delta
+    val a = s0.where(col("doc_id") === 2)
+    val copyB = a.withColumn("doc_id", lit(900001L))
+    val base = snap(s0.unionByName(copyB))
+    IngestBump.bump(spark, root, base)
+    val next = snap(base.where(col("doc_id") =!= 2))
+    val delta = IngestBump.CorpusDelta(
+      removedIds = a.select("doc_id"),
+      changed = next.limit(0),
+      added = next.limit(0))
+    val v = IngestBump.bumpTextCdc(spark, root, delta, next)
+    assert(rowImage(v) == rowImage(PipelineOps.dedupVerdictOf(next)))
+    // the promoted copy must now be grammed under its own id
+    val grams = IngestBump.textState(spark, root).get("grams")
+    assert(grams.where(col("doc_id") === 900001L).count() == 1)
+  }
+
+  test("the LSM cadence: a long bump chain stacks deltas, snapshots at SnapshotEvery " +
+       "(pruning the chain), and every verdict along the way tracks from-scratch") {
+    val root = Files.createTempDirectory("graft_bump_lsm").toString
+    val small = snap(d.where(col("doc_id") < 300))
+    IngestBump.bump(spark, root, small)
+    var maxLen = 0
+    for (i <- 1 to IngestBump.SnapshotEvery + 1) {
+      val si = snap(rev(small.where(col("doc_id") % 17 =!= i % 17), 11, i % 11, s" r$i"))
+      val a = IngestBump.bump(spark, root, si)
+      maxLen = math.max(maxLen, StateStore.chainLength(spark, s"$root/text"))
+      if (i == IngestBump.SnapshotEvery + 1)
+        assert(rowImage(a.verdict) == rowImage(PipelineOps.dedupVerdictOf(si)))
+    }
+    // the chain crossed the cadence exactly once and collapsed
+    assert(maxLen == IngestBump.SnapshotEvery - 1, s"max chain length $maxLen")
+    assert(StateStore.chainLength(spark, s"$root/text") <= 1)
   }
 
   test("publishDir refreshes the materialized p60 verdict table from the delta-maintained " +

@@ -216,4 +216,36 @@ class StreamStateSpec extends AnyFunSuite {
     assert(vdirs == Seq("v3", "v4"), s"expected prune to v3/v4, got $vdirs")
     assert(StateStore.load(spark, dir, Seq("t")).get("t").head().getLong(0) == 4L)
   }
+
+  test("delta chain: saveDelta stacks O(delta) versions, loadChain returns them in " +
+       "commit order, load fails fast on a delta head, and a snapshot commit prunes " +
+       "the retired chain (keeping it whole for one cycle)") {
+    import spark.implicits._
+    val dir = tmpDir("chain")
+    def vdirs() = new java.io.File(dir).list().filter(_.startsWith("v")).sorted.toSeq
+    // a delta commit needs a base
+    intercept[IllegalArgumentException] {
+      StateStore.saveDelta(dir, Map("d" -> Seq(0L).toDF("id")))
+    }
+    StateStore.save(dir, Map("t" -> Seq(1L, 2L).toDF("id")))        // v1 snapshot
+    StateStore.saveDelta(dir, Map("d" -> Seq(3L).toDF("id")))       // v2 delta
+    StateStore.saveDelta(dir, Map("d" -> Seq(4L).toDF("id")))       // v3 delta
+    assert(StateStore.chainLength(spark, dir) == 2)
+    // deltas prune nothing — the chain IS the state
+    assert(vdirs() == Seq("v1", "v2", "v3"), s"got ${vdirs()}")
+    val (snap, deltas) = StateStore.loadChain(spark, dir, Seq("t"), Seq("d")).get
+    assert(snap("t").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(deltas.map(_("d").as[Long].head()) == Seq(3L, 4L))
+    // a generic load against a delta head is a misread — fail fast
+    intercept[IllegalStateException] {
+      StateStore.load(spark, dir, Seq("d"))
+    }
+    // snapshot commit: chain collapses; the PREVIOUS chain survives one
+    // cycle for in-flight readers mid-walk
+    StateStore.save(dir, Map("t" -> Seq(1L, 2L, 3L, 4L).toDF("id"))) // v4 snapshot
+    assert(StateStore.chainLength(spark, dir) == 0)
+    assert(vdirs() == Seq("v1", "v2", "v3", "v4"), s"got ${vdirs()}")
+    StateStore.save(dir, Map("t" -> Seq(9L).toDF("id")))             // v5 snapshot
+    assert(vdirs() == Seq("v4", "v5"), s"got ${vdirs()}")
+  }
 }
