@@ -1030,14 +1030,15 @@ object PipelineOps {
     * on small fixtures; production callers use the default. */
   private[graft] def candidatePairs(
       aGrams: DataFrame, bGrams: DataFrame, num: Int, den: Int,
-      decisionThreshold: Long = PrefixDecisionThreshold): DataFrame = {
+      decisionThreshold: Long = PrefixDecisionThreshold,
+      estSampleMod: Long = 1L): DataFrame = {
     val aK = aGrams.select((col("doc_id").as("doc_a") +: gramBlockCols.map(col)): _*)
     val bK = bGrams.select((col("doc_id").as("doc_b") +: gramBlockCols.map(col)): _*)
     lazy val blockJoin = aK.join(bK, gramBlockCols)
       .where(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
     if (num < 1) return blockJoin
-    val blockEst = estJoinRows(aK, bK, gramBlockCols)
+    val blockEst = estJoinRows(aK, bK, gramBlockCols, estSampleMod)
     if (blockEst <= decisionThreshold) return blockJoin
     val pa = prefixedView(aGrams, "doc_a", num, den)
     val pb = prefixedView(bGrams, "doc_b", num, den)
@@ -1147,7 +1148,15 @@ object PipelineOps {
     * block-estimate job as the floor cost of adaptivity. */
   private[graft] def ngramPairsAgainst(allGrams: DataFrame, newGrams: DataFrame): DataFrame =
     jaccardVerified(
-        withGramArrays(candidatePairs(allGrams, newGrams, 3, 5), allGrams, newGrams))
+        // the strategy estimate runs KEY-SAMPLED here: on the incremental
+        // path this estimate fires EVERY refresh against the corpus-sized
+        // gram history, and sampling cuts that recurring per-key count
+        // shuffle by EstSampleMod× while both candidate strategies stay
+        // exact — estimate error can only mis-pick between two correct
+        // plans, and only matters within ~2× of the decision boundary
+        withGramArrays(
+          candidatePairs(allGrams, newGrams, 3, 5, estSampleMod = EstSampleMod),
+          allGrams, newGrams))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
       .distinct()

@@ -98,7 +98,10 @@ object DedupStream {
       arrivals: DataFrame,
       prev: Option[PairState]): (DataFrame, PairState) = {
     val (v, st, _) = refreshVerdictDelta(survivors, newSurvivors, arrivals, prev)
-    (v, st)
+    // this entry point carries state IN MEMORY across refreshes (the
+    // multi-batch loops) — pin it so lineage doesn't deepen per batch;
+    // the delta entry point leaves state lazy over the chain files
+    (v, PairState(st.grams.localCheckpoint(false), st.pairs.localCheckpoint(false)))
   }
 
   /** The delta payload of one incremental refresh — exactly the rows the
@@ -114,53 +117,63 @@ object DedupStream {
     * needs no distinct. */
   final case class PairDelta(newGrams: DataFrame, newPairs: DataFrame)
 
-  /** [[refreshVerdictIncremental]], also returning the delta payload. */
+  /** [[refreshVerdictIncremental]], also returning the delta payload.
+    * Labels rebuild globally here (one CC over the accumulated edges) —
+    * the oracle-scaffolded in-query paths' shape; [[IngestBump]]'s
+    * production bumps maintain labels incrementally instead
+    * ([[IncrementalCc]]) and never pay a full CC per bump. Only the
+    * DELTA-sized frames pin (they're read several times); the folded
+    * state stays lazy — an O(state) localCheckpoint here would
+    * re-materialize the corpus gram history in the block manager on
+    * every bump, the very amplification delta persistence removes. */
   def refreshVerdictDelta(
       survivors: DataFrame,
       newSurvivors: DataFrame,
       arrivals: DataFrame,
       prev: Option[PairState]): (DataFrame, PairState, PairDelta) = {
-    val newGrams = PipelineOps.ngramGrams(
-        newSurvivors.select("doc_id", "text", "lang", "source", "n_chars"))
-      .localCheckpoint(false)
-    val allGrams = prev.map(_.grams.unionByName(newGrams)).getOrElse(newGrams)
-      .localCheckpoint(false)
-    val newPairs = PipelineOps.ngramPairsAgainst(allGrams, newGrams)
-      .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint(false)
-    val pairs = prev.map(_.pairs.unionByName(newPairs)).getOrElse(newPairs)
-      .localCheckpoint(false)
-    (verdictFrom(survivors, arrivals, pairs), PairState(allGrams, pairs),
-      PairDelta(newGrams, newPairs))
+    val pd = discoverPairs(newSurvivors, prev.map(_.grams))
+    val allGrams = prev.map(_.grams.unionByName(pd.newGrams)).getOrElse(pd.newGrams)
+    val pairs = prev.map(_.pairs.unionByName(pd.newPairs)).getOrElse(pd.newPairs)
+    (verdictFrom(survivors, arrivals, pairs), PairState(allGrams, pairs), pd)
   }
 
-  /** Fold a [[StateStore.loadChain]] pair-state chain back into the live
+  /** Fold a [[StateStore.loadChain]] text-state chain back into the live
     * state: each delta retires its `retired` survivor ids from
-    * grams/pairs/survhash (the [[retire]] anti-joins), drops its
-    * `departed` corpus ids from the live arrival log, then unions its
-    * new rows. Lazy — the fold is parquet scans + broadcast anti-joins
-    * under the consuming query's plan, cost O(state projections), no
-    * rewrite. Chain tables: snapshot (grams, pairs, survhash, livelog);
-    * each delta (retired, departed, grams, pairs, survhash, livelog)
-    * where the delta's survhash/livelog rows are the BATCH survivors' /
-    * the delta arrivals' (doc_id, content_hash). */
+    * grams/survhash, drops the `labelsOut` epoch from the labeled edge
+    * set and the labels table (the [[IncrementalCc]] rebuild payload —
+    * labelsOut covers every edge row of the touched components,
+    * including every edge with a retired endpoint, by the elabel
+    * invariant), drops its `departed` corpus ids from the live arrival
+    * log, then unions its new rows. Lazy — the fold is parquet scans +
+    * broadcast anti-joins under the consuming query's plan, cost
+    * O(state projections), no rewrite. Chain tables: snapshot (grams,
+    * pairs(doc_a, doc_b, elabel), labels(node, label), survhash,
+    * livelog); each delta (retired, departed, labelsOut, labelsIn,
+    * grams, pairs, survhash, livelog) where the delta's
+    * survhash/livelog rows are the BATCH survivors' / the delta
+    * arrivals' (doc_id, content_hash). */
   def foldPairChain(
       snap: Map[String, DataFrame],
       deltas: Seq[Map[String, DataFrame]]): Map[String, DataFrame] = {
-    var st = PairState(snap("grams"), snap("pairs"))
+    var grams = snap("grams")
+    var pairs = snap("pairs")
+    var labels = snap("labels")
     var survhash = snap("survhash")
     var livelog = snap("livelog")
     deltas.foreach { d =>
       val r = d("retired").select(col("doc_id"))
-      val restricted = retire(st, r)
-      st = PairState(
-        restricted.grams.unionByName(d("grams")),
-        restricted.pairs.unionByName(d("pairs")))
+      val out = d("labelsOut").select(col("node"))
+      grams = grams.join(r, Seq("doc_id"), "left_anti").unionByName(d("grams"))
+      pairs = pairs
+        .join(out.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
+        .unionByName(d("pairs"))
+      labels = labels.join(out, Seq("node"), "left_anti").unionByName(d("labelsIn"))
       survhash = survhash.join(r, Seq("doc_id"), "left_anti").unionByName(d("survhash"))
       livelog = livelog
         .join(d("departed").select(col("doc_id")), Seq("doc_id"), "left_anti")
         .unionByName(d("livelog"))
     }
-    Map("grams" -> st.grams, "pairs" -> st.pairs,
+    Map("grams" -> grams, "pairs" -> pairs, "labels" -> labels,
       "survhash" -> survhash, "livelog" -> livelog)
   }
 
@@ -196,13 +209,37 @@ object DedupStream {
         .join(r.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti"))
   }
 
-  /** Verdict assembly from the (doc_a, doc_b) near-dup edge set:
+  /** Pair discovery alone — the incremental refresh's first half: gram
+    * the batch, pair it against the full gram history (prior ∪ batch),
+    * canonicalized + deduped. The returned newGrams/newPairs are the
+    * DELTA payload; callers that maintain labels incrementally
+    * ([[IngestBump]]) take it from here, callers that rebuild labels
+    * globally go through [[refreshVerdictDelta]]. */
+  def discoverPairs(
+      newSurvivors: DataFrame, prevGrams: Option[DataFrame]): PairDelta = {
+    val newGrams = PipelineOps.ngramGrams(
+        newSurvivors.select("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(false)
+    val allGrams = prevGrams.map(_.unionByName(newGrams)).getOrElse(newGrams)
+    val newPairs = PipelineOps.ngramPairsAgainst(allGrams, newGrams)
+      .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint(false)
+    PairDelta(newGrams, newPairs)
+  }
+
+  /** Verdict assembly from a precomputed (node, label) component table —
+    * label MUST be each cluster's min node (what both the global CC and
+    * the incremental rebuild emit):
     *   - exact: the arrival's hash survives under a different doc_id
     *   - near: a surviving doc whose cluster canonical is another doc
     *   - kept: everything else; canonical_id always lands on a kept doc */
+  /** [[verdictFromLabels]] with the labels rebuilt globally from the edge
+    * set — one connected-components pass. */
   private def verdictFrom(
-      survivors: DataFrame, arrivals: DataFrame, pairs: DataFrame): DataFrame = {
-    val labels = PipelineOps.connectedComponents(pairs)
+      survivors: DataFrame, arrivals: DataFrame, pairs: DataFrame): DataFrame =
+    verdictFromLabels(survivors, arrivals, PipelineOps.connectedComponents(pairs))
+
+  def verdictFromLabels(
+      survivors: DataFrame, arrivals: DataFrame, labels: DataFrame): DataFrame = {
     // each survivor's final canonical: its near-cluster min, or itself
     val survCanon = survivors
       .join(labels, survivors("doc_id") === labels("node"), "left")

@@ -171,18 +171,17 @@ object IngestBump {
       .unionByName(corpus.select(DocCols.map(col): _*)
         .join(promoted, Seq("doc_id"), "left_semi"))
       .localCheckpoint(false)
-    val (verdict, st, pd) = DedupStream.refreshVerdictDelta(
-      newSurvIds, batchDocs, livelog,
-      Some(DedupStream.retire(DedupStream.PairState(m("grams"), m("pairs")), retired)))
-    persistText(spark, dir, st, pd,
+    val verdict = advanceText(spark, dir, m,
+      survProj = newSurvIds,
+      batchDocs = batchDocs,
       retired = retired,
       departed = departed,
       batchSurvhash = batchSurvhash.select("doc_id", "content_hash"),
       logDelta = deltaLog,
-      fullSurvhash = newSurvIds.select("doc_id", "content_hash"),
-      fullLog = livelog)
+      livelog = livelog,
+      fullSurvhash = newSurvIds.select("doc_id", "content_hash"))
     publishDir.foreach(d => PipelineOps.publishVerdictTable(spark, d, verdict))
-    verdict.localCheckpoint(false)
+    verdict
   }
 
   /** Snapshot the folded text state every this many delta commits — the
@@ -192,9 +191,11 @@ object IngestBump {
     * amplification (the corpus-sized gram rewrite lands on 1 bump in 8). */
   private[streaming] val SnapshotEvery = 8
 
-  private val TextSnapTables = Seq("grams", "pairs", "survhash", "livelog")
-  private val TextDeltaTables =
-    Seq("retired", "departed", "grams", "pairs", "survhash", "livelog")
+  private val TextSnapTables =
+    Seq("grams", "pairs", "labels", "survhash", "livelog")
+  private val TextDeltaTables = Seq(
+    "retired", "departed", "labelsOut", "labelsIn",
+    "grams", "pairs", "survhash", "livelog")
 
   /** The folded text state under a bump root — the delta chain's
     * snapshot with every retirement + new-row layer applied, lazily.
@@ -209,50 +210,78 @@ object IngestBump {
     StateStore.loadChain(spark, dir, TextSnapTables, TextDeltaTables)
       .map { case (snap, deltas) => DedupStream.foldPairChain(snap, deltas) }
 
-  /** Commit a text bump's state: one bump in [[SnapshotEvery]] folds to
-    * a full snapshot (pruning the chain), the rest write the delta
-    * payload alone — O(delta), the write-amplification fix the
-    * CdcMarginalProbe decomposition demanded. */
-  private def persistText(
+  /** First-bump text state: one batch ingest, global CC, every edge
+    * epoch-stamped; committed as the chain's founding snapshot. */
+  private def initialText(
+      spark: SparkSession, dir: String,
+      newSurv: DataFrame, arrivals: DataFrame): DataFrame = {
+    val pd = DedupStream.discoverPairs(newSurv, None)
+    val (labels, labeled) = IncrementalCc.initial(pd.newPairs)
+    StateStore.save(dir, Map(
+      "grams" -> pd.newGrams, "pairs" -> labeled, "labels" -> labels,
+      "survhash" -> newSurv.select("doc_id", "content_hash"),
+      "livelog" -> arrivals))
+    DedupStream.verdictFromLabels(newSurv, arrivals, labels).localCheckpoint(false)
+  }
+
+  /** The shared maintenance tail of both bump flavors, once the exact
+    * stage has produced the survivor projection and the delta carving:
+    * retire + one incremental pair-discovery batch + an [[IncrementalCc]]
+    * rebuild of exactly the touched components, committed as one atomic
+    * state version — a DELTA version on most bumps, a folded snapshot
+    * every [[SnapshotEvery]]th (the LSM cadence; the corpus-sized state
+    * rewrite lands on 1 bump in 8, every other write is O(delta +
+    * touched components)). The verdict assembles from the maintained
+    * labels — never a global CC. */
+  private def advanceText(
       spark: SparkSession,
       dir: String,
-      st: DedupStream.PairState,
-      delta: DedupStream.PairDelta,
+      m: Map[String, DataFrame],
+      survProj: DataFrame,
+      batchDocs: DataFrame,
       retired: DataFrame,
       departed: DataFrame,
       batchSurvhash: DataFrame,
       logDelta: DataFrame,
-      fullSurvhash: => DataFrame,
-      fullLog: => DataFrame): Unit =
-    if (StateStore.chainLength(spark, dir) + 1 >= SnapshotEvery)
+      livelog: DataFrame,
+      fullSurvhash: => DataFrame): DataFrame = {
+    val pd = DedupStream.discoverPairs(batchDocs,
+      Some(m("grams").join(retired, Seq("doc_id"), "left_anti")))
+    val ld = IncrementalCc.refresh(m("labels"), m("pairs"), retired, pd.newPairs)
+    if (StateStore.chainLength(spark, dir) + 1 >= SnapshotEvery) {
+      val out = ld.labelsOut.select(col("node"))
       StateStore.save(dir, Map(
-        "grams" -> st.grams, "pairs" -> st.pairs,
-        "survhash" -> fullSurvhash, "livelog" -> fullLog))
-    else
+        "grams" -> m("grams").join(retired, Seq("doc_id"), "left_anti")
+          .unionByName(pd.newGrams),
+        "pairs" -> m("pairs")
+          .join(out.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
+          .unionByName(ld.pairsIn),
+        "labels" -> m("labels").join(out, Seq("node"), "left_anti")
+          .unionByName(ld.labelsIn),
+        "survhash" -> fullSurvhash, "livelog" -> livelog))
+    } else
       StateStore.saveDelta(dir, Map(
         "retired" -> retired, "departed" -> departed,
-        "grams" -> delta.newGrams, "pairs" -> delta.newPairs,
+        "labelsOut" -> ld.labelsOut, "labelsIn" -> ld.labelsIn,
+        "grams" -> pd.newGrams, "pairs" -> ld.pairsIn,
         "survhash" -> batchSurvhash, "livelog" -> logDelta))
+    val labelsView = m("labels")
+      .join(ld.labelsOut.select(col("node")), Seq("node"), "left_anti")
+      .unionByName(ld.labelsIn)
+    DedupStream.verdictFromLabels(survProj, livelog, labelsView)
+      .localCheckpoint(false)
+  }
 
   /** Text family: exact-stage survivors of the new snapshot, valid ids =
     * still-a-survivor-with-unchanged-bytes (the carried survivor-hash
-    * projection against the new one — hash-sized, no text), retire +
-    * one incremental batch, commit as one atomic state version — a
-    * DELTA version on most bumps (see [[persistText]]). First bump (no
-    * state) ingests the snapshot as one batch — the same code path,
-    * with an empty retained prefix. */
+    * projection against the new one — hash-sized, no text), then the
+    * shared [[advanceText]] tail. First bump (no state) ingests the
+    * snapshot as one batch. */
   private def bumpText(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
     val newSurv = PipelineOps.survivorsOf(newDocs).localCheckpoint(false)
     val arrivals = DedupStream.arrivalLog(newDocs).localCheckpoint(false)
     loadTextState(spark, dir) match {
-      case None =>
-        val (verdict, st, _) =
-          DedupStream.refreshVerdictDelta(newSurv, newSurv, arrivals, None)
-        StateStore.save(dir, Map(
-          "grams" -> st.grams, "pairs" -> st.pairs,
-          "survhash" -> newSurv.select("doc_id", "content_hash"),
-          "livelog" -> arrivals))
-        verdict.localCheckpoint(false)
+      case None => initialText(spark, dir, newSurv, arrivals)
       case Some(m) =>
         val validIds = m("survhash")
           .join(newSurv.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
@@ -261,21 +290,19 @@ object IngestBump {
         val retired = m("survhash").select("doc_id")
           .join(validIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
         val batch = newSurv.join(validIds, Seq("doc_id"), "left_anti")
-        val (verdict, st, delta) = DedupStream.refreshVerdictDelta(
-          newSurv, batch, arrivals,
-          Some(DedupStream.retire(DedupStream.PairState(m("grams"), m("pairs")), retired)))
         // livelog delta/departures by (id, hash) comparison against the
         // carried log: corpus-hash-sized joins, delta-sized writes
         val logKey = Seq("doc_id", "content_hash")
-        persistText(spark, dir, st, delta,
+        advanceText(spark, dir, m,
+          survProj = newSurv,
+          batchDocs = batch,
           retired = retired,
           departed = m("livelog").join(arrivals, logKey, "left_anti")
             .select("doc_id").localCheckpoint(false),
           batchSurvhash = batch.select("doc_id", "content_hash"),
           logDelta = arrivals.join(m("livelog"), logKey, "left_anti"),
-          fullSurvhash = newSurv.select("doc_id", "content_hash"),
-          fullLog = arrivals)
-        verdict.localCheckpoint(false)
+          livelog = arrivals,
+          fullSurvhash = newSurv.select("doc_id", "content_hash"))
     }
   }
 

@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{IngestBump, SemDedupStream, StateStore}
+
+/** Measurement harness (not a spec): the CDC PRODUCTION MARGINAL — the
+  * delta phase alone, at a FIXED delta size, across the decade fixture
+  * pair. The p61/p62/p63 bench entries pay a full old-snapshot ingest
+  * in-query (their oracles need the from-scratch baseline), so their
+  * decade slopes track the ingest, not the marginal; this probe
+  * pre-builds the carried state/index over each corpus OUTSIDE the
+  * timer and times only what a production ingest bump pays per delta:
+  *
+  *   - text  (p61): retire (gram/edge restriction) + one incremental
+  *     batch + StateStore save — the IngestBump.bumpText body minus the
+  *     initial ingest;
+  *   - sem   (p62): membership/edge retire incl. reopened-cell rebuild +
+  *     one frozen-seed batch + save;
+  *   - index (p63): frozen-quantizer append + tombstone rederivation.
+  *
+  * Fixed delta at both scales: REM docs/vecs removed, CHG docs changed,
+  * ADD docs/vecs added. A flat A→B curve (state 10×, delta constant) is
+  * the O(delta)-not-O(corpus) claim, measured; residual slope is the
+  * O(state) hash-projection term (the retire joins touch state-sized id
+  * projections, never text/grams recomputation).
+  *
+  * Also measures the COMPACTION ECONOMICS that back
+  * [[PipelineOps.CompactTombstoneRatio]]: query latency vs tombstone
+  * ratio on the sfB index, plus the one-time compaction rewrite cost.
+  *
+  *   sbt "Test/runMain graft.pipeline.CdcMarginalProbe /tmp/ramp"
+  * (fixtures from tools/gen_ramp_fixture.py; min-of-2, one JVM,
+  * local[32] — the SCALING.md methodology). */
+object CdcMarginalProbe {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/ramp")
+    // one FAMILY per JVM (text|sem|index|compact) — the families are
+    // independent measurements, and running them back-to-back in one
+    // process lets block-manager/GC pressure from one inflate the next
+    val fam = args.drop(1).headOption.getOrElse("all")
+    def on(f: String) = fam == "all" || fam == f
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("cdc-marginal-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf2(f: => Unit): Double = { val a = time(f); math.min(a, time(f)) }
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_marginal").toString
+
+    // fixed delta geometry, identical at both scales
+    val REM = 200L; val CHG = 200L; val ADD = 200L
+
+    for (tag <- Seq("A", "B"); warm <- Seq(true, false)) {
+      val dir = s"$root/sf$tag"
+      val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      val maxId = d0.agg(max("doc_id")).collect()(0).getLong(0)
+      // delta carving: remove the REM docs just below maxId-CHG window,
+      // change CHG docs at the top, add ADD fresh docs above maxId
+      val remLo = maxId - REM - CHG + 1
+      val chgLo = maxId - CHG + 1
+      val newDocs = d0.where(col("doc_id") < remLo)
+        .unionByName(d0.where(col("doc_id") >= chgLo)
+          .withColumn("text", concat(col("text"), lit(" changed"))))
+        .unionByName(d0.where(col("doc_id") < ADD)
+          .withColumn("doc_id", col("doc_id") + maxId + 1))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .localCheckpoint(false)
+
+      // ---- text family: base ingest via the composed driver (untimed),
+      // then ONE CDC-fed bump — the production marginal: delta-only
+      // hashing, delta-only state writes (the LSM chain), verdict forced.
+      // Single-shot (not min-of-2): a bump ADVANCES the state, so a
+      // second application is a cheaper near-no-op; the warm pass on its
+      // own root covers JIT.
+      val tText = if (!on("text")) 0.0 else {
+        val broot = s"$tmp/bump_${tag}_$warm"
+        IngestBump.bump(spark, broot, d0)
+        val cdc = IngestBump.CorpusDelta(
+          removedIds = d0.where(col("doc_id") >= remLo && col("doc_id") < chgLo)
+            .select("doc_id"),
+          changed = d0.where(col("doc_id") >= chgLo)
+            .withColumn("text", concat(col("text"), lit(" changed")))
+            .withColumn("n_chars", length(col("text")).cast("long")),
+          added = d0.where(col("doc_id") < ADD)
+            .withColumn("doc_id", col("doc_id") + maxId + 1)
+            .withColumn("n_chars", length(col("text")).cast("long")))
+        // split the marginal: state MAINTENANCE (retire + delta batch +
+        // LSM delta write — all inside the call) vs VERDICT emission
+        // (CC over the edge set + corpus-hash assembly — the full-table
+        // output a publish pays; forced by count)
+        var v: DataFrame = null
+        val tMaint = time { v = IngestBump.bumpTextCdc(spark, broot, cdc, newDocs) }
+        val tVerdict = time(v.count())
+        if (!warm) println(f"TEXTSPLIT sf$tag maint=$tMaint%.3f verdict=$tVerdict%.3f")
+        tMaint + tVerdict
+      }
+
+      // ---- vector-family shared inputs
+      lazy val q0 = PipelineOps.quantized(spark, dir)
+        .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+      lazy val newVecs = {
+        val maxV = q0.agg(max("vec_id")).collect()(0).getLong(0)
+        q0.where(col("vec_id") < maxV - REM)
+          .unionByName(q0.where(col("vec_id") < ADD)
+            .withColumn("vec_id", col("vec_id") + maxV + 1))
+          .localCheckpoint(false)
+      }
+
+      // ---- sem family
+      val tSem = if (!on("sem")) 0.0 else {
+        val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val cents = PipelineOps.semCents(q0, PipelineOps.semCells(nEmb)).localCheckpoint(false)
+        val semDir = s"$tmp/sem_${tag}_$warm"
+        val sem0 = SemDedupStream.refreshIncremental(
+          cents, q0, None, PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
+        StateStore.save(semDir, Map("members" -> sem0.members, "edges" -> sem0.edges))
+        minOf2 {
+          val m = StateStore.load(spark, semDir, Seq("members", "edges")).get
+          val st1 = SemDedupStream.retain(
+            SemDedupStream.SemState(m("members"), m("edges")), newVecs.select("vec_id"),
+            PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
+          val st2 = SemDedupStream.refreshIncremental(
+            cents, newVecs, Some(st1), PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
+          StateStore.save(s"$semDir/out", Map("members" -> st2.members, "edges" -> st2.edges))
+        }
+      }
+
+      // ---- index family: pre-build (untimed), then append + tombstones
+      val tIdx = if (!on("index")) 0.0 else {
+        val idx = s"$tmp/idx_${tag}_$warm"
+        PipelineOps.buildAnnIndexOf(q0, idx)
+        minOf2 {
+          val physical = spark.read.parquet(s"$idx/ivf_assign.parquet")
+            .select(col("nbr_id").as("vec_id"))
+          val arrivals = newVecs.join(physical, Seq("vec_id"), "left_anti").localCheckpoint()
+          val tomb = physical.join(newVecs.select("vec_id"), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+          PipelineOps.appendAnnIndex(spark, arrivals, idx)
+          tomb.write.mode("overwrite").parquet(s"$idx/tombstones_probe.parquet")
+        }
+      }
+
+      if (!warm)
+        println(f"MARGINAL sf$tag text=$tText%.3f sem=$tSem%.3f index=$tIdx%.3f")
+    }
+
+    // ---- compaction economics on the sfB index: query latency vs
+    // tombstone ratio, and the compaction rewrite cost
+    if (on("compact")) {
+    val dirB = s"$root/sfB"
+    val qB = PipelineOps.quantized(spark, dirB)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val maxB = qB.agg(max("vec_id")).collect()(0).getLong(0)
+    for (ratio <- Seq(0.0, 0.1, 0.25, 0.5)) {
+      val idx = s"$tmp/comp_$ratio"
+      PipelineOps.buildAnnIndexOf(qB, idx)
+      if (ratio > 0) {
+        // tombstone the top `ratio` fraction (seeds at the bottom survive)
+        qB.where(col("vec_id") > maxB * (1 - ratio)).select("vec_id")
+          .write.mode("overwrite").parquet(s"$idx/tombstones.parquet")
+      }
+      def query(): Unit = PipelineOps.queryAnnIndex(spark, dirB, idx)
+        .write.format("noop").mode("overwrite").save()
+      query() // warm
+      val tQ = minOf2(query())
+      val tC = if (ratio > 0) time(PipelineOps.compactAnnIndex(spark, idx)) else 0.0
+      val tQc = minOf2(query())
+      println(f"COMPACT ratio=$ratio tQuery=$tQ%.3f tCompact=$tC%.3f tQueryAfter=$tQc%.3f")
+    }
+    }
+    spark.stop()
+  }
+}
