@@ -307,15 +307,41 @@ object IngestBump {
   }
 
   /** Vector family: retire departures (reopened-cell rebuild included),
-    * refresh arrivals against the frozen seeds — refreshIncremental's
+    * refresh arrivals against the frozen seeds — the refresh's
     * membership anti-join makes passing the whole snapshot as the batch
-    * both correct and replay-idempotent. */
+    * both correct and replay-idempotent. Persists the same LSM cadence
+    * as the text family: the corpus-sized (vec_id, cid, q, nrm)
+    * membership — quantized vectors and all — rewrites on 1 bump in
+    * [[SnapshotEvery]]; every other commit writes the delta alone
+    * (departures, reopened cells + their rebuilt pair sets, the batch's
+    * assignments and new edges). */
   private def bumpSem(spark: SparkSession, dir: String, vs: VectorSnapshot): DataFrame = {
-    val prior = StateStore.load(spark, dir, Seq("members", "edges"))
-      .map(m => SemDedupStream.SemState(m("members"), m("edges")))
-      .map(SemDedupStream.retain(_, vs.vecs.select("vec_id"), vs.maxCell, vs.threshold))
-    val st = SemDedupStream.refreshIncremental(vs.cents, vs.vecs, prior, vs.maxCell, vs.threshold)
-    StateStore.save(dir, Map("members" -> st.members, "edges" -> st.edges))
+    val snapNames = Seq("members", "edges")
+    val deltaNames = Seq("retired", "cellsOut", "members", "edges")
+    val st = StateStore.loadChain(spark, dir, snapNames, deltaNames)
+      .map { case (snap, ds) => SemDedupStream.foldSemChain(snap, ds) } match {
+      case None =>
+        val (st, _) = SemDedupStream.refreshDelta(
+          vs.cents, vs.vecs, None, vs.maxCell, vs.threshold)
+        StateStore.save(dir, Map("members" -> st.members, "edges" -> st.edges))
+        st
+      case Some(m) =>
+        val retired = m.members.select("vec_id")
+          .join(vs.vecs.select("vec_id"), Seq("vec_id"), "left_anti")
+          .localCheckpoint(false)
+        val (prior, reopened, rebuilt) =
+          SemDedupStream.retire(m, retired, vs.maxCell, vs.threshold)
+        val (st, sd) = SemDedupStream.refreshDelta(
+          vs.cents, vs.vecs, Some(prior), vs.maxCell, vs.threshold)
+        if (StateStore.chainLength(spark, dir) + 1 >= SnapshotEvery)
+          StateStore.save(dir, Map("members" -> st.members, "edges" -> st.edges))
+        else
+          StateStore.saveDelta(dir, Map(
+            "retired" -> retired, "cellsOut" -> reopened,
+            "members" -> sd.membersIn,
+            "edges" -> rebuilt.unionByName(sd.edgesIn)))
+        st
+    }
     SemDedupStream.verdict(vs.vecs.select("vec_id"), st, vs.maxCell).localCheckpoint(false)
   }
 

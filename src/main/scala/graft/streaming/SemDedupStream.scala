@@ -54,6 +54,26 @@ object SemDedupStream {
   def refreshIncremental(
       cents: DataFrame, batch: DataFrame, prev: Option[SemState],
       maxCell: Int, threshold: Double): SemState = {
+    val (st, _) = refreshDelta(cents, batch, prev, maxCell, threshold)
+    // this entry point carries state IN MEMORY across refreshes (the
+    // multi-batch loops) — pin it; the delta path leaves state lazy
+    // over the chain files
+    SemState(st.members.localCheckpoint(false), st.edges.localCheckpoint(false))
+  }
+
+  /** The per-refresh DELTA payload: the batch's assigned membership rows
+    * and the new edges — exactly what a [[StateStore.saveDelta]] commit
+    * writes, where re-saving the folded [[SemState]] rewrites the
+    * corpus-sized (vec_id, cid, q, nrm) membership (quantized vectors
+    * and all) on every bump. Disjoint from every carried row by the
+    * anti-join on vec_id. */
+  final case class SemDelta(membersIn: DataFrame, edgesIn: DataFrame)
+
+  /** [[refreshIncremental]], also returning the delta payload and
+    * leaving the folded state lazy. */
+  def refreshDelta(
+      cents: DataFrame, batch: DataFrame, prev: Option[SemState],
+      maxCell: Int, threshold: Double): (SemState, SemDelta) = {
     val fresh = prev match {
       case Some(p) => batch.join(p.members.select("vec_id"), Seq("vec_id"), "left_anti")
       case None    => batch
@@ -63,7 +83,6 @@ object SemDedupStream {
       .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
       .localCheckpoint(false)
     val members = prev.map(_.members.unionByName(assignedNew)).getOrElse(assignedNew)
-      .localCheckpoint(false)
 
     // cells currently within the cap; the cell census is catalog-sized
     // (one row per cell), so it broadcasts
@@ -84,10 +103,12 @@ object SemDedupStream {
       .select(col("cid"),
         least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"))
-      .distinct()
-    val edges = prev.map(_.edges.unionByName(newEdges)).getOrElse(newEdges)
       .distinct().localCheckpoint(false)
-    SemState(members, edges)
+    // new edges are disjoint from carried ones (every new edge has a
+    // batch endpoint; the batch is anti-joined against the membership),
+    // so the union needs no re-distinct
+    val edges = prev.map(_.edges.unionByName(newEdges)).getOrElse(newEdges)
+    (SemState(members, edges), SemDelta(assignedNew, newEdges))
   }
 
   /** CDC retirement for the vector side (p62): restrict the carried state
@@ -130,6 +151,71 @@ object SemDedupStream {
     // rebuilt set — replace rather than union so the state stays canonical
     val edges = kept.join(broadcast(reopened), Seq("cid"), "left_anti")
       .unionByName(rebuilt).distinct().localCheckpoint(false)
+    SemState(members, edges)
+  }
+
+  /** [[retain]]'s anti-join twin for when the DEPARTED vec ids are at
+    * hand (the [[IngestBump]] delta-persistence path): the build sides
+    * are delta-sized so the restriction broadcasts, and the reopened
+    * cells + their rebuilt pair sets come back separately — they ARE the
+    * edge delta a [[StateStore.saveDelta]] commit persists. Lazy: no
+    * O(state) localCheckpoint — the restricted state is parquet scans +
+    * broadcast anti-joins under whatever consumes it. */
+  def retire(
+      state: SemState, retiredIds: DataFrame,
+      maxCell: Int, threshold: Double): (SemState, DataFrame, DataFrame) = {
+    val r = retiredIds.select(col("vec_id"))
+    val members = state.members.join(r, Seq("vec_id"), "left_anti")
+    val kept = state.edges
+      .join(r.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .join(r.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
+    // only cells that LOST a member can reopen — the census diff runs on
+    // the retired rows alone (delta-sized), not a full double census
+    val lost = state.members.join(r, Seq("vec_id"), "left_semi")
+      .groupBy("cid").agg(count(lit(1)).as("nlost"))
+    val reopened = state.members.groupBy("cid").agg(count(lit(1)).as("szb"))
+      .join(lost, "cid")
+      .where(col("szb") > maxCell && col("szb") - col("nlost") <= maxCell)
+      .select("cid").localCheckpoint(false)
+    val cellM = members.join(broadcast(reopened), "cid")
+    val rebuilt = cellM
+      .select(col("cid"), col("vec_id").as("va"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .join(cellM.select(col("cid"), col("vec_id").as("vb"), col("q").as("qb"),
+        col("nrm").as("nrm_b")), "cid")
+      .where(col("va") < col("vb"))
+      .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= threshold)
+      .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
+      .localCheckpoint(false)
+    val edges = kept.join(broadcast(reopened), Seq("cid"), "left_anti")
+      .unionByName(rebuilt)
+    (SemState(members, edges), reopened, rebuilt)
+  }
+
+  /** Fold a [[StateStore.loadChain]] sem-state chain back into the live
+    * state: each delta retires its departed vec ids from members/edges,
+    * REPLACES the reopened cells' edge sets (cellsOut drops every
+    * accumulated row of those cells; the delta's edges carry their
+    * rebuilt sets), then unions its new rows. Lazy — parquet scans +
+    * broadcast anti-joins under the consuming query. Chain tables:
+    * snapshot (members, edges); each delta (retired, cellsOut, members,
+    * edges). */
+  def foldSemChain(
+      snap: Map[String, DataFrame],
+      deltas: Seq[Map[String, DataFrame]]): SemState = {
+    var members = snap("members")
+    var edges = snap("edges")
+    deltas.foreach { d =>
+      val r = d("retired").select(col("vec_id"))
+      members = members.join(r, Seq("vec_id"), "left_anti").unionByName(d("members"))
+      edges = edges
+        .join(r.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+        .join(r.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
+        .join(d("cellsOut").select(col("cid")), Seq("cid"), "left_anti")
+        .unionByName(d("edges"))
+    }
     SemState(members, edges)
   }
 

@@ -111,23 +111,41 @@ object CdcMarginalProbe {
           .localCheckpoint(false)
       }
 
-      // ---- sem family
+      // ---- sem family: the production delta-persisted bump (retire with
+      // reopened-cell rebuild + one frozen-seed batch + saveDelta +
+      // verdict forced) — mirrors IngestBump.bumpSem's delta branch.
+      // Single-shot for the same reason as text.
       val tSem = if (!on("sem")) 0.0 else {
         val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
         val cents = PipelineOps.semCents(q0, PipelineOps.semCells(nEmb)).localCheckpoint(false)
         val semDir = s"$tmp/sem_${tag}_$warm"
-        val sem0 = SemDedupStream.refreshIncremental(
+        val (sem0, _) = SemDedupStream.refreshDelta(
           cents, q0, None, PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
         StateStore.save(semDir, Map("members" -> sem0.members, "edges" -> sem0.edges))
-        minOf2 {
-          val m = StateStore.load(spark, semDir, Seq("members", "edges")).get
-          val st1 = SemDedupStream.retain(
-            SemDedupStream.SemState(m("members"), m("edges")), newVecs.select("vec_id"),
-            PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
-          val st2 = SemDedupStream.refreshIncremental(
-            cents, newVecs, Some(st1), PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
-          StateStore.save(s"$semDir/out", Map("members" -> st2.members, "edges" -> st2.edges))
+        var st2: SemDedupStream.SemState = null
+        val tMaint = time {
+          val (snap, ds) = StateStore.loadChain(
+            spark, semDir, Seq("members", "edges"),
+            Seq("retired", "cellsOut", "members", "edges")).get
+          val m = SemDedupStream.foldSemChain(snap, ds)
+          val retired = m.members.select("vec_id")
+            .join(newVecs.select("vec_id"), Seq("vec_id"), "left_anti")
+            .localCheckpoint(false)
+          val (prior, reopened, rebuilt) = SemDedupStream.retire(
+            m, retired, PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
+          val (st, sd) = SemDedupStream.refreshDelta(
+            cents, newVecs, Some(prior), PipelineOps.SemMaxCell, PipelineOps.SemDupThreshold)
+          st2 = st
+          StateStore.saveDelta(semDir, Map(
+            "retired" -> retired, "cellsOut" -> reopened,
+            "members" -> sd.membersIn, "edges" -> rebuilt.unionByName(sd.edgesIn)))
         }
+        val tVerdict = time {
+          SemDedupStream.verdict(newVecs.select("vec_id"), st2, PipelineOps.SemMaxCell)
+            .write.format("noop").mode("overwrite").save()
+        }
+        if (!warm) println(f"SEMSPLIT sf$tag maint=$tMaint%.3f verdict=$tVerdict%.3f")
+        tMaint + tVerdict
       }
 
       // ---- index family: pre-build (untimed), then append + tombstones

@@ -136,6 +136,30 @@ class IngestBumpSpec extends AnyFunSuite {
       PipelineOps.dedupVerdictOf(s1).select(col("doc_id"), col("reason")))))
   }
 
+  test("cap-crossing bumps: a removal that shrinks over-cap cells back under the cap " +
+       "reopens them, and the delta-persisted rebuilt pair sets keep every verdict " +
+       "at one-shot semantics") {
+    val root = Files.createTempDirectory("graft_bump_reopen").toString
+    // cap 30 sits between the full-corpus (~44/cell at k=45) and the
+    // post-removal cell sizes, so bump 2 retires INTO reopened cells —
+    // the one exactness hole delta persistence must carry (its rebuilt
+    // sets ride the chain as cellsOut + replacement edges)
+    val (k, cap, thr) = (45L, 30, 0.40)
+    val full = PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val cents = PipelineOps.semCents(full, k).localCheckpoint(false)
+    val seedBound = Seq(k, PipelineOps.IvfCentroids.toLong,
+      PipelineOps.PqCentroids.toLong, 10L).max
+    val v1 = full.where(col("vec_id") < seedBound || col("vec_id") % 10 < 4)
+    for ((vi, di) <- Seq(full, v1).zip(chain)) {
+      val a = IngestBump.bump(spark, root, di,
+        Some(IngestBump.VectorSnapshot(vi, cents, cap, thr)))
+      val oneShot = SemDedupStream.refreshIncremental(cents, vi, None, cap, thr)
+      assert(rowImage(a.semVerdict.get) == rowImage(SemDedupStream.verdict(
+        vi.select("vec_id"), oneShot, cap)))
+    }
+  }
+
   test("vector families ride the same bumps: sem verdict and ANN answers track " +
        "from-scratch builds; mass removal trips the compaction threshold") {
     val root = Files.createTempDirectory("graft_bump_vec").toString
