@@ -74,6 +74,12 @@ class IngestBumpSpec extends AnyFunSuite {
         .select("doc_id", "text", "lang", "source", "n_chars")).select("doc_id", "grams")))
     // the live log is the corpus hash projection — verdict assembly's input
     assert(rowImage(st("livelog")) == rowImage(DedupStream.arrivalLog(s2)))
+    // incremental-CC canonicality: the maintained labels must equal a
+    // global connected-components pass over the folded edge set — the
+    // touched-components-only rebuild leaves no stale, split, or
+    // unmerged label anywhere
+    assert(rowImage(st("labels")) == rowImage(PipelineOps.connectedComponents(
+      st("pairs").select(col("doc_a"), col("doc_b")))))
   }
 
   test("survivor promotion under a CDC feed: removing an exact-dup's keeper promotes " +
