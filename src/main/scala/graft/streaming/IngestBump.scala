@@ -203,6 +203,13 @@ object IngestBump {
   def textState(spark: SparkSession, root: String): Option[Map[String, DataFrame]] =
     loadTextState(spark, textDir(root))
 
+  /** The folded sem state under a bump root (same contract as
+    * [[textState]]). */
+  def semState(spark: SparkSession, root: String): Option[SemDedupStream.SemState] =
+    StateStore.loadChain(spark, semDir(root), Seq("members", "edges"),
+        Seq("retired", "cellsOut", "members", "edges"))
+      .map { case (snap, ds) => SemDedupStream.foldSemChain(snap, ds) }
+
   /** The folded text state: the chain's snapshot with every delta's
     * retirement + new rows applied, lazily. None before the first bump. */
   private def loadTextState(

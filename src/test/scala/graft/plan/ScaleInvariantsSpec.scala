@@ -437,4 +437,33 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       "card must not re-gram the corpus:\n" + p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("LSM chain fold: delta retirement is BROADCAST anti-joins over the chain " +
+       "scans (never a state-by-state shuffle join), and verdict assembly reads " +
+       "the maintained labels table instead of rebuilding the cluster graph") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{DedupStream, IngestBump}
+    val d = spark.read.parquet(s"$SfDir/documents.parquet")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("n_chars", length(col("text")).cast("long"))
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_chain").toString
+    IngestBump.bump(spark, root, snap(d))
+    IngestBump.bump(spark, root, snap(d.where(col("doc_id") % 10 =!= 3)))
+    val st = IngestBump.textState(spark, root).get
+    for (t <- Seq("grams", "pairs", "labels")) {
+      val p = st(t).queryExecution.executedPlan.toString
+      assert(p.contains("LeftAnti"), s"$t fold must retire via anti-join:\n" + p.take(600))
+      assert(!p.contains("SortMergeJoin"),
+        s"$t fold retirement must broadcast (delta-sized build side):\n" + p.take(800))
+    }
+    // the verdict consumes the maintained labels table — the physical plan
+    // scans labels.parquet and carries NO gram machinery (a global CC
+    // rebuild would drag the edge discovery pipeline in with it)
+    val v = DedupStream.verdictFromLabels(st("survhash"), st("livelog"), st("labels"))
+      .queryExecution.executedPlan.toString
+    assert(v.contains("labels.parquet"),
+      "verdict must read the maintained labels:\n" + v.take(800))
+    assert(!v.contains("grams.parquet") && !v.contains("Generate"),
+      "verdict assembly must not touch gram state:\n" + v.take(800))
+  }
 }

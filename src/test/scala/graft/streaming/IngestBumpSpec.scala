@@ -102,6 +102,35 @@ class IngestBumpSpec extends AnyFunSuite {
     assert(grams.where(col("doc_id") === 900001L).count() == 1)
   }
 
+  test("giant-component worst case: a near-dup clique spanning the corpus — removing " +
+       "its canonical relabels the WHOLE component (the incremental rebuild's " +
+       "documented degenerate), and every verdict still tracks from-scratch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bump_giant").toString
+    val base = ("the quick brown fox jumps over the lazy dog and keeps on " +
+      "running through the long open field without ever stopping ") * 3
+    def corpus(ids: Seq[Long]) = ids.toDF("doc_id").select(
+      col("doc_id"),
+      concat(lit(base), col("doc_id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("synth").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val s0 = corpus(0L until 60L)
+    // bump 2 removes the canonical (doc 0) and a band; bump 3 adds docs
+    // back below everything (a NEW canonical for the same giant cluster)
+    val s1 = corpus((1L until 40L) ++ (45L until 60L))
+    val s2 = corpus(0L until 40L) // doc 0 returns: the old canonical re-claims
+    for (si <- Seq(s0, s1, s2)) {
+      val a = IngestBump.bump(spark, root, si)
+      assert(rowImage(a.verdict) == rowImage(PipelineOps.dedupVerdictOf(si)))
+    }
+    // one component, relabeled twice, still canonical vs a global CC
+    val st = IngestBump.textState(spark, root).get
+    assert(rowImage(st("labels")) == rowImage(PipelineOps.connectedComponents(
+      st("pairs").select(col("doc_a"), col("doc_b")))))
+    assert(st("labels").select("label").distinct().count() == 1,
+      "fixture must actually form one giant component")
+  }
+
   test("the LSM cadence: a long bump chain stacks deltas, snapshots at SnapshotEvery " +
        "(pruning the chain), and every verdict along the way tracks from-scratch") {
     val root = Files.createTempDirectory("graft_bump_lsm").toString
