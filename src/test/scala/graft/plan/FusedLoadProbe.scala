@@ -45,6 +45,9 @@ object FusedLoadProbe {
         drilldowns = Nil,
         cuts = base.cuts ++ Seq(cut(s"Ship Date.Year.$y,${y + 1}"),
           cut(s"Ship Date.Month.${1 + i % 10},${2 + i % 10}")))
+      else if (i % 3 == 1) base.copy( // growth fan-out (round 13: fuses
+        // as the combo-partitioned lag; declined to the union before)
+        growth = Some(GrowthQuery.parse("Ship Date.Year,Quantity").fold(die, identity)))
       else base
     }
 
