@@ -3680,6 +3680,36 @@ object PipelineOps {
     out
   }
 
+  /** p73: the trained-quantizer CDC chain — the p52/p55 lifecycle under
+    * MAINTAINED ingest bumps: the multi-probe quantizer trains ONCE over
+    * the full corpus (the deployed artifact, pinned exactly as the
+    * oracle pins its Lloyd step to the full embeddings table), then two
+    * [[graft.streaming.IngestBump.bumpTrained]] calls advance the
+    * probe-membership/edge state through removals AND returns (band 9
+    * departs then comes back — its re-assignment must reproduce
+    * identical membership rows; band 7 departs for good — its cells may
+    * reopen, [[graft.streaming.SemDedupStream.retireTrained]] rebuilds
+    * their pair sets). State persists as LSM delta versions like the
+    * text/sem families. The final verdict must equal the one-shot p52
+    * over the carved final snapshot (oracle: p52's SQL with the
+    * membership side carved, quantizer pinned). */
+  def trainedCdcChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IngestBump
+    val e = embs(spark, dir)
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm"))
+      .localCheckpoint(false)
+    val trained = trainCentroids(q, semCells(e.count()))
+    val root = ArtifactStore.artifactPath(spark, "trained-cdc", dir, "embeddings.parquet")
+    val (n, vroot) = ArtifactStore.claimVersion(spark, root)
+    IngestBump.bumpTrained(spark, vroot,
+      IngestBump.TrainedSnapshot(q.where(col("vec_id") % 10 =!= 9), trained))
+    val out = IngestBump.bumpTrained(spark, vroot,
+      IngestBump.TrainedSnapshot(q.where(col("vec_id") % 10 =!= 7), trained))
+    ArtifactStore.versions(spark, root).filter(_ < n - 1)
+      .foreach(old => ArtifactStore.delete(spark, s"$root/v$old"))
+    out
+  }
+
   /** p69: ANN recall report — the index-quality gate a production pipeline
     * runs after every build/refresh/delta before flipping traffic to the
     * new index: determinism (the oracle gate) proves the index computes
@@ -3795,5 +3825,6 @@ object PipelineOps {
     "p69_ann_recall"    -> annRecall,
     "p70_dataset_card_delta" -> datasetCardDelta,
     "p71_ingest_bump"   -> ingestBumpChain,
-    "p72_cdc_chain"     -> ingestCdcChain)
+    "p72_cdc_chain"     -> ingestCdcChain,
+    "p73_trained_cdc"   -> trainedCdcChain)
 }

@@ -1375,7 +1375,12 @@ object PipelineOracles {
     * (row_number ≤ 2 — the oracle can afford the naive window; the Spark
     * side uses the mergeable Bottom2 aggregate), p44's capped cell-pair
     * stage over the doubled membership, rank-1 cell in the verdict. */
-  private val p52 = {
+  /** p52's body with the MEMBERSHIP side carved by `memberPred` while the
+    * quantizer (k, seeds, the Lloyd step) stays pinned to the FULL
+    * embeddings table — the deployed-artifact contract p62 established
+    * for the seed path, here on the trained path (p73 gates the
+    * bump-maintained chain against it). `memberPred = TRUE` is p52. */
+  private def p52Sql(memberPred: String): String = {
     val K = "(SELECT k FROM kk)"
     val cap = PipelineOps.SemMaxCell
     val thr = PipelineOps.SemDupThreshold
@@ -1399,16 +1404,17 @@ object PipelineOracles {
        |  GROUP BY sums.cid, cnt),
        |tc AS (SELECT cid, qm, list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) AS nm FROM newc
        |       WHERE list_sum([x[1] * x[2] FOR x IN list_zip(qm, qm)]) > 0),
+       |memq AS (SELECT * FROM n WHERE $memberPred),
        |crp AS (
        |  SELECT n.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |           CAST(list_sum([x[1] * x[2] FOR x IN list_zip(n.q, c.qm)]) AS DOUBLE)
        |             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.nm AS DOUBLE))) DESC, c.cid ASC) AS crn
-       |  FROM n CROSS JOIN tc c WHERE n.nrm > 0),
+       |  FROM memq n CROSS JOIN tc c WHERE n.nrm > 0),
        |probes AS (SELECT vec_id, cid, crn FROM crp WHERE crn <= ${PipelineOps.IvfProbes}),
        |r1 AS (SELECT vec_id, cid FROM probes WHERE crn = 1),
        |cell AS (
-       |  SELECT p.vec_id, p.cid, n.q, n.nrm FROM probes p JOIN n USING (vec_id)
+       |  SELECT p.vec_id, p.cid, n.q, n.nrm FROM probes p JOIN memq n USING (vec_id)
        |  QUALIFY count(*) OVER (PARTITION BY p.cid) <= $cap),
        |dups AS (
        |  SELECT y.vec_id, CAST(min(x.vec_id) AS BIGINT) AS dup_of
@@ -1418,11 +1424,19 @@ object PipelineOracles {
        |  GROUP BY y.vec_id)
        |SELECT e.vec_id, r1.cid, d.dup_of,
        |       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
-       |FROM embeddings e
+       |FROM (SELECT vec_id FROM embeddings WHERE $memberPred) e
        |LEFT JOIN r1 ON r1.vec_id = e.vec_id
        |LEFT JOIN dups d ON d.vec_id = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
   }
+
+  private val p52 = p52Sql("TRUE")
+
+  /** p73: the trained-path CDC chain — two maintained bumps (band 9
+    * departs then returns; band 7 departs for good) against the frozen
+    * full-corpus trained quantizer must answer as the one-shot p52 of
+    * the FINAL carved snapshot. */
+  private val p73 = p52Sql("vec_id % 10 <> 7")
 
   /** p45: DuckDB's RE2 and Spark's Java regex agree on the shipped
     * pattern class (word boundaries, char classes, bounded quantifiers);
@@ -1716,5 +1730,6 @@ object PipelineOracles {
     // the final snapshot — the oracle is identical by design; the paths
     // under test (feed-trusting delta hashing, LSM delta persistence,
     // survivor promotion via corpus fetch) differ entirely
-    "p72_cdc_chain"     -> p71)
+    "p72_cdc_chain"     -> p71,
+    "p73_trained_cdc"   -> p73)
 }

@@ -58,13 +58,16 @@ object IngestBump {
 
   /** The per-snapshot outputs: the text verdict (p36 shape: doc_id,
     * reason, canonical_id) and, when vectors ride the bump, the semantic
-    * verdict (p44 shape). Both carry a LAZY local checkpoint: an
-    * intermediate bump's unread verdict costs nothing (the chain entry
-    * evaluates only the final one), and the first evaluation pins the
-    * result off the state files. Evaluate within one further bump —
-    * StateStore keeps each state version alive for exactly one more
-    * save cycle. */
-  final case class Artifacts(verdict: DataFrame, semVerdict: Option[DataFrame])
+    * verdict (p44 shape) and/or the trained-quantizer verdict (p52
+    * shape). All carry a LAZY local checkpoint: an intermediate bump's
+    * unread verdict costs nothing (the chain entry evaluates only the
+    * final one), and the first evaluation pins the result off the state
+    * files. Evaluate within one further bump — StateStore keeps each
+    * state version alive for exactly one more save cycle. */
+  final case class Artifacts(
+      verdict: DataFrame,
+      semVerdict: Option[DataFrame],
+      trainedVerdict: Option[DataFrame] = None)
 
   /** The vector half of a snapshot: quantized vectors (vec_id, q, nrm)
     * plus the FROZEN seed quantizer (trained once, versioned with the
@@ -75,8 +78,19 @@ object IngestBump {
       maxCell: Int = PipelineOps.SemMaxCell,
       threshold: Double = PipelineOps.SemDupThreshold)
 
+  /** The TRAINED-quantizer half of a snapshot (the p52/p55 lifecycle):
+    * quantized vectors plus the frozen trained centroids
+    * ([[PipelineOps.trainCentroids]]'s (cid, qb, nrm_b) shape) —
+    * membership is top-2 probe cells against the broadcast quantizer. */
+  final case class TrainedSnapshot(
+      vecs: DataFrame,
+      trained: DataFrame,
+      maxCell: Int = PipelineOps.SemMaxCell,
+      threshold: Double = PipelineOps.SemDupThreshold)
+
   private def textDir(root: String) = s"$root/text"
   private def semDir(root: String) = s"$root/sem"
+  private def trainedStateDir(root: String) = s"$root/trained"
 
   /** The persistent ANN index tree under a bump root (query it with the
     * p49 query half). */
@@ -92,7 +106,8 @@ object IngestBump {
       root: String,
       newDocs: DataFrame,
       vectors: Option[VectorSnapshot] = None,
-      publishDir: Option[String] = None): Artifacts = {
+      publishDir: Option[String] = None,
+      trainedVectors: Option[TrainedSnapshot] = None): Artifacts = {
     val verdict = bumpText(spark, textDir(root), newDocs)
     publishDir.foreach(d => PipelineOps.publishVerdictTable(spark, d, verdict))
     val sem = vectors.map { vs =>
@@ -100,7 +115,51 @@ object IngestBump {
       bumpIndex(spark, indexDir(root), vs.vecs)
       sv
     }
-    Artifacts(verdict, sem)
+    val tv = trainedVectors.map(ts => bumpTrained(spark, root, ts))
+    Artifacts(verdict, sem, tv)
+  }
+
+  /** Trained-quantizer family: same LSM cadence and retire-then-refresh
+    * shape as [[bumpSem]], against the frozen TRAINED multi-probe
+    * quantizer — the p52/p55 production lifecycle (train once over the
+    * backlog, catch-up/serve through maintained state) now rides the
+    * composed ingest driver with O(delta) persistence. Public as its own
+    * entry point too: a vector-only deployment bumps this family without
+    * carrying a document corpus (the p73 chain does exactly that). */
+  def bumpTrained(
+      spark: SparkSession, root: String, ts: TrainedSnapshot): DataFrame =
+    bumpTrainedAt(spark, trainedStateDir(root), ts)
+
+  private def bumpTrainedAt(
+      spark: SparkSession, dir: String, ts: TrainedSnapshot): DataFrame = {
+    val snapNames = Seq("members", "edges")
+    val deltaNames = Seq("retired", "cellsOut", "members", "edges")
+    val st = StateStore.loadChain(spark, dir, snapNames, deltaNames)
+      .map { case (snap, ds) => SemDedupStream.foldTrainedChain(snap, ds) } match {
+      case None =>
+        val (st, _) = SemDedupStream.refreshTrainedDelta(
+          ts.trained, ts.vecs, None, ts.maxCell, ts.threshold)
+        StateStore.save(dir, Map("members" -> st.members, "edges" -> st.edges))
+        st
+      case Some(m) =>
+        val retired = m.members.select("vec_id").distinct()
+          .join(ts.vecs.select("vec_id"), Seq("vec_id"), "left_anti")
+          .localCheckpoint(false)
+        val (prior, reopened, rebuilt) =
+          SemDedupStream.retireTrained(m, retired, ts.maxCell, ts.threshold)
+        val (st, sd) = SemDedupStream.refreshTrainedDelta(
+          ts.trained, ts.vecs, Some(prior), ts.maxCell, ts.threshold)
+        if (StateStore.chainLength(spark, dir) + 1 >= SnapshotEvery)
+          StateStore.save(dir, Map("members" -> st.members, "edges" -> st.edges))
+        else
+          StateStore.saveDelta(dir, Map(
+            "retired" -> retired, "cellsOut" -> reopened,
+            "members" -> sd.membersIn,
+            "edges" -> rebuilt.unionByName(sd.edgesIn)))
+        st
+    }
+    SemDedupStream.trainedVerdict(ts.vecs.select("vec_id").distinct(), st, ts.maxCell)
+      .localCheckpoint(false)
   }
 
   /** A CDC delta feed — the shape an ingest log provides: ids whose docs

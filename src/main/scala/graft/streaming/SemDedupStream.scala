@@ -241,6 +241,17 @@ object SemDedupStream {
   def refreshTrained(
       trained: DataFrame, batch: DataFrame, prev: Option[TrainedState],
       maxCell: Int, threshold: Double): TrainedState = {
+    val (st, _) = refreshTrainedDelta(trained, batch, prev, maxCell, threshold)
+    TrainedState(st.members.localCheckpoint(false), st.edges.localCheckpoint(false))
+  }
+
+  /** [[refreshTrained]], also returning the delta payload (the batch's
+    * probe-membership rows + new edges) and leaving the folded state
+    * lazy — the [[IngestBump]] delta-persistence contract on the
+    * trained-quantizer path. */
+  def refreshTrainedDelta(
+      trained: DataFrame, batch: DataFrame, prev: Option[TrainedState],
+      maxCell: Int, threshold: Double): (TrainedState, SemDelta) = {
     val fresh = prev match {
       case Some(p) => batch.join(
         p.members.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
@@ -251,7 +262,6 @@ object SemDedupStream {
       .select(col("vec_id"), col("cid"), col("rank"), col("q"), col("nrm"))
       .localCheckpoint(false)
     val members = prev.map(_.members.unionByName(newMembers)).getOrElse(newMembers)
-      .localCheckpoint(false)
 
     val open = members.groupBy("cid").agg(count(lit(1)).as("csz"))
       .where(col("csz") <= maxCell).select("cid")
@@ -267,10 +277,59 @@ object SemDedupStream {
       .select(col("cid"),
         least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"))
-      .distinct()
-    val edges = prev.map(_.edges.unionByName(newEdges)).getOrElse(newEdges)
       .distinct().localCheckpoint(false)
-    TrainedState(members, edges)
+    // new edges have a batch endpoint and the batch is anti-joined against
+    // the carried membership — disjoint from carried edges, no re-distinct
+    val edges = prev.map(_.edges.unionByName(newEdges)).getOrElse(newEdges)
+    (TrainedState(members, edges), SemDelta(newMembers, newEdges))
+  }
+
+  /** [[retire]]'s trained-path twin: restrict the carried probe-membership
+    * state by the departed vec ids (delta-sized broadcast anti-joins),
+    * detect cells shrunk back under the cap from the retired rows' census
+    * diff alone, and rebuild the reopened cells' pair sets from the
+    * surviving membership rows. p52's cap counts MEMBERSHIP rows (a
+    * vector occupies up to [[PipelineOps.IvfProbes]] cells), and the
+    * census here counts the same rows, so incremental and one-shot caps
+    * bite at identical sizes. */
+  def retireTrained(
+      state: TrainedState, retiredIds: DataFrame,
+      maxCell: Int, threshold: Double): (TrainedState, DataFrame, DataFrame) = {
+    val r = retiredIds.select(col("vec_id"))
+    val members = state.members.join(r, Seq("vec_id"), "left_anti")
+    val kept = state.edges
+      .join(r.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_anti")
+      .join(r.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_anti")
+    val lost = state.members.join(r, Seq("vec_id"), "left_semi")
+      .groupBy("cid").agg(count(lit(1)).as("nlost"))
+    val reopened = state.members.groupBy("cid").agg(count(lit(1)).as("szb"))
+      .join(lost, "cid")
+      .where(col("szb") > maxCell && col("szb") - col("nlost") <= maxCell)
+      .select("cid").localCheckpoint(false)
+    val cellM = members.join(broadcast(reopened), "cid")
+    val rebuilt = cellM
+      .select(col("cid"), col("vec_id").as("va"), col("q").as("qa"), col("nrm").as("nrm_a"))
+      .join(cellM.select(col("cid"), col("vec_id").as("vb"), col("q").as("qb"),
+        col("nrm").as("nrm_b")), "cid")
+      .where(col("va") < col("vb"))
+      .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("cosine") >= threshold)
+      .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
+      .localCheckpoint(false)
+    val edges = kept.join(broadcast(reopened), Seq("cid"), "left_anti")
+      .unionByName(rebuilt)
+    (TrainedState(members, edges), reopened, rebuilt)
+  }
+
+  /** [[foldSemChain]] for the trained family (members carry the probe
+    * `rank` column; the fold is schema-agnostic over it). */
+  def foldTrainedChain(
+      snap: Map[String, DataFrame],
+      deltas: Seq[Map[String, DataFrame]]): TrainedState = {
+    val folded = foldSemChain(snap, deltas)
+    TrainedState(folded.members, folded.edges)
   }
 
   /** Verdict from the trained state — p52's shape: rank-1 cell, smallest

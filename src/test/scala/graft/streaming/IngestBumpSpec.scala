@@ -195,6 +195,28 @@ class IngestBumpSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-quantizer bumps: probe-membership state rides the same LSM chain — " +
+       "removal reopens over-cap cells, a returning band re-assigns identically, " +
+       "and every verdict tracks the one-shot p52 semantics") {
+    val root = Files.createTempDirectory("graft_bump_trained").toString
+    val (k, cap, thr) = (45L, 30, 0.40)
+    val full = PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val trained = PipelineOps.trainCentroids(full, k)
+    // band 9 departs then returns; band 7 departs for good — the probe
+    // census (2 rows/vector) crosses cap 30 in both directions
+    val v0 = full.where(col("vec_id") % 10 =!= 9)
+    val v1 = full
+    val v2 = full.where(col("vec_id") % 10 =!= 7)
+    for (vi <- Seq(v0, v1, v2)) {
+      val got = IngestBump.bumpTrained(spark, root,
+        IngestBump.TrainedSnapshot(vi, trained, cap, thr))
+      val oneShot = SemDedupStream.refreshTrained(trained, vi, None, cap, thr)
+      assert(rowImage(got) == rowImage(SemDedupStream.trainedVerdict(
+        vi.select("vec_id"), oneShot, cap)))
+    }
+  }
+
   test("vector families ride the same bumps: sem verdict and ANN answers track " +
        "from-scratch builds; mass removal trips the compaction threshold") {
     val root = Files.createTempDirectory("graft_bump_vec").toString
