@@ -109,4 +109,44 @@ class DedupIncrementalFuzzSpec extends AnyFunSuite {
       assert(img(PipelineOps.deltaDedupOf(old, neu)) ==
         img(PipelineOps.dedupVerdictOf(neu)), nm)
   }
+
+  test("CDC FEED fuzz: the same scenarios through bumpTextCdc — the feed-trusting " +
+       "path (live-log survivor selection, promoted-body corpus fetch, LSM delta " +
+       "persistence, incremental CC) converges to each one-shot verdict") {
+    import org.apache.spark.sql.Column
+    import graft.pipeline.PipelineOps
+    def snap(drop: Column => Column, change: Column => Column) =
+      corpus.where(!drop(col("doc_id")))
+        .withColumn("text",
+          when(change(col("doc_id")), concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val none: Column => Column = _ => lit(false)
+    def feed(old: org.apache.spark.sql.DataFrame, neu: org.apache.spark.sql.DataFrame) = {
+      val pk = old.select(col("doc_id"), md5(col("text")).as("h0"))
+      val nk = neu.select(col("doc_id"), md5(col("text")).as("h1"))
+      IngestBump.CorpusDelta(
+        removedIds = pk.join(nk, Seq("doc_id"), "left_anti").select("doc_id"),
+        changed = neu.join(
+          pk.join(nk, "doc_id").where(col("h0") =!= col("h1")).select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        added = neu.join(pk, Seq("doc_id"), "left_anti"))
+    }
+    val trials = Seq(
+      ("classic-cdc",
+        snap(id => id % 11 === 3, none), snap(id => id % 13 === 5, id => id % 7 === 2)),
+      ("keeper-removal-promotes-replays",
+        snap(none, none), snap(id => id < 10, none)),
+      ("survivor-displacement",
+        snap(id => id < 10, none), snap(none, none)),
+      ("heavy-churn",
+        snap(id => id % 3 === 0, id => id % 5 === 1),
+        snap(id => id % 3 === 1, id => id % 5 === 2)))
+    for ((nm, old, neu) <- trials) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_cdcfeed_$nm").toString
+      IngestBump.bump(spark, root, old)
+      val got = IngestBump.bumpTextCdc(spark, root, feed(old, neu), neu)
+      assert(img(got) == img(PipelineOps.dedupVerdictOf(neu)), nm)
+    }
+  }
 }
