@@ -148,6 +148,23 @@ object CdcMarginalProbe {
         tMaint + tVerdict
       }
 
+      // ---- trained family: frozen trained quantizer (deployment
+      // artifact, untimed), base bump (untimed), one CDC bump — the
+      // bumpTrained delta branch, verdict forced
+      val tTrained = if (!on("trained")) 0.0 else {
+        val trained = PipelineOps.trainCentroids(q0,
+          PipelineOps.semCells(spark.read.parquet(s"$dir/embeddings.parquet").count()))
+        val troot = s"$tmp/trained_${tag}_$warm"
+        IngestBump.bumpTrained(spark, troot, IngestBump.TrainedSnapshot(q0, trained))
+        time {
+          IngestBump.bumpTrained(spark, troot,
+            IngestBump.TrainedSnapshot(newVecs, trained))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      if (!warm && on("trained"))
+        println(f"TRAINED sf$tag t=$tTrained%.3f")
+
       // ---- index family: pre-build (untimed), then append + tombstones
       val tIdx = if (!on("index")) 0.0 else {
         val idx = s"$tmp/idx_${tag}_$warm"
