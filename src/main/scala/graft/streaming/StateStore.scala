@@ -86,11 +86,17 @@ object StateStore {
   }
 
   /** The version chain ending at `v`: snapshot first, deltas in commit
-    * order. */
+    * order. A base pointer must strictly DECREASE along the walk (a
+    * delta's base is always an earlier version) — a corrupted or
+    * hand-edited `_DELTA` file that points at itself or forward would
+    * otherwise spin this loop forever; fail fast instead. */
   private def chainOf(fs: FileSystem, dir: String, v: Long): Seq[Long] = {
     var chain = List(v)
     var base = baseOf(fs, dir, v)
     while (base.isDefined) {
+      if (base.get >= chain.head)
+        throw new IllegalStateException(
+          s"$dir v${chain.head} has a non-decreasing _DELTA base ${base.get} — corrupt chain")
       chain = base.get :: chain
       base = baseOf(fs, dir, base.get)
     }
