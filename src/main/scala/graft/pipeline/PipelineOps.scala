@@ -3160,6 +3160,52 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** p74: cross-codec image dedup — exact dedup on DECODED pixel content
+    * rather than container bytes, the multimodal twin of p03: a re-encoded
+    * image (same pixels shipped as BMP here and zlib-deflated PNG there)
+    * hashes differently at the byte level and sails through container
+    * dedup, but is the same training sample. The dedup key is the decoded
+    * CONTENT FINGERPRINT (width, height, per-channel sums, and the
+    * position-weighted blue checksum — position-sensitive, so two images
+    * with permuted pixels don't collide); a cryptographic upgrade (md5
+    * over the raw pixel buffer) is a drop-in stronger key but not
+    * cross-engine oracle-able, which is exactly why the fingerprint IS
+    * the documented contract. Re-encode duplicates are engineered the
+    * fixture's standard way (each doc replicated under id+100001 — odd
+    * offset, so the replica lands in the OPPOSITE container format while
+    * its text, hence its logical pixel stream, is identical); the oracle
+    * recomputes the fingerprint from the text formulas, never seeing the
+    * binary, so a decoder that mishandles scanline order, row padding, or
+    * the zlib stream fails the gate. One fingerprint-keyed shuffle over
+    * the decoded projection — p03's shape; encode is fixture scaffolding
+    * (production reads stored media bytes). Reference: no media handling
+    * at all; beyond-parity with p13/p28. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    val d = base
+      .unionByName(base.withColumn("doc_id", col("doc_id") + lit(100001L)))
+      .withColumn("is_png", (col("doc_id") % 2) === 0)
+      .withColumn("iw", (col("n_chars") % 12 + 1).cast("int"))
+      .withColumn("ih", (col("n_chars") % 9 + 1).cast("int"))
+      .withColumn("content", when(col("is_png"),
+          graft.functions.PngEncode(col("text"), col("iw"), col("ih"), lit(0)))
+        .otherwise(graft.functions.BmpEncode(col("text"), col("iw"), col("ih"), lit(0))))
+      .withColumn("img", when(col("is_png"), graft.functions.PngStats(col("content")))
+        .otherwise(graft.functions.BmpStats(col("content"))))
+    val fp = Seq("width", "height", "sum_r", "sum_g", "sum_b", "wsum_b")
+      .map(c => col(s"img.$c"))
+    val w = Window.partitionBy(fp: _*)
+    d.select(col("doc_id"), col("is_png"), col("img"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("kept",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+      .withColumn("cross_codec",
+        when(min(col("is_png").cast("int")).over(w) =!=
+             max(col("is_png").cast("int")).over(w), 1L).otherwise(0L))
+      .select(col("doc_id"), col("canonical_id"), col("kept"), col("cross_codec"))
+      .orderBy("doc_id")
+  }
+
   /** p28: video-style frame sampling with REAL per-frame decode — each
     * asset is a short "video" whose frames are individually encoded BMPs
     * (per-frame dims and pixel seed vary, like real frames differ);
@@ -3826,5 +3872,6 @@ object PipelineOps {
     "p70_dataset_card_delta" -> datasetCardDelta,
     "p71_ingest_bump"   -> ingestBumpChain,
     "p72_cdc_chain"     -> ingestCdcChain,
-    "p73_trained_cdc"   -> trainedCdcChain)
+    "p73_trained_cdc"   -> trainedCdcChain,
+    "p74_media_dedup"   -> mediaDedup)
 }

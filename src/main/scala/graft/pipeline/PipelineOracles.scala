@@ -1438,6 +1438,34 @@ object PipelineOracles {
     * the FINAL carved snapshot. */
   private val p73 = p52Sql("vec_id % 10 <> 7")
 
+  /** p74: the decoded-content fingerprint recomputed from the TEXT pixel
+    * formulas (pixel k: B = text byte 3k, G = 3k+1, R = 3k+2, all mod
+    * len; wsum_b weights blue by k+1) — the oracle never sees the binary,
+    * so BMP bottom-up rows, PNG filters, and the zlib stream must all
+    * reconstruct the same logical pixels to match. Replicas under
+    * id+100001 land in the opposite container, exactly as the entry
+    * builds them. */
+  private val p74 =
+    s"""WITH media AS (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  UNION ALL SELECT doc_id + 100001, text, n_chars FROM documents),
+       |t AS (SELECT doc_id, (doc_id % 2 = 0) AS is_png,
+       |             (n_chars % 12 + 1) AS iw, (n_chars % 9 + 1) AS ih,
+       |             text, len(text) AS l FROM media),
+       |f AS (SELECT doc_id, is_png, iw, ih,
+       |        list_sum([ord(text[((3*k+2) % l)+1]) FOR k IN range(0, iw*ih)]) AS sum_r,
+       |        list_sum([ord(text[((3*k+1) % l)+1]) FOR k IN range(0, iw*ih)]) AS sum_g,
+       |        list_sum([ord(text[((3*k) % l)+1]) FOR k IN range(0, iw*ih)]) AS sum_b,
+       |        list_sum([(k+1) * ord(text[((3*k) % l)+1]) FOR k IN range(0, iw*ih)]) AS wsum_b
+       |      FROM t)
+       |SELECT doc_id, min(doc_id) OVER w AS canonical_id,
+       |       (CASE WHEN doc_id = min(doc_id) OVER w THEN 1 ELSE 0 END)::BIGINT AS kept,
+       |       (CASE WHEN min(CASE WHEN is_png THEN 1 ELSE 0 END) OVER w
+       |                  <> max(CASE WHEN is_png THEN 1 ELSE 0 END) OVER w
+       |             THEN 1 ELSE 0 END)::BIGINT AS cross_codec
+       |FROM f WINDOW w AS (PARTITION BY iw, ih, sum_r, sum_g, sum_b, wsum_b)
+       |ORDER BY doc_id""".stripMargin
+
   /** p45: DuckDB's RE2 and Spark's Java regex agree on the shipped
     * pattern class (word boundaries, char classes, bounded quantifiers);
     * replacement order is declaration order on both sides. */
@@ -1731,5 +1759,6 @@ object PipelineOracles {
     // under test (feed-trusting delta hashing, LSM delta persistence,
     // survivor promotion via corpus fetch) differ entirely
     "p72_cdc_chain"     -> p71,
-    "p73_trained_cdc"   -> p73)
+    "p73_trained_cdc"   -> p73,
+    "p74_media_dedup"   -> p74)
 }
