@@ -438,6 +438,21 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("media dedup: decode stays map-side projection work, the dedup is one " +
+       "fingerprint-keyed window, and the scan reads only the three source columns") {
+    val df = graft.pipeline.PipelineOps.mediaDedup(spark, SfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+           !p.contains("BroadcastHashJoin"),
+      "content dedup must be join-free (one window, no pair join):\n" + p.take(800))
+    assert(p.contains("Window"), p.take(400))
+    val scans = p.linesIterator.filter(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("doc_id") && l.contains("text") && !l.contains("lang")),
+      "scan must prune to (doc_id, text, n_chars):\n" + scans.mkString("\n"))
+  }
+
   test("LSM chain fold: delta retirement is BROADCAST anti-joins over the chain " +
        "scans (never a state-by-state shuffle join), and verdict assembly reads " +
        "the maintained labels table instead of rebuilding the cluster graph") {
