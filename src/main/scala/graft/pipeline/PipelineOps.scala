@@ -3245,6 +3245,48 @@ object PipelineOps {
         min(col("min_sig")).as("corpus_min_sig"))
       .orderBy("source")
 
+  /** p75: cross-video frame dedup — p74's decoded-content dedup at FRAME
+    * granularity: the frames that dominate a video corpus are the ones
+    * repeated across assets (static intros, logo cards, slide decks), so
+    * the dedup key is each decoded frame's content fingerprint and the
+    * canonical is the first (asset, frame) owning that content anywhere
+    * in the corpus — per-frame verdicts, not per-asset, because a
+    * training sampler drops duplicate FRAMES while keeping their hosts.
+    * Duplicate frames are engineered the fixture's standard way: every
+    * asset replicated under id+100000 — a multiple of 5, so the
+    * width formula ((asset_id + f) % 5 + 3) lands replica frames on
+    * identical dims and the replica's decoded content is byte-identical
+    * per frame. One explode + one fingerprint-keyed shuffle; the oracle
+    * recomputes each frame's fingerprint from the text pixel formulas
+    * (seed = 11·f offsets the pixel source per frame, exactly p28's
+    * generator). */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("text"), col("n_chars"))
+    val d = base
+      .unionByName(base.withColumn("asset_id", col("asset_id") + lit(100000L)))
+      .withColumn("nf", (col("n_chars") % 6 + 2).cast("int"))
+      .select(col("asset_id"), col("text"), col("n_chars"),
+        explode(expr("sequence(0, nf - 1)")).as("f"))
+      .withColumn("fw", ((col("asset_id") + col("f")) % 5 + 3).cast("int"))
+      .withColumn("fh", ((col("n_chars") + col("f")) % 4 + 2).cast("int"))
+      .withColumn("frame",
+        graft.functions.BmpEncode(col("text"), col("fw"), col("fh"), (col("f") * 11).cast("int")))
+      .withColumn("st", graft.functions.BmpStats(col("frame")))
+      // nf ≤ 7, so 8 strides the (asset, frame) key losslessly
+      .withColumn("fkey", col("asset_id") * 8 + col("f"))
+    val fp = Seq("width", "height", "sum_r", "sum_g", "sum_b", "wsum_b")
+      .map(c => col(s"st.$c"))
+    val w = Window.partitionBy(fp: _*)
+    d.withColumn("canon", min(col("fkey")).over(w))
+      .select(col("asset_id"), col("f").cast("long").as("f"),
+        expr("canon DIV 8").as("canonical_asset"),
+        (col("canon") % 8).as("canonical_f"),
+        when(col("fkey") === col("canon"), 1L).otherwise(0L).as("kept"),
+        when(expr("canon DIV 8") =!= col("asset_id"), 1L).otherwise(0L).as("cross_asset"))
+      .orderBy("asset_id", "f")
+  }
+
   // ========================================================== events/json
 
   /** p09: typed extraction from the JSON `props` column + event rollup.
@@ -3873,5 +3915,6 @@ object PipelineOps {
     "p71_ingest_bump"   -> ingestBumpChain,
     "p72_cdc_chain"     -> ingestCdcChain,
     "p73_trained_cdc"   -> trainedCdcChain,
-    "p74_media_dedup"   -> mediaDedup)
+    "p74_media_dedup"   -> mediaDedup,
+    "p75_frame_dedup"   -> frameDedup)
 }

@@ -1466,6 +1466,34 @@ object PipelineOracles {
        |FROM f WINDOW w AS (PARTITION BY iw, ih, sum_r, sum_g, sum_b, wsum_b)
        |ORDER BY doc_id""".stripMargin
 
+  /** p75: each frame's fingerprint recomputed from the text pixel
+    * formulas with p28's per-frame seed (11·f) offsetting the source;
+    * canonical = min (asset, frame) key per fingerprint. */
+  private val p75 =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS asset_id, text, n_chars FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents),
+       |fr AS (
+       |  SELECT asset_id, text, n_chars, len(text) AS l,
+       |         unnest(range(0, n_chars % 6 + 2)) AS f
+       |  FROM vids),
+       |t AS (SELECT asset_id, f, ((asset_id + f) % 5 + 3) AS fw,
+       |             ((n_chars + f) % 4 + 2) AS fh, (f * 11) AS seed, text, l FROM fr),
+       |g AS (SELECT asset_id, f, fw, fh,
+       |        list_sum([ord(text[((seed+3*k+2) % l)+1]) FOR k IN range(0, fw*fh)]) AS sum_r,
+       |        list_sum([ord(text[((seed+3*k+1) % l)+1]) FOR k IN range(0, fw*fh)]) AS sum_g,
+       |        list_sum([ord(text[((seed+3*k) % l)+1]) FOR k IN range(0, fw*fh)]) AS sum_b,
+       |        list_sum([(k+1) * ord(text[((seed+3*k) % l)+1]) FOR k IN range(0, fw*fh)]) AS wsum_b
+       |      FROM t),
+       |k AS (SELECT *, asset_id * 8 + f AS fkey,
+       |        min(asset_id * 8 + f) OVER (PARTITION BY fw, fh, sum_r, sum_g, sum_b, wsum_b) AS canon
+       |      FROM g)
+       |SELECT asset_id, f::BIGINT AS f,
+       |       canon // 8 AS canonical_asset, (canon % 8)::BIGINT AS canonical_f,
+       |       (CASE WHEN fkey = canon THEN 1 ELSE 0 END)::BIGINT AS kept,
+       |       (CASE WHEN canon // 8 <> asset_id THEN 1 ELSE 0 END)::BIGINT AS cross_asset
+       |FROM k ORDER BY asset_id, f""".stripMargin
+
   /** p45: DuckDB's RE2 and Spark's Java regex agree on the shipped
     * pattern class (word boundaries, char classes, bounded quantifiers);
     * replacement order is declaration order on both sides. */
@@ -1760,5 +1788,6 @@ object PipelineOracles {
     // survivor promotion via corpus fetch) differ entirely
     "p72_cdc_chain"     -> p71,
     "p73_trained_cdc"   -> p73,
-    "p74_media_dedup"   -> p74)
+    "p74_media_dedup"   -> p74,
+    "p75_frame_dedup"   -> p75)
 }
