@@ -39,16 +39,18 @@ import graft.pipeline.{ArtifactStore, PipelineOps}
   * three-snapshot chain against from-scratch oracles, through a
   * state-on-disk restart.
   *
-  * Crash contract: each family's state commits via StateStore's atomic
-  * pointer flip, so a crash mid-bump leaves every family at EITHER
-  * snapshot N or N+1, and re-running the bump converges: the text/sem
-  * refreshes are idempotent (valid-id retirement and membership
-  * anti-joins make a replayed delta a no-op), and the index bump derives
-  * arrivals/departures from the index's OWN live set rather than the
-  * state tables, so a replay appends nothing and re-tombstones nothing.
-  * Single concurrent bumper per root (the ingest pipeline's natural
-  * shape); two racing bumpers degrade to last-flip-wins between
-  * internally-consistent versions, never a torn state.
+  * Crash contract: each family's state commits via StateStore's
+  * per-version CREATE-EXCLUSIVE `_COMMITTED` marker (atomic on object
+  * stores too — see [[StateStore]]), so a crash mid-bump leaves every
+  * family at EITHER snapshot N or N+1, and re-running the bump converges:
+  * the text/sem refreshes are idempotent (valid-id retirement and
+  * membership anti-joins make a replayed delta a no-op), and the index
+  * bump derives arrivals/departures from the index's OWN live set rather
+  * than the state tables, so a replay appends nothing and re-tombstones
+  * nothing. Single concurrent bumper per root (the ingest pipeline's
+  * natural shape); two racing bumpers degrade to
+  * highest-committed-version-wins between internally-consistent versions,
+  * never a torn state.
   *
   * Reference: the reference engine has no ingest maintenance at all (a
   * schema reload is a full flush, tesseract-server `handlers/flush.rs`);
@@ -200,13 +202,23 @@ object IngestBump {
     val deltaDocs = delta.changed.select(DocCols.map(col): _*)
       .unionByName(delta.added.select(DocCols.map(col): _*))
       .localCheckpoint(false)
-    val deltaLog = DedupStream.arrivalLog(deltaDocs).localCheckpoint(false)
     // a changed doc departs the log under its old hash and re-enters via
     // the delta log under its new one
     val departed = delta.removedIds.select("doc_id")
       .unionByName(delta.changed.select("doc_id")).localCheckpoint(false)
-    val livelog = m("livelog").join(departed, Seq("doc_id"), "left_anti")
-      .unionByName(deltaLog)
+    val retainedLog = m("livelog").join(departed, Seq("doc_id"), "left_anti")
+    // replay idempotency: on a re-run of an already-committed bump the
+    // feed's added docs are ALREADY in the carried livelog (and not in
+    // `departed`), so a raw union would duplicate their rows — and the
+    // duplicate would persist in the saved delta chain, duplicating every
+    // later verdict. Anti-join the arrivals against the retained log on
+    // the full (doc_id, content_hash) key (mirroring bumpText's logDelta)
+    // so a replayed arrival is a no-op; this filtered delta is also what
+    // the chain persists as its livelog table.
+    val deltaLog = DedupStream.arrivalLog(deltaDocs)
+      .join(retainedLog, Seq("doc_id", "content_hash"), "left_anti")
+      .localCheckpoint(false)
+    val livelog = retainedLog.unionByName(deltaLog)
     // survivor selection over the live log: min doc_id per content hash —
     // one corpus-hash shuffle, no text
     val sw = Window.partitionBy(col("content_hash"))

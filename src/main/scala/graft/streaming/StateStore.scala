@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable checkpoint store for the incremental-dedup carried state — the
@@ -11,62 +11,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partial state that yields a wrong verdict).
   *
   * All filesystem traffic goes through the Hadoop `FileSystem` resolved
-  * from the path itself, so `dir` may be a local path, HDFS, or any other
-  * Hadoop-supported scheme — the same resolution Spark's own parquet
-  * writers use. CAVEAT (object stores): the commit protocol below leans on
-  * atomic rename, which holds on POSIX filesystems and HDFS but NOT on
-  * S3-style object stores (rename there is copy+delete and the pointer
-  * flip can be observed torn). On such stores, front the pointer with a
-  * metadata service (what table formats do) or run the store against an
-  * HDFS/NFS scratch namespace.
+  * from the path itself, so `dir` may be a local path, HDFS, S3A, or any
+  * other Hadoop-supported scheme — the same resolution Spark's own
+  * parquet writers use.
   *
-  * Commit protocol — the classic versioned-directory + atomic-pointer
-  * scheme every table-format checkpoint uses (and the reason a parquet
-  * `overwrite` alone is NOT a checkpoint: it deletes the old state before
-  * the new one is fully written, so a crash mid-save loses both):
+  * Commit protocol — versioned directories with per-version commit
+  * markers (and the reason a parquet `overwrite` alone is NOT a
+  * checkpoint: it deletes the old state before the new one is fully
+  * written, so a crash mid-save loses both):
   *
   *   1. claim a fresh version directory by CREATE-EXCLUSIVE on its
-  *      `_ALLOC` marker — two writers that both read `_CURRENT = N` land
+  *      `_ALLOC` marker — two writers that both observe current = N land
   *      on DISTINCT versions instead of racing file contents inside one
   *      directory (the single-writer guard: the deployment is meant to be
   *      single-writer, but a misconfigured second writer now degrades to
-  *      last-flip-wins between two internally-consistent versions, never
-  *      to a torn state);
+  *      highest-committed-version-wins between two internally-consistent
+  *      versions, never to a torn state);
   *   2. write all state tables under the claimed `v{N+1}/` directory;
-  *   3. flip the `_CURRENT` pointer file to `N+1` via write-temp +
-  *      atomic rename — readers see either the old version or the new
-  *      one, never a torn pointer;
+  *   3. commit by CREATE-EXCLUSIVE on the version's `_COMMITTED` marker.
+  *      Readers resolve the current version as MAX committed — never a
+  *      pointer file, never a rename. Create-exclusive is the one
+  *      primitive that is atomic on object stores too (a conditional
+  *      `If-None-Match` PUT on S3, a generation-0 precondition on GCS),
+  *      where rename is copy+delete and a rename-based pointer flip can
+  *      be observed torn; on POSIX/HDFS it is plain O_EXCL create. A
+  *      version is visible if and only if every one of its files is.
   *   4. prune versions older than the previous one (the previous survives
   *      one extra cycle for in-flight readers).
   *
   * A crash between (2) and (3) leaves an orphaned `v{N+1}` that later
   * allocations skip (its `_ALLOC` marker loses the exclusivity race) and
-  * a later prune removes; `load` keeps serving `vN`. StreamStateSpec
+  * a later prune removes; `load` keeps serving `vN` — an uncommitted
+  * version is invisible to the max-committed resolution. StreamStateSpec
   * kills the in-memory state between refreshes, reloads from disk, and
   * proves the final verdict identical to the never-restarted run — plus
-  * the crash-before-flip, two-concurrent-writers, and prune behaviors of
-  * the protocol itself. */
+  * the crash-before-commit, two-concurrent-writers, and prune behaviors
+  * of the protocol itself. */
 object StateStore {
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Version numbers allocated under `dir` (`v{N}` children), committed
+    * or not — the allocation floor. */
+  private def allocated(fs: FileSystem, dir: String): Seq[Long] = {
+    val p = new HPath(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+  }
+
+  /** The current version: MAX v{N} carrying a `_COMMITTED` marker. One
+    * listing + one marker probe per allocated-but-newer version — a
+    * handful of round-trips on any store (prune keeps the version count
+    * small). */
   private def currentVersion(fs: FileSystem, dir: String): Option[Long] = {
-    val p = new HPath(dir, "_CURRENT")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        // loop to EOF — Hadoop streams may legally short-read, and a
-        // truncated version string would parse as the wrong version
-        val buf = new Array[Byte](64)
-        var total = 0
-        var n = 0
-        while (total < buf.length &&
-               { n = in.read(buf, total, buf.length - total); n > 0 }) total += n
-        Some(new String(buf, 0, total, "UTF-8").trim.toLong)
-      } finally in.close()
-    }
+    val committed = allocated(fs, dir).sorted(Ordering[Long].reverse)
+      .find(v => fs.exists(new HPath(s"$dir/v$v/_COMMITTED")))
+    committed
   }
 
   private def baseOf(fs: FileSystem, dir: String, v: Long): Option[Long] = {
@@ -172,7 +175,8 @@ object StateStore {
     }
     // (2) state tables into the claimed directory; a delta also records
     // its base version — the chain pointer loadChain walks. Written
-    // BEFORE the _CURRENT flip, so a committed delta always has its base.
+    // BEFORE the _COMMITTED marker, so a committed delta always has its
+    // base.
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/v$next/$name.parquet")
     }
@@ -180,30 +184,12 @@ object StateStore {
       val out = fs.create(new HPath(s"$dir/v$next/_DELTA"), true)
       try out.write(prev.get.toString.getBytes("UTF-8")) finally out.close()
     }
-    // (3) atomic pointer flip. The OVERWRITE rename is atomic with respect
-    // to READERS on POSIX/HDFS (they see old or new, never torn), but the
-    // local-FS AbstractFileSystem implements it as delete-then-rename, so
-    // a CONCURRENT flip can land its pointer in that window and fail this
-    // one with FileAlreadyExists. Retry — each attempt re-runs the
-    // delete+rename, so with finitely many racers every flip eventually
-    // lands and the pointer is last-flip-wins between complete versions
-    // (the degradation mode documented above), never a lost commit.
-    val tmp = new HPath(dir, s"_CURRENT.tmp.$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    var flipped = false
-    var attempts = 0
-    while (!flipped) {
-      try {
-        fc.rename(tmp, new HPath(dir, "_CURRENT"), Options.Rename.OVERWRITE)
-        flipped = true
-      } catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          attempts += 1
-          if (attempts > 100) throw e
-      }
-    }
+    // (3) commit: CREATE-EXCLUSIVE on the version's _COMMITTED marker —
+    // atomic on POSIX/HDFS (O_EXCL) and on object stores (conditional
+    // PUT), unlike rename. We own the claimed directory, so the create
+    // cannot lose a race; readers resolving MAX committed see this
+    // version only once every table file under it is fully written.
+    fs.create(new HPath(s"$dir/v$next/_COMMITTED"), false).close()
     // (4) prune: a SNAPSHOT commit retires the previous chain — delete
     // everything older than the previous version's chain START, so
     // in-flight readers mid-walk over that chain stay whole for one more
@@ -223,7 +209,7 @@ object StateStore {
     next
   }
 
-  /** Read the committed state tables, None if no version was ever flipped.
+  /** Read the committed state tables, None if no version was ever committed.
     * Fails fast if the head version is a delta — a chained store must be
     * read through [[loadChain]] (reading a delta's tables as if they were
     * the full state would silently serve a fragment). */

@@ -82,6 +82,38 @@ class IngestBumpSpec extends AnyFunSuite {
       st("pairs").select(col("doc_a"), col("doc_b")))))
   }
 
+  test("CDC replay idempotency: re-running an already-committed bump (the crash " +
+       "contract's at-least-once case) duplicates nothing — livelog, verdict, and the " +
+       "published p60 table all stay single-row per doc") {
+    val root = Files.createTempDirectory("graft_bump_replay").toString
+    val facade = Files.createTempDirectory("graft_bump_replay_pub").toString
+    IngestBump.bump(spark, root, s0)
+    s1.write.mode("overwrite").parquet(s"$facade/documents.parquet")
+    val pk = s0.select(col("doc_id"), md5(col("text")).as("h0"))
+    val nk = s1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val delta = IngestBump.CorpusDelta(
+      removedIds = pk.join(nk, Seq("doc_id"), "left_anti").select("doc_id"),
+      changed = s1.join(
+        pk.join(nk, "doc_id").where(col("h0") =!= col("h1")).select("doc_id"),
+        Seq("doc_id"), "left_semi"),
+      added = s1.join(pk, Seq("doc_id"), "left_anti"))
+    IngestBump.bumpTextCdc(spark, root, delta, s1, publishDir = Some(facade))
+    // the replay: same delta, same corpus — a crashed-after-commit driver
+    // re-delivering the bump
+    val v2 = IngestBump.bumpTextCdc(spark, root, delta, s1, publishDir = Some(facade))
+    assert(rowImage(v2) == rowImage(PipelineOps.dedupVerdictOf(s1)))
+    val st = IngestBump.textState(spark, root).get
+    // the pre-fix defect: added docs re-unioned into the livelog on every
+    // replay, one duplicate (doc_id, content_hash) row per replay
+    assert(st("livelog").groupBy("doc_id").count().where(col("count") > 1).count() == 0,
+      "replay must not duplicate livelog rows")
+    assert(rowImage(st("livelog")) == rowImage(DedupStream.arrivalLog(s1)))
+    val served = PipelineOps.dedupVerdictServed(spark, facade)
+    assert(served.groupBy("doc_id").count().where(col("count") > 1).count() == 0,
+      "replayed publish must not duplicate the p60 table")
+    assert(rowImage(served) == rowImage(PipelineOps.dedupVerdictOf(s1)))
+  }
+
   test("survivor promotion under a CDC feed: removing an exact-dup's keeper promotes " +
        "the copy, whose body the feed never carried (fetched from the corpus)") {
     val root = Files.createTempDirectory("graft_bump_promo").toString

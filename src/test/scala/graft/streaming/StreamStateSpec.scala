@@ -141,12 +141,13 @@ class StreamStateSpec extends AnyFunSuite {
       qAll.where(col("nrm") > 0).count(), "one member row per nonzero-norm vector")
   }
 
-  test("a crash before the pointer flip leaves the previous version readable") {
+  test("a crash before the commit marker leaves the previous version readable") {
     import spark.implicits._
     val dir = tmpDir("crash")
     StateStore.save(dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
-    // simulate a crash mid-save of version 2: tables written, pointer NOT
-    // flipped — exactly what the protocol promises to survive
+    // simulate a crash mid-save of version 2: tables written, _COMMITTED
+    // marker never created — exactly what the protocol promises to survive
+    // (max-committed resolution never sees an uncommitted version)
     Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/v2/t.parquet")
     val loaded = StateStore.load(spark, dir, Seq("t")).get
     assert(loaded("t").collect().map(_.getLong(0)).toSeq == Seq(1L),
@@ -171,9 +172,10 @@ class StreamStateSpec extends AnyFunSuite {
     val dir = tmpDir("race")
     // both writers observe the same starting state (no committed version)
     // and race the full save protocol; the _ALLOC create-exclusive must
-    // serialize them onto DISTINCT version directories, so whatever flip
-    // wins, the pointed-at version is one writer's complete table — the
-    // pre-guard failure mode was both writing v1 and interleaving files
+    // serialize them onto DISTINCT version directories, so whichever
+    // commit resolves as max, the served version is one writer's complete
+    // table — the pre-guard failure mode was both writing v1 and
+    // interleaving files
     val results = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val threads = Seq("a" -> 11L, "b" -> 22L).map { case (tag, v) =>
       new Thread(() => {
@@ -215,6 +217,12 @@ class StreamStateSpec extends AnyFunSuite {
     val vdirs = new java.io.File(dir).list().filter(_.startsWith("v")).sorted.toSeq
     assert(vdirs == Seq("v3", "v4"), s"expected prune to v3/v4, got $vdirs")
     assert(StateStore.load(spark, dir, Seq("t")).get("t").head().getLong(0) == 4L)
+    // object-store-safe protocol: no pointer file anywhere — resolution is
+    // max committed version, each version carrying its own marker
+    assert(!new java.io.File(dir).list().exists(_.startsWith("_CURRENT")),
+      "no _CURRENT pointer may exist under the marker protocol")
+    vdirs.foreach(v => assert(new java.io.File(s"$dir/$v/_COMMITTED").exists,
+      s"$v must carry a _COMMITTED marker"))
   }
 
   test("delta chain: saveDelta stacks O(delta) versions, loadChain returns them in " +
