@@ -984,28 +984,37 @@ object PipelineOps {
     * the estimate only feeds an ordering decision, so double's ≥2⁵³
     * rounding is irrelevant while its 2¹⁰²⁴ range is not.
     *
-    * `sampleMod` > 1 estimates from a deterministic 1-in-`sampleMod`
-    * KEY-space sample (murmur3 of the key tuple — no RNG, re-run-stable)
-    * scaled back up: sampling whole keys keeps E[Σ ca·cb] unbiased
-    * (sampling ROWS would bias the quadratic term down by the square of
-    * the rate). Used when the gram explosion is large enough that exact
-    * per-key counting would cost a visible fraction of the join it's
-    * trying to avoid; a hot key missing from the sample under-estimates,
-    * but at the scale where sampling engages the decision needs coarse
-    * ordering, not exact counts. */
+    * `sampleMod` > 1 estimates from a deterministic 1-in-`sampleMod` ROW
+    * sample per side — `pmod(hash(docCol, seed), mod) == 0`, a different
+    * seed per side so the two samples are independent even when a doc id
+    * appears on both sides — with the product sum scaled back by
+    * `mod²` (each side's per-key count is down by E[1/mod], so the
+    * product is down by E[1/mod²]). Row sampling keeps EVERY key
+    * represented in expectation: the earlier key-space sample was
+    * deterministic per key, and on a COARSE key space (the block join's
+    * (lang, source, block) — often only hundreds of keys with the mass
+    * concentrated in a few cells) it would miss the dominant cells, or
+    * all of them, outright — est = 0 at exactly the scales where the
+    * estimate decides against a quadratic join. Under row sampling a
+    * key's absence from the sample means its true count is O(mod), so
+    * the keys that matter (large ca·cb) are always represented and the
+    * relative error is ~mod/√(ca·cb) — bounded precisely where the
+    * decision needs it. No RNG anywhere: the hash is murmur3 of the doc
+    * id, re-run-stable. */
   private[graft] def estJoinRows(
-      a: DataFrame, b: DataFrame, keys: Seq[String], sampleMod: Long = 1L): Long = {
-    def side(d: DataFrame) = {
+      a: DataFrame, b: DataFrame, keys: Seq[String], sampleMod: Long = 1L,
+      docCols: (String, String) = ("doc_a", "doc_b")): Long = {
+    def side(d: DataFrame, docCol: String, seed: Int) = {
       val s = if (sampleMod > 1)
-        d.where(pmod(hash(keys.map(col): _*), lit(sampleMod)) === 0)
+        d.where(pmod(hash(col(docCol), lit(seed)), lit(sampleMod)) === 0)
       else d
       s.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
     }
-    val est = side(a).withColumnRenamed("c", "ca")
-      .join(side(b).withColumnRenamed("c", "cb"), keys)
+    val est = side(a, docCols._1, 1).withColumnRenamed("c", "ca")
+      .join(side(b, docCols._2, 2).withColumnRenamed("c", "cb"), keys)
       .agg(sum(col("ca").cast("double") * col("cb").cast("double")))
       .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
-      .getOrElse(0.0) * sampleMod
+      .getOrElse(0.0) * sampleMod * sampleMod
     if (est >= Long.MaxValue.toDouble) Long.MaxValue else est.toLong
   }
 
@@ -1017,10 +1026,10 @@ object PipelineOps {
 
   /** Once the block-join estimate clears the decision threshold by this
     * factor, the prefix-side estimate switches to a 1-in-[[EstSampleMod]]
-    * key-space sample: at that scale the gram explosion's exact per-key
-    * counts would cost a visible fraction of the join being avoided,
-    * while the decision itself only needs coarse ordering (the two
-    * strategies differ by >10× whenever the choice matters). */
+    * row sample (see [[estJoinRows]]): at that scale the gram explosion's
+    * exact per-key counts would cost a visible fraction of the join being
+    * avoided, while the decision itself only needs coarse ordering (the
+    * two strategies differ by >10× whenever the choice matters). */
   val EstSampleFactor: Long = 100L
   val EstSampleMod: Long = 64L
 
@@ -1042,7 +1051,7 @@ object PipelineOps {
     if (blockEst <= decisionThreshold) return blockJoin
     val pa = prefixedView(aGrams, "doc_a", num, den)
     val pb = prefixedView(bGrams, "doc_b", num, den)
-    // huge explosions estimate from a key-space sample (see estJoinRows)
+    // huge explosions estimate from a row sample (see estJoinRows)
     val sampleMod =
       if (blockEst / EstSampleFactor > decisionThreshold) EstSampleMod else 1L
     val prefixEst = estJoinRows(pa, pb, gramBlockCols :+ "ph", sampleMod)
@@ -1143,17 +1152,19 @@ object PipelineOps {
     * strategy, so every streaming refresh pays that latency on top of the
     * join itself. Below [[PrefixDecisionThreshold]] estimated candidates
     * only the cheap block-side count runs; above [[EstSampleFactor]]× the
-    * threshold the prefix estimate switches to a key-space sample. A
+    * threshold the prefix estimate switches to a row sample. A
     * deployment whose batches are uniformly tiny can treat the one
     * block-estimate job as the floor cost of adaptivity. */
   private[graft] def ngramPairsAgainst(allGrams: DataFrame, newGrams: DataFrame): DataFrame =
     jaccardVerified(
-        // the strategy estimate runs KEY-SAMPLED here: on the incremental
+        // the strategy estimate runs ROW-SAMPLED here: on the incremental
         // path this estimate fires EVERY refresh against the corpus-sized
         // gram history, and sampling cuts that recurring per-key count
         // shuffle by EstSampleMod× while both candidate strategies stay
         // exact — estimate error can only mis-pick between two correct
-        // plans, and only matters within ~2× of the decision boundary
+        // plans. Row sampling (not key sampling) keeps the coarse
+        // (lang, source, block) key space's dominant cells represented
+        // under skew — see estJoinRows
         withGramArrays(
           candidatePairs(allGrams, newGrams, 3, 5, estSampleMod = EstSampleMod),
           allGrams, newGrams))

@@ -123,19 +123,28 @@ class NgramFuzzSpec extends AnyFunSuite {
     dups.foreach { case (id, _) => assert(p.contains((id - 1000L, id)), s"lost pair for $id") }
   }
 
-  test("estJoinRows: sampled key-space estimate tracks the exact count; double path saturates") {
+  test("estJoinRows: row-sampled estimate tracks the exact count even under key skew; " +
+       "double path saturates") {
     import spark.implicits._
-    // 4000 rows over ~500 keys: a 1-in-8 key sample keeps ~60 keys — enough
-    // that the scaled-back estimate lands within the coarse band the join
-    // decision needs (the strategies differ by >10x whenever it matters)
+    // COARSE, SKEWED key space: 90% of the mass on 3 keys out of 20 — the
+    // block join's (lang, source, block) shape. A deterministic KEY-space
+    // sample at 1-in-64 misses the dominant cells (or every cell, est = 0)
+    // and would early-return the quadratic block join at exactly the
+    // scales the adaptive strategy exists to avoid; a ROW sample keeps
+    // every key represented in proportion to its mass.
     val rng = new scala.util.Random(0xE57)
-    val a = (0 until 4000).map(_ => (rng.nextInt(500).toLong, 1)).toDF("k", "v")
-    val b = (0 until 4000).map(_ => (rng.nextInt(500).toLong, 1)).toDF("k", "v")
+    def side(docCol: String) = (0 until 20000).map { i =>
+      val k = if (rng.nextInt(10) < 9) rng.nextInt(3).toLong
+              else (3 + rng.nextInt(17)).toLong
+      (k, i.toLong)
+    }.toDF("k", docCol)
+    val a = side("doc_a")
+    val b = side("doc_b")
     val exact = PipelineOps.estJoinRows(a, b, Seq("k"))
-    val sampled = PipelineOps.estJoinRows(a, b, Seq("k"), sampleMod = 8L)
+    val sampled = PipelineOps.estJoinRows(a, b, Seq("k"), sampleMod = 64L)
     assert(exact > 0)
     assert(sampled > exact / 4 && sampled < exact * 4,
-      s"sampled estimate $sampled should track exact $exact within the decision band")
+      s"row-sampled estimate $sampled should track exact $exact within the decision band")
     // overflow regime: two hot keys at 3e9x3e9 would wrap int64; the
     // double path must saturate instead of flipping sign or wrapping.
     // Simulate via pre-aggregated frames exercising the same sum shape.
