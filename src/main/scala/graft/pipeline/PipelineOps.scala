@@ -2502,34 +2502,36 @@ object PipelineOps {
       quantized(spark, dir).select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false),
       idx)
 
-  /** BUILD over an explicit quantized frame — split out so p58 can build
-    * the initial index over a corpus prefix and then grow it. */
-  private[graft] def buildAnnIndexOf(n: DataFrame, idx: String): Unit = {
+  /** The frozen quantizer of an index: coarse IVF seeds (lowest-id
+    * nonzero vectors) and per-subspace PQ codebooks — written once at
+    * build, immutable thereafter (production quantizers version with the
+    * deployment, not with any one snapshot). */
+  private[graft] def deriveAnnQuantizer(n: DataFrame): (DataFrame, DataFrame) = {
     val cents = n.where(col("vec_id") < IvfCentroids && col("nrm") > 0)
       .select(col("vec_id").as("ccid"), col("q").as("qb"), col("nrm").as("nrm_b"))
-    val assigned = n
-      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", dotCol)
-      .withColumn("ccos",
-        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("ccos")).as("neg_ccos"), col("ccid"))).as("best"))
-      .select(col("vec_id").as("nbr_id"), col("best.ccid").as("ccid"))
     val d = EmbDim / PqSubspaces
-    val sub = n
+    val pqCents = n.where(col("vec_id") < PqCentroids)
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${PqSubspaces - 1}), m -> struct(CAST(m AS BIGINT) AS m, slice(q, m * $d + 1, $d) AS sub))")).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-    val pqCents = sub.where(col("vec_id") < PqCentroids)
-      .select(col("vec_id").as("cid"), col("m"), col("sub").as("subc"))
-    val codes = sub.join(broadcast(pqCents), Seq("m"))
-      .withColumn("dist", graft.functions.QuantizedL2Sq(col("sub"), col("subc")))
-      .groupBy(col("vec_id").as("nbr_id"), col("m"))
-      .agg(min(struct(col("dist"), col("cid"))).as("best"))
-      .select(col("nbr_id"), col("m"), col("best.cid").as("cid"))
+      .select(col("vec_id").as("cid"), col("s.m").as("m"), col("s.sub").as("subc"))
+    (cents, pqCents)
+  }
+
+  /** Persist the frozen quantizer tables under `idx`. */
+  private[graft] def writeAnnQuantizer(n: DataFrame, idx: String): Unit = {
+    val (cents, pqCents) = deriveAnnQuantizer(n)
     cents.write.mode("overwrite").parquet(s"$idx/ivf_cents.parquet")
     pqCents.write.mode("overwrite").parquet(s"$idx/pq_cents.parquet")
+  }
+
+  /** BUILD over an explicit quantized frame — split out so p58 can build
+    * the initial index over a corpus prefix and then grow it. One code
+    * path with the append/bump encoders: the quantizer persists first,
+    * then the corpus encodes THROUGH the persisted tables, so build and
+    * grow are indistinguishable by construction. */
+  private[graft] def buildAnnIndexOf(n: DataFrame, idx: String): Unit = {
+    writeAnnQuantizer(n, idx)
+    val (assigned, codes) = encodeAnnBatch(n.sparkSession, n, idx)
     assigned.write.mode("overwrite").parquet(s"$idx/ivf_assign.parquet")
     codes.write.mode("overwrite").parquet(s"$idx/pq_codes.parquet")
   }
@@ -2545,15 +2547,28 @@ object PipelineOps {
     // through the assignment). The mask is an anti-join against a
     // delta-sized relation, so deletes never rewrite the corpus-sized
     // index files — the standard immutable-segment + tombstone design.
-    val assigned0 = spark.read.parquet(s"$idx/ivf_assign.parquet")
-    val assigned =
-      if (ArtifactStore.exists(spark, s"$idx/tombstones.parquet"))
-        assigned0.join(
-          spark.read.parquet(s"$idx/tombstones.parquet")
-            .select(col("vec_id").as("nbr_id")),
-          Seq("nbr_id"), "left_anti")
-      else assigned0
-    val codes = spark.read.parquet(s"$idx/pq_codes.parquet")
+    // two layouts resolve here: the versioned/segmented bump tree
+    // (AnnIndexStore — current committed manifest's segments, masked by
+    // that version's tombstone relation) and the flat single-directory
+    // build-once tree (p49/p58/p63's per-invocation exclusive dirs)
+    val (assigned, codes) = AnnIndexStore.current(spark, idx) match {
+      case Some((v, segs)) =>
+        val tomb = AnnIndexStore.tombstones(spark, idx, v)
+          .select(col("vec_id").as("nbr_id"))
+        (AnnIndexStore.segAssigned(spark, idx, segs)
+           .join(tomb, Seq("nbr_id"), "left_anti"),
+         AnnIndexStore.segCodes(spark, idx, segs))
+      case None =>
+        val assigned0 = spark.read.parquet(s"$idx/ivf_assign.parquet")
+        val a =
+          if (ArtifactStore.exists(spark, s"$idx/tombstones.parquet"))
+            assigned0.join(
+              spark.read.parquet(s"$idx/tombstones.parquet")
+                .select(col("vec_id").as("nbr_id")),
+              Seq("nbr_id"), "left_anti")
+          else assigned0
+        (a, spark.read.parquet(s"$idx/pq_codes.parquet"))
+    }
     // no lineage truncation here: the query set is 10 pushed-filtered rows
     // (recomputing it is free), and keeping the scans in the plan is what
     // lets ScaleInvariantsSpec assert the query phase never reads corpus
@@ -2590,10 +2605,23 @@ object PipelineOps {
     * independent, build-then-append over any corpus carving is
     * row-identical to a full rebuild (p58 gates this under p37's oracle). */
   private[graft] def appendAnnIndex(spark: SparkSession, batch: DataFrame, idx: String): Unit = {
+    val (assigned, codes) = encodeAnnBatch(spark, batch, idx)
+    assigned.write.mode("append").parquet(s"$idx/ivf_assign.parquet")
+    codes.write.mode("append").parquet(s"$idx/pq_codes.parquet")
+  }
+
+  /** Encode a batch against `idx`'s PERSISTED frozen quantizer: the IVF
+    * assignment (best-cosine seed per vector) and PQ codes (argmin-L2
+    * codeword per subspace). Per-batch cost is batch×(K + M·256) dots;
+    * shared by the flat append (p58), the versioned bump segments
+    * ([[graft.streaming.IngestBump]] via [[AnnIndexStore]]), and the
+    * initial build itself — so grow-in-place is indistinguishable from
+    * a full rebuild by construction. No nrm filter on the batch:
+    * assignment must mirror the build exactly. */
+  private[graft] def encodeAnnBatch(
+      spark: SparkSession, batch: DataFrame, idx: String): (DataFrame, DataFrame) = {
     val cents = spark.read.parquet(s"$idx/ivf_cents.parquet")
     val pqCents = spark.read.parquet(s"$idx/pq_cents.parquet")
-    // no nrm filter: mirrors buildAnnIndexOf's assignment exactly (append
-    // must be indistinguishable from having built with the batch included)
     val assigned = batch
       .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
       .crossJoin(broadcast(cents))
@@ -2613,8 +2641,7 @@ object PipelineOps {
       .groupBy(col("vec_id").as("nbr_id"), col("m"))
       .agg(min(struct(col("dist"), col("cid"))).as("best"))
       .select(col("nbr_id"), col("m"), col("best.cid").as("cid"))
-    assigned.write.mode("append").parquet(s"$idx/ivf_assign.parquet")
-    codes.write.mode("append").parquet(s"$idx/pq_codes.parquet")
+    (assigned, codes)
   }
 
   /** p58: incremental index refresh — the grow-in-place half p49's

@@ -425,36 +425,71 @@ object IngestBump {
 
   /** Index family: first bump builds; later bumps reconcile the index's
     * PHYSICAL id set (every assignment row, tombstoned or not) against
-    * the snapshot: ids never indexed append through the frozen quantizer,
-    * and the tombstone relation is REDERIVED as physical-minus-snapshot.
-    * Deriving tombstones from (physical, snapshot) alone — rather than
-    * folding deltas into the previous tombstone set — is what makes a
-    * departed-then-restored vector resurrect for free (embeddings are
-    * immutable per vec_id, so its existing rows are still valid; it
-    * simply drops out of the tombstone set) instead of being re-appended
-    * into a duplicate row while its tombstone still masks both; it is
-    * also what makes a replayed bump a no-op. Compaction fires when the
-    * tombstone ratio crosses the measured threshold. Arrivals and the
-    * tombstone set are EAGERLY checkpointed before any write — their
-    * lineage reads the very files the append/overwrite touches. */
+    * the snapshot: ids never indexed encode through the frozen quantizer
+    * into a fresh immutable segment, and the tombstone relation is
+    * REDERIVED as physical-minus-snapshot. Deriving tombstones from
+    * (physical, snapshot) alone — rather than folding deltas into the
+    * previous tombstone set — is what makes a departed-then-restored
+    * vector resurrect for free (embeddings are immutable per vec_id, so
+    * its existing rows are still valid; it simply drops out of the
+    * tombstone set) instead of being re-appended into a duplicate row
+    * while its tombstone still masks both; it is also what makes a
+    * replayed bump a no-op (the arrivals anti-join sees the committed
+    * manifest's physical set and comes back empty).
+    *
+    * The bump commits through [[AnnIndexStore]]'s versioned segment
+    * manifest — segment + tombstones + manifest become visible in ONE
+    * `_COMMITTED` marker create, so a crash mid-bump can never expose a
+    * mixed index (the pre-store layout's append-then-overwrite window),
+    * concurrent readers only ever see complete committed versions, and
+    * two racing bumpers claim distinct versions instead of
+    * double-appending into a shared file. Compaction (tombstone ratio
+    * over [[PipelineOps.CompactTombstoneRatio]]) folds the live rows +
+    * this bump's arrivals into ONE merged segment referenced by the new
+    * version — a segment write and a manifest swap, never an in-place
+    * rewrite. No eager checkpoints anywhere: every read below is against
+    * immutable segment files. */
   private def bumpIndex(spark: SparkSession, idx: String, vecs: DataFrame): Unit = {
-    if (!ArtifactStore.exists(spark, s"$idx/ivf_assign.parquet")) {
-      PipelineOps.buildAnnIndexOf(vecs.localCheckpoint(false), idx)
-      return
+    import graft.pipeline.AnnIndexStore
+    def writeSegFrom(assigned: DataFrame, codes: DataFrame)(v: Long, segDir: String): Unit = {
+      assigned.write.mode("overwrite").parquet(s"$segDir/ivf_assign.parquet")
+      codes.write.mode("overwrite").parquet(s"$segDir/pq_codes.parquet")
     }
-    val physical = spark.read.parquet(s"$idx/ivf_assign.parquet")
-      .select(col("nbr_id").as("vec_id"))
-    val arrivals = vecs.join(physical, Seq("vec_id"), "left_anti").localCheckpoint()
-    val tomb = physical.join(vecs.select("vec_id"), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
-    PipelineOps.appendAnnIndex(spark, arrivals, idx)
-    tomb.write.mode("overwrite").parquet(s"$idx/tombstones.parquet")
-    val nTomb = tomb.count()
-    if (nTomb == 0) ArtifactStore.delete(spark, s"$idx/tombstones.parquet")
-    else {
-      val nAssigned = spark.read.parquet(s"$idx/ivf_assign.parquet").count()
-      if (nTomb.toDouble >= PipelineOps.CompactTombstoneRatio * (nAssigned - nTomb))
-        PipelineOps.compactAnnIndex(spark, idx)
+    AnnIndexStore.current(spark, idx) match {
+      case None =>
+        val n = vecs.localCheckpoint(false)
+        PipelineOps.writeAnnQuantizer(n, idx)
+        val (assigned, codes) = PipelineOps.encodeAnnBatch(spark, n, idx)
+        AnnIndexStore.commit(spark, idx, n.select("vec_id").limit(0),
+          segsOf = v => Seq(AnnIndexStore.segNameOf(v)),
+          writeSeg = Some(writeSegFrom(assigned, codes)))
+      case Some((_, segs)) =>
+        val physical = AnnIndexStore.segAssigned(spark, idx, segs)
+          .select(col("nbr_id").as("vec_id")).localCheckpoint(false)
+        val arrivals = vecs.join(physical, Seq("vec_id"), "left_anti")
+          .localCheckpoint(false)
+        val tomb = physical.join(vecs.select("vec_id"), Seq("vec_id"), "left_anti")
+          .localCheckpoint(false)
+        val (nTomb, nArrivals, nPhysical) =
+          (tomb.count(), arrivals.count(), physical.count())
+        val nLive = nPhysical - nTomb + nArrivals
+        if (nTomb.toDouble >= PipelineOps.CompactTombstoneRatio * nLive) {
+          val tombN = tomb.select(col("vec_id").as("nbr_id"))
+          val (aEnc, cEnc) = PipelineOps.encodeAnnBatch(spark, arrivals, idx)
+          val mergedA = AnnIndexStore.segAssigned(spark, idx, segs)
+            .join(tombN, Seq("nbr_id"), "left_anti").unionByName(aEnc)
+          val mergedC = AnnIndexStore.segCodes(spark, idx, segs)
+            .join(tombN, Seq("nbr_id"), "left_anti").unionByName(cEnc)
+          AnnIndexStore.commit(spark, idx, tomb.limit(0),
+            segsOf = v => Seq(AnnIndexStore.segNameOf(v)),
+            writeSeg = Some(writeSegFrom(mergedA, mergedC)))
+        } else if (nArrivals > 0) {
+          val (aEnc, cEnc) = PipelineOps.encodeAnnBatch(spark, arrivals, idx)
+          AnnIndexStore.commit(spark, idx, tomb,
+            segsOf = v => segs :+ AnnIndexStore.segNameOf(v),
+            writeSeg = Some(writeSegFrom(aEnc, cEnc)))
+        } else
+          AnnIndexStore.commit(spark, idx, tomb, segsOf = _ => segs)
     }
   }
 }

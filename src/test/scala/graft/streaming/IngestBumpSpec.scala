@@ -284,8 +284,22 @@ class IngestBumpSpec extends AnyFunSuite {
         rowImage(PipelineOps.queryAnnIndex(spark, SfDir, scratch)))
     }
     // the 60%-removal bump crossed the threshold: tombstones were folded
-    // into a rewrite (and the post-compaction answers matched, above)
-    assert(!ArtifactStore.exists(spark, s"$idx/tombstones.parquet"),
+    // into a merged segment (and the post-compaction answers matched,
+    // above) — the committed version's mask is empty and its manifest
+    // references exactly the one merged segment
+    assert(graft.pipeline.AnnIndexStore.tombstoneCount(spark, idx) == 0,
       "compaction should have fired at a tombstone ratio far above the trigger")
+    val (_, segsAfter) = graft.pipeline.AnnIndexStore.current(spark, idx).get
+    assert(segsAfter.size == 1,
+      s"compaction must collapse the manifest to one merged segment, got $segsAfter")
+    // replay: re-delivering the last bump (at-least-once) appends NOTHING —
+    // arrivals reconcile against the committed manifest's physical set —
+    // and the served answers are unchanged
+    val before = rowImage(PipelineOps.queryAnnIndex(spark, SfDir, idx))
+    IngestBump.bump(spark, root, chain.last,
+      Some(IngestBump.VectorSnapshot(v2, cents)))
+    val (_, segsReplay) = graft.pipeline.AnnIndexStore.current(spark, idx).get
+    assert(segsReplay == segsAfter, "replayed bump must not write a new segment")
+    assert(rowImage(PipelineOps.queryAnnIndex(spark, SfDir, idx)) == before)
   }
 }
