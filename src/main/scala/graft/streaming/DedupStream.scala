@@ -220,7 +220,15 @@ object DedupStream {
     val newGrams = PipelineOps.ngramGrams(
         newSurvivors.select("doc_id", "text", "lang", "source", "n_chars"))
       .localCheckpoint(false)
-    val allGrams = prevGrams.map(_.unionByName(newGrams)).getOrElse(newGrams)
+    // bucket-prune the history to the batch's block-key buckets before the
+    // probe: a candidate needs block-key EQUALITY, so history rows outside
+    // the batch's buckets can never pair with it. Against the
+    // gbucket-partitioned persisted state ([[IngestBump]]'s layout) the
+    // filter partition-prunes the on-disk gram-history scan — the probe
+    // reads only its buckets instead of the corpus.
+    val allGrams = prevGrams
+      .map(h => PipelineOps.pruneGramHistory(h, newGrams).unionByName(newGrams))
+      .getOrElse(newGrams)
     val newPairs = PipelineOps.ngramPairsAgainst(allGrams, newGrams)
       .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint(false)
     PairDelta(newGrams, newPairs)

@@ -214,24 +214,48 @@ object IngestBump {
     // later verdict. Anti-join the arrivals against the retained log on
     // the full (doc_id, content_hash) key (mirroring bumpText's logDelta)
     // so a replayed arrival is a no-op; this filtered delta is also what
-    // the chain persists as its livelog table.
+    // the chain persists as its livelog table. The anti-join's build side
+    // is the retained log RESTRICTED to the delta's ids — delta-sized and
+    // broadcast, where the raw retained log would build corpus-sized.
     val deltaLog = DedupStream.arrivalLog(deltaDocs)
-      .join(retainedLog, Seq("doc_id", "content_hash"), "left_anti")
+      .join(retainedLog.join(deltaDocs.select("doc_id"), Seq("doc_id"), "left_semi"),
+        Seq("doc_id", "content_hash"), "left_anti")
       .localCheckpoint(false)
     val livelog = retainedLog.unionByName(deltaLog)
-    // survivor selection over the live log: min doc_id per content hash —
-    // one corpus-hash shuffle, no text
+    // touched-hash survivor re-selection: survivor(h) can only change
+    // when h's MEMBERSHIP changed — h lost a row (a departed doc's old
+    // hash) or gained one (a delta arrival). The min-per-hash window
+    // therefore runs over only the touched slice of the live log (a
+    // delta-sized broadcast semi-join), and every untouched hash keeps
+    // its carried survivor row. From here EVERY derivation stays either a
+    // corpus-projection SCAN with a delta-sized broadcast build side or a
+    // delta×delta operation — no corpus shuffle anywhere in the bump (the
+    // dominant residual the CDC marginal probe exposed was exactly the
+    // old corpus-wide window + the survivor/valid corpus-corpus joins).
+    val touched = m("livelog").join(departed, Seq("doc_id"), "left_semi")
+      .select("content_hash")
+      .unionByName(deltaLog.select("content_hash"))
+      .distinct().localCheckpoint(false)
     val sw = Window.partitionBy(col("content_hash"))
-    val newSurvIds = livelog
+    val reselected = livelog.join(touched, Seq("content_hash"), "left_semi")
       .withColumn("__min", min(col("doc_id")).over(sw))
       .where(col("doc_id") === col("__min")).drop("__min")
       .localCheckpoint(false)
-    val validIds = m("survhash")
-      .join(newSurvIds.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
-      .where(col("content_hash") === col("h2")).select("doc_id")
-    val retired = m("survhash").select("doc_id")
-      .join(validIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
-    val batchSurvhash = newSurvIds.join(validIds, Seq("doc_id"), "left_anti")
+    // old survivors whose hash went untouched are still survivors AND
+    // still byte-valid; a reselected (touched-hash) winner is valid iff
+    // it was already a survivor under the same hash
+    val untouchedSurv = m("survhash").join(touched, Seq("content_hash"), "left_anti")
+    val validReselected = m("survhash")
+      .join(reselected, Seq("doc_id", "content_hash"), "left_semi")
+      .localCheckpoint(false)
+    val newSurvIds = untouchedSurv
+      .unionByName(reselected.select("doc_id", "content_hash"))
+    val retired = m("survhash").join(touched, Seq("content_hash"), "left_semi")
+      .select("doc_id")
+      .join(validReselected.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    val batchSurvhash = reselected.select("doc_id", "content_hash")
+      .join(validReselected.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
     // batch bodies: from the feed where present; promoted ids fetch from
     // the corpus
@@ -261,6 +285,15 @@ object IngestBump {
     * anti-join layers under the consuming plan) against amortized write
     * amplification (the corpus-sized gram rewrite lands on 1 bump in 8). */
   private[streaming] val SnapshotEvery = 8
+
+  /** The gram state persists hive-partitioned on its block-key bucket so
+    * the next bump's probe partition-prunes the history scan to the
+    * delta's buckets ([[graft.pipeline.PipelineOps.pruneGramHistory]]).
+    * (The labeled EDGE state deliberately does not get the same layout:
+    * its per-bump filter key is the touched components' membership, which
+    * in a dup-dense corpus spans the whole bucket space — measured, the
+    * partition overhead cost more than the never-firing prune saved.) */
+  private val TextPartitions = Map("grams" -> Seq("gbucket"))
 
   private val TextSnapTables =
     Seq("grams", "pairs", "labels", "survhash", "livelog")
@@ -298,7 +331,7 @@ object IngestBump {
     StateStore.save(dir, Map(
       "grams" -> pd.newGrams, "pairs" -> labeled, "labels" -> labels,
       "survhash" -> newSurv.select("doc_id", "content_hash"),
-      "livelog" -> arrivals))
+      "livelog" -> arrivals), TextPartitions)
     DedupStream.verdictFromLabels(newSurv, arrivals, labels).localCheckpoint(false)
   }
 
@@ -336,13 +369,13 @@ object IngestBump {
           .unionByName(ld.pairsIn),
         "labels" -> m("labels").join(out, Seq("node"), "left_anti")
           .unionByName(ld.labelsIn),
-        "survhash" -> fullSurvhash, "livelog" -> livelog))
+        "survhash" -> fullSurvhash, "livelog" -> livelog), TextPartitions)
     } else
       StateStore.saveDelta(dir, Map(
         "retired" -> retired, "departed" -> departed,
         "labelsOut" -> ld.labelsOut, "labelsIn" -> ld.labelsIn,
         "grams" -> pd.newGrams, "pairs" -> ld.pairsIn,
-        "survhash" -> batchSurvhash, "livelog" -> logDelta))
+        "survhash" -> batchSurvhash, "livelog" -> logDelta), TextPartitions)
     val labelsView = m("labels")
       .join(ld.labelsOut.select(col("node")), Seq("node"), "left_anti")
       .unionByName(ld.labelsIn)

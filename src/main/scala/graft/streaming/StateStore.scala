@@ -106,9 +106,16 @@ object StateStore {
     chain
   }
 
-  /** Persist `tables` as the next state version; returns the version. */
-  def save(dir: String, tables: Map[String, DataFrame]): Long =
-    commit(dir, tables, delta = false)
+  /** Persist `tables` as the next state version; returns the version.
+    * `partitions` (table name → partition columns) writes those tables
+    * hive-partitioned — the physical-layout knob that lets a consuming
+    * probe partition-prune a state scan (the gram state's `gbucket`
+    * layout; see [[graft.pipeline.PipelineOps.pruneGramHistory]]). */
+  def save(
+      dir: String,
+      tables: Map[String, DataFrame],
+      partitions: Map[String, Seq[String]] = Map.empty): Long =
+    commit(dir, tables, delta = false, partitions)
 
   /** LSM-style delta commit: persist ONLY the delta payload (new rows /
     * retirement keys — whatever the domain's fold consumes) as the next
@@ -123,8 +130,11 @@ object StateStore {
     * the chain is parquet scans under the consuming query's plan. Bound
     * the chain with a periodic [[save]] of the folded state (compaction
     * — [[chainLength]] tells you when), which prunes the chain. */
-  def saveDelta(dir: String, tables: Map[String, DataFrame]): Long =
-    commit(dir, tables, delta = true)
+  def saveDelta(
+      dir: String,
+      tables: Map[String, DataFrame],
+      partitions: Map[String, Seq[String]] = Map.empty): Long =
+    commit(dir, tables, delta = true, partitions)
 
   /** Number of delta versions stacked on the current chain's snapshot —
     * 0 when the current version is itself a snapshot; the compaction
@@ -153,7 +163,11 @@ object StateStore {
     }
   }
 
-  private def commit(dir: String, tables: Map[String, DataFrame], delta: Boolean): Long = {
+  private def commit(
+      dir: String,
+      tables: Map[String, DataFrame],
+      delta: Boolean,
+      partitions: Map[String, Seq[String]] = Map.empty): Long = {
     require(tables.nonEmpty, "cannot checkpoint an empty table set")
     val spark = tables.head._2.sparkSession
     val fs = fsOf(spark, dir)
@@ -178,7 +192,23 @@ object StateStore {
     // BEFORE the _COMMITTED marker, so a committed delta always has its
     // base.
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/v$next/$name.parquet")
+      val path = s"$dir/v$next/$name.parquet"
+      partitions.getOrElse(name, Seq.empty) match {
+        case Seq() => df.write.mode("overwrite").parquet(path)
+        case cols =>
+          // a hive-partitioned write of an EMPTY frame emits no data files
+          // at all, so the read-back cannot infer a schema — fall back to
+          // a plain (metadata-only) parquet file; the read side sees the
+          // same columns either way, the partition column just rides as a
+          // data column in the empty file. isEmpty is a head(1) — cheap
+          // next to the write it guards. Cluster on the partition key
+          // first: without it every write task fans out one file into
+          // every partition directory (tasks × partitions small files,
+          // and the scan overhead eats the pruning win).
+          if (df.isEmpty) df.write.mode("overwrite").parquet(path)
+          else df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+            .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+      }
     }
     if (delta) {
       val out = fs.create(new HPath(s"$dir/v$next/_DELTA"), true)

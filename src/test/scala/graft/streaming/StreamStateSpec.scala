@@ -225,6 +225,35 @@ class StreamStateSpec extends AnyFunSuite {
       s"$v must carry a _COMMITTED marker"))
   }
 
+  test("a gbucket-partitioned gram state partition-prunes the CDC probe's history scan " +
+       "to the batch's buckets") {
+    import graft.pipeline.PipelineOps
+    val dir = tmpDir("bucketed")
+    val survivors2 = survivors.select("doc_id", "text", "lang", "source", "n_chars")
+    val hist = PipelineOps.ngramGrams(survivors2)
+    StateStore.save(dir, Map("grams" -> hist), Map("grams" -> Seq("gbucket")))
+    val loaded = StateStore.load(spark, dir, Seq("grams")).get("grams")
+    val nPartsAll = new java.io.File(s"$dir/v1/grams.parquet")
+      .list().count(_.startsWith("gbucket="))
+    assert(nPartsAll > 1, s"fixture must span multiple buckets, got $nPartsAll")
+    // a single-doc batch touches exactly one block-key bucket — the pruned
+    // probe must read exactly one partition directory
+    val batch = PipelineOps.ngramGrams(survivors2.where(col("doc_id") === 7))
+    val probe = PipelineOps.pruneGramHistory(loaded, batch)
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("gbucket")),
+      s"bucket filter must reach the scan as a partition filter: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"one-bucket probe must read one partition, read ${scan.selectedPartitions.partitionCount} of $nPartsAll")
+    // and the pruning is lossless for pair discovery: every history row
+    // sharing the batch's block key survives
+    val key = batch.select("lang", "source", "block").distinct()
+    assert(probe.join(key, Seq("lang", "source", "block"), "left_semi").count() ==
+      hist.join(key, Seq("lang", "source", "block"), "left_semi").count())
+  }
+
   test("delta chain: saveDelta stacks O(delta) versions, loadChain returns them in " +
        "commit order, load fails fast on a delta head, and a snapshot commit prunes " +
        "the retired chain (keeping it whole for one cycle)") {
