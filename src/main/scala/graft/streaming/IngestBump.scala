@@ -189,13 +189,31 @@ object IngestBump {
     * id-partitioned corpus layout it partition-prunes; promotions only
     * happen when an exact-dup's keeper leaves, so the matched set is
     * tiny). Verdict ≡ [[bump]] on the same snapshot — spec-gated and
-    * entry-gated (p72) under p36's own oracle. */
+    * entry-gated (p72) under p36's own oracle.
+    *
+    * TRUST-BUT-VERIFY: the path trusts the feed for the delta's
+    * membership, but a feed bug (a missed removal, a missed add, a
+    * changed doc delivered as added) would silently corrupt the
+    * maintained verdict until the next full [[bump]]. Every bump
+    * therefore audits a deterministic 1-in-`auditSampleMod` doc-id
+    * sample of the post-bump live log against the SAME sample of the
+    * corpus frame's (doc_id, content_hash) and FAILS the bump loudly on
+    * any divergence — BEFORE any state commits. The audit hashes 1/mod
+    * of the corpus text per bump; a single corrupt doc is caught with
+    * probability 1/mod per bump, so after b bumps a standing feed bug
+    * survives with probability (1−1/mod)^b — at the default 64, under
+    * 21% after 100 bumps, under 0.05% after 500 — while every MASS feed
+    * bug (a dropped partition, a stuck topic) is caught on the next
+    * bump with near-certainty. `auditSampleMod = 1` audits the full
+    * corpus (what the spec's lying-feed injections use);
+    * `auditSampleMod = 0` disables. */
   def bumpTextCdc(
       spark: SparkSession,
       root: String,
       delta: CorpusDelta,
       corpus: DataFrame,
-      publishDir: Option[String] = None): DataFrame = {
+      publishDir: Option[String] = None,
+      auditSampleMod: Long = 64L): DataFrame = {
     val dir = textDir(root)
     val m = loadTextState(spark, dir).getOrElse(throw new IllegalStateException(
       "bumpTextCdc needs an ingested base — run bump() on the first snapshot"))
@@ -222,6 +240,7 @@ object IngestBump {
         Seq("doc_id", "content_hash"), "left_anti")
       .localCheckpoint(false)
     val livelog = retainedLog.unionByName(deltaLog)
+    if (auditSampleMod > 0) auditFeed(livelog, corpus, auditSampleMod)
     // touched-hash survivor re-selection: survivor(h) can only change
     // when h's MEMBERSHIP changed — h lost a row (a departed doc's old
     // hash) or gained one (a delta arrival). The min-per-hash window
@@ -277,6 +296,37 @@ object IngestBump {
       fullSurvhash = newSurvIds.select("doc_id", "content_hash"))
     publishDir.foreach(d => PipelineOps.publishVerdictTable(spark, d, verdict))
     verdict
+  }
+
+  /** The CDC audit ([[bumpTextCdc]]'s trust-but-verify): compare a
+    * deterministic doc-id sample of the post-bump live log against the
+    * same sample of the corpus frame on the full (doc_id, content_hash)
+    * key. A row on exactly one side is a feed/corpus divergence: corpus-
+    * only = a missed add or a changed doc the feed never delivered
+    * (wrong hash), livelog-only = a missed removal or a stale hash. One
+    * job: union with a side marker, group, count singletons; the
+    * failure path collects a few examples for the message. */
+  private def auditFeed(livelog: DataFrame, corpus: DataFrame, mod: Long): Unit = {
+    def sampled(d: DataFrame) =
+      if (mod <= 1) d else d.where(pmod(hash(col("doc_id"), lit(0x5EED)), lit(mod)) === 0)
+    val bad = sampled(DedupStream.arrivalLog(corpus))
+      .select(col("doc_id"), col("content_hash"), lit(1L).as("side"))
+      .unionByName(sampled(livelog)
+        .select(col("doc_id"), col("content_hash"), lit(2L).as("side")))
+      .groupBy("doc_id", "content_hash")
+      .agg(count(lit(1)).as("n"), min("side").as("s"))
+      .where(col("n") === 1)
+      .localCheckpoint(false)
+    val examples = bad.limit(5).collect()
+    if (examples.nonEmpty) {
+      val desc = examples.map(r => s"doc ${r.get(0)} (${
+        if (r.getLong(3) == 1L) "in corpus, not in maintained log — missed add/change"
+        else "in maintained log, not in corpus — missed removal/stale hash"})")
+        .mkString("; ")
+      throw new IllegalStateException(
+        s"CDC feed/corpus divergence detected by the 1-in-$mod audit — refusing to " +
+        s"commit a corrupt bump (run a full bump() to resync): $desc")
+    }
   }
 
   /** Snapshot the folded text state every this many delta commits — the

@@ -114,6 +114,48 @@ class IngestBumpSpec extends AnyFunSuite {
     assert(rowImage(served) == rowImage(PipelineOps.dedupVerdictOf(s1)))
   }
 
+  test("CDC trust-but-verify: a lying feed — missed removal, changed-as-added, missed " +
+       "add — fails the bump loudly BEFORE any state commits; honest feeds pass") {
+    val root = Files.createTempDirectory("graft_bump_audit").toString
+    IngestBump.bump(spark, root, s0)
+    def chainLen = StateStore.chainLength(spark, s"$root/text")
+    assert(chainLen == 0)
+    val empty = s0.limit(0)
+    // missed removal: a doc left the corpus but the feed never said so
+    val nextRm = snap(s0.where(col("doc_id") =!= 4))
+    val exRm = intercept[IllegalStateException] {
+      IngestBump.bumpTextCdc(spark, root,
+        IngestBump.CorpusDelta(empty.select("doc_id"), empty, empty),
+        nextRm, auditSampleMod = 1)
+    }
+    assert(exRm.getMessage.contains("divergence"))
+    assert(chainLen == 0, "a failed audit must not have committed state")
+    // changed doc delivered as ADDED: the old-hash livelog row never departs
+    val nextChg = snap(rev(s0, 500, 2, " lied"))
+    val lied = nextChg.where(col("doc_id") % 500 === 2)
+    intercept[IllegalStateException] {
+      IngestBump.bumpTextCdc(spark, root,
+        IngestBump.CorpusDelta(empty.select("doc_id"), empty, lied),
+        nextChg, auditSampleMod = 1)
+    }
+    assert(chainLen == 0)
+    // missed add: the corpus gained a doc the feed never delivered
+    val extra = s0.where(col("doc_id") === 2).withColumn("doc_id", lit(777777L))
+    intercept[IllegalStateException] {
+      IngestBump.bumpTextCdc(spark, root,
+        IngestBump.CorpusDelta(empty.select("doc_id"), empty, empty),
+        snap(s0.unionByName(extra)), auditSampleMod = 1)
+    }
+    assert(chainLen == 0)
+    // an honest feed over the same state still passes the full audit and
+    // converges to the from-scratch verdict
+    val honest = IngestBump.CorpusDelta(
+      removedIds = s0.select("doc_id").join(nextRm.select("doc_id"), Seq("doc_id"), "left_anti"),
+      changed = empty, added = empty)
+    val v = IngestBump.bumpTextCdc(spark, root, honest, nextRm, auditSampleMod = 1)
+    assert(rowImage(v) == rowImage(PipelineOps.dedupVerdictOf(nextRm)))
+  }
+
   test("survivor promotion under a CDC feed: removing an exact-dup's keeper promotes " +
        "the copy, whose body the feed never carried (fetched from the corpus)") {
     val root = Files.createTempDirectory("graft_bump_promo").toString
