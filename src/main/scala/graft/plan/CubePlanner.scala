@@ -217,9 +217,11 @@ final class CubePlanner(
     *
     * Semantics are proven equal to the fan-out path on the q31 family and
     * the logic-layer fuzz corpus (LogicLayerFusedSpec). Callers gate
-    * eligibility (no top/top_where/growth/rca/rate — those apply PER
-    * COMBO in the fan-out with shapes a shared plan can't cheaply
-    * replicate); HAVING filters and `sparse` are identical across combos,
+    * eligibility (rca only — its grouping-sets rollup + grain-join tree
+    * is a whole different plan per member); top/top_where/limit replicate
+    * as combo-partitioned windows, growth as a combo-partitioned lag,
+    * rate as the fused conditional aggregate itself; HAVING filters and
+    * `sparse` are identical across combos,
     * hence applied once on the fused aggregate. A per-combo `limit`
     * becomes a row_number window partitioned by the combo tag over the
     * combo's own deterministic total order (the applyOptions no-top
@@ -235,8 +237,16 @@ final class CubePlanner(
     require(queries.length > 1, "fusion needs a real fan-out")
     queries.foreach(validate)
     val q0 = queries.head
+    val rate = q0.rate // identical across members (fanOut replicates it)
 
-    val comboOuts = queries.map(q => outLevels(q.drilldowns, q.parents, q.properties, q.captions))
+    // rate (round 14): the member path (planRate) excludes the rate level
+    // from the OUTPUT grain and joins it only as a source column for the
+    // conditional member-share aggregate — mirror both here
+    def origDrills(q: CubeQuery): Seq[Drilldown] = rate match {
+      case Some(r) => q.drilldowns.filterNot(_.levelName == r.levelName)
+      case None    => q.drilldowns
+    }
+    val comboOuts = queries.map(q => outLevels(origDrills(q), q.parents, q.properties, q.captions))
     val comboHeaders = comboOuts.map(drillHeaders)
     val width = comboHeaders.head.length
     comboHeaders.drop(1).foreach { h =>
@@ -244,9 +254,17 @@ final class CubePlanner(
         fail(s"fan-out result width mismatch: ${h.length + q0.measures.length} vs ${width + q0.measures.length}")
     }
 
-    val unionDrills = queries.flatMap(_.drilldowns).distinct
+    val unionDrills = queries.flatMap(origDrills).distinct
     val unionCaptions = queries.flatMap(_.captions).distinct
     val unionOuts = outLevels(unionDrills, q0.parents, q0.properties, unionCaptions)
+    // the SOURCE carries the rate level too (planRate's baseDrills shape:
+    // output drills + the rate level, one joint outLevels call so duplicate
+    // headers disambiguate identically)
+    val sourceOuts = rate match {
+      case Some(r) => outLevels(unionDrills :+ Drilldown(r.levelName),
+        q0.parents, q0.properties, unionCaptions)
+      case None => unionOuts
+    }
     val meas = q0.measures.map(m => cube.measure(m.name).get -> m.name)
     val meaNames = meas.map(_._2)
     val hidden = hiddenFor(meas.map(_._1))
@@ -268,9 +286,9 @@ final class CubePlanner(
     // the wide frame's key headers
     val commonCuts = queries.map(_.cuts.toSet).reduce(_ intersect _)
     val varCuts = queries.map(_.cuts.filterNot(commonCuts.contains))
-    val wide = buildSource(spark, unionOuts, commonCuts.toSeq, q0, hidden)
+    val wide = buildSource(spark, sourceOuts, commonCuts.toSeq, q0, hidden)
     val comboPreds = varCuts.map(
-      _.map(c => cutPredicate(wide, levelKeyHeader(unionOuts, c.levelName), c))
+      _.map(c => cutPredicate(wide, levelKeyHeader(sourceOuts, c.levelName), c))
         .reduceOption(_ && _).getOrElse(lit(true)))
 
     val tagArr = array(comboPreds.zipWithIndex.map { case (p, i) =>
@@ -287,7 +305,31 @@ final class CubePlanner(
       else d.withColumn(h, when(cq("__combo").isin(in: _*), cq(h)))
     }
 
-    var agg = aggregate(padded, "__combo" +: unionGroupHeaders, meas, hidden.map(_.keyHeader))
+    // rate replicates planRate's ONE conditional-aggregate pass keyed by
+    // (combo, union grain): total + member-part per group, groups with no
+    // member rows drop, Rate = part/total — the per-combo varying cut only
+    // changes WHICH rows feed each combo's groups, never the aggregate's
+    // shape, so the member semantics replicate exactly
+    var agg = rate match {
+      case Some(r) =>
+        val rateHeader = levelKeyHeader(sourceOuts, r.levelName)
+        val keyDt = wide.schema(rateHeader).dataType
+        val isMember = cq(rateHeader).isin(r.values.map(v => lit(typedMember(keyDt, v))): _*)
+        val (mea, meaName) = meas.head
+        val v = cq(mea.column)
+        val (totalAgg, partAgg) = mea.aggregator match {
+          case Aggregator.Sum   => (sum(v), sum(when(isMember, v)))
+          case Aggregator.Count => (count(v).cast("long"), sum(when(isMember.and(v.isNotNull), lit(1L))))
+          case other => fail(s"rate requires a sum or count measure, got $other")
+        }
+        padded.groupBy(("__combo" +: unionGroupHeaders).map(cq): _*)
+          .agg(totalAgg.as(meaName), partAgg.as("__part"))
+          .where(cq("__part").isNotNull)
+          .withColumn("Rate", cq("__part") / cq(meaName))
+          .drop("__part")
+      case None =>
+        aggregate(padded, "__combo" +: unionGroupHeaders, meas, hidden.map(_.keyHeader))
+    }
 
     // growth fuses as a __combo-partitioned lag (round 13): the member
     // path's window partitions by the combo's non-time drill keys; in the
@@ -297,7 +339,9 @@ final class CubePlanner(
     // SAME positions in every combo (the positional-consolidation premise
     // applied to the growth reorder) — a varying cut on the time dimension
     // itself breaks that, so it declines to the fan-out path.
-    val perPosTime: Option[Seq[Boolean]] = q0.growth.map { g =>
+    // planRate ignores growth on a rate query — mirror that precedence
+    val fusedGrowth = q0.growth.filter(_ => rate.isEmpty)
+    val perPosTime: Option[Seq[Boolean]] = fusedGrowth.map { g =>
       val (tDim, tHier, _) = resolveLevel(g.timeDrill.levelName)
       def isTime(o: OutLevel) = o.dim.name == tDim.name && o.hier.name == tHier.name
       val flags = comboOuts.map(_.flatMap(o => Seq.fill(headersOf(o).length)(isTime(o))))
@@ -313,7 +357,7 @@ final class CubePlanner(
       case None => 0 until width
     }
     val calcs = calcCols(q0)
-    q0.growth.foreach { g =>
+    fusedGrowth.foreach { g =>
       val (tDim, tHier, _) = resolveLevel(g.timeDrill.levelName)
       def isTime(o: OutLevel) = o.dim.name == tDim.name && o.hier.name == tHier.name
       // KEY headers only, like the member path's applyGrowth window; a
@@ -391,7 +435,9 @@ final class CubePlanner(
         case _                              => p1
       }
     }
-    val sparsePreds = if (q0.sparse) meaNames.map(cq(_).isNotNull) else Nil
+    // planRate surfaces (measure, Rate) as the sparse-checked columns
+    val sparseNames = if (rate.isDefined) Seq(meaNames.head, "Rate") else meaNames
+    val sparsePreds = if (q0.sparse) sparseNames.map(cq(_).isNotNull) else Nil
     (filterPreds ++ sparsePreds).reduceOption(_ && _).foreach(p => agg = agg.where(p))
 
     // per-combo limit/offset: each combo slices its own frame under its
@@ -416,11 +462,12 @@ final class CubePlanner(
 
     val outCols = ordIdx.map(j => pickCol(j, cast = true).as(comboHeaders.head(j)))
     // the member path's growth reorder: growth measure to the back of the
-    // measures, then the two growth columns
-    val outMeas = q0.growth match {
-      case Some(g) => meaNames.filterNot(_ == g.mea.name) ++
+    // measures, then the two growth columns; rate emits (measure, Rate)
+    val outMeas = (rate, fusedGrowth) match {
+      case (Some(_), _) => Seq(meaNames.head, "Rate")
+      case (None, Some(g)) => meaNames.filterNot(_ == g.mea.name) ++
         Seq(g.mea.name, s"${g.mea.name} Growth", s"${g.mea.name} Growth Value")
-      case None => meaNames
+      case (None, None) => meaNames
     }
     Some(agg.select(outCols ++ outMeas.map(cq): _*))
   }

@@ -54,8 +54,8 @@ final class LogicLayer(
       * header (= the property's name) renames to the unique name. */
     uniquePropNames: Map[PropertyName, String] = Map.empty,
     /** Flag-gated single-plan fan-out (SURVEY §7.4 risk 2): when a cut
-      * fan-out is eligible (anything except the growth/rca/rate
-      * calculation rewrites; see [[fusionEligible]]), the N member plans
+      * fan-out is eligible (anything except the rca rewrite; see
+      * [[fusionEligible]]), the N member plans
       * fuse into one scan + one tagged aggregate
       * ([[CubePlanner.planFanOutFused]]) instead of an N-way union of
       * near-identical plans. Default ON since round 13 (proven
@@ -262,23 +262,25 @@ final class LogicLayer(
     }
   }
 
-  /** Only the rca/rate rewrites are structurally unfusable — their member
-    * plans are whole different aggregates (grouping-sets rollup / fused
-    * conditional pass), not groupBy+options shapes. Everything else
-    * fuses: filters and sparse apply identically per combo, top/top_where
-    * and limit become combo-partitioned windows, a sort without a limit
-    * selects no rows (the union is deterministically re-sorted below
-    * either way), and growth (round 13) is a combo-partitioned lag over
-    * the fused aggregate — the member window's non-time partition keys
-    * are per-combo null-padded constants in the fused frame, so one
-    * window replicates every member's. planFanOutFused itself still
-    * declines data-dependent cases by returning None (a
-    * type-consolidation fallback under a row slice, top+limit without an
-    * explicit sort — a tie-arbitrary slice in the fan-out — and a
-    * varying cut on the growth time dimension, which would break the
-    * positional identity of the time columns). */
+  /** Only the rca rewrite is structurally unfusable — its member plan is
+    * a grouping-sets rollup with grain joins, not a groupBy+options
+    * shape. Everything else fuses: filters and sparse apply identically
+    * per combo, top/top_where and limit become combo-partitioned windows,
+    * a sort without a limit selects no rows (the union is
+    * deterministically re-sorted below either way), growth (round 13) is
+    * a combo-partitioned lag over the fused aggregate — the member
+    * window's non-time partition keys are per-combo null-padded constants
+    * in the fused frame, so one window replicates every member's — and
+    * rate (round 14) is already ONE conditional-aggregate pass in the
+    * member plan, which replicates verbatim as the fused (combo, grain)
+    * aggregate with the rate level riding the shared source.
+    * planFanOutFused itself still declines data-dependent cases by
+    * returning None (a type-consolidation fallback under a row slice,
+    * top+limit without an explicit sort — a tie-arbitrary slice in the
+    * fan-out — and a varying cut on the growth time dimension, which
+    * would break the positional identity of the time columns). */
   private def fusionEligible(q: LogicLayerQuery): Boolean =
-    q.rca.isEmpty && q.rate.isEmpty
+    q.rca.isEmpty
 
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq

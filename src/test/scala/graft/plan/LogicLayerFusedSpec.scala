@@ -185,6 +185,65 @@ class LogicLayerFusedSpec extends AnyFunSuite {
     assert(exercised >= 5, s"only $exercised corpus cases carried growth")
   }
 
+  test("rate fuses as the fused conditional-aggregate pass (round 14), including " +
+       "Rate-referencing options and a varying cut on the rate level itself") {
+    val r = RateQuery.parse("Geography.Region.0,2").fold(die, identity)
+    val base = LogicLayerQuery(
+      drilldowns = Seq(drill("Customer.Segment")),
+      cuts = Seq(cut("Ship Date.Year.1996,1997"), cut("Ship Date.Month.3,4,5")),
+      measures = Seq(mea("Quantity")),
+      rate = Some(r))
+    // one conditional-aggregate pass keyed by (combo, grain)
+    bothAgree(base, mustFuse = true)
+    // sort/filter/limit referencing the derived Rate column, per combo
+    bothAgree(base.copy(
+      sort = Some(SortQuery.parse("Rate.desc").fold(die, identity)),
+      limit = Some(LimitQuery.parse("3").fold(die, identity))), mustFuse = true)
+    bothAgree(base.copy(
+      filters = Seq(FilterQuery.parse("Rate.gt.0.1").fold(die, identity))),
+      mustFuse = true)
+    bothAgree(base.copy(sparse = true), mustFuse = true)
+    // varying cuts ON the rate level itself: each combo rates within its
+    // own member slice through the shared source (the rate level rides the
+    // source but is excluded from every member's output grain, so the
+    // widths stay aligned)
+    bothAgree(LogicLayerQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      cuts = Seq(cut("Geography.Region.0,2"), cut("Geography.Region.1,3")),
+      measures = Seq(mea("Quantity")),
+      rate = Some(r)), mustFuse = true)
+    // count-aggregator measure takes the sum(when(member, 1)) shape
+    bothAgree(base.copy(measures = Seq(mea("Row Count"))), mustFuse = true)
+  }
+
+  test("rate-augmented LL fuzz slice: fused == fan-out with a rate bolted onto " +
+       "every single-sum/count-measure corpus case") {
+    val r = RateQuery.parse("Geography.Region.0,2").fold(die, identity)
+    var exercised = 0
+    val failures = QueryFuzzer.llCases(60).flatMap { fc =>
+      val q0 = graft.server.QueryParams.toLogicLayerQuery(fc.params, TpchStar.salesCube)
+      // rate preconditions: exactly one measure, sum/count aggregator
+      val okMea = q0.measures.length == 1 &&
+        Seq("Quantity", "Row Count").contains(q0.measures.head.name)
+      if (!okMea) None
+      else {
+        val q = q0.copy(rate = Some(r), rca = None, growth = None)
+        val a = try Right(fan.plan(spark, q)) catch { case e: PlanError => Left(e) }
+        val b = try Right(fused.plan(spark, q)) catch { case e: PlanError => Left(e) }
+        (a, b) match {
+          case (Right(x), Right(y)) =>
+            exercised += 1
+            if (image(x) == image(y)) None
+            else Some(s"${fc.name}: rate fused != fan-out\n  params=${fc.params}")
+          case (Left(_), Left(_)) => None
+          case _ => Some(s"${fc.name}: one path rejected, the other planned")
+        }
+      }
+    }
+    assert(failures.isEmpty, s"${failures.length} mismatches:\n${failures.mkString("\n")}")
+    assert(exercised >= 5, s"only $exercised corpus cases carried rate")
+  }
+
   test("60-case LL fuzz corpus: the fused flag is result-invariant, and fusion engages") {
     var fusedCount = 0
     val failures = QueryFuzzer.llCases(60).flatMap { fc =>
