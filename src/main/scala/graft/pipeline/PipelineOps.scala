@@ -2567,8 +2567,19 @@ object PipelineOps {
 
   /** QUERY half of p49: probes + ADC tables from the query vectors and the
     * persisted centroid tables, composed against the persisted corpus
-    * relations. The only embeddings touched are the query set. */
-  private[graft] def queryAnnIndex(spark: SparkSession, dir: String, idx: String): DataFrame = {
+    * relations. The only embeddings touched are the query set.
+    *
+    * `probes` is the serving-time quality/latency knob (nprobe): more
+    * probed cells widen the candidate pool at proportionally more ADC
+    * work. The default [[IvfProbes]] sits at the measured recall-vs-
+    * latency knee on the decade fixture (SCALING.md's nprobe sweep:
+    * recall climbs steeply to 2 probes = 12.5% of cells, then flattens
+    * while latency keeps growing); the entry oracles also pin it.
+    * IvfPqFuzzSpec asserts per-rank ADC distances are monotone
+    * non-increasing in the knob. */
+  private[graft] def queryAnnIndex(
+      spark: SparkSession, dir: String, idx: String,
+      probes: Int = IvfProbes): DataFrame = {
     val cents = spark.read.parquet(s"$idx/ivf_cents.parquet")
     val pqCents = spark.read.parquet(s"$idx/pq_cents.parquet")
     // tombstones (p63): removed vectors mask OUT of the assignment —
@@ -2606,13 +2617,13 @@ object PipelineOps {
       .select(col("vec_id"), col("q"), col("nrm"))
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("ccid").asc)
-    val probes = queries
+    val probeSet = queries
       .select(col("vec_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dotCol)
       .withColumn("ccos",
         col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
-      .withColumn("crn", row_number().over(pw)).where(col("crn") <= IvfProbes)
+      .withColumn("crn", row_number().over(pw)).where(col("crn") <= probes)
       .select(col("vec_id").as("query_id"), col("ccid"))
     val d = EmbDim / PqSubspaces
     val adc = queries
@@ -2622,7 +2633,7 @@ object PipelineOps {
       .join(broadcast(pqCents), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cid"),
         graft.functions.QuantizedL2Sq(col("sub"), col("subc")).as("qdist"))
-    ivfPqCompose(assigned, codes, probes, adc)
+    ivfPqCompose(assigned, codes, probeSet, adc)
   }
 
   /** Incremental half of the index lifecycle (p58): encode a NEW batch of
@@ -3880,7 +3891,16 @@ object PipelineOps {
     * broadcast query side keeps the corpus scan embarrassingly parallel
     * and the top-k window partitions by query. The candidate side is
     * p37's own plan; the report joins two (queries × k)-sized frames. */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallReportOf(spark, dir,
+      annIvfPq(spark, dir).select(col("query_id"), col("nbr_id")))
+
+  /** The p69 recall machinery over an arbitrary approximate answer frame
+    * (query_id, nbr_id) — reused by the nprobe sweep harness to score
+    * [[queryAnnIndex]] at each probe count against the same exact
+    * quantized-L2 ground truth. */
+  private[graft] def recallReportOf(
+      spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     val corpus = quantized(spark, dir).select(col("vec_id").as("nbr_id"), col("q").as("qb"))
     val queries = quantized(spark, dir).where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qa"))
@@ -3891,8 +3911,8 @@ object PipelineOps {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= PqTopK)
       .select(col("query_id"), col("nbr_id"))
-    val approx = annIvfPq(spark, dir).select(col("query_id"), col("nbr_id"))
-    val hits = exact.join(approx, Seq("query_id", "nbr_id"))
+    val hits = exact.join(approx.select(col("query_id"), col("nbr_id")),
+      Seq("query_id", "nbr_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     val per = exact.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left")

@@ -98,18 +98,68 @@ object IngestBump {
     * p49 query half). */
   def indexDir(root: String): String = s"$root/ann"
 
+  /** A registered OLAP summary riding the bump: the Preagg store of one
+    * grain, maintained per fact delta through the same StateStore commit
+    * protocol the dedup families use. `partialsOf` computes a fact
+    * DELTA's store-schema partial summary ([[graft.plan.Preagg]]'s
+    * `summaryFrame` over a planner whose fact slot is the delta);
+    * `combine` is the cube's re-agg merge (`Preagg.mergeSummaries` —
+    * sums/counts add, min/min, max/max, KMV sketches union losslessly).
+    * Per bump the store pays O(delta + summary), never a fact rescan,
+    * and [[summaryPath]] hands the committed store to the SAME
+    * PreaggPlanner / LogicLayer routing a batch-materialized summary
+    * uses. */
+  final case class SummarySpec(
+      name: String,
+      partialsOf: DataFrame => DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame)
+
+  private def summaryDir(root: String, name: String) = s"$root/summary/$name"
+
+  /** Fold one fact delta into every registered summary store under
+    * `root` — the OLAP half of an ingest bump. Each store commits as its
+    * own StateStore version (crash leaves it at N or N+1; the previous
+    * version survives one cycle for in-flight readers, so the merge's
+    * lazy read of version N while writing N+1 is safe). */
+  def bumpSummaries(
+      spark: SparkSession,
+      root: String,
+      factDelta: DataFrame,
+      specs: Seq[SummarySpec]): Unit =
+    specs.foreach { s =>
+      val dir = summaryDir(root, s.name)
+      val delta = s.partialsOf(factDelta)
+      val merged = StateStore.load(spark, dir, Seq("summary")) match {
+        case Some(m) => s.combine(m("summary"), delta)
+        case None    => delta
+      }
+      StateStore.save(dir, Map("summary" -> merged))
+    }
+
+  /** The committed summary store's parquet path under a bump root — what
+    * a serving layer points its summary TableDef at (re-resolve after
+    * each bump; the previous version's path stays readable for one save
+    * cycle). None before the first fold. */
+  def summaryPath(spark: SparkSession, root: String, name: String): Option[String] =
+    StateStore.currentTablePath(spark, summaryDir(root, name), "summary")
+
   /** Advance every artifact under `root` to `newDocs` (+ optional vector
     * snapshot); returns the new snapshot's verdicts. `publishDir`: the
     * dataset directory whose materialized p60 verdict table this verdict
     * IS — the ingest updates the table in O(delta + state), where the
-    * build-once seam would pay a full corpus dedup. */
+    * build-once seam would pay a full corpus dedup. `factDelta` +
+    * `summaries`: the OLAP fact rows that arrived with this ingest and
+    * the registered Preagg stores they fold into ([[bumpSummaries]]) —
+    * the fifth maintained family. */
   def bump(
       spark: SparkSession,
       root: String,
       newDocs: DataFrame,
       vectors: Option[VectorSnapshot] = None,
       publishDir: Option[String] = None,
-      trainedVectors: Option[TrainedSnapshot] = None): Artifacts = {
+      trainedVectors: Option[TrainedSnapshot] = None,
+      factDelta: Option[DataFrame] = None,
+      summaries: Seq[SummarySpec] = Nil): Artifacts = {
     val verdict = bumpText(spark, textDir(root), newDocs)
     publishDir.foreach(d => PipelineOps.publishVerdictTable(spark, d, verdict))
     val sem = vectors.map { vs =>
@@ -118,6 +168,7 @@ object IngestBump {
       sv
     }
     val tv = trainedVectors.map(ts => bumpTrained(spark, root, ts))
+    factDelta.foreach(fd => bumpSummaries(spark, root, fd, summaries))
     Artifacts(verdict, sem, tv)
   }
 

@@ -253,6 +253,16 @@ object StateStore {
     }
   }
 
+  /** Physical path of `name`'s parquet in the CURRENT committed version —
+    * for serving layers that resolve relations by path (the Preagg
+    * router's summary TableDef). Re-resolve after each save; a plan still
+    * holding the previous version's path survives one save cycle (the
+    * prune contract). */
+  def currentTablePath(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val fs = fsOf(spark, dir)
+    currentVersion(fs, dir).map(v => s"$dir/v$v/$name.parquet")
+  }
+
   // ------------------------------------------------- typed wrappers
 
   def savePairState(dir: String, s: DedupStream.PairState): Long =

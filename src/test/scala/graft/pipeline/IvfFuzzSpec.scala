@@ -52,4 +52,36 @@ class IvfFuzzSpec extends AnyFunSuite {
     // non-degeneracy: the probe sweep must actually change results
     assert(levels.head._2 != levels.last._2, "probes=1 equals probes=16: sweep tests nothing")
   }
+
+  test("persisted-index query knob: per-rank ADC distance is monotone non-increasing " +
+       "in nprobe, and every rank present at fewer probes stays present") {
+    // the p49 query half's serving knob (round 14): the probed cell set at
+    // p is a PREFIX of the set at p' > p (same deterministic ordering), so
+    // the candidate pool only grows — per (query, rank) the ADC distance
+    // can only improve. A probe-window bug shows up as an increase.
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft_nprobe_spec").toString
+    PipelineOps.buildAnnIndexOf(
+      PipelineOps.quantized(spark, SfDir)
+        .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false), idx)
+    def at(p: Int): Map[(Long, Long), Long] =
+      PipelineOps.queryAnnIndex(spark, SfDir, idx, probes = p)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("adist").longValue)
+        .toMap
+    val levels = Seq(1, 2, 4, 8, 16).map(p => p -> at(p))
+    for (Seq((pLo, lo), (pHi, hi)) <- levels.sliding(2)) {
+      for (((q, rank), dLo) <- lo) {
+        val dHi = hi.get((q, rank))
+        assert(dHi.isDefined, s"(query=$q, rank=$rank) present at probes=$pLo but missing at $pHi")
+        assert(dHi.get <= dLo,
+          s"(query=$q, rank=$rank) ADC distance rose $dLo -> ${dHi.get} going probes=$pLo -> $pHi")
+      }
+    }
+    assert(levels.head._2 != levels.last._2, "probes=1 equals probes=16: sweep tests nothing")
+    // the default knob equals the entry-oracle-pinned value
+    assert(at(PipelineOps.IvfProbes) ==
+      PipelineOps.queryAnnIndex(spark, SfDir, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("adist").longValue).toMap)
+  }
 }

@@ -118,4 +118,61 @@ class StreamedPreaggSpec extends AnyFunSuite {
     assert(rp.contains("streamed_nation_year") && !rp.contains("lineitem"),
       "LL fan-out members must scan the streamed store:\n" + rp.take(800))
   }
+
+  test("summaries ride the composed ingest bump: one bump() advances the dedup " +
+       "families AND the registered Preagg store, and routed answers track the new " +
+       "fact snapshot fact-scan-free") {
+    import graft.streaming.IngestBump
+    val tmp = Files.createTempDirectory("graft_bump_preagg")
+    val root = s"$tmp/bumproot"
+
+    // facade dataset dir (same trick as above): real dims, the fact slot
+    // rewritten per delta so partials come from the unchanged planner
+    val facade = s"$tmp/facade"
+    Files.createDirectories(Paths.get(facade))
+    for (t <- Seq("region", "nation", "supplier", "customer", "orders", "part"))
+      Files.createSymbolicLink(
+        Paths.get(s"$facade/$t.parquet"), Paths.get(s"$SfDir/$t.parquet"))
+    val fact = spark.read.parquet(s"$SfDir/lineitem.parquet")
+    val spec = IngestBump.SummarySpec(
+      name = "nation_year",
+      partialsOf = { delta =>
+        delta.write.mode("overwrite").parquet(s"$facade/lineitem.parquet")
+        Preagg.summaryFrame(spark, TpchStar.planner(facade), TpchStar.salesCube, grain)
+      },
+      combine = Preagg.mergeSummaries(TpchStar.salesCube, _, _))
+
+    // a small doc corpus rides the same bumps — ONE orchestrated call per
+    // ingest advances text state and the OLAP summary together
+    val docs = spark.read.parquet(s"$SfDir/../sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+    val half0 = fact.where(col("l_orderkey") % 2 === 0)
+    val half1 = fact.where(col("l_orderkey") % 2 === 1)
+    IngestBump.bump(spark, root, docs.where(col("doc_id") < 300),
+      factDelta = Some(half0), summaries = Seq(spec))
+    IngestBump.bump(spark, root, docs,
+      factDelta = Some(half1), summaries = Seq(spec))
+
+    def img(df: org.apache.spark.sql.DataFrame) = graft.SparkTestSession.rowImage(df)
+    val store = IngestBump.summaryPath(spark, root, "nation_year")
+      .getOrElse(fail("summary store must exist after the bumps"))
+    val derived = Preagg.derivedCube(TpchStar.salesCube, grain, TableDef("__bumped"))
+    val sp2 = new CubePlanner(derived, new graft.sources.FormatResolver(
+      Map("__bumped" -> graft.sources.SourceSpec(store))))
+    val pp = new PreaggPlanner(base, sp2)
+    val rollup = CubeQuery(
+      drilldowns = Seq(drill("Geography.Region")),
+      cuts = Seq(cut("Ship Date.Year.1996,1997")),
+      measures = Seq(mea("Quantity"), mea("Max Price"), mea("Unique Parts")))
+    val served = pp.plan(spark, rollup)
+    assert(img(served) == img(base.plan(spark, rollup)),
+      "routed answer must equal the base planner over the FULL fact")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("summary") && !plan.contains("lineitem"),
+      "routing must scan the bump-maintained store, never the fact:\n" + plan.take(800))
+    // and the text family advanced in the same calls
+    val st = IngestBump.textState(spark, root).get
+    assert(st("livelog").count() == docs.count())
+  }
 }
