@@ -75,10 +75,15 @@ object Bench {
     val qsNorm = results.map { case (k, v) => "\"" + k + "\":" + f"${v / probeSec}%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec%.3f,"probe_pre":$probePre%.3f,"probe_post":$probePost%.3f,"total_norm":${total / probeSec}%.3f,"queries_norm":$qsNorm}"""
-    println(line)
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    val head =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec%.3f,"probe_pre":$probePre%.3f,"probe_post":$probePost%.3f,"total_norm":${total / probeSec}%.3f"""
+    // stdout gets the COMPACT line (no queries_norm map — it is exactly
+    // queries[k]/probe_sec, and the harness's tail buffer front-truncated
+    // the 127-entry double-map line in round 13, losing the JSON head);
+    // bench_out.json keeps the full record including the normalized map
+    println(head + "}")
+    Files.writeString(Paths.get("bench_out.json"),
+      head + s""","queries_norm":$qsNorm}""" + "\n")
     spark.stop()
   }
 }
