@@ -115,4 +115,42 @@ object ArtifactStore {
     while (!createMarker(spark, s"$root/v$n/_ALLOC")) n += 1
     (n, s"$root/v$n")
   }
+
+  /** Max version under `root` carrying a `_COMMITTED` marker — the
+    * object-store-safe resolution (see [[graft.streaming.StateStore]]'s
+    * protocol: a version is visible iff its marker exists, and
+    * CREATE-EXCLUSIVE is atomic where rename is not). */
+  private[graft] def committedVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).filter(v => exists(spark, s"$root/v$v/_COMMITTED")) match {
+      case Seq() => None
+      case vs    => Some(vs.max)
+    }
+
+  /** Commit `df` as the single table `name` of a fresh version under
+    * `root`: claim → write → CREATE-EXCLUSIVE `_COMMITTED` → prune
+    * versions older than the previous committed one (in-flight readers
+    * of the previous version survive one commit cycle). A crash before
+    * the marker leaves an invisible orphan a later prune removes —
+    * readers keep serving the previous version, never a torn table. */
+  private[graft] def commitTable(
+      spark: SparkSession, root: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    val (n, vdir) = claimVersion(spark, root)
+    df.write.mode("overwrite").parquet(s"$vdir/$name.parquet")
+    createMarker(spark, s"$vdir/_COMMITTED")
+    val keepFrom = versions(spark, root)
+      .filter(v => v < n && exists(spark, s"$root/v$v/_COMMITTED")) match {
+      case Seq() => n
+      case older => older.max
+    }
+    versions(spark, root).filter(_ < keepFrom)
+      .foreach(v => delete(spark, s"$root/v$v"))
+    n
+  }
+
+  /** The committed table's parquet path under `root`, None before the
+    * first commit. */
+  private[graft] def committedTablePath(
+      spark: SparkSession, root: String, name: String): Option[String] =
+    committedVersion(spark, root).map(v => s"$root/v$v/$name.parquet")
 }

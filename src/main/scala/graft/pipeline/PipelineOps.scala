@@ -1421,15 +1421,19 @@ object PipelineOps {
     * explosion, no pair join, no star-contraction rounds). */
   private[graft] def dedupVerdictTable(spark: SparkSession, dir: String): DataFrame = {
     val root = verdictTablePath(spark, dir)
-    val ready = s"$root/_VERDICT_READY"
-    if (!ArtifactStore.exists(spark, ready)) verdictBuildLock.synchronized {
-      if (!ArtifactStore.exists(spark, ready)) {
-        dedupVerdictOf(docs(spark, dir))
-          .write.mode("overwrite").parquet(s"$root/verdict.parquet")
-        ArtifactStore.createMarker(spark, ready)
+    // versioned commits (round 14): built/published tables land as
+    // v{N}/verdict.parquet + a CREATE-EXCLUSIVE _COMMITTED marker,
+    // resolved as max committed — a crash mid-(re)publish can never
+    // tear the served table or leave a ready-marker pointing at a
+    // half-overwritten file, and readers of the previous version
+    // survive one publish cycle (the ArtifactStore.commitTable prune)
+    if (ArtifactStore.committedVersion(spark, root).isEmpty)
+      verdictBuildLock.synchronized {
+        if (ArtifactStore.committedVersion(spark, root).isEmpty)
+          ArtifactStore.commitTable(spark, root, "verdict",
+            dedupVerdictOf(docs(spark, dir)))
       }
-    }
-    spark.read.parquet(s"$root/verdict.parquet")
+    spark.read.parquet(ArtifactStore.committedTablePath(spark, root, "verdict").get)
   }
 
   /** p60: the table-served verdict — what every production consumer of
@@ -1440,21 +1444,22 @@ object PipelineOps {
     dedupVerdictTable(spark, dir).orderBy("doc_id")
 
   /** PUBLISH half of the p60 seam — the ingest-side refresh
-    * [[graft.streaming.IngestBump]] routes through: write an
-    * already-computed verdict (the delta-maintained one) as `dir`'s
-    * materialized verdict table and mark it ready, so the build-once
+    * [[graft.streaming.IngestBump]] routes through: commit an
+    * already-computed verdict (the delta-maintained one) as a fresh
+    * VERSION of `dir`'s materialized verdict table, so the build-once
     * lock in [[dedupVerdictTable]] never fires and every composer
     * serves the ingest's O(delta + state) verdict instead of paying a
-    * from-scratch corpus dedup. Single-writer per snapshot dir (the
-    * ingest that just wrote the snapshot publishes before readers
-    * exist); a dir rewritten later re-keys to a fresh root via the
-    * corpus fingerprint, same as the build path. */
+    * from-scratch corpus dedup. Re-publishing is crash-safe: the new
+    * version becomes visible in one marker create (never an in-place
+    * overwrite racing readers or leaving a stale ready-marker over a
+    * torn file), and the previous version survives one publish cycle.
+    * A dir rewritten later re-keys to a fresh root via the corpus
+    * fingerprint, same as the build path. */
   private[graft] def publishVerdictTable(
       spark: SparkSession, dir: String, verdict: DataFrame): Unit = {
     val root = verdictTablePath(spark, dir)
     verdictBuildLock.synchronized {
-      verdict.write.mode("overwrite").parquet(s"$root/verdict.parquet")
-      ArtifactStore.createMarker(spark, s"$root/_VERDICT_READY")
+      ArtifactStore.commitTable(spark, root, "verdict", verdict)
     }
   }
 

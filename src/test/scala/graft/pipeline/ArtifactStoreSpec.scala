@@ -30,8 +30,12 @@ class ArtifactStoreSpec extends AnyFunSuite {
       val vr = PipelineOps.verdictTablePath(spark, SfDir)
       assert(vr.startsWith(root), s"verdict root $vr not under configured $root")
       val fs = new HPath(vr).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.exists(new HPath(vr, "_VERDICT_READY")), "ready marker on the routed FS")
-      assert(fs.exists(new HPath(vr, "verdict.parquet")), "data on the routed FS")
+      // round 14: the table commits as a marker-resolved version (the
+      // object-store-safe protocol), never a flat file + ready marker
+      val v = ArtifactStore.committedVersion(spark, vr)
+        .getOrElse(fail("no committed verdict version on the routed FS"))
+      assert(fs.exists(new HPath(s"$vr/v$v", "_COMMITTED")), "commit marker on the routed FS")
+      assert(fs.exists(new HPath(s"$vr/v$v", "verdict.parquet")), "data on the routed FS")
     }
   }
 
@@ -59,6 +63,29 @@ class ArtifactStoreSpec extends AnyFunSuite {
       ArtifactStore.createMarker(spark, s"$r/v${v2 + 1}/_ALLOC")
       val (v3, _) = ArtifactStore.claimVersion(spark, r)
       assert(v3 == v2 + 2)
+    }
+  }
+
+  test("re-publishing is crash-safe: an uncommitted republish stays invisible, a " +
+       "committed one supersedes, and prune keeps current + previous") {
+    withIndexDir { root =>
+      import graft.SparkTestSession.spark.implicits._
+      val r = s"$root/pub-test"
+      def served(): Long = graft.SparkTestSession.spark.read
+        .parquet(ArtifactStore.committedTablePath(spark, r, "t").get)
+        .as[Long].head()
+      ArtifactStore.commitTable(spark, r, "t", Seq(1L).toDF("id"))
+      // crashed republish: version claimed, table written, marker never
+      // created — the pre-round-14 overwrite would have torn the table
+      val (_, vdir) = ArtifactStore.claimVersion(spark, r)
+      Seq(2L).toDF("id").write.parquet(s"$vdir/t.parquet")
+      assert(served() == 1L, "uncommitted republish must stay invisible")
+      val v3 = ArtifactStore.commitTable(spark, r, "t", Seq(3L).toDF("id"))
+      assert(served() == 3L)
+      val v4 = ArtifactStore.commitTable(spark, r, "t", Seq(4L).toDF("id"))
+      assert(served() == 4L)
+      // prune keeps current + previous committed; v1 and the orphan retired
+      assert(ArtifactStore.versions(spark, r).sorted == Seq(v3, v4))
     }
   }
 
