@@ -41,13 +41,20 @@ object FusedLoadProbe {
         cuts = Seq(cut(s"Geography.Region.$r,${r + 1}"),
           cut(s"Geography.Nation.${i % 20},${(i + 7) % 20},${(i + 13) % 20}")),
         measures = Seq(mea("Quantity")))
-      if (i % 3 == 2) base.copy( // 4-combo: second multi-cut dimension
+      if (i % 4 == 2) base.copy( // 4-combo: second multi-cut dimension
         drilldowns = Nil,
         cuts = base.cuts ++ Seq(cut(s"Ship Date.Year.$y,${y + 1}"),
           cut(s"Ship Date.Month.${1 + i % 10},${2 + i % 10}")))
-      else if (i % 3 == 1) base.copy( // growth fan-out (round 13: fuses
+      else if (i % 4 == 1) base.copy( // growth fan-out (round 13: fuses
         // as the combo-partitioned lag; declined to the union before)
         growth = Some(GrowthQuery.parse("Ship Date.Year,Quantity").fold(die, identity)))
+      else if (i % 4 == 3) LogicLayerQuery( // rate fan-out (round 14:
+        // fuses as the conditional-aggregate pass; declined before)
+        drilldowns = Seq(drill("Customer.Segment")),
+        cuts = Seq(cut(s"Ship Date.Year.$y,${y + 1}"),
+          cut(s"Ship Date.Month.${1 + i % 10},${2 + i % 10}")),
+        measures = Seq(mea("Quantity")),
+        rate = Some(RateQuery.parse(s"Geography.Region.$r,${r + 1}").fold(die, identity)))
       else base
     }
 
