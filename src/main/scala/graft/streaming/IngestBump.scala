@@ -11,9 +11,10 @@ import graft.pipeline.{ArtifactStore, PipelineOps}
   * p63 ANN-index deltas) exists for. Where p61/p62/p63 each prove one
   * family's delta path against a from-scratch oracle by re-ingesting the
   * old snapshot in-query, this driver is the PRODUCTION shape: carried
-  * state lives in [[StateStore]] (versioned parquet + atomic pointer, DFS
-  * via Hadoop-FS routing), the ANN index is a persistent grow-in-place
-  * tree, and each `bump(newSnapshot)` call pays only the delta:
+  * state lives in [[StateStore]] (marker-committed versioned parquet,
+  * DFS via Hadoop-FS routing), the ANN index is a persistent
+  * grow-in-place segment tree ([[graft.pipeline.AnnIndexStore]]), and
+  * each `bump(newSnapshot)` call pays only the delta:
   *
   *   1. text dedup — retire departed/changed docs from the carried
   *      gram/edge state ([[DedupStream.retain]]), re-gram the delta as
@@ -231,7 +232,7 @@ object IngestBump {
     * corpus-HASH-projection shuffles (the 40-byte-row live log that
     * survivor selection and verdict assembly are defined over) +
     * state-projection anti-joins — never a corpus text scan, never a
-    * state rewrite (delta persistence, [[persistText]]).
+    * state rewrite (delta persistence via [[StateStore.saveDelta]]).
     *
     * `corpus` is the NEW snapshot's documents frame, consulted ONLY to
     * fetch the bodies of PROMOTED survivors — an old non-survivor whose
