@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.pipeline.{ArtifactStore, PipelineOps}
+import graft.pipeline.PipelineOps
 
 /** The ingest-version-bump driver: ONE orchestrated pass that takes the
   * corpus from snapshot N to snapshot N+1 across every maintained
