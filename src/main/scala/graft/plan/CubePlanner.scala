@@ -265,6 +265,16 @@ final class CubePlanner(
         q0.parents, q0.properties, unionCaptions)
       case None => unionOuts
     }
+    // a rate level named like a drill level makes the joint outLevels call
+    // disambiguate headers the union grain alone doesn't — every
+    // union-grain reference below (padding, groupBy, consolidation) would
+    // miss the wide frame's prefixed names. Decline; the unfused fan-out's
+    // planRate handles the collision per member via rename.
+    if (rate.isDefined && unionOuts.exists { u =>
+      sourceOuts.find(s => s.dim.name == u.dim.name && s.hier.name == u.hier.name &&
+          s.level.name == u.level.name)
+        .exists(s => s.keyHeader != u.keyHeader || s.nameHeader != u.nameHeader)
+    }) return None
     val meas = q0.measures.map(m => cube.measure(m.name).get -> m.name)
     val meaNames = meas.map(_._2)
     val hidden = hiddenFor(meas.map(_._1))
@@ -663,12 +673,29 @@ final class CubePlanner(
       case other => fail(s"rate requires a sum or count measure, got $other")
     }
 
+    // The joint outLevels call (output drills + the rate level) may
+    // disambiguate a header collision the output grain alone doesn't have
+    // (a rate level named like a drill level — both would emit "Year", so
+    // the SOURCE frame carries dimension-prefixed names while the output
+    // grain keeps the bare one). Group by the source frame's own headers,
+    // then rename back to the output grain's — the grain is identical,
+    // only the names differ.
+    val twins = outsOrig.map(o => o -> outsAll.find(a =>
+        a.dim.name == o.dim.name && a.hier.name == o.hier.name &&
+        a.level.name == o.level.name)
+      .getOrElse(fail(s"rate lost level '${o.level.name}'")))
     val headers = drillHeaders(outsOrig)
     var df = src
-      .groupBy(groupHeaders(outsOrig).map(cq): _*)
+      .groupBy(twins.flatMap { case (_, a) =>
+        (a.keyHeader +: a.nameHeader.toSeq) ++ a.props.map(_._1) }.map(cq): _*)
       .agg(totalAgg.as(meaName), partAgg.as("__part"))
       .where(cq("__part").isNotNull)
       .withColumn("Rate", cq("__part") / cq(meaName))
+    twins.foreach { case (o, a) =>
+      if (a.keyHeader != o.keyHeader) df = df.withColumnRenamed(a.keyHeader, o.keyHeader)
+      for (n <- o.nameHeader; an <- a.nameHeader; if n != an)
+        df = df.withColumnRenamed(an, n)
+    }
 
     df = applyOptions(df, q, outsOrig, headers, Seq(meaName, "Rate"), calcCols(q))
     df.select((headers ++ Seq(meaName, "Rate")).map(cq): _*)

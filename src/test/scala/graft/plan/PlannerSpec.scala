@@ -142,6 +142,58 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  // two degenerate dims both exposing a level named "Year": the joint
+  // source grain (drill + rate level) disambiguates to "Ship Date Year" /
+  // "Ship Month Year" while the output grain alone keeps the bare "Year" —
+  // pre-fix both rate paths crashed with an unresolved-column error
+  private lazy val collideCube = Cube("Collide", TableDef("lineitem"), Seq(
+    Dimension("Ship Date", foreignKey = None, dimType = DimensionType.Time,
+      hierarchies = Seq(Hierarchy("Ship Date", primaryKey = "l_shipyear",
+        levels = Seq(Level("Year", "l_shipyear", keyType = MemberType.NonText))))),
+    Dimension("Ship Month", foreignKey = None,
+      hierarchies = Seq(Hierarchy("Ship Month", primaryKey = "l_shipmonth",
+        levels = Seq(Level("Year", "l_shipmonth", keyType = MemberType.NonText))))),
+    Dimension("Return Flag", foreignKey = None,
+      hierarchies = Seq(Hierarchy("Return Flag", primaryKey = "l_returnflag",
+        levels = Seq(Level("Return Flag", "l_returnflag")))))),
+    Seq(Measure("Quantity", "l_quantity", Aggregator.Sum)))
+
+  test("rate: rate level colliding with a drill header plans via rename") {
+    val cp = new CubePlanner(collideCube, new graft.engine.TpchStar.Resolver(SfDir))
+    val df = cp.plan(spark, CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      rate = Some(RateQuery.parse("Ship Month.Ship Month.Year.1,2,3").fold(die, identity))))
+    assert(df.columns.toSeq == Seq("Year", "Quantity", "Rate"))
+    val want = li
+      .withColumn("y", year(col("l_shipdate")).cast("long"))
+      .withColumn("m", month(col("l_shipdate")).cast("long"))
+      .groupBy("y")
+      .agg(sum("l_quantity").as("total"),
+        sum(when(col("m").isin(1, 2, 3), col("l_quantity"))).as("part"))
+      .where(col("part").isNotNull)
+      .orderBy("y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2) / r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (lnum(r, 0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, gq, gr), (_, wq, wr)) =>
+      assert(math.abs(gq - wq) < 1e-9); assert(math.abs(gr - wr) < 1e-12)
+    }
+  }
+
+  test("fused fan-out declines a colliding rate level (falls back to per-member planRate)") {
+    val cp = new CubePlanner(collideCube, new graft.engine.TpchStar.Resolver(SfDir))
+    def q(flag: String) = CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      cuts = Seq(cut(s"Return Flag.Return Flag.$flag")),
+      rate = Some(RateQuery.parse("Ship Month.Ship Month.Year.1,2,3").fold(die, identity)))
+    assert(cp.planFanOutFused(spark, Seq(q("A"), q("N"))).isEmpty,
+      "collision must decline the fused path, not crash it")
+    // the member path each fused member would fall back to still answers
+    assert(cp.plan(spark, q("A")).collect().nonEmpty)
+  }
+
   test("grouped median: median of per-order quantity sums") {
     val df = planner.plan(spark, CubeQuery(
       drilldowns = Seq(drill("Line Status.Line Status")),
