@@ -41,14 +41,16 @@ import graft.pipeline.PipelineOps
   * state-on-disk restart.
   *
   * Crash contract: each family's state commits via StateStore's
-  * per-version CREATE-EXCLUSIVE `_COMMITTED` marker (atomic on object
-  * stores too — see [[StateStore]]), so a crash mid-bump leaves every
+  * per-version CREATE-EXCLUSIVE `_COMMITTED` marker (object-store-safe
+  * under a conditional-create-capable connector; see [[StateStore]]'s
+  * capability probe), so a crash mid-bump leaves every
   * family at EITHER snapshot N or N+1, and re-running the bump converges:
   * the text/sem refreshes are idempotent (valid-id retirement and
-  * membership anti-joins make a replayed delta a no-op), and the index
+  * membership anti-joins make a replayed delta a no-op), the index
   * bump derives arrivals/departures from the index's OWN live set rather
   * than the state tables, so a replay appends nothing and re-tombstones
-  * nothing. Single concurrent bumper per root (the ingest pipeline's
+  * nothing, and summary folds stamp the bump identity so a replayed fold
+  * is a no-op instead of a double-count ([[bumpSummaries]]). Single concurrent bumper per root (the ingest pipeline's
   * natural shape); two racing bumpers degrade to
   * highest-committed-version-wins between internally-consistent versions,
   * never a torn state.
@@ -117,25 +119,84 @@ object IngestBump {
 
   private def summaryDir(root: String, name: String) = s"$root/summary/$name"
 
+  /** Deterministic identity of a fact delta's content: an
+    * order-insensitive xxhash64 fold over every column of every row plus
+    * the row count — one O(delta) aggregate, the default replay stamp
+    * when the caller has no external bump id. */
+  private def contentId(delta: DataFrame): String = {
+    // sum in decimal(38,0): ANSI mode makes a long sum of hashes overflow
+    val r = delta
+      .select(xxhash64(struct(delta.columns.map(col): _*))
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h")), count(lit(1))).collect()(0)
+    s"${r.get(0)}_${r.getLong(1)}"
+  }
+
+  /** The replay stamp of `dir`'s committed store — the bump identity its
+    * summary last folded. None for a store predating the stamp (treated
+    * as unknown: the fold applies, matching the pre-stamp behavior). */
+  private def lastApplied(spark: SparkSession, dir: String): Option[String] =
+    StateStore.currentTablePath(spark, dir, "applied").flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) None
+      else spark.read.parquet(p).select("bump_id").collect()
+        .headOption.map(_.getString(0))
+    }
+
   /** Fold one fact delta into every registered summary store under
     * `root` — the OLAP half of an ingest bump. Each store commits as its
     * own StateStore version (crash leaves it at N or N+1; the previous
     * version survives one cycle for in-flight readers, so the merge's
-    * lazy read of version N while writing N+1 is safe). */
+    * lazy read of version N while writing N+1 is safe).
+    *
+    * Replay idempotency (the same crash contract as the other four
+    * maintained families): every commit stamps the bump's identity —
+    * `bumpId` when the ingest provides one, else the delta's content
+    * hash — alongside the summary, and a fold whose identity matches the
+    * committed stamp is a no-op, so re-running an already-completed
+    * `bump()` (at-least-once recovery) cannot double-count. The content
+    * default makes recovery safe with no caller wiring; a feed that can
+    * legitimately deliver byte-identical CONSECUTIVE fact deltas must
+    * pass its own `bumpId` (an offset/epoch), since content alone cannot
+    * tell that apart from a replay. Stamps are compared per store, so a
+    * crash between two specs' commits recovers each store independently.
+    *
+    * Write economics (measured in SCALING.md): the store is
+    * READ-optimized — one parquet path the Preagg router scans with no
+    * fold — so each bump rewrites the merged summary, O(summary rows)
+    * per bump. That is the right trade while summaries are grain-sized
+    * (queries ≫ bumps, and a grain is dim-cardinality, orders below the
+    * fact); a grain whose cardinality approaches the fact's would pay
+    * real write amplification here AND would defeat the summary's
+    * purpose (scan ≈ fact scan), so the bound is structural: register
+    * grains, not near-fact keys. */
   def bumpSummaries(
       spark: SparkSession,
       root: String,
       factDelta: DataFrame,
-      specs: Seq[SummarySpec]): Unit =
+      specs: Seq[SummarySpec],
+      bumpId: Option[String] = None): Unit = {
+    if (specs.isEmpty) return
+    lazy val id = bumpId.getOrElse(contentId(factDelta))
     specs.foreach { s =>
       val dir = summaryDir(root, s.name)
-      val delta = s.partialsOf(factDelta)
-      val merged = StateStore.load(spark, dir, Seq("summary")) match {
-        case Some(m) => s.combine(m("summary"), delta)
-        case None    => delta
+      val stamp = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(id)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bump_id",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      StateStore.load(spark, dir, Seq("summary")) match {
+        case Some(_) if lastApplied(spark, dir).contains(id) => () // replay: no-op
+        case Some(m) =>
+          val merged = s.combine(m("summary"), s.partialsOf(factDelta))
+          StateStore.save(dir, Map("summary" -> merged, "applied" -> stamp))
+        case None =>
+          StateStore.save(dir,
+            Map("summary" -> s.partialsOf(factDelta), "applied" -> stamp))
       }
-      StateStore.save(dir, Map("summary" -> merged))
     }
+  }
 
   /** The committed summary store's parquet path under a bump root — what
     * a serving layer points its summary TableDef at (re-resolve after
@@ -160,7 +221,8 @@ object IngestBump {
       publishDir: Option[String] = None,
       trainedVectors: Option[TrainedSnapshot] = None,
       factDelta: Option[DataFrame] = None,
-      summaries: Seq[SummarySpec] = Nil): Artifacts = {
+      summaries: Seq[SummarySpec] = Nil,
+      bumpId: Option[String] = None): Artifacts = {
     val verdict = bumpText(spark, textDir(root), newDocs)
     publishDir.foreach(d => PipelineOps.publishVerdictTable(spark, d, verdict))
     val sem = vectors.map { vs =>
@@ -169,7 +231,7 @@ object IngestBump {
       sv
     }
     val tv = trainedVectors.map(ts => bumpTrained(spark, root, ts))
-    factDelta.foreach(fd => bumpSummaries(spark, root, fd, summaries))
+    factDelta.foreach(fd => bumpSummaries(spark, root, fd, summaries, bumpId))
     Artifacts(verdict, sem, tv)
   }
 
@@ -247,18 +309,21 @@ object IngestBump {
     * membership, but a feed bug (a missed removal, a missed add, a
     * changed doc delivered as added) would silently corrupt the
     * maintained verdict until the next full [[bump]]. Every bump
-    * therefore audits a deterministic 1-in-`auditSampleMod` doc-id
-    * sample of the post-bump live log against the SAME sample of the
-    * corpus frame's (doc_id, content_hash) and FAILS the bump loudly on
-    * any divergence — BEFORE any state commits. The audit hashes 1/mod
-    * of the corpus text per bump; a single corrupt doc is caught with
-    * probability 1/mod per bump, so after b bumps a standing feed bug
-    * survives with probability (1−1/mod)^b — at the default 64, under
-    * 21% after 100 bumps, under 0.05% after 500 — while every MASS feed
-    * bug (a dropped partition, a stuck topic) is caught on the next
-    * bump with near-certainty. `auditSampleMod = 1` audits the full
-    * corpus (what the spec's lying-feed injections use);
-    * `auditSampleMod = 0` disables. */
+    * therefore audits a deterministic 1-in-`auditSampleMod` sample in
+    * each direction — corpus rows (sampled per (source, doc_id), so a
+    * bug confined to a SMALL source gets its own 1/mod per-doc trial
+    * density rather than inheriting whole-corpus luck) must appear
+    * verbatim in the post-bump live log, and live-log rows (uniform
+    * doc-id sample) must appear in the corpus under the same hash — and
+    * FAILS the bump loudly on any divergence, BEFORE any state commits.
+    * The audit hashes ~2/mod of the corpus text per bump; a single
+    * corrupt doc is caught with probability 1/mod per bump, so after b
+    * bumps a standing feed bug survives with probability (1−1/mod)^b —
+    * at the default 64, under 21% after 100 bumps, under 0.05% after
+    * 500 — while every MASS feed bug (a dropped partition, a stuck
+    * topic) is caught on the next bump with near-certainty.
+    * `auditSampleMod = 1` audits the full corpus (what the spec's
+    * lying-feed injections use); `auditSampleMod = 0` disables. */
   def bumpTextCdc(
       spark: SparkSession,
       root: String,
@@ -350,29 +415,45 @@ object IngestBump {
     verdict
   }
 
-  /** The CDC audit ([[bumpTextCdc]]'s trust-but-verify): compare a
-    * deterministic doc-id sample of the post-bump live log against the
-    * same sample of the corpus frame on the full (doc_id, content_hash)
-    * key. A row on exactly one side is a feed/corpus divergence: corpus-
-    * only = a missed add or a changed doc the feed never delivered
-    * (wrong hash), livelog-only = a missed removal or a stale hash. One
-    * job: union with a side marker, group, count singletons; the
-    * failure path collects a few examples for the message. */
+  /** The CDC audit ([[bumpTextCdc]]'s trust-but-verify), two directions,
+    * each anti-joining a deterministic 1-in-`mod` SAMPLE against the FULL
+    * other side (so the two samples need not agree, and total text hashed
+    * per bump stays ~2/mod of the corpus):
+    *
+    *   1. corpus → log (missed add, changed doc never delivered): a
+    *      sample of the corpus keyed on (source, doc_id) must appear
+    *      verbatim — same (doc_id, content_hash) — in the post-bump live
+    *      log. STRATIFYING the sample key by source gives a bug confined
+    *      to a small source (one dropped topic-partition of a 1% feed)
+    *      ~n_source/mod trials per bump — the same per-doc detection
+    *      density a mass bug gets — where a uniform doc-id sample gave
+    *      the whole corpus's 1/mod to every source alike but far fewer
+    *      absolute trials to the small one's standing bug.
+    *   2. log → corpus (missed removal, stale hash): a uniform doc-id
+    *      sample of the live log must appear in the corpus under the
+    *      same hash; corpus hashing is restricted to the sampled ids
+    *      (a sample-sized semi-join), never the whole corpus text.
+    */
   private def auditFeed(livelog: DataFrame, corpus: DataFrame, mod: Long): Unit = {
-    def sampled(d: DataFrame) =
-      if (mod <= 1) d else d.where(pmod(hash(col("doc_id"), lit(0x5EED)), lit(mod)) === 0)
-    val bad = sampled(DedupStream.arrivalLog(corpus))
-      .select(col("doc_id"), col("content_hash"), lit(1L).as("side"))
-      .unionByName(sampled(livelog)
-        .select(col("doc_id"), col("content_hash"), lit(2L).as("side")))
-      .groupBy("doc_id", "content_hash")
-      .agg(count(lit(1)).as("n"), min("side").as("s"))
-      .where(col("n") === 1)
-      .localCheckpoint(false)
-    val examples = bad.limit(5).collect()
+    val corpusSide =
+      if (mod <= 1) corpus
+      else corpus.where(
+        pmod(hash(col("source"), col("doc_id"), lit(0x5EED)), lit(mod)) === 0)
+    val corpusOnly = DedupStream.arrivalLog(corpusSide)
+      .join(livelog, Seq("doc_id", "content_hash"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("s"))
+    val logSide =
+      if (mod <= 1) livelog
+      else livelog.where(pmod(hash(col("doc_id"), lit(0x5EED)), lit(mod)) === 0)
+    val logOnly = logSide
+      .join(DedupStream.arrivalLog(
+          corpus.join(logSide.select("doc_id"), Seq("doc_id"), "left_semi")),
+        Seq("doc_id", "content_hash"), "left_anti")
+      .select(col("doc_id"), lit(2L).as("s"))
+    val examples = corpusOnly.unionByName(logOnly).limit(5).collect()
     if (examples.nonEmpty) {
       val desc = examples.map(r => s"doc ${r.get(0)} (${
-        if (r.getLong(3) == 1L) "in corpus, not in maintained log — missed add/change"
+        if (r.getLong(1) == 1L) "in corpus, not in maintained log — missed add/change"
         else "in maintained log, not in corpus — missed removal/stale hash"})")
         .mkString("; ")
       throw new IllegalStateException(
@@ -416,12 +497,25 @@ object IngestBump {
         Seq("retired", "cellsOut", "members", "edges"))
       .map { case (snap, ds) => SemDedupStream.foldSemChain(snap, ds) }
 
+  /** Migration shim for gram state persisted BEFORE the `gbucket`
+    * physical-layout column existed: the bucket is a pure function of the
+    * (lang, source, block) key the rows already carry, so derive it on
+    * read. Correctness is identical (the prune filter is lossless either
+    * way); the partition prune simply cannot fire against the legacy flat
+    * files until the next SnapshotEvery compaction rewrites the state
+    * partitioned — the natural migration point, no re-ingest needed. */
+  private def withGbucket(g: DataFrame): DataFrame =
+    if (g.columns.contains("gbucket")) g
+    else g.withColumn("gbucket", PipelineOps.gramBucketCol)
+
   /** The folded text state: the chain's snapshot with every delta's
     * retirement + new rows applied, lazily. None before the first bump. */
   private def loadTextState(
       spark: SparkSession, dir: String): Option[Map[String, DataFrame]] =
     StateStore.loadChain(spark, dir, TextSnapTables, TextDeltaTables)
-      .map { case (snap, deltas) => DedupStream.foldPairChain(snap, deltas) }
+      .map { case (snap, deltas) => DedupStream.foldPairChain(
+        snap + ("grams" -> withGbucket(snap("grams"))),
+        deltas.map(d => d + ("grams" -> withGbucket(d("grams"))))) }
 
   /** First-bump text state: one batch ingest, global CC, every edge
     * epoch-stamped; committed as the chain's founding snapshot. */
@@ -585,12 +679,34 @@ object IngestBump {
     * rewrite. No eager checkpoints anywhere: every read below is against
     * immutable segment files. */
   private def bumpIndex(spark: SparkSession, idx: String, vecs: DataFrame): Unit = {
-    import graft.pipeline.AnnIndexStore
+    import graft.pipeline.{AnnIndexStore, ArtifactStore}
     def writeSegFrom(assigned: DataFrame, codes: DataFrame)(v: Long, segDir: String): Unit = {
       assigned.write.mode("overwrite").parquet(s"$segDir/ivf_assign.parquet")
       codes.write.mode("overwrite").parquet(s"$segDir/pq_codes.parquet")
     }
     AnnIndexStore.current(spark, idx) match {
+      case None if ArtifactStore.exists(spark, s"$idx/ivf_assign.parquet") =>
+        // migration shim: a pre-segment-store bump tree (flat assign/
+        // codes/tombstones at the root). Without it, current() = None
+        // read as "first build" would re-derive the frozen quantizer from
+        // the NEW snapshot — a different corpus basis — while the stale
+        // flat files lingered under the root. Fold the flat files into
+        // the store as the founding segment + mask (the root quantizer
+        // files are layout-invariant and stay put), drop the flat copies,
+        // then bump normally against the committed version.
+        val a = spark.read.parquet(s"$idx/ivf_assign.parquet").localCheckpoint(false)
+        val c = spark.read.parquet(s"$idx/pq_codes.parquet").localCheckpoint(false)
+        val tomb =
+          if (ArtifactStore.exists(spark, s"$idx/tombstones.parquet"))
+            spark.read.parquet(s"$idx/tombstones.parquet")
+              .select("vec_id").localCheckpoint(false)
+          else a.select(col("nbr_id").as("vec_id")).limit(0)
+        AnnIndexStore.commit(spark, idx, tomb,
+          segsOf = v => Seq(AnnIndexStore.segNameOf(v)),
+          writeSeg = Some(writeSegFrom(a, c)))
+        Seq("ivf_assign.parquet", "pq_codes.parquet", "tombstones.parquet")
+          .foreach(f => ArtifactStore.delete(spark, s"$idx/$f"))
+        bumpIndex(spark, idx, vecs)
       case None =>
         val n = vecs.localCheckpoint(false)
         PipelineOps.writeAnnQuantizer(n, idx)

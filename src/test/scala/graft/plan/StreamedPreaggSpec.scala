@@ -174,5 +174,38 @@ class StreamedPreaggSpec extends AnyFunSuite {
     // and the text family advanced in the same calls
     val st = IngestBump.textState(spark, root).get
     assert(st("livelog").count() == docs.count())
+
+    // REPLAY IDEMPOTENCY (the at-least-once crash-recovery contract): a
+    // re-run of the already-completed second bump must fold NOTHING into
+    // the committed summary — pre-guard it silently double-counted every
+    // sum in every served answer
+    val before = img(spark.read.parquet(
+      IngestBump.summaryPath(spark, root, "nation_year").get))
+    IngestBump.bump(spark, root, docs,
+      factDelta = Some(half1), summaries = Seq(spec))
+    val after = img(spark.read.parquet(
+      IngestBump.summaryPath(spark, root, "nation_year").get))
+    assert(after == before, "replayed bump must not double-count the summary")
+    // the routed answer still matches the base planner after the replay
+    val replayServed = pp.plan(spark, rollup)
+    assert(img(replayServed) == img(base.plan(spark, rollup)))
+
+    // an explicit bumpId overrides the content stamp: two bumps with
+    // byte-identical deltas but distinct ids BOTH fold (the legit
+    // consecutive-duplicate-feed case the content default cannot tell
+    // from a replay)
+    val root2 = s"$tmp/bumproot2"
+    IngestBump.bump(spark, root2, docs.where(col("doc_id") < 300),
+      factDelta = Some(half0), summaries = Seq(spec), bumpId = Some("epoch-1"))
+    val one = spark.read.parquet(
+        IngestBump.summaryPath(spark, root2, "nation_year").get)
+      .agg(sum(col("Quantity"))).collect()(0).getDouble(0)
+    IngestBump.bump(spark, root2, docs.where(col("doc_id") < 300),
+      factDelta = Some(half0), summaries = Seq(spec), bumpId = Some("epoch-2"))
+    val two = spark.read.parquet(
+        IngestBump.summaryPath(spark, root2, "nation_year").get)
+      .agg(sum(col("Quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(two - 2 * one) < 1e-6,
+      "distinct explicit bump ids must fold both deltas")
   }
 }

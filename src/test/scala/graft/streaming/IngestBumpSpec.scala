@@ -156,6 +156,89 @@ class IngestBumpSpec extends AnyFunSuite {
     assert(rowImage(v) == rowImage(PipelineOps.dedupVerdictOf(nextRm)))
   }
 
+  test("stratified CDC audit: a missed add confined to a tiny source is caught by the " +
+       "per-(source, doc_id) corpus sample even where a uniform doc-id sample skips it") {
+    val root = Files.createTempDirectory("graft_bump_strat").toString
+    IngestBump.bump(spark, root, s0)
+    val mod = 8L
+    // pick an id the STRATIFIED key selects but the uniform doc-id key
+    // skips — the doc the pre-stratification audit provably never sampled
+    val cand = spark.range(1000000, 1001000)
+      .where(pmod(hash(lit("rare"), col("id"), lit(0x5EED)), lit(mod)) === 0 &&
+             pmod(hash(col("id"), lit(0x5EED)), lit(mod)) =!= 0)
+      .limit(1).collect()(0)
+    val extra = snap(s0.limit(1)
+      .withColumn("doc_id", lit(cand))
+      .withColumn("source", lit("rare"))
+      .withColumn("text", lit("a rare-source doc the feed never delivered")))
+    val empty = s0.limit(0)
+    val ex = intercept[IllegalStateException] {
+      IngestBump.bumpTextCdc(spark, root,
+        IngestBump.CorpusDelta(empty.select("doc_id"), empty, empty),
+        snap(s0.unionByName(extra)), auditSampleMod = mod)
+    }
+    assert(ex.getMessage.contains("missed add"))
+    assert(StateStore.chainLength(spark, s"$root/text") == 0,
+      "a failed audit must not have committed state")
+    // the honest no-op feed over the same state still passes at the same mod
+    val v = IngestBump.bumpTextCdc(spark, root,
+      IngestBump.CorpusDelta(empty.select("doc_id"), empty, empty),
+      s0, auditSampleMod = mod)
+    assert(rowImage(v) == rowImage(PipelineOps.dedupVerdictOf(s0)))
+  }
+
+  test("legacy gram state without the gbucket column derives it on read: bumps over " +
+       "pre-round-14 persisted state converge without a re-ingest") {
+    val root = Files.createTempDirectory("graft_bump_gmig").toString
+    IngestBump.bump(spark, root, s0)
+    // simulate the pre-round-14 layout: rewrite the committed grams table
+    // flat, without the gbucket column (the legacy schema)
+    val p = StateStore.currentTablePath(spark, s"$root/text", "grams").get
+    val legacy = spark.read.parquet(p).drop("gbucket").localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(p)
+    // pre-shim this bump failed loudly (pruneGramHistory/unionByName on a
+    // missing column); now it derives the bucket from (lang, source,
+    // block) and converges
+    val a = IngestBump.bump(spark, root, s1)
+    assert(rowImage(a.verdict) == rowImage(PipelineOps.dedupVerdictOf(s1)))
+    val st = IngestBump.textState(spark, root).get
+    assert(rowImage(st("grams").select("doc_id", "grams")) ==
+      rowImage(PipelineOps.ngramGrams(PipelineOps.survivorsOf(s1)
+        .select("doc_id", "text", "lang", "source", "n_chars")).select("doc_id", "grams")))
+  }
+
+  test("legacy flat ANN bump tree migrates into the segment store on the next bump: " +
+       "frozen quantizer preserved, flat files dropped, answers track from-scratch") {
+    val root = Files.createTempDirectory("graft_bump_amig").toString
+    val full = PipelineOps.quantized(spark, SfDir)
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
+    val nEmb = spark.read.parquet(s"$SfDir/embeddings.parquet").count()
+    val k = PipelineOps.semCells(nEmb)
+    val cents = PipelineOps.semCents(full, k).localCheckpoint(false)
+    val seedBound = Seq(k, PipelineOps.IvfCentroids.toLong,
+      PipelineOps.PqCentroids.toLong, 10L).max
+    val keep = col("vec_id") < seedBound
+    val v0 = full.where(keep || col("vec_id") % 10 =!= 9)
+    val v1 = full.where(keep || col("vec_id") % 10 =!= 0)
+    val idx = IngestBump.indexDir(root)
+    // the pre-segment-store layout: flat assign/codes + root quantizer
+    PipelineOps.buildAnnIndexOf(v0.localCheckpoint(false), idx)
+    assert(ArtifactStore.exists(spark, s"$idx/ivf_assign.parquet"))
+    val centsBefore = rowImage(spark.read.parquet(s"$idx/ivf_cents.parquet"))
+    IngestBump.bump(spark, root, s0, Some(IngestBump.VectorSnapshot(v1, cents)))
+    // flat files folded into a committed version and removed; pre-shim the
+    // bump silently re-derived the quantizer from v1 (a different corpus
+    // basis) and left the stale flat files lingering
+    assert(!ArtifactStore.exists(spark, s"$idx/ivf_assign.parquet"))
+    assert(graft.pipeline.AnnIndexStore.current(spark, idx).isDefined)
+    assert(rowImage(spark.read.parquet(s"$idx/ivf_cents.parquet")) == centsBefore,
+      "migration must keep the frozen quantizer, not re-derive it")
+    val scratch = Files.createTempDirectory("graft_bump_amig_scratch").toString
+    PipelineOps.buildAnnIndexOf(v1.localCheckpoint(false), scratch)
+    assert(rowImage(PipelineOps.queryAnnIndex(spark, SfDir, idx)) ==
+      rowImage(PipelineOps.queryAnnIndex(spark, SfDir, scratch)))
+  }
+
   test("survivor promotion under a CDC feed: removing an exact-dup's keeper promotes " +
        "the copy, whose body the feed never carried (fetched from the corpus)") {
     val root = Files.createTempDirectory("graft_bump_promo").toString
