@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *     order) + `tombstones.parquet` (the departed-id mask, possibly
   *     empty) + the `_ALLOC` claim marker + the `_COMMITTED` marker.
   *     Readers resolve the current version as MAX committed
-  *     ([[graft.streaming.StateStore]]'s object-store-safe protocol:
-  *     CREATE-EXCLUSIVE is atomic where rename is not).
+  *     ([[graft.streaming.StateStore]]'s protocol — and its caveat:
+  *     CREATE-EXCLUSIVE beats rename everywhere, but on S3 it is only
+  *     atomic under Hadoop 3.4.1+/HADOOP-19256 conditional create;
+  *     [[commit]] runs the same capability probe and degraded-mode
+  *     warning StateStore does).
   *
   * Why a version is ATOMIC here where the previous flat layout was not:
   * the old tree appended arrivals into a shared `ivf_assign.parquet` and
@@ -120,6 +123,7 @@ object AnnIndexStore {
       tomb: DataFrame,
       segsOf: Long => Seq[String],
       writeSeg: Option[(Long, String)  => Unit] = None): Long = {
+    graft.streaming.StateStore.probeAtomicCreate(ArtifactStore.fsOf(spark, idx), idx)
     val (n, vdir) = ArtifactStore.claimVersion(spark, idx)
     writeSeg.foreach(w => w(n, s"$idx/${segName(n)}"))
     tomb.write.mode("overwrite").parquet(s"$vdir/tombstones.parquet")

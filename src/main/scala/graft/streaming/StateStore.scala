@@ -30,12 +30,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   2. write all state tables under the claimed `v{N+1}/` directory;
   *   3. commit by CREATE-EXCLUSIVE on the version's `_COMMITTED` marker.
   *      Readers resolve the current version as MAX committed — never a
-  *      pointer file, never a rename. Create-exclusive is the one
-  *      primitive that is atomic on object stores too (a conditional
-  *      `If-None-Match` PUT on S3, a generation-0 precondition on GCS),
-  *      where rename is copy+delete and a rename-based pointer flip can
-  *      be observed torn; on POSIX/HDFS it is plain O_EXCL create. A
-  *      version is visible if and only if every one of its files is.
+  *      pointer file, never a rename (rename is copy+delete on object
+  *      stores, and a rename-based pointer flip can be observed torn).
+  *      On POSIX/HDFS create-exclusive is plain O_EXCL. On object stores
+  *      its atomicity is a property of the CONNECTOR, not of the
+  *      `FileSystem.create(overwrite=false)` call: S3A implements it as
+  *      a conditional `If-None-Match` PUT only on Hadoop 3.4.1+
+  *      (HADOOP-19256) with conditional create enabled — older or
+  *      unconfigured connectors fall back to HEAD-then-PUT, which two
+  *      racers can interleave; GCS precondition-creates (generation 0)
+  *      unconditionally. [[commit]] probes `hasPathCapability` once per
+  *      filesystem and logs a degraded-mode warning on an S3-family
+  *      store without the capability — the protocol still degrades
+  *      SAFELY there (two racers land on distinct `_ALLOC`-claimed
+  *      versions in all but the HEAD-to-PUT window, and max-committed
+  *      resolution never serves a torn version), but the single-writer
+  *      deployment rule becomes load-bearing instead of belt-and-
+  *      suspenders. A version is visible if and only if every one of its
+  *      files is.
   *   4. prune versions older than the previous one (the previous survives
   *      one extra cycle for in-flight readers).
   *
@@ -51,6 +63,38 @@ object StateStore {
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The Hadoop capability key for conditional (If-None-Match) create —
+    * `Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE`,
+    * inlined so the reference compiles against any 3.x client jar. */
+  private val ConditionalCreateCapability = "fs.option.create.conditional.overwrite"
+
+  private val probedFs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One-time (per filesystem URI) probe of the commit protocol's
+    * object-store assumption: on an S3-family store whose connector lacks
+    * conditional create (pre-3.4.1/HADOOP-19256, or disabled),
+    * CREATE-EXCLUSIVE is HEAD-then-PUT and two RACING writers have a
+    * small window to claim the same version. The protocol degrades
+    * safely (see the class doc) but the single-writer deployment rule
+    * becomes load-bearing — say so once, loudly, at the first commit. */
+  private[graft] def probeAtomicCreate(fs: FileSystem, dir: String): Unit = {
+    if (probedFs.add(fs.getUri.toString)) {
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+      val s3Family = Set("s3a", "s3", "s3n").contains(scheme)
+      val conditional =
+        try fs.hasPathCapability(new HPath(dir), ConditionalCreateCapability)
+        catch { case _: IllegalArgumentException | _: UnsupportedOperationException => false }
+      if (s3Family && !conditional)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"StateStore commit markers on ${fs.getUri} rely on create-exclusive, but this " +
+          s"connector does not report '$ConditionalCreateCapability' (needs Hadoop " +
+          "3.4.1+/HADOOP-19256 with conditional create enabled). Marker creation " +
+          "degrades to HEAD-then-PUT: versions stay internally consistent and readers " +
+          "can never observe a torn state, but two CONCURRENT writers racing the same " +
+          "version number are no longer excluded — enforce one writer per state root.")
+    }
+  }
 
   /** Version numbers allocated under `dir` (`v{N}` children), committed
     * or not — the allocation floor. */
@@ -172,6 +216,7 @@ object StateStore {
     val spark = tables.head._2.sparkSession
     val fs = fsOf(spark, dir)
     fs.mkdirs(new HPath(dir))
+    probeAtomicCreate(fs, dir)
     val prev = currentVersion(fs, dir)
     require(!delta || prev.isDefined, "a delta commit needs a base version")
     // (1) claim a version: first writer to create v{N}/_ALLOC owns v{N};
