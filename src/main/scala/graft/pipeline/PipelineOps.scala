@@ -1947,6 +1947,63 @@ object PipelineOps {
       .select(col("node"), coalesce(col("v"), col("node")).as("label"))
   }
 
+  /** [[connectedComponents]] plus a SPANNING FOREST of original edges —
+    * the connectivity certificate [[graft.streaming.IncrementalCc]] uses
+    * to skip re-running connectivity on non-disconnecting deletions.
+    * Returns (labels(node, label), forest) where forest is a subset of
+    * the input ROWS (same columns, self-loops excluded) spanning every
+    * component: for each component, |members| − 1 edges whose removal of
+    * any LEAF node provably leaves the rest connected.
+    *
+    * Forest extraction runs as a driver union-find over the collected
+    * edge list — a spanning forest has no cheap distributed substitute
+    * here (star contraction labels components but contracts DERIVED
+    * edges, not original ones), so the tail is bounded by
+    * `forestEdgeBound`: 2²⁰ edges ≈ 16 MB of id pairs, deliberately
+    * above the labeling tail's 2¹⁷ cutoff because the forest saves
+    * whole future CC re-runs, not just this one's rounds. ABOVE the
+    * bound (or on non-int64 ids) labels come from the distributed
+    * star-contraction path and the forest is EMPTY — callers degrade to
+    * rebuild-on-every-deletion for those components (correct, never
+    * wrong), and per-component rebuilds regrow bounded forests as the
+    * state is touched. */
+  private[graft] def ccWithForest(
+      pairs: DataFrame,
+      forestEdgeBound: Long = 1L << 20): (DataFrame, DataFrame) = {
+    val Seq(a, b) = pairs.columns.toSeq.map(col)
+    val emptyForest = pairs.limit(0)
+    val int64Ids =
+      pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!int64Ids || pairs.count() > forestEdgeBound)
+      return (connectedComponents(pairs), emptyForest)
+    val rows = pairs.select(a.cast("long").as("a"), b.cast("long").as("b")).collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val forestRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.foreach { row =>
+      val (x, y) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+      if (x != y) {
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) {
+          if (rx < ry) parent(ry) = rx else parent(rx) = ry
+          forestRows += ((x, y))
+        }
+      }
+    }
+    val labels = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    (labels.toDF("node", "label"),
+      forestRows.toSeq.toDF(pairs.columns.head, pairs.columns(1)))
+  }
+
   /** p24: one k-means (Lloyd) refinement step over cosine similarity — the
     * clustering primitive under curriculum bucketing and IVF index training
     * (p15 consumes exactly such centroids). Seeds are the [[IvfCentroids]]

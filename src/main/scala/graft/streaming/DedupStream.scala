@@ -139,17 +139,19 @@ object DedupStream {
 
   /** Fold a [[StateStore.loadChain]] text-state chain back into the live
     * state: each delta retires its `retired` survivor ids from
-    * grams/survhash, drops the `labelsOut` epoch from the labeled edge
-    * set and the labels table (the [[IncrementalCc]] rebuild payload —
-    * labelsOut covers every edge row of the touched components,
-    * including every edge with a retired endpoint, by the elabel
-    * invariant), drops its `departed` corpus ids from the live arrival
-    * log, then unions its new rows. Lazy — the fold is parquet scans +
+    * grams/survhash AND from the labeled edge set (per-endpoint
+    * anti-joins — how a SAFE deletion's dead edges leave without the
+    * component ever rewriting; see [[IncrementalCc]]'s forest
+    * certificate), drops the `labelsOut` nodes from the labels table and
+    * their epoch from the edge set (the rewrite payload: labelsOut
+    * covers the retired memberships plus every REWRITTEN component's
+    * rows), drops its `departed` corpus ids from the live arrival log,
+    * then unions its new rows. Lazy — the fold is parquet scans +
     * broadcast anti-joins under the consuming query's plan, cost
     * O(state projections), no rewrite. Chain tables: snapshot (grams,
-    * pairs(doc_a, doc_b, elabel), labels(node, label), survhash,
-    * livelog); each delta (retired, departed, labelsOut, labelsIn,
-    * grams, pairs, survhash, livelog) where the delta's
+    * pairs(doc_a, doc_b, elabel, in_forest), labels(node, label),
+    * survhash, livelog); each delta (retired, departed, labelsOut,
+    * labelsIn, grams, pairs, survhash, livelog) where the delta's
     * survhash/livelog rows are the BATCH survivors' / the delta
     * arrivals' (doc_id, content_hash). */
   def foldPairChain(
@@ -165,6 +167,8 @@ object DedupStream {
       val out = d("labelsOut").select(col("node"))
       grams = grams.join(r, Seq("doc_id"), "left_anti").unionByName(d("grams"))
       pairs = pairs
+        .join(r.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(r.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
         .join(out.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
         .unionByName(d("pairs"))
       labels = labels.join(out, Seq("node"), "left_anti").unionByName(d("labelsIn"))

@@ -6,97 +6,272 @@ import graft.pipeline.PipelineOps
 
 /** Incremental connected-components maintenance for the ingest-bump dedup
   * state — the piece that turns the per-bump verdict from O(all edges)
-  * into O(touched components + delta).
+  * into O(delta + rewritten components), where "rewritten" is now far
+  * smaller than "touched".
   *
-  * The CdcMarginalProbe decomposition showed the global CC pass
-  * dominating the text marginal (5.2 of 11.9 s at the 10× fixture, and
-  * growing with the corpus: the edge set is corpus-dup-density-sized).
-  * But a bump only disturbs the components that lost a node or gained an
-  * edge; everything else keeps its label (= component min) verbatim. So
-  * the state carries a `labels` (node, label) table plus an epoch label
-  * `elabel` column on every edge row, and each bump rebuilds exactly the
-  * TOUCHED components:
+  * The round-14 decomposition showed the residual super-flat term of the
+  * CDC text bump was the touched-component rebuild: DELETION-driven (a
+  * 400-doc delta touched components covering 68% of the edge state), and
+  * the standard incremental-connectivity cost model says every component
+  * that lost a node must re-run connectivity — a retired node MAY be a
+  * cut vertex. But almost no retired node actually is one: in a
+  * dup-cluster (clique-ish) component nearly every node is removable
+  * without disconnecting the rest. So the state now carries a SPANNING
+  * FOREST certificate — an `in_forest` flag on the labeled edge rows,
+  * maintained so the flagged edges of each component form a spanning tree
+  * of its members — and each bump splits the touched components three
+  * ways:
   *
-  *   1. touched = retired ids ∪ new-edge endpoints (delta-sized);
-  *   2. A = current labels of touched nodes (one labels scan against a
-  *      broadcast key set → a component-count-sized set);
-  *   3. AL = every node whose label ∈ A (one labels scan, broadcast
-  *      filter) — the affected components' full membership;
-  *   4. affected edges = edge rows with elabel ∈ AL (one edge-state scan,
-  *      broadcast filter — NO join against a node-sized table, which is
-  *      what the elabel column exists to avoid), minus retired endpoints;
-  *   5. one SMALL connected-components over (affected edges ∪ new edges)
-  *      — touched-components + delta sized, which in practice takes
-  *      [[PipelineOps.connectedComponents]]'s driver union-find tail;
-  *   6. emit: labelsOut = AL (every previously-affected membership row
-  *      and every stale edge epoch, retired in the fold), labelsIn = the
-  *      rebuilt labels, pairsIn = the surviving affected edges ∪ new
-  *      edges re-stamped with their fresh component label.
+  *   - SAFE deletions (the common case): every retired node of the
+  *     component is a forest LEAF (forest-degree exactly 1), no forest
+  *     edge joins two retired nodes, and no retired node is the
+  *     component's label (= min member, the elabel stamp). Removing such
+  *     nodes provably leaves the remaining forest spanning the remaining
+  *     members — the component keeps its label, its membership rows, and
+  *     its edge rows VERBATIM; only the retired rows leave (the fold's
+  *     per-endpoint anti-joins). No connectivity run, no rewrite.
+  *   - MERGES (new edges whose endpoints span components / new nodes):
+  *     connectivity is decided on the CONTRACTED graph — one node per
+  *     current component label or fresh doc id, one edge per new pair —
+  *     which is delta-sized, never edge-state-sized. Members and edges
+  *     of merged components restamp to the merged label (min of the
+  *     contracted group = min member, preserving the label contract);
+  *     one concrete new edge per contracted forest edge joins the
+  *     forest, keeping the certificate spanning.
+  *   - REBUILDS (a retired node that is over-degree in the forest,
+  *     forest-adjacent to another retired node, the component's label,
+  *     or in a component with no forest coverage): the prior path — one
+  *     CC over the group's surviving edges plus its new edges
+  *     ([[PipelineOps.ccWithForest]], which also regrows the group's
+  *     forest when the edge set is within the driver tail bound).
   *
-  * THE ELABEL INVARIANT: every edge row's elabel is a node of the edge's
-  * current component. It holds inductively — every touched component
-  * (split by retirement or merged by a new edge alike) is rebuilt whole
-  * with freshly-stamped rows, and untouched components are untouched —
-  * and it is what makes step 4 a broadcast filter instead of an
-  * edges⋈labels shuffle join: because the invariant held BEFORE the
-  * bump, AL (current membership of the touched components) provably
-  * covers every stale epoch value among their edge rows.
+  * THE ELABEL INVARIANT (unchanged, now provable by construction): every
+  * edge row's elabel IS its component's current label. Safe deletions
+  * change no labels; merges and rebuilds restamp every row they touch.
+  * Affected-edge selection therefore stays a broadcast semi-join on
+  * elabel, never an edges⋈labels shuffle.
   *
-  * Worst case: a bump touching a giant component rebuilds that whole
-  * component — the standard incremental-connectivity cost model
-  * (deletions force it: a retired node may be a cut vertex). Unaffected
-  * components are never read, relabeled, or rewritten. */
+  * Worst case unchanged: a bump retiring a genuine cut vertex (or the
+  * component min) rebuilds that component. What the certificate removes
+  * is the old blanket assumption that EVERY deletion might disconnect. */
 object IncrementalCc {
 
   /** The rebuild's delta payload, in fold order: drop every labels row
-    * and edge epoch in `labelsOut`, then union `labelsIn`/`pairsIn`. */
+    * whose node is in `labelsOut`, drop every edge row whose elabel is in
+    * `labelsOut` OR whose endpoint is retired, then union
+    * `labelsIn`/`pairsIn`. */
   final case class LabelDelta(
       labelsOut: DataFrame, labelsIn: DataFrame, pairsIn: DataFrame)
 
-  /** Rebuild the touched components. `labels` (node, label) and
-    * `labeledPairs` (doc_a, doc_b, elabel) are the folded state;
-    * `retiredIds` (doc_id) and `newPairs` (doc_a, doc_b) are delta-sized.
-    * All outputs are localCheckpoint-pinned (they are touched-size, and
-    * each feeds both the state write and the verdict). */
+  private val PairCols = Seq("doc_a", "doc_b", "elabel", "in_forest")
+
+  /** Advance the maintained labels. `labels` (node, label) and
+    * `labeledPairs` (doc_a, doc_b, elabel, in_forest) are the folded
+    * state; `retiredIds` (doc_id) and `newPairs` (doc_a, doc_b) are
+    * delta-sized. All outputs are localCheckpoint-pinned (they are
+    * rewrite-size, and each feeds both the state write and the
+    * verdict). */
   def refresh(
       labels: DataFrame,
       labeledPairs: DataFrame,
       retiredIds: DataFrame,
       newPairs: DataFrame): LabelDelta = {
-    val touched = retiredIds.select(col("doc_id").as("node"))
-      .unionByName(newPairs.select(col("doc_a").as("node")))
-      .unionByName(newPairs.select(col("doc_b").as("node")))
+    val r = retiredIds.select(col("doc_id").as("node")).distinct().localCheckpoint(false)
+    val rA = r.select(col("node").as("doc_a"))
+    val rB = r.select(col("node").as("doc_b"))
+
+    // ---- classify deletion-touched components ------------------------
+    // forest-degree of retired nodes: one edge-state scan, broadcast
+    // semi-joins on the delta-sized retired set
+    val forest = labeledPairs.where(col("in_forest"))
+    val fdeg = forest.join(rA, Seq("doc_a"), "left_semi")
+      .select(col("doc_a").as("node"))
+      .unionByName(forest.join(rB, Seq("doc_b"), "left_semi")
+        .select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("fd"))
+    val leaves = fdeg.where(col("fd") === 1).select("node")
+    // a forest edge joining two retired nodes disqualifies both sides'
+    // component (removing both could orphan the subtree between them)
+    val adjacent = forest
+      .join(rA, Seq("doc_a"), "left_semi").join(rB, Seq("doc_b"), "left_semi")
+      .select(col("doc_a").as("node"))
+    val retiredInGraph = labels.join(r, Seq("node"), "left_semi").localCheckpoint(false)
+    // unsafe = not a certified leaf (over-degree, no forest coverage),
+    // forest-adjacent to another retired node, or the component's label
+    // (the elabel stamp would go stale without a restamp)
+    val unsafeNodes = retiredInGraph.select("node")
+      .join(leaves, Seq("node"), "left_anti")
+      .unionByName(adjacent)
+      .unionByName(retiredInGraph.where(col("node") === col("label")).select("node"))
+    // a deletion-touched component shrunk to ≤1 remaining member has no
+    // edges left, and an edge-less survivor must DROP from labels like
+    // any isolated node (labels ≡ CC-over-edges is the state contract) —
+    // only the rebuild path drops memberships, so route it there
+    val delLabels = retiredInGraph.select("label").distinct()
+    val keptBig = labels.join(delLabels, Seq("label"), "left_semi")
+      .join(r, Seq("node"), "left_anti")
+      .groupBy("label").agg(count(lit(1)).as("nrem"))
+      .where(col("nrem") > 1).select("label")
+    val collapsed = delLabels.join(keptBig, Seq("label"), "left_anti")
+    val rebuildDelLabels = labels.join(unsafeNodes.distinct(), Seq("node"), "left_semi")
+      .select("label")
+      .unionByName(collapsed)
       .distinct()
-    val a = labels.join(touched, Seq("node"), "left_semi")
-      .select(col("label")).distinct()
-    val al = labels.join(a, Seq("label"), "left_semi")
-      .select(col("node"), col("label")).localCheckpoint(false)
-    val alNodes = al.select(col("node"))
-    val affEdges = labeledPairs
-      .join(alNodes.select(col("node").as("elabel")), Seq("elabel"), "left_semi")
-      .select(col("doc_a"), col("doc_b"))
-      .join(retiredIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-      .join(retiredIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-    val localEdges = affEdges.unionByName(newPairs.select(col("doc_a"), col("doc_b")))
+
+    // ---- contract the delta's new edges over current components ------
+    // a retired node re-entering through new pairs is a FRESH node (its
+    // old membership is dead), so the contraction maps through the
+    // retired-free labels view
+    val liveLabels = labels.join(r, Seq("node"), "left_anti")
+    val endNodes = newPairs.select(col("doc_a").as("node"))
+      .unionByName(newPairs.select(col("doc_b").as("node"))).distinct()
+    // right-outer with the DELTA side broadcast: a left-outer from
+    // endNodes would have to build (shuffle) the corpus-sized labels
+    val cidOf = liveLabels
+      .join(broadcast(endNodes), Seq("node"), "right_outer")
+      .select(col("node"), coalesce(col("label"), col("node")).as("cid"))
+      .localCheckpoint(false)
+    val cEdges = newPairs
+      .join(cidOf.select(col("node").as("doc_a"), col("cid").as("ca")), "doc_a")
+      .join(cidOf.select(col("node").as("doc_b"), col("cid").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"))
+      .localCheckpoint(false)
+    // contracted component per cid (delta-sized CC; self-edges drop out),
+    // plus a spanning forest of the contraction so each merge adds
+    // exactly the connecting edges to the certificate
+    val cInter = cEdges.where(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("ca"), greatest(col("ca"), col("cb")).as("cb"))
       .distinct().localCheckpoint(false)
-    val labelsIn = PipelineOps.connectedComponents(
-        localEdges.select(col("doc_a"), col("doc_b")))
+    val (cLabels, cForest) = PipelineOps.ccWithForest(cInter)
+    // groupOf: cid -> merged group label (itself when untouched by merges).
+    // Seeded with BOTH the new-edge endpoints' cids and every
+    // deletion-touched component's label, so a deletion-only component is
+    // its own singleton group (and can reach the rebuild bucket below).
+    val groupOf = cidOf.select(col("cid"))
+      .unionByName(retiredInGraph.select(col("label").as("cid")))
+      .distinct()
+      .join(cLabels.select(col("node").as("cid"), col("label").as("glabel")), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("glabel"), col("cid")).as("glabel"))
+      .localCheckpoint(false)
+
+    // a contracted group REBUILDS (connectivity over real edges) iff it
+    // contains a component already forced to rebuild by an unsafe
+    // deletion; everything else relabels by contraction alone
+    val rebuildGroups = groupOf
+      .join(rebuildDelLabels.select(col("label").as("cid")), Seq("cid"), "left_semi")
+      .select(col("glabel")).distinct().localCheckpoint(false)
+    val rebuildCids = groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
+      .select(col("cid")).localCheckpoint(false)
+    // old component labels being REWRITTEN (restamped or rebuilt): merge
+    // groups of ≥2 cids plus every rebuild group's old components
+    val mergedCids = groupOf.join(
+        groupOf.groupBy("glabel").agg(count(lit(1)).as("n")).where(col("n") > 1)
+          .select("glabel"), Seq("glabel"), "left_semi")
+      .select("cid")
+    val rewriteOldLabels = mergedCids.unionByName(rebuildCids)
+      .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_semi")
+      .distinct().localCheckpoint(false)
+
+    // ---- the three buckets -------------------------------------------
+    // members of every rewritten component (one labels scan)
+    val al = labels.join(rewriteOldLabels.select(col("cid").as("label")), Seq("label"), "left_semi")
       .select(col("node"), col("label")).localCheckpoint(false)
-    val pairsIn = localEdges
-      .join(labelsIn.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
-      .select(col("doc_a"), col("doc_b"), col("elabel")).localCheckpoint(false)
-    LabelDelta(alNodes.localCheckpoint(false), labelsIn, pairsIn)
+    // surviving old edges of rewritten components (one edge-state scan,
+    // broadcast elabel filter; retired endpoints leave here so pairsIn is
+    // clean by construction)
+    val oldEdges = labeledPairs
+      .join(rewriteOldLabels.select(col("cid").as("elabel")), Seq("elabel"), "left_semi")
+      .join(rA, Seq("doc_a"), "left_anti")
+      .join(rB, Seq("doc_b"), "left_anti")
+      .localCheckpoint(false)
+
+    // rebuild bucket: the groups' surviving old edges + their new pairs,
+    // one CC + fresh forest over real edges (the prior path, now
+    // restricted to genuinely-unsafe groups)
+    val rebuildOld = oldEdges
+      .join(rebuildCids.select(col("cid").as("elabel")), Seq("elabel"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val rebuildNew = cEdges
+      .join(groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
+        .select(col("cid").as("ca")), Seq("ca"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().localCheckpoint(false)
+    val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
+    val rbLabelsP = rbLabels.localCheckpoint(false)
+    val rbPairs = rebuildEdges
+      .join(rbLabelsP.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
+      .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
+        Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("elabel"),
+        coalesce(col("in_forest"), lit(false)).as("in_forest"))
+
+    // merge bucket: restamp members + edges of merged components to the
+    // group label by contraction alone — no connectivity over real edges
+    val mergeGroupOf = groupOf.join(rebuildGroups, Seq("glabel"), "left_anti")
+      .localCheckpoint(false)
+    // members restamp EXCLUDING retired ones: a changed doc is retired
+    // from its old component AND re-enters as a fresh contracted node, so
+    // without the anti-join it would earn two labels rows (one here, one
+    // from the fresh bucket)
+    val mgLabels = al
+      .join(r, Seq("node"), "left_anti")
+      .join(mergeGroupOf.select(col("cid").as("label"), col("glabel")), "label")
+      .select(col("node"), col("glabel").as("label"))
+    // fresh nodes (cids with no membership row) that actually CONNECTED
+    // (appear in the contraction's labeling): label with their group;
+    // fresh singletons with only self-pairs never arise (doc_a != doc_b)
+    val mgFreshLabels = mergeGroupOf
+      .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_anti")
+      .join(cLabels.select(col("node").as("cid")), Seq("cid"), "left_semi")
+      .select(col("cid").as("node"), col("glabel").as("label"))
+    val mgOldPairs = oldEdges
+      .join(mergeGroupOf.select(col("cid").as("elabel"), col("glabel")), "elabel")
+      .select(col("doc_a"), col("doc_b"), col("glabel").as("elabel"), col("in_forest"))
+    // the delta's non-rebuild new edges: stamped with the group label;
+    // in_forest = this edge was chosen by the contraction's forest (one
+    // concrete edge per contracted forest edge)
+    val cForestPick = cEdges
+      .join(cForest.select(
+          least(col("ca"), col("cb")).as("ca2"), greatest(col("ca"), col("cb")).as("cb2"),
+          lit(true).as("cf")),
+        least(col("ca"), col("cb")) === col("ca2") &&
+          greatest(col("ca"), col("cb")) === col("cb2"), "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(least(col("ca"), col("cb")), greatest(col("ca"), col("cb")))
+          .orderBy(col("doc_a"), col("doc_b"))))
+      .withColumn("in_forest",
+        coalesce(col("cf"), lit(false)) && col("rk") === 1 && col("ca") =!= col("cb"))
+    val mgNewPairs = cForestPick
+      .join(mergeGroupOf.select(col("cid").as("ca"), col("glabel")), "ca")
+      .select(col("doc_a"), col("doc_b"), col("glabel").as("elabel"), col("in_forest"))
+
+    val labelsIn = rbLabelsP.select(col("node"), col("label"))
+      .unionByName(mgLabels).unionByName(mgFreshLabels)
+      .localCheckpoint(false)
+    val pairsIn = rbPairs.unionByName(mgOldPairs).unionByName(mgNewPairs)
+      .select(PairCols.map(col): _*).localCheckpoint(false)
+    // labelsOut: every retired node's membership row + every rewritten
+    // component's membership (and, via elabel, its edge rows)
+    val labelsOut = r.unionByName(al.select("node")).distinct().localCheckpoint(false)
+    LabelDelta(labelsOut, labelsIn, pairsIn)
   }
 
-  /** From-scratch labels + epoch-stamped edges (the first bump / a
-    * snapshot rebuild): labels = one global CC, every edge stamped with
-    * its component label. */
+  /** From-scratch labels + epoch-stamped, forest-flagged edges (the first
+    * bump / a snapshot rebuild): one global CC with forest extraction —
+    * labels = component minima, every edge stamped with its component
+    * label, the driver-bounded spanning forest flagged (or none, above
+    * the bound — deletions then rebuild until touched components regrow
+    * theirs). */
   def initial(pairs: DataFrame): (DataFrame, DataFrame) = {
-    val labels = PipelineOps.connectedComponents(
-      pairs.select(col("doc_a"), col("doc_b")))
-    val labeled = pairs
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val (labels, forest) = PipelineOps.ccWithForest(p)
+    val labeled = p
       .join(labels.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
-      .select(col("doc_a"), col("doc_b"), col("elabel"))
+      .join(forest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
+        Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("elabel"),
+        coalesce(col("in_forest"), lit(false)).as("in_forest"))
     (labels, labeled)
   }
 }

@@ -508,14 +508,26 @@ object IngestBump {
     if (g.columns.contains("gbucket")) g
     else g.withColumn("gbucket", PipelineOps.gramBucketCol)
 
+  /** Migration shim for edge state persisted BEFORE the spanning-forest
+    * certificate ([[IncrementalCc]]'s `in_forest` flag): no flag means no
+    * coverage, which the classifier reads as "cannot certify — rebuild"
+    * (the exact pre-certificate behavior), and each touched component
+    * regrows its forest as it is rebuilt. Correct from the first bump,
+    * no re-ingest. */
+  private def withInForest(p: DataFrame): DataFrame =
+    if (p.columns.contains("in_forest")) p
+    else p.withColumn("in_forest", lit(false))
+
   /** The folded text state: the chain's snapshot with every delta's
     * retirement + new rows applied, lazily. None before the first bump. */
   private def loadTextState(
       spark: SparkSession, dir: String): Option[Map[String, DataFrame]] =
     StateStore.loadChain(spark, dir, TextSnapTables, TextDeltaTables)
       .map { case (snap, deltas) => DedupStream.foldPairChain(
-        snap + ("grams" -> withGbucket(snap("grams"))),
-        deltas.map(d => d + ("grams" -> withGbucket(d("grams"))))) }
+        snap + ("grams" -> withGbucket(snap("grams")),
+                "pairs" -> withInForest(snap("pairs"))),
+        deltas.map(d => d + ("grams" -> withGbucket(d("grams")),
+                             "pairs" -> withInForest(d("pairs"))))) }
 
   /** First-bump text state: one batch ingest, global CC, every edge
     * epoch-stamped; committed as the chain's founding snapshot. */
@@ -561,6 +573,8 @@ object IngestBump {
         "grams" -> m("grams").join(retired, Seq("doc_id"), "left_anti")
           .unionByName(pd.newGrams),
         "pairs" -> m("pairs")
+          .join(retired.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+          .join(retired.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
           .join(out.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
           .unionByName(ld.pairsIn),
         "labels" -> m("labels").join(out, Seq("node"), "left_anti")
