@@ -77,13 +77,25 @@ object Bench {
     val total = results.map(_._2).sum
     val head =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec%.3f,"probe_pre":$probePre%.3f,"probe_post":$probePost%.3f,"total_norm":${total / probeSec}%.3f"""
-    // stdout gets the COMPACT line (no queries_norm map — it is exactly
-    // queries[k]/probe_sec, and the harness's tail buffer front-truncated
-    // the 127-entry double-map line in round 13, losing the JSON head);
-    // bench_out.json keeps the full record including the normalized map
+    // stdout gets the full-name line first (complete record for any
+    // capture with room), then a SHORT-KEY line LAST: the harness's tail
+    // buffer keeps the END of stdout, and even the compact full-name map
+    // front-truncated in rounds 13-14 (~2 KB tail vs a ~3.2 KB line). The
+    // final line abbreviates each query to its unique q##/p## prefix
+    // (~1.6 KB), so whatever happens to the earlier lines, the tail always
+    // closes on one complete parseable JSON record. bench_out.json keeps
+    // the full record including the normalized map.
     println(head + "}")
     Files.writeString(Paths.get("bench_out.json"),
       head + s""","queries_norm":$qsNorm}""" + "\n")
+    val short = results.map { case (k, v) => k.split('_').head -> v }
+    val shortKeys =
+      if (short.map(_._1).distinct.length == results.length) short
+      else results // prefix collision: keep full names rather than drop data
+    val qsShort = shortKeys.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","probe_sec":$probeSec%.3f,"total_norm":${total / probeSec}%.3f,"queries":$qsShort}""")
     spark.stop()
   }
 }

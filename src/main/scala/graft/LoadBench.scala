@@ -51,6 +51,8 @@ object LoadBench {
     // the response cache never answers and each measures plan+exec+format.
     // Mix mirrors real traffic: grouped aggregates, dim joins, cuts, top-k,
     // logic-layer /data, members.
+    val shapeNames = Seq(
+      "agg_cut", "agg_2dim", "agg_join", "ll_data", "topk", "members")
     val years = 1992 to 1998
     val unique: Seq[String] = (0 until nReq).map { i =>
       val y = years(i % years.length)
@@ -72,12 +74,12 @@ object LoadBench {
     // cache (computed) or coalesced behind an in-flight leader — both the
     // fast path real hot-key traffic takes
     var nHits = 0
-    val requests: Seq[String] = {
-      val out = Array.ofDim[String](nReq)
+    val requests: Seq[(String, Int)] = {
+      val out = Array.ofDim[(String, Int)](nReq)
       for (i <- 0 until nReq) {
         if (nHits < math.floor(i * hitRatio).toInt && nHits < i - conc) {
           out(i) = out(nHits); nHits += 1
-        } else out(i) = unique(i)
+        } else out(i) = (unique(i), i % 6)
       }
       out.toSeq
     }
@@ -95,7 +97,7 @@ object LoadBench {
     // warmup: parquet footers, codegen, JIT — outside the measurement; the
     // extra param gives each warmup its own cache key so no measured
     // request is pre-cached by it
-    requests.take(6).foreach(p => get(p + "&warm=1"))
+    requests.take(6).foreach(p => get(p._1 + "&warm=1"))
 
     // in-run host-throughput anchor (see CalibrationProbe): measured before
     // the load so it doesn't contend with it; percentiles are reported both
@@ -103,8 +105,8 @@ object LoadBench {
     // normalized units so the reference comparison survives host churn
     val probeSec = CalibrationProbe.measure(spark)
 
-    val latencies = new ConcurrentLinkedQueue[Long]()
-    val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val latencies = new ConcurrentLinkedQueue[(Int, Long)]()
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
     requests.foreach(queue.add)
     val pool = Executors.newFixedThreadPool(conc)
     val done = new CountDownLatch(conc)
@@ -118,7 +120,7 @@ object LoadBench {
         try {
           var p = queue.poll()
           while (p != null && firstError.get() == null) {
-            latencies.add(get(p)._2)
+            latencies.add((p._2, get(p._1)._2))
             p = queue.poll()
           }
         } catch { case t: Throwable => firstError.compareAndSet(null, t) }
@@ -131,10 +133,22 @@ object LoadBench {
     server.stop()
     if (firstError.get() != null) throw firstError.get()
 
-    val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    val byShape = latencies.toArray(Array.empty[(Int, Long)])
+    val ls = byShape.map(_._2).sorted
     def pct(p: Double): Double = ls(math.min(ls.length - 1, (p * ls.length).toInt)) / 1e9
+    // p95-tail attribution: which query shapes occupy the slowest 5%
+    // (by count), plus per-shape p50/p95 — the instrumentation that turns
+    // "the tail is 1.9x the median" into a named suspect
+    val tailCut = ls(math.min(ls.length - 1, (0.95 * ls.length).toInt))
+    val shapes = shapeNames.indices.map { s =>
+      val xs = byShape.collect { case (`s`, l) => l }.sorted
+      def spct(p: Double): Double =
+        if (xs.isEmpty) 0.0 else xs(math.min(xs.length - 1, (p * xs.length).toInt)) / 1e9
+      val inTail = xs.count(_ >= tailCut)
+      f""""${shapeNames(s)}":{"n":${xs.length},"p50":${spct(0.50)}%.3f,"p95":${spct(0.95)}%.3f,"in_tail":$inTail}"""
+    }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"hit_ratio":$hitRatio%.2f,"n_repeats":$nHits,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"probe_sec":$probeSec%.3f,"p50_norm":${pct(0.50) / probeSec}%.3f,"p95_norm":${pct(0.95) / probeSec}%.3f,"rps_x_probe":${ls.length / wall * probeSec}%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"hit_ratio":$hitRatio%.2f,"n_repeats":$nHits,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"probe_sec":$probeSec%.3f,"p50_norm":${pct(0.50) / probeSec}%.3f,"p95_norm":${pct(0.95) / probeSec}%.3f,"rps_x_probe":${ls.length / wall * probeSec}%.3f,"sf":"$sfDir","shapes":$shapes}"""
     println(line)
     Files.writeString(Paths.get("loadbench_out.json"), line + "\n")
     spark.stop()
