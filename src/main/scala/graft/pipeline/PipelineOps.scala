@@ -1976,7 +1976,13 @@ object PipelineOps {
       pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (!int64Ids || pairs.count() > forestEdgeBound)
       return (connectedComponents(pairs), emptyForest)
+    // walk edges ascending by (min, max): on clique-ish components every
+    // (min, x) edge lands first, so the forest comes out STAR-shaped
+    // around the component minimum — maximizing leaves, which maximizes
+    // the deletions the certificate can declare safe
     val rows = pairs.select(a.cast("long").as("a"), b.cast("long").as("b")).collect()
+      .sortBy(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x

@@ -143,16 +143,18 @@ object DedupStream {
     * anti-joins — how a SAFE deletion's dead edges leave without the
     * component ever rewriting; see [[IncrementalCc]]'s forest
     * certificate), drops the `labelsOut` nodes from the labels table and
-    * their epoch from the edge set (the rewrite payload: labelsOut
-    * covers the retired memberships plus every REWRITTEN component's
-    * rows), drops its `departed` corpus ids from the live arrival log,
-    * then unions its new rows. Lazy — the fold is parquet scans +
+    * the `pairsOut` epochs from the edge set (two DIFFERENT keys: a
+    * merge relabels memberships without rewriting edges, so its members
+    * are in labelsOut but not pairsOut; pre-round-15 deltas carry no
+    * pairsOut table and fall back to labelsOut — their exact original
+    * semantics), drops its `departed` corpus ids from the live arrival
+    * log, then unions its new rows. Lazy — the fold is parquet scans +
     * broadcast anti-joins under the consuming query's plan, cost
     * O(state projections), no rewrite. Chain tables: snapshot (grams,
     * pairs(doc_a, doc_b, elabel, in_forest), labels(node, label),
     * survhash, livelog); each delta (retired, departed, labelsOut,
-    * labelsIn, grams, pairs, survhash, livelog) where the delta's
-    * survhash/livelog rows are the BATCH survivors' / the delta
+    * pairsOut, labelsIn, grams, pairs, survhash, livelog) where the
+    * delta's survhash/livelog rows are the BATCH survivors' / the delta
     * arrivals' (doc_id, content_hash). */
   def foldPairChain(
       snap: Map[String, DataFrame],
@@ -165,11 +167,12 @@ object DedupStream {
     deltas.foreach { d =>
       val r = d("retired").select(col("doc_id"))
       val out = d("labelsOut").select(col("node"))
+      val pOut = d.getOrElse("pairsOut", d("labelsOut")).select(col("node"))
       grams = grams.join(r, Seq("doc_id"), "left_anti").unionByName(d("grams"))
       pairs = pairs
         .join(r.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
         .join(r.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-        .join(out.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
+        .join(pOut.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
         .unionByName(d("pairs"))
       labels = labels.join(out, Seq("node"), "left_anti").unionByName(d("labelsIn"))
       survhash = survhash.join(r, Seq("doc_id"), "left_anti").unionByName(d("survhash"))

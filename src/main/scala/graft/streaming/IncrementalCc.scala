@@ -24,8 +24,8 @@ import graft.pipeline.PipelineOps
   *
   *   - SAFE deletions (the common case): every retired node of the
   *     component is a forest LEAF (forest-degree exactly 1), no forest
-  *     edge joins two retired nodes, and no retired node is the
-  *     component's label (= min member, the elabel stamp). Removing such
+  *     edge joins two retired nodes, and no retired node is carried as
+  *     an elabel stamp on any edge. Removing such
   *     nodes provably leaves the remaining forest spanning the remaining
   *     members — the component keeps its label, its membership rows, and
   *     its edge rows VERBATIM; only the retired rows leave (the fold's
@@ -33,35 +33,50 @@ import graft.pipeline.PipelineOps
   *   - MERGES (new edges whose endpoints span components / new nodes):
   *     connectivity is decided on the CONTRACTED graph — one node per
   *     current component label or fresh doc id, one edge per new pair —
-  *     which is delta-sized, never edge-state-sized. Members and edges
-  *     of merged components restamp to the merged label (min of the
-  *     contracted group = min member, preserving the label contract);
-  *     one concrete new edge per contracted forest edge joins the
-  *     forest, keeping the certificate spanning.
+  *     which is delta-sized, never edge-state-sized. Only MEMBERSHIP
+  *     rows relabel to the merged label (min of the contracted group =
+  *     min member, preserving the label contract); the components' edge
+  *     rows are NOT rewritten — their elabels go stale-but-covered (see
+  *     the invariant below) — and one concrete new edge per contracted
+  *     forest edge joins the forest, keeping the certificate spanning.
   *   - REBUILDS (a retired node that is over-degree in the forest,
-  *     forest-adjacent to another retired node, the component's label,
-  *     or in a component with no forest coverage): the prior path — one
-  *     CC over the group's surviving edges plus its new edges
-  *     ([[PipelineOps.ccWithForest]], which also regrows the group's
-  *     forest when the edge set is within the driver tail bound).
+  *     forest-adjacent to another retired node, carried as an elabel
+  *     stamp on some edge, or in a component with no forest coverage):
+  *     the prior path — one CC over the group's surviving edges plus its
+  *     new edges ([[PipelineOps.ccWithForest]], which also regrows the
+  *     group's forest when the edge set is within the driver tail
+  *     bound), every row restamped to the fresh labels.
   *
-  * THE ELABEL INVARIANT (unchanged, now provable by construction): every
-  * edge row's elabel IS its component's current label. Safe deletions
-  * change no labels; merges and rebuilds restamp every row they touch.
-  * Affected-edge selection therefore stays a broadcast semi-join on
-  * elabel, never an edges⋈labels shuffle.
+  * THE ELABEL INVARIANT: every edge row's elabel is a MEMBER NODE of its
+  * current component (the component's label as of the edge's last
+  * rewrite — the current label after a rebuild, possibly an older
+  * merged-in label otherwise). It holds inductively: rebuilds restamp to
+  * current labels; merges keep edges whose stamps are old labels — still
+  * members of the merged component; and a deletion that would remove a
+  * stamp-carrying node from the membership forces a rebuild (the
+  * elabel-hit test). Affected-edge selection for a touched component is
+  * therefore a broadcast semi-join of elabel against the component's
+  * MEMBERSHIP — never an edges⋈labels shuffle, and never a missed
+  * edge.
   *
-  * Worst case unchanged: a bump retiring a genuine cut vertex (or the
-  * component min) rebuilds that component. What the certificate removes
-  * is the old blanket assumption that EVERY deletion might disconnect. */
+  * Worst case unchanged: a bump retiring a genuine cut vertex (or a
+  * stamp-carrying member) rebuilds that component. What the certificate
+  * removes is the old blanket assumption that EVERY deletion might
+  * disconnect — and the membership-covered stamps remove the old blanket
+  * rewrite of every merged component's edges. */
 object IncrementalCc {
 
-  /** The rebuild's delta payload, in fold order: drop every labels row
+  /** The refresh's delta payload, in fold order: drop every labels row
     * whose node is in `labelsOut`, drop every edge row whose elabel is in
-    * `labelsOut` OR whose endpoint is retired, then union
-    * `labelsIn`/`pairsIn`. */
+    * `pairsOut` OR whose endpoint is retired, then union
+    * `labelsIn`/`pairsIn`. `labelsOut` and `pairsOut` differ because a
+    * MERGE relabels memberships without touching edges: its members are
+    * in labelsOut (their rows re-enter via labelsIn under the merged
+    * label) but not in pairsOut (the edges stay, their elabels going
+    * stale-but-covered). */
   final case class LabelDelta(
-      labelsOut: DataFrame, labelsIn: DataFrame, pairsIn: DataFrame)
+      labelsOut: DataFrame, labelsIn: DataFrame,
+      pairsIn: DataFrame, pairsOut: DataFrame)
 
   private val PairCols = Seq("doc_a", "doc_b", "elabel", "in_forest")
 
@@ -81,28 +96,59 @@ object IncrementalCc {
     val rB = r.select(col("node").as("doc_b"))
 
     // ---- classify deletion-touched components ------------------------
-    // forest-degree of retired nodes: one edge-state scan, broadcast
-    // semi-joins on the delta-sized retired set
-    val forest = labeledPairs.where(col("in_forest"))
-    val fdeg = forest.join(rA, Seq("doc_a"), "left_semi")
-      .select(col("doc_a").as("node"))
-      .unionByName(forest.join(rB, Seq("doc_b"), "left_semi")
-        .select(col("doc_b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("fd"))
+    // The classifier needs three views of how retired nodes sit in the
+    // edge state: forest-degree, retired-retired forest adjacency, and
+    // elabel stamps. A delta-sized retired set collects to an InSet
+    // predicate so ONE edge-state scan feeds all three (the predicate is
+    // a per-row hash probe — scan-shaped at any corpus size); a delta too
+    // large to collect falls back to three broadcast semi-join scans.
+    val (fdeg, adjacent, elabelHit) =
+      if (r.isEmpty) {
+        val e = r.select(col("node"))
+        (e.withColumn("fd", lit(1L)).limit(0), e.limit(0), e.limit(0))
+      } else {
+        val rVals = r.collect().map(_.get(0)).toSeq
+        if (rVals.length <= (1 << 16)) {
+          def inR(c: org.apache.spark.sql.Column) = c.isin(rVals: _*)
+          val touched = labeledPairs
+            .where(inR(col("doc_a")) || inR(col("doc_b")) || inR(col("elabel")))
+            .localCheckpoint(false)
+          val f = touched.where(col("in_forest"))
+          (f.where(inR(col("doc_a"))).select(col("doc_a").as("node"))
+             .unionByName(f.where(inR(col("doc_b"))).select(col("doc_b").as("node")))
+             .groupBy("node").agg(count(lit(1)).as("fd")),
+           f.where(inR(col("doc_a")) && inR(col("doc_b")))
+             .select(col("doc_a").as("node")),
+           touched.where(inR(col("elabel")))
+             .select(col("elabel").as("node")).distinct())
+        } else {
+          val forest = labeledPairs.where(col("in_forest"))
+          (forest.join(rA, Seq("doc_a"), "left_semi")
+             .select(col("doc_a").as("node"))
+             .unionByName(forest.join(rB, Seq("doc_b"), "left_semi")
+               .select(col("doc_b").as("node")))
+             .groupBy("node").agg(count(lit(1)).as("fd")),
+           forest.join(rA, Seq("doc_a"), "left_semi")
+             .join(rB, Seq("doc_b"), "left_semi")
+             .select(col("doc_a").as("node")),
+           labeledPairs
+             .join(r.select(col("node").as("elabel")), Seq("elabel"), "left_semi")
+             .select(col("elabel").as("node")).distinct())
+        }
+      }
     val leaves = fdeg.where(col("fd") === 1).select("node")
-    // a forest edge joining two retired nodes disqualifies both sides'
-    // component (removing both could orphan the subtree between them)
-    val adjacent = forest
-      .join(rA, Seq("doc_a"), "left_semi").join(rB, Seq("doc_b"), "left_semi")
-      .select(col("doc_a").as("node"))
     val retiredInGraph = labels.join(r, Seq("node"), "left_semi").localCheckpoint(false)
     // unsafe = not a certified leaf (over-degree, no forest coverage),
-    // forest-adjacent to another retired node, or the component's label
-    // (the elabel stamp would go stale without a restamp)
+    // forest-adjacent to another retired node (removing both could
+    // orphan the subtree between them), or carried as an EPOCH STAMP on
+    // some edge (elabels are member nodes — the current label always,
+    // older merged-in labels too — and dropping a stamped node from
+    // labels would uncover those edges from the next bump's
+    // affected-edge selection)
     val unsafeNodes = retiredInGraph.select("node")
       .join(leaves, Seq("node"), "left_anti")
       .unionByName(adjacent)
-      .unionByName(retiredInGraph.where(col("node") === col("label")).select("node"))
+      .unionByName(elabelHit)
     // a deletion-touched component shrunk to ≤1 remaining member has no
     // edges left, and an edge-less survivor must DROP from labels like
     // any isolated node (labels ≡ CC-over-edges is the state contract) —
@@ -162,58 +208,67 @@ object IncrementalCc {
       .select(col("glabel")).distinct().localCheckpoint(false)
     val rebuildCids = groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
       .select(col("cid")).localCheckpoint(false)
-    // old component labels being REWRITTEN (restamped or rebuilt): merge
-    // groups of ≥2 cids plus every rebuild group's old components
-    val mergedCids = groupOf.join(
+    // old component labels whose MEMBERSHIP relabels by contraction alone
+    // (merge groups of ≥2 cids, minus the rebuild groups) — their edges
+    // are NOT touched: elabels go stale-but-covered (still member nodes)
+    val relabelCids = groupOf.join(
         groupOf.groupBy("glabel").agg(count(lit(1)).as("n")).where(col("n") > 1)
           .select("glabel"), Seq("glabel"), "left_semi")
       .select("cid")
-    val rewriteOldLabels = mergedCids.unionByName(rebuildCids)
+      .join(rebuildCids, Seq("cid"), "left_anti")
       .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_semi")
       .distinct().localCheckpoint(false)
 
     // ---- the three buckets -------------------------------------------
-    // members of every rewritten component (one labels scan)
-    val al = labels.join(rewriteOldLabels.select(col("cid").as("label")), Seq("label"), "left_semi")
+    // memberships: rebuilt components (full rewrite) and merged
+    // components (labels-only relabel) — two labels scans
+    val alRebuild = labels
+      .join(rebuildCids.select(col("cid").as("label")), Seq("label"), "left_semi")
       .select(col("node"), col("label")).localCheckpoint(false)
-    // surviving old edges of rewritten components (one edge-state scan,
-    // broadcast elabel filter; retired endpoints leave here so pairsIn is
-    // clean by construction)
-    val oldEdges = labeledPairs
-      .join(rewriteOldLabels.select(col("cid").as("elabel")), Seq("elabel"), "left_semi")
-      .join(rA, Seq("doc_a"), "left_anti")
-      .join(rB, Seq("doc_b"), "left_anti")
-      .localCheckpoint(false)
+    val mergeMembers = labels
+      .join(relabelCids.select(col("cid").as("label")), Seq("label"), "left_semi")
+      .select(col("node"), col("label")).localCheckpoint(false)
 
-    // rebuild bucket: the groups' surviving old edges + their new pairs,
-    // one CC + fresh forest over real edges (the prior path, now
-    // restricted to genuinely-unsafe groups)
-    val rebuildOld = oldEdges
-      .join(rebuildCids.select(col("cid").as("elabel")), Seq("elabel"), "left_semi")
-      .select(col("doc_a"), col("doc_b"))
-    val rebuildNew = cEdges
-      .join(groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
-        .select(col("cid").as("ca")), Seq("ca"), "left_semi")
-      .select(col("doc_a"), col("doc_b"))
-    val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().localCheckpoint(false)
-    val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
-    val rbLabelsP = rbLabels.localCheckpoint(false)
-    val rbPairs = rebuildEdges
-      .join(rbLabelsP.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
-      .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
-        Seq("doc_a", "doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"), col("elabel"),
-        coalesce(col("in_forest"), lit(false)).as("in_forest"))
+    // rebuild bucket: the groups' surviving old edges (selected by
+    // MEMBERSHIP as the epoch key — elabels may be any member node) +
+    // their new pairs; one CC + fresh forest over real edges. When
+    // nothing is unsafe (the common case the certificate exists for)
+    // the whole bucket short-circuits — no edge-state scan, no CC.
+    val (rbLabelsP, rbPairs) =
+      if (rebuildCids.isEmpty)
+        (labels.limit(0), labeledPairs.select(PairCols.map(col): _*).limit(0))
+      else {
+        val rebuildOld = labeledPairs
+          .join(alRebuild.select(col("node").as("elabel")), Seq("elabel"), "left_semi")
+          .join(rA, Seq("doc_a"), "left_anti")
+          .join(rB, Seq("doc_b"), "left_anti")
+          .select(col("doc_a"), col("doc_b"))
+        val rebuildNew = cEdges
+          .join(groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
+            .select(col("cid").as("ca")), Seq("ca"), "left_semi")
+          .select(col("doc_a"), col("doc_b"))
+        val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().localCheckpoint(false)
+        val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
+        val rbl = rbLabels.localCheckpoint(false)
+        val rbp = rebuildEdges
+          .join(rbl.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
+          .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
+            Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"), col("elabel"),
+            coalesce(col("in_forest"), lit(false)).as("in_forest"))
+        (rbl, rbp)
+      }
 
-    // merge bucket: restamp members + edges of merged components to the
-    // group label by contraction alone — no connectivity over real edges
+    // merge bucket: relabel MEMBERSHIPS of merged components to the group
+    // label by contraction alone — no connectivity over real edges, no
+    // edge rewrite
     val mergeGroupOf = groupOf.join(rebuildGroups, Seq("glabel"), "left_anti")
       .localCheckpoint(false)
-    // members restamp EXCLUDING retired ones: a changed doc is retired
+    // members relabel EXCLUDING retired ones: a changed doc is retired
     // from its old component AND re-enters as a fresh contracted node, so
     // without the anti-join it would earn two labels rows (one here, one
     // from the fresh bucket)
-    val mgLabels = al
+    val mgLabels = mergeMembers
       .join(r, Seq("node"), "left_anti")
       .join(mergeGroupOf.select(col("cid").as("label"), col("glabel")), "label")
       .select(col("node"), col("glabel").as("label"))
@@ -224,9 +279,6 @@ object IncrementalCc {
       .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_anti")
       .join(cLabels.select(col("node").as("cid")), Seq("cid"), "left_semi")
       .select(col("cid").as("node"), col("glabel").as("label"))
-    val mgOldPairs = oldEdges
-      .join(mergeGroupOf.select(col("cid").as("elabel"), col("glabel")), "elabel")
-      .select(col("doc_a"), col("doc_b"), col("glabel").as("elabel"), col("in_forest"))
     // the delta's non-rebuild new edges: stamped with the group label;
     // in_forest = this edge was chosen by the contraction's forest (one
     // concrete edge per contracted forest edge)
@@ -249,12 +301,17 @@ object IncrementalCc {
     val labelsIn = rbLabelsP.select(col("node"), col("label"))
       .unionByName(mgLabels).unionByName(mgFreshLabels)
       .localCheckpoint(false)
-    val pairsIn = rbPairs.unionByName(mgOldPairs).unionByName(mgNewPairs)
+    val pairsIn = rbPairs.unionByName(mgNewPairs)
       .select(PairCols.map(col): _*).localCheckpoint(false)
-    // labelsOut: every retired node's membership row + every rewritten
-    // component's membership (and, via elabel, its edge rows)
-    val labelsOut = r.unionByName(al.select("node")).distinct().localCheckpoint(false)
-    LabelDelta(labelsOut, labelsIn, pairsIn)
+    // labelsOut: every retired node's membership row, plus the rebuilt
+    // AND merged components' memberships (re-entering via labelsIn);
+    // pairsOut: only the REBUILT memberships — merged components keep
+    // their edge rows, stale elabels covered by the retained membership
+    val labelsOut = r.unionByName(alRebuild.select("node"))
+      .unionByName(mergeMembers.select("node"))
+      .distinct().localCheckpoint(false)
+    val pairsOut = alRebuild.select("node").localCheckpoint(false)
+    LabelDelta(labelsOut, labelsIn, pairsIn, pairsOut)
   }
 
   /** From-scratch labels + epoch-stamped, forest-flagged edges (the first

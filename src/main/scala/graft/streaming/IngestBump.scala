@@ -481,8 +481,13 @@ object IngestBump {
   private val TextSnapTables =
     Seq("grams", "pairs", "labels", "survhash", "livelog")
   private val TextDeltaTables = Seq(
-    "retired", "departed", "labelsOut", "labelsIn",
+    "retired", "departed", "labelsOut", "pairsOut", "labelsIn",
     "grams", "pairs", "survhash", "livelog")
+
+  /** Delta tables that may be ABSENT in chains written by earlier
+    * rounds; the fold supplies the legacy fallback (pairsOut ← labelsOut,
+    * the pre-split semantics). */
+  private val TextOptionalTables = Set("pairsOut")
 
   /** The folded text state under a bump root — the delta chain's
     * snapshot with every retirement + new-row layer applied, lazily.
@@ -522,7 +527,8 @@ object IngestBump {
     * retirement + new rows applied, lazily. None before the first bump. */
   private def loadTextState(
       spark: SparkSession, dir: String): Option[Map[String, DataFrame]] =
-    StateStore.loadChain(spark, dir, TextSnapTables, TextDeltaTables)
+    StateStore.loadChain(spark, dir, TextSnapTables, TextDeltaTables,
+        TextOptionalTables)
       .map { case (snap, deltas) => DedupStream.foldPairChain(
         snap + ("grams" -> withGbucket(snap("grams")),
                 "pairs" -> withInForest(snap("pairs"))),
@@ -575,7 +581,7 @@ object IngestBump {
         "pairs" -> m("pairs")
           .join(retired.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
           .join(retired.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-          .join(out.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
+          .join(ld.pairsOut.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
           .unionByName(ld.pairsIn),
         "labels" -> m("labels").join(out, Seq("node"), "left_anti")
           .unionByName(ld.labelsIn),
@@ -583,7 +589,8 @@ object IngestBump {
     } else
       StateStore.saveDelta(dir, Map(
         "retired" -> retired, "departed" -> departed,
-        "labelsOut" -> ld.labelsOut, "labelsIn" -> ld.labelsIn,
+        "labelsOut" -> ld.labelsOut, "pairsOut" -> ld.pairsOut,
+        "labelsIn" -> ld.labelsIn,
         "grams" -> pd.newGrams, "pairs" -> ld.pairsIn,
         "survhash" -> batchSurvhash, "livelog" -> logDelta), TextPartitions)
     val labelsView = m("labels")

@@ -190,20 +190,26 @@ object StateStore {
 
   /** The committed chain: the snapshot version's tables (names in
     * `snapshotNames`) plus each delta version's tables (`deltaNames`) in
-    * commit order, for the domain to fold. None if nothing committed. */
+    * commit order, for the domain to fold. None if nothing committed.
+    * Names in `optionalNames` may be absent from a version (tables added
+    * after that version was written) — they are simply omitted from that
+    * version's map, and the domain's fold supplies the legacy fallback. */
   def loadChain(
       spark: SparkSession,
       dir: String,
       snapshotNames: Seq[String],
-      deltaNames: Seq[String]): Option[(Map[String, DataFrame], Seq[Map[String, DataFrame]])] = {
+      deltaNames: Seq[String],
+      optionalNames: Set[String] = Set.empty): Option[(Map[String, DataFrame], Seq[Map[String, DataFrame]])] = {
     val fs = fsOf(spark, dir)
+    def read(v: Long, names: Seq[String]): Map[String, DataFrame] =
+      names.flatMap { n =>
+        val p = s"$dir/v$v/$n.parquet"
+        if (optionalNames.contains(n) && !fs.exists(new HPath(p))) None
+        else Some(n -> spark.read.parquet(p))
+      }.toMap
     currentVersion(fs, dir).map { v =>
       val chain = chainOf(fs, dir, v)
-      val snap = snapshotNames.map(n =>
-        n -> spark.read.parquet(s"$dir/v${chain.head}/$n.parquet")).toMap
-      val deltas = chain.tail.map(dv =>
-        deltaNames.map(n => n -> spark.read.parquet(s"$dir/v$dv/$n.parquet")).toMap)
-      (snap, deltas)
+      (read(chain.head, snapshotNames), chain.tail.map(read(_, deltaNames)))
     }
   }
 

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.{DedupStream, IncrementalCc, IngestBump}
+
+/** One-off decomposition of the text bump's label-maintenance phase under
+  * the round-15 spanning-forest certificate: pre-builds the bump state on
+  * a ramp fixture, derives the same fixed (200 rem / 200 chg / 200 add)
+  * delta the CdcMarginalProbe uses, then times pair discovery and the
+  * [[IncrementalCc.refresh]] outputs separately — the split that locates
+  * how much of the marginal is the (now contraction-sized) label
+  * maintenance vs the scan-shaped discovery terms.
+  *
+  *   sbt "Test/runMain graft.pipeline.CcRefreshDecomp /tmp/ramp/sfA"
+  */
+object CcRefreshDecomp {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/ramp/sfB")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"CCPHASE $tag ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val maxId = d0.agg(max("doc_id")).collect()(0).getLong(0)
+    val REM = 200L; val CHG = 200L; val ADD = 200L
+    val remLo = maxId - REM - CHG + 1; val chgLo = maxId - CHG + 1
+    val newDocs = d0.where(col("doc_id") < remLo)
+      .unionByName(d0.where(col("doc_id") >= chgLo)
+        .withColumn("text", concat(col("text"), lit(" changed"))))
+      .unionByName(d0.where(col("doc_id") < ADD)
+        .withColumn("doc_id", col("doc_id") + maxId + 1))
+      .withColumn("n_chars", length(col("text")).cast("long")).localCheckpoint(false)
+
+    for (round <- Seq("warm", "measured")) {
+      val tmp = java.nio.file.Files.createTempDirectory("ccdecomp").toString
+      val root = s"$tmp/bump"
+      IngestBump.bump(spark, root, d0)
+      val m = IngestBump.textState(spark, root).get
+      def p(tag: String)(f: => Unit): Unit =
+        if (round == "measured") time(tag)(f) else f
+
+      val newSurv = PipelineOps.survivorsOf(newDocs).localCheckpoint(false)
+      val validIds = m("survhash")
+        .join(newSurv.select(col("doc_id"), col("content_hash").as("h2")), "doc_id")
+        .where(col("content_hash") === col("h2")).select("doc_id")
+      val retired = m("survhash").select("doc_id")
+        .join(validIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
+      val batch = newSurv.join(validIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      p("exact-stage") { retired.count(); batch.count() }
+
+      var pd: DedupStream.PairDelta = null
+      p("pair-discovery") {
+        pd = DedupStream.discoverPairs(batch,
+          Some(m("grams").join(retired, Seq("doc_id"), "left_anti")))
+        pd.newPairs.count()
+      }
+      var ld: IncrementalCc.LabelDelta = null
+      p("cc-refresh") {
+        ld = IncrementalCc.refresh(m("labels"), m("pairs"), retired, pd.newPairs)
+        ld.labelsOut.count(); ld.labelsIn.count(); ld.pairsIn.count()
+      }
+      if (round == "measured") {
+        println(s"CCSIZE labelsOut=${ld.labelsOut.count()} labelsIn=${ld.labelsIn.count()} " +
+          s"pairsIn=${ld.pairsIn.count()} edgeState=${m("pairs").count()} " +
+          s"labels=${m("labels").count()}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -58,7 +58,7 @@ class IncrementalCcFuzzSpec extends AnyFunSuite {
     val np = pairs
       .join(r.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
       .join(r.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-      .join(out.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
+      .join(d.pairsOut.select(col("node").as("elabel")), Seq("elabel"), "left_anti")
       .unionByName(d.pairsIn)
       .localCheckpoint(true)
     (nl, np)
