@@ -6,22 +6,27 @@ import org.apache.spark.sql.functions._
 /** Measurement harness (not a spec): the nprobe sweep on a CLUSTERED
   * integer geometry where ROUTING loss is nonzero — the discriminating
   * fixture the round-14 sweep lacked (near-random embeddings put all
-  * loss in PQ coding, so recall was identical from 1 probe to
-  * exhaustive and the knob was invisible to p69's machinery).
+  * loss in PQ coding, so recall was identical from 1 probe to exhaustive
+  * and the knob was invisible).
   *
   * Geometry (deterministic, integer, EmbDim = 64): 8 seed PAIRS, one per
   * 8-dim block. Each pair's two seeds (ids 2p, 2p+1 — the 16 lowest ids,
   * which [[PipelineOps.deriveAnnQuantizer]] freezes as the IVF cells) sit
-  * at 30·1 on opposite halves of the block, so each "cluster" is split
-  * across exactly two cells. Every seed gets five planted true neighbors
-  * straddling the midpoint: two biased toward the seed's own cell
-  * (16/14), three toward the sibling cell (14/16) — the exact top-5 by
-  * quantized L2, verified against fillers parked at 5·1 (strictly
-  * farther). A 1-probe query therefore finds only the own-side dups;
-  * the sibling cell holds the rest — recall RISES in the knob, which is
-  * the property the round-14 fixture could not produce. Planted dups take
-  * the lowest non-seed ids so ADC ties (PQ codes collapse within a cell)
-  * resolve toward true neighbors, keeping the measurement about routing.
+  * at 30·1 on opposite halves of the block. Each EVEN seed gets five
+  * planted true neighbors: two biased toward its own cell (16/14 on the
+  * halves) and three toward the sibling cell (14/16) — by quantized L2
+  * the exact top-5 of an even query, with fillers parked at 5·1 strictly
+  * farther. The three sibling-biased neighbors cosine-route to the OTHER
+  * cell, so a 1-probe query's candidate pool holds only 2 of its 5 true
+  * neighbors and the pool completes at 2 probes: routing loss exists and
+  * closes in the knob.
+  *
+  * Two recall figures per probe count:
+  *   - candidate_ppm: exact top-5 ∩ the probed candidate POOL — the pure
+  *     ROUTING metric the nprobe knob controls; rises 2/5 → 5/5 here.
+  *   - endtoend_ppm: p69's corpus_recall_ppm after ADC ranking — BOUNDED
+  *     by PQ coding at this codebook scale (8 entries per subspace), the
+  *     same ceiling the round-14 sweep measured; reported for context.
   *
   *   sbt "Test/runMain graft.pipeline.NprobeClusteredProbe"
   * (min-of-2 timing, one JVM, local[32] — the SCALING.md methodology). */
@@ -41,28 +46,29 @@ object NprobeClusteredProbe {
 
     val rows = Seq.newBuilder[(Long, Seq[Float])]
     var dupId = 16L
-    var fillId = 16L + 16 * 5 // dups take the lowest non-seed ids
+    var fillId = 16L + 8 * 5 // dups take the lowest non-seed ids
     for (p <- 0 until pairs) {
       val b = p * 8
       def inBlock(d: Int) = d >= b && d < b + 8
       def s1Half(d: Int) = d >= b && d < b + 4
-      // the two cell seeds of this block
-      rows += ((2L * p, vec(d => if (s1Half(d)) 30 else 0)))
-      rows += ((2L * p + 1, vec(d => if (inBlock(d) && !s1Half(d)) 30 else 0)))
-      // five planted true neighbors per seed, straddling the midpoint
-      for (s <- 0 to 1) {
-        val (own, oth) = if (s == 0) (s1Half _, (d: Int) => inBlock(d) && !s1Half(d))
-                         else ((d: Int) => inBlock(d) && !s1Half(d), s1Half _)
-        for (j <- 0 until 5) {
-          val bump = b + (j + 2 * s) % 8 // unique position per dup
-          val (vOwn, vOth) = if (j < 2) (16, 14) else (14, 16)
-          rows += ((dupId, vec(d =>
-            (if (own(d)) vOwn else if (oth(d)) vOth else 0) +
-              (if (d == bump) 1 else 0))))
-          dupId += 1
-        }
+      def s2Half(d: Int) = inBlock(d) && !s1Half(d)
+      // 30 on the own half, 10 on the sibling half: the shared component
+      // makes the SIBLING the genuine second-nearest cell by cosine (all
+      // other pairs' cells are orthogonal), so the probe order closes the
+      // routing loss at exactly 2 probes instead of scanning tied cells
+      // in id order
+      rows += ((2L * p, vec(d => if (s1Half(d)) 30 else if (s2Half(d)) 10 else 0)))
+      rows += ((2L * p + 1, vec(d => if (s2Half(d)) 30 else if (s1Half(d)) 10 else 0)))
+      // five planted true neighbors of the EVEN seed: j<2 route to its own
+      // cell, j>=2 to the sibling's (the routing loss a 1-probe query pays)
+      for (j <- 0 until 5) {
+        val bump = b + (2 + j) % 8
+        val (vOwn, vOth) = if (j < 2) (16, 14) else (14, 16)
+        rows += ((dupId, vec(d =>
+          (if (s1Half(d)) vOwn else if (s2Half(d)) vOth else 0) +
+            (if (d == bump) 1 else 0))))
+        dupId += 1
       }
-      // background fillers: strictly farther than every planted dup
       for (i <- 0 until 30) {
         val bump = b + i % 8
         rows += ((fillId, vec(d =>
@@ -79,18 +85,51 @@ object NprobeClusteredProbe {
       .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint(false)
     PipelineOps.buildAnnIndexOf(q, idx)
 
+    // exact top-5 ground truth (quantized L2, the p69 contract) and the
+    // cell assignment — both tiny here, collected once
+    val corpus = q.select(col("vec_id").as("nbr_id"), col("q").as("qb"))
+    val queries = q.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("nrm_a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("l2").asc, col("nbr_id").asc)
+    val exact = queries.crossJoin(corpus)
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("l2", graft.functions.QuantizedL2Sq(col("qa"), col("qb")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= PipelineOps.PqTopK)
+      .select("query_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val assign = spark.read.parquet(s"$idx/ivf_assign.parquet")
+      .collect().map(r => r.getAs[Long]("nbr_id") -> r.getAs[Long]("ccid")).toMap
+    val cents = spark.read.parquet(s"$idx/ivf_cents.parquet")
+    val cellRank: Map[Long, Seq[Long]] = queries
+      .crossJoin(cents)
+      .withColumn("cdot", graft.functions.QuantizedDot(col("qa"), col("qb")))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .select("query_id", "ccid", "ccos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).map(_._2).toSeq).toMap
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def minOf2(f: => Unit): Double = { val a = time(f); math.min(a, time(f)) }
     for (p <- Seq(1, 2, 4, 8, 16)) {
+      // candidate (routing) recall: exact top-5 ∩ the probed pool
+      val hits = exact.toSeq.map { case (qid, truth) =>
+        val probed = cellRank(qid).take(p).toSet
+        truth.count(n => probed.contains(assign(n)))
+      }.sum
+      val candPpm = hits * 1000000L / (exact.size * PipelineOps.PqTopK)
       def query() = PipelineOps.queryAnnIndex(spark, dir, idx, probes = p)
       def force(): Unit = query().write.format("noop").mode("overwrite").save()
       force() // warm
       val t = minOf2(force())
-      val recall = PipelineOps.recallReportOf(spark, dir, query())
+      val e2e = PipelineOps.recallReportOf(spark, dir, query())
         .select(col("corpus_recall_ppm")).head().getLong(0)
-      println(f"NPROBE-CLUSTERED probes=$p recall_ppm=$recall tQuery=$t%.3f")
+      println(f"NPROBE-CLUSTERED probes=$p candidate_ppm=$candPpm endtoend_ppm=$e2e tQuery=$t%.3f")
     }
     spark.stop()
   }
