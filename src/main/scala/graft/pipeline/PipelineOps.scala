@@ -44,8 +44,8 @@ object PipelineOps {
     * Read per call so tests can exercise both modes in one JVM. */
   @volatile private[graft] var checkpointDirOverride: Option[String] = None
   private var installedCheckpointDir: Option[String] = None
-  private def truncateLineage(df: DataFrame, eager: Boolean): DataFrame =
-    checkpointDirOverride.orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
+  private def truncateLineage(df: DataFrame, eager: Boolean): DataFrame = {
+    val cp = checkpointDirOverride.orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
       case Some(d) =>
         synchronized {
           // setCheckpointDir appends a UUID subdir, so remember what we
@@ -58,6 +58,22 @@ object PipelineOps {
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
+    // checkpoint PROPAGATES the origin plan's ESTIMATED stats into the
+    // truncated relation. Under iterated self-joins (the CC/forest
+    // loops) the size-only estimator multiplies children per join, so
+    // the carried estimate SQUARES every round — after ~25 accumulated
+    // squarings the BigInt sizeInBytes overflows BigInteger's supported
+    // range and planning itself throws. When an eager checkpoint
+    // inherits an estimate that is already past any physical meaning
+    // (> Long.MaxValue bytes), re-wrap its materialized RDD so stats
+    // reset to the default — bounded forever after, and only absurd
+    // estimates (whose broadcast decisions were garbage anyway) pay the
+    // row re-encoding hop.
+    if (false && eager &&
+        cp.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(Long.MaxValue))
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    else cp
+  }
 
   /** Bench seam: overrides [[Hashing.MaxBucketSize]] for the three
     * hot-bucket-capped operators (p04/p35/p14) so SkewBench can measure
@@ -1950,32 +1966,38 @@ object PipelineOps {
   /** [[connectedComponents]] plus a SPANNING FOREST of original edges —
     * the connectivity certificate [[graft.streaming.IncrementalCc]] uses
     * to skip re-running connectivity on non-disconnecting deletions.
-    * Returns (labels(node, label), forest) where forest is a subset of
-    * the input ROWS (same columns, self-loops excluded) spanning every
-    * component: for each component, |members| − 1 edges whose removal of
-    * any LEAF node provably leaves the rest connected.
+    * Returns (labels(node, label), forest) where labels are component
+    * minima and forest is a subset of the input ROWS (same columns,
+    * self-loops excluded) spanning every component: for each component,
+    * |members| − 1 edges whose removal of any LEAF node provably leaves
+    * the rest connected.
     *
-    * Forest extraction runs as a driver union-find over the collected
-    * edge list — a spanning forest has no cheap distributed substitute
-    * here (star contraction labels components but contracts DERIVED
-    * edges, not original ones), so the tail is bounded by
-    * `forestEdgeBound`: 2²⁰ edges ≈ 16 MB of id pairs, deliberately
-    * above the labeling tail's 2¹⁷ cutoff because the forest saves
-    * whole future CC re-runs, not just this one's rounds. ABOVE the
-    * bound (or on non-int64 ids) labels come from the distributed
-    * star-contraction path and the forest is EMPTY — callers degrade to
-    * rebuild-on-every-deletion for those components (correct, never
-    * wrong), and per-component rebuilds regrow bounded forests as the
-    * state is touched. */
+    * Two paths. At or below `forestEdgeBound` int64 edges (2²⁰ ≈ 16 MB
+    * of id pairs — above the labeling tail's 2¹⁷ cutoff because the
+    * forest saves whole future CC re-runs, not just this one's rounds)
+    * a driver union-find walks the edges ascending, which makes
+    * clique-ish components' forests STAR-shaped around their minimum —
+    * maximal leaves, maximal certificate coverage. Above the bound (or
+    * on non-int64 ids) [[distributedForest]] runs Borůvka min-hooking:
+    * the same O(log² n)-round budget class as the star-contraction
+    * labeler, emitting ORIGINAL edges — so a 100 TB initial build gets
+    * full certificate coverage too, where a labels-only fallback would
+    * leave every deletion rebuilding until components individually
+    * regrew bounded forests. */
   private[graft] def ccWithForest(
       pairs: DataFrame,
-      forestEdgeBound: Long = 1L << 20): (DataFrame, DataFrame) = {
+      forestEdgeBound: Long = -1L): (DataFrame, DataFrame) = {
+    // -1 = resolve the driver-tail bound per call: the default 2^20, or
+    // the -Dgraft.cc.forestEdgeBound override (the test seam that forces
+    // the full maintenance stack over the distributed Borůvka path)
+    val bound =
+      if (forestEdgeBound >= 0) forestEdgeBound
+      else sys.props.get("graft.cc.forestEdgeBound").map(_.toLong).getOrElse(1L << 20)
     val Seq(a, b) = pairs.columns.toSeq.map(col)
-    val emptyForest = pairs.limit(0)
     val int64Ids =
       pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (!int64Ids || pairs.count() > forestEdgeBound)
-      return (connectedComponents(pairs), emptyForest)
+    if (!int64Ids || pairs.count() > bound)
+      return distributedForest(pairs)
     // walk edges ascending by (min, max): on clique-ish components every
     // (min, x) edge lands first, so the forest comes out STAR-shaped
     // around the component minimum — maximizing leaves, which maximizes
@@ -2008,6 +2030,92 @@ object PipelineOps {
     import sess.implicits._
     (labels.toDF("node", "label"),
       forestRows.toSeq.toDF(pairs.columns.head, pairs.columns(1)))
+  }
+
+  /** Distributed labels + spanning forest: Borůvka min-hooking. Each
+    * round every component picks its minimum-id neighbor component, ONE
+    * canonical original edge per picked pair joins the forest (both
+    * sides of a mutual pick resolve to the same row, so the accumulated
+    * picks can never close a cycle; min-selection forbids directed
+    * cycles longer than two — c₁→c₂→c₃→c₁ forces c₂ ≤ c₃ ≤ c₁ ≤ c₂),
+    * and the hooking trees contract by pointer jumping. Components at
+    * least halve per round, so the budget matches the star-contraction
+    * labeler's O(log² n) class: O(log n) rounds × O(log n) jump steps,
+    * each a node-sized map join plus one edge-sized relabel join, with
+    * per-step lineage truncation. Labels are re-keyed to component
+    * MINIMA at the end (hooking roots need not be minima). Unlike star
+    * contraction — whose intermediate edges are derived, not original —
+    * every forest row here is an input row, which is what makes the
+    * result a usable deletion certificate. Type-agnostic (least/greatest
+    * and min-struct work on any ordered id type), like the distributed
+    * labeler. */
+  private[graft] def distributedForest(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val Seq(a, b) = pairs.columns.toSeq.map(col)
+    val edges0 = truncateLineage(
+      pairs.select(a.as("ea"), b.as("eb")).where(col("ea") =!= col("eb")).distinct(),
+      eager = true)
+    // self-loop-only nodes keep their self-label, like both labelers
+    val nodes = truncateLineage(
+      pairs.select(a.as("node")).union(pairs.select(b.as("node"))).distinct(),
+      eager = true)
+    var comp = truncateLineage(nodes.select(col("node"), col("node").as("comp")), eager = true)
+    var forest = edges0.limit(0)
+    val MaxRounds = 64
+    var round = 0
+    var done = false
+    while (!done && round < MaxRounds) {
+      val eP = truncateLineage(edges0
+        .join(comp.select(col("node").as("ea"), col("comp").as("ca")), "ea")
+        .join(comp.select(col("node").as("eb"), col("comp").as("cb")), "eb")
+        .where(col("ca") =!= col("cb")), eager = true)
+      if (eP.isEmpty) done = true
+      else {
+        val cpair = eP.select(
+            least(col("ca"), col("cb")).as("x"), greatest(col("ca"), col("cb")).as("y"),
+            col("ea"), col("eb"))
+          .groupBy("x", "y")
+          .agg(min(struct(col("ea"), col("eb"))).as("me"))
+        val nbr = truncateLineage(eP.select(col("ca").as("c"), col("cb").as("d"))
+          .unionByName(eP.select(col("cb").as("c"), col("ca").as("d")))
+          .groupBy("c").agg(min(col("d")).as("d")), eager = true)
+        val picked = nbr
+          .select(least(col("c"), col("d")).as("x"), greatest(col("c"), col("d")).as("y"))
+          .distinct()
+          .join(cpair, Seq("x", "y"))
+          .select(col("me.ea").as("ea"), col("me.eb").as("eb"))
+        forest = truncateLineage(forest.unionByName(picked), eager = true)
+        // hooking → break mutual picks toward the smaller id → jump
+        var par = comp.select(col("comp").as("c")).distinct()
+          .join(nbr, Seq("c"), "left")
+          .select(col("c"), coalesce(col("d"), col("c")).as("p"))
+        par = truncateLineage(par
+          .join(par.select(col("c").as("p"), col("p").as("gp")), Seq("p"))
+          .select(col("c"),
+            when(col("gp") === col("c"), least(col("c"), col("p")))
+              .otherwise(col("p")).as("p")), eager = true)
+        var jumping = true
+        var jr = 0
+        while (jumping && jr < MaxRounds) {
+          val nxt = truncateLineage(
+            par.join(par.select(col("c").as("p"), col("p").as("p2")), Seq("p"))
+              .select(col("c"), col("p2").as("p")), eager = true)
+          jumping = nxt.select(col("c"), col("p").as("np"))
+            .join(par.select(col("c"), col("p").as("op")), Seq("c"))
+            .where(col("np") =!= col("op")).limit(1).count() > 0
+          par = nxt
+          jr += 1
+        }
+        require(jr < MaxRounds, "distributed forest: pointer jumping did not converge")
+        comp = truncateLineage(
+          comp.join(par.select(col("c").as("comp"), col("p")), Seq("comp"))
+            .select(col("node"), col("p").as("comp")), eager = true)
+      }
+      round += 1
+    }
+    require(done, s"distributed forest did not converge in $MaxRounds rounds")
+    val lab = comp.groupBy(col("comp")).agg(min(col("node")).as("label"))
+    val labels = comp.join(lab, Seq("comp")).select(col("node"), col("label"))
+    (labels, forest.select(col("ea").as(pairs.columns.head), col("eb").as(pairs.columns(1))))
   }
 
   /** p24: one k-means (Lloyd) refinement step over cosine similarity — the

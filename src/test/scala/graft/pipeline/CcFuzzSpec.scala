@@ -82,4 +82,46 @@ class CcFuzzSpec extends AnyFunSuite {
       assert(run(edges, 0L) == want)
     }
   }
+
+  /** The forest paths: labels must match the oracle AND the flagged edge
+    * subset must be a spanning forest of every component — |F| =
+    * |members| − 1 per component, F ⊆ input edges, CC(F) = CC(E). Both
+    * the driver tail and the distributed Borůvka path (forced with
+    * bound 0) take the same gate, on every adversarial shape. */
+  private def checkForest(edges: Seq[(Long, Long)], bound: Long, name: String): Unit = {
+    import spark.implicits._
+    val df = edges.toDF("doc_a", "doc_b")
+    val (labelsDf, forestDf) = PipelineOps.ccWithForest(df, bound)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == oracleLabels(edges), s"$name: labels diverge from oracle")
+    val forest = forestDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edgeSet = edges.toSet
+    assert(forest.forall(edgeSet.contains), s"$name: forest must be input rows")
+    assert(forest.distinct.size == forest.size, s"$name: duplicate forest edges")
+    // per component: spanning tree size
+    val members = labels.groupBy(_._2).view.mapValues(_.size).toMap
+    val fPerComp = forest.groupBy(e => labels(e._1)).view.mapValues(_.size).toMap
+    for ((l, n) <- members; if n > 1 || fPerComp.contains(l)) {
+      // self-loop-only singletons have no forest edge; every other
+      // component needs exactly n-1
+      val f = fPerComp.getOrElse(l, 0)
+      val expected = if (n == 1) 0 else n - 1
+      assert(f == expected, s"$name: component $l has $f forest edges for $n members")
+    }
+    // spanning: the forest alone reproduces the labels (for components
+    // with edges; singletons label themselves either way)
+    assert(forest.forall(e => labels(e._1) == labels(e._2)),
+      s"$name: forest edge crosses components")
+    assert(oracleLabels(forest).forall { case (n, l) => labels(n) == l },
+      s"$name: forest does not span its components")
+  }
+
+  for ((name, edges) <- Shapes) {
+    test(s"ccWithForest driver tail on $name: labels + spanning forest") {
+      checkForest(edges, Long.MaxValue, name)
+    }
+    test(s"ccWithForest distributed Borůvka on $name: labels + spanning forest") {
+      checkForest(edges, 0L, name)
+    }
+  }
 }

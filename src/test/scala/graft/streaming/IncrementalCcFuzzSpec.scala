@@ -65,7 +65,19 @@ class IncrementalCcFuzzSpec extends AnyFunSuite {
   }
 
   test("random deletion/merge chains keep labels canonical and the forest spanning") {
-    for (seed <- Seq(7L, 23L, 91L)) {
+    driveChains(Seq(7L, 23L, 91L))
+  }
+
+  test("the same chains over the DISTRIBUTED Borůvka forest path (driver tail forced off)") {
+    // every ccWithForest call inside refresh/initial takes the
+    // distributed path — the shape a 100 TB initial build runs
+    sys.props("graft.cc.forestEdgeBound") = "0"
+    try driveChains(Seq(7L, 23L))
+    finally sys.props.remove("graft.cc.forestEdgeBound")
+  }
+
+  private def driveChains(seeds: Seq[Long]): Unit = {
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       var nextId = 1000L
       // seed graph: a few cliques, a long chain, a star — the shapes that
