@@ -63,16 +63,22 @@ object PipelineOps {
     // loops) the size-only estimator multiplies children per join, so
     // the carried estimate SQUARES every round — after ~25 accumulated
     // squarings the BigInt sizeInBytes overflows BigInteger's supported
-    // range and planning itself throws. When an eager checkpoint
-    // inherits an estimate that is already past any physical meaning
-    // (> Long.MaxValue bytes), re-wrap its materialized RDD so stats
-    // reset to the default — bounded forever after, and only absurd
-    // estimates (whose broadcast decisions were garbage anyway) pay the
-    // row re-encoding hop.
-    if (false && eager &&
-        cp.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(Long.MaxValue))
-      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    else cp
+    // range and planning itself throws. Saturate the capture at
+    // Long.MaxValue (zero-copy LogicalRDD rebuild): real sizes pass
+    // through so broadcast decisions hold, absurd ones stop compounding.
+    org.apache.spark.sql.graft.CheckpointStats.capEstimate(cp)
+  }
+
+  /** `localCheckpoint` + estimate cap — the pin for maintained-state frames
+    * that live OUTSIDE [[truncateLineage]]'s checkpoint-dir knob (refresh
+    * deltas, fold outputs: rewrite-sized, rebuilt from durable state on
+    * recovery, so local pinning is the right durability class). Without the
+    * cap, state folded through repeated bumps compounds the checkpoint-
+    * captured size estimates exactly like the CC loops do — see
+    * [[org.apache.spark.sql.graft.CheckpointStats]]. */
+  private[graft] implicit class PinnedFrame(private val df: DataFrame) extends AnyVal {
+    def pinned(eager: Boolean): DataFrame =
+      org.apache.spark.sql.graft.CheckpointStats.capEstimate(df.localCheckpoint(eager))
   }
 
   /** Bench seam: overrides [[Hashing.MaxBucketSize]] for the three

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.pipeline.PipelineOps
+import graft.pipeline.PipelineOps.PinnedFrame
 
 /** Streaming twin of the batch dedup verdict (PipelineOps.dedupVerdict /
   * p36) — the shape a real ingest pipeline runs: documents arrive as a
@@ -101,7 +102,7 @@ object DedupStream {
     // this entry point carries state IN MEMORY across refreshes (the
     // multi-batch loops) — pin it so lineage doesn't deepen per batch;
     // the delta entry point leaves state lazy over the chain files
-    (v, PairState(st.grams.localCheckpoint(false), st.pairs.localCheckpoint(false)))
+    (v, PairState(st.grams.pinned(false), st.pairs.pinned(false)))
   }
 
   /** The delta payload of one incremental refresh — exactly the rows the
@@ -226,7 +227,7 @@ object DedupStream {
       newSurvivors: DataFrame, prevGrams: Option[DataFrame]): PairDelta = {
     val newGrams = PipelineOps.ngramGrams(
         newSurvivors.select("doc_id", "text", "lang", "source", "n_chars"))
-      .localCheckpoint(false)
+      .pinned(false)
     // bucket-prune the history to the batch's block-key buckets before the
     // probe: a candidate needs block-key EQUALITY, so history rows outside
     // the batch's buckets can never pair with it. Against the
@@ -237,7 +238,7 @@ object DedupStream {
       .map(h => PipelineOps.pruneGramHistory(h, newGrams).unionByName(newGrams))
       .getOrElse(newGrams)
     val newPairs = PipelineOps.ngramPairsAgainst(allGrams, newGrams)
-      .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint(false)
+      .select(col("doc_a"), col("doc_b")).distinct().pinned(false)
     PairDelta(newGrams, newPairs)
   }
 

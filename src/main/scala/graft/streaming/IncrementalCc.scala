@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.pipeline.PipelineOps
+import graft.pipeline.PipelineOps.PinnedFrame
 
 /** Incremental connected-components maintenance for the ingest-bump dedup
   * state — the piece that turns the per-bump verdict from O(all edges)
@@ -91,7 +92,7 @@ object IncrementalCc {
       labeledPairs: DataFrame,
       retiredIds: DataFrame,
       newPairs: DataFrame): LabelDelta = {
-    val r = retiredIds.select(col("doc_id").as("node")).distinct().localCheckpoint(false)
+    val r = retiredIds.select(col("doc_id").as("node")).distinct().pinned(false)
     val rA = r.select(col("node").as("doc_a"))
     val rB = r.select(col("node").as("doc_b"))
 
@@ -112,7 +113,7 @@ object IncrementalCc {
           def inR(c: org.apache.spark.sql.Column) = c.isin(rVals: _*)
           val touched = labeledPairs
             .where(inR(col("doc_a")) || inR(col("doc_b")) || inR(col("elabel")))
-            .localCheckpoint(false)
+            .pinned(false)
           val f = touched.where(col("in_forest"))
           (f.where(inR(col("doc_a"))).select(col("doc_a").as("node"))
              .unionByName(f.where(inR(col("doc_b"))).select(col("doc_b").as("node")))
@@ -137,7 +138,7 @@ object IncrementalCc {
         }
       }
     val leaves = fdeg.where(col("fd") === 1).select("node")
-    val retiredInGraph = labels.join(r, Seq("node"), "left_semi").localCheckpoint(false)
+    val retiredInGraph = labels.join(r, Seq("node"), "left_semi").pinned(false)
     // unsafe = not a certified leaf (over-degree, no forest coverage),
     // forest-adjacent to another retired node (removing both could
     // orphan the subtree between them), or carried as an EPOCH STAMP on
@@ -176,18 +177,18 @@ object IncrementalCc {
     val cidOf = liveLabels
       .join(broadcast(endNodes), Seq("node"), "right_outer")
       .select(col("node"), coalesce(col("label"), col("node")).as("cid"))
-      .localCheckpoint(false)
+      .pinned(false)
     val cEdges = newPairs
       .join(cidOf.select(col("node").as("doc_a"), col("cid").as("ca")), "doc_a")
       .join(cidOf.select(col("node").as("doc_b"), col("cid").as("cb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"))
-      .localCheckpoint(false)
+      .pinned(false)
     // contracted component per cid (delta-sized CC; self-edges drop out),
     // plus a spanning forest of the contraction so each merge adds
     // exactly the connecting edges to the certificate
     val cInter = cEdges.where(col("ca") =!= col("cb"))
       .select(least(col("ca"), col("cb")).as("ca"), greatest(col("ca"), col("cb")).as("cb"))
-      .distinct().localCheckpoint(false)
+      .distinct().pinned(false)
     val (cLabels, cForest) = PipelineOps.ccWithForest(cInter)
     // groupOf: cid -> merged group label (itself when untouched by merges).
     // Seeded with BOTH the new-edge endpoints' cids and every
@@ -198,16 +199,16 @@ object IncrementalCc {
       .distinct()
       .join(cLabels.select(col("node").as("cid"), col("label").as("glabel")), Seq("cid"), "left")
       .select(col("cid"), coalesce(col("glabel"), col("cid")).as("glabel"))
-      .localCheckpoint(false)
+      .pinned(false)
 
     // a contracted group REBUILDS (connectivity over real edges) iff it
     // contains a component already forced to rebuild by an unsafe
     // deletion; everything else relabels by contraction alone
     val rebuildGroups = groupOf
       .join(rebuildDelLabels.select(col("label").as("cid")), Seq("cid"), "left_semi")
-      .select(col("glabel")).distinct().localCheckpoint(false)
+      .select(col("glabel")).distinct().pinned(false)
     val rebuildCids = groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
-      .select(col("cid")).localCheckpoint(false)
+      .select(col("cid")).pinned(false)
     // old component labels whose MEMBERSHIP relabels by contraction alone
     // (merge groups of ≥2 cids, minus the rebuild groups) — their edges
     // are NOT touched: elabels go stale-but-covered (still member nodes)
@@ -217,17 +218,17 @@ object IncrementalCc {
       .select("cid")
       .join(rebuildCids, Seq("cid"), "left_anti")
       .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_semi")
-      .distinct().localCheckpoint(false)
+      .distinct().pinned(false)
 
     // ---- the three buckets -------------------------------------------
     // memberships: rebuilt components (full rewrite) and merged
     // components (labels-only relabel) — two labels scans
     val alRebuild = labels
       .join(rebuildCids.select(col("cid").as("label")), Seq("label"), "left_semi")
-      .select(col("node"), col("label")).localCheckpoint(false)
+      .select(col("node"), col("label")).pinned(false)
     val mergeMembers = labels
       .join(relabelCids.select(col("cid").as("label")), Seq("label"), "left_semi")
-      .select(col("node"), col("label")).localCheckpoint(false)
+      .select(col("node"), col("label")).pinned(false)
 
     // rebuild bucket: the groups' surviving old edges (selected by
     // MEMBERSHIP as the epoch key — elabels may be any member node) +
@@ -247,9 +248,9 @@ object IncrementalCc {
           .join(groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
             .select(col("cid").as("ca")), Seq("ca"), "left_semi")
           .select(col("doc_a"), col("doc_b"))
-        val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().localCheckpoint(false)
+        val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().pinned(false)
         val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
-        val rbl = rbLabels.localCheckpoint(false)
+        val rbl = rbLabels.pinned(false)
         val rbp = rebuildEdges
           .join(rbl.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
           .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
@@ -263,7 +264,7 @@ object IncrementalCc {
     // label by contraction alone — no connectivity over real edges, no
     // edge rewrite
     val mergeGroupOf = groupOf.join(rebuildGroups, Seq("glabel"), "left_anti")
-      .localCheckpoint(false)
+      .pinned(false)
     // members relabel EXCLUDING retired ones: a changed doc is retired
     // from its old component AND re-enters as a fresh contracted node, so
     // without the anti-join it would earn two labels rows (one here, one
@@ -300,17 +301,17 @@ object IncrementalCc {
 
     val labelsIn = rbLabelsP.select(col("node"), col("label"))
       .unionByName(mgLabels).unionByName(mgFreshLabels)
-      .localCheckpoint(false)
+      .pinned(false)
     val pairsIn = rbPairs.unionByName(mgNewPairs)
-      .select(PairCols.map(col): _*).localCheckpoint(false)
+      .select(PairCols.map(col): _*).pinned(false)
     // labelsOut: every retired node's membership row, plus the rebuilt
     // AND merged components' memberships (re-entering via labelsIn);
     // pairsOut: only the REBUILT memberships — merged components keep
     // their edge rows, stale elabels covered by the retained membership
     val labelsOut = r.unionByName(alRebuild.select("node"))
       .unionByName(mergeMembers.select("node"))
-      .distinct().localCheckpoint(false)
-    val pairsOut = alRebuild.select("node").localCheckpoint(false)
+      .distinct().pinned(false)
+    val pairsOut = alRebuild.select("node").pinned(false)
     LabelDelta(labelsOut, labelsIn, pairsIn, pairsOut)
   }
 

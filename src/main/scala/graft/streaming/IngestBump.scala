@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline.PipelineOps
+import graft.pipeline.PipelineOps.PinnedFrame
 
 /** The ingest-version-bump driver: ONE orchestrated pass that takes the
   * corpus from snapshot N to snapshot N+1 across every maintained
@@ -260,7 +261,7 @@ object IngestBump {
       case Some(m) =>
         val retired = m.members.select("vec_id").distinct()
           .join(ts.vecs.select("vec_id"), Seq("vec_id"), "left_anti")
-          .localCheckpoint(false)
+          .pinned(false)
         val (prior, reopened, rebuilt) =
           SemDedupStream.retireTrained(m, retired, ts.maxCell, ts.threshold)
         val (st, sd) = SemDedupStream.refreshTrainedDelta(
@@ -275,7 +276,7 @@ object IngestBump {
         st
     }
     SemDedupStream.trainedVerdict(ts.vecs.select("vec_id").distinct(), st, ts.maxCell)
-      .localCheckpoint(false)
+      .pinned(false)
   }
 
   /** A CDC delta feed — the shape an ingest log provides: ids whose docs
@@ -336,11 +337,11 @@ object IngestBump {
       "bumpTextCdc needs an ingested base — run bump() on the first snapshot"))
     val deltaDocs = delta.changed.select(DocCols.map(col): _*)
       .unionByName(delta.added.select(DocCols.map(col): _*))
-      .localCheckpoint(false)
+      .pinned(false)
     // a changed doc departs the log under its old hash and re-enters via
     // the delta log under its new one
     val departed = delta.removedIds.select("doc_id")
-      .unionByName(delta.changed.select("doc_id")).localCheckpoint(false)
+      .unionByName(delta.changed.select("doc_id")).pinned(false)
     val retainedLog = m("livelog").join(departed, Seq("doc_id"), "left_anti")
     // replay idempotency: on a re-run of an already-committed bump the
     // feed's added docs are ALREADY in the carried livelog (and not in
@@ -355,7 +356,7 @@ object IngestBump {
     val deltaLog = DedupStream.arrivalLog(deltaDocs)
       .join(retainedLog.join(deltaDocs.select("doc_id"), Seq("doc_id"), "left_semi"),
         Seq("doc_id", "content_hash"), "left_anti")
-      .localCheckpoint(false)
+      .pinned(false)
     val livelog = retainedLog.unionByName(deltaLog)
     if (auditSampleMod > 0) auditFeed(livelog, corpus, auditSampleMod)
     // touched-hash survivor re-selection: survivor(h) can only change
@@ -371,28 +372,28 @@ object IngestBump {
     val touched = m("livelog").join(departed, Seq("doc_id"), "left_semi")
       .select("content_hash")
       .unionByName(deltaLog.select("content_hash"))
-      .distinct().localCheckpoint(false)
+      .distinct().pinned(false)
     val sw = Window.partitionBy(col("content_hash"))
     val reselected = livelog.join(touched, Seq("content_hash"), "left_semi")
       .withColumn("__min", min(col("doc_id")).over(sw))
       .where(col("doc_id") === col("__min")).drop("__min")
-      .localCheckpoint(false)
+      .pinned(false)
     // old survivors whose hash went untouched are still survivors AND
     // still byte-valid; a reselected (touched-hash) winner is valid iff
     // it was already a survivor under the same hash
     val untouchedSurv = m("survhash").join(touched, Seq("content_hash"), "left_anti")
     val validReselected = m("survhash")
       .join(reselected, Seq("doc_id", "content_hash"), "left_semi")
-      .localCheckpoint(false)
+      .pinned(false)
     val newSurvIds = untouchedSurv
       .unionByName(reselected.select("doc_id", "content_hash"))
     val retired = m("survhash").join(touched, Seq("content_hash"), "left_semi")
       .select("doc_id")
       .join(validReselected.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint(false)
+      .pinned(false)
     val batchSurvhash = reselected.select("doc_id", "content_hash")
       .join(validReselected.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint(false)
+      .pinned(false)
     // batch bodies: from the feed where present; promoted ids fetch from
     // the corpus
     val promoted = batchSurvhash.select("doc_id")
@@ -401,7 +402,7 @@ object IngestBump {
       .join(batchSurvhash.select("doc_id"), Seq("doc_id"), "left_semi")
       .unionByName(corpus.select(DocCols.map(col): _*)
         .join(promoted, Seq("doc_id"), "left_semi"))
-      .localCheckpoint(false)
+      .pinned(false)
     val verdict = advanceText(spark, dir, m,
       survProj = newSurvIds,
       batchDocs = batchDocs,
@@ -546,7 +547,7 @@ object IngestBump {
       "grams" -> pd.newGrams, "pairs" -> labeled, "labels" -> labels,
       "survhash" -> newSurv.select("doc_id", "content_hash"),
       "livelog" -> arrivals), TextPartitions)
-    DedupStream.verdictFromLabels(newSurv, arrivals, labels).localCheckpoint(false)
+    DedupStream.verdictFromLabels(newSurv, arrivals, labels).pinned(false)
   }
 
   /** The shared maintenance tail of both bump flavors, once the exact
@@ -597,7 +598,7 @@ object IngestBump {
       .join(ld.labelsOut.select(col("node")), Seq("node"), "left_anti")
       .unionByName(ld.labelsIn)
     DedupStream.verdictFromLabels(survProj, livelog, labelsView)
-      .localCheckpoint(false)
+      .pinned(false)
   }
 
   /** Text family: exact-stage survivors of the new snapshot, valid ids =
@@ -606,8 +607,8 @@ object IngestBump {
     * shared [[advanceText]] tail. First bump (no state) ingests the
     * snapshot as one batch. */
   private def bumpText(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
-    val newSurv = PipelineOps.survivorsOf(newDocs).localCheckpoint(false)
-    val arrivals = DedupStream.arrivalLog(newDocs).localCheckpoint(false)
+    val newSurv = PipelineOps.survivorsOf(newDocs).pinned(false)
+    val arrivals = DedupStream.arrivalLog(newDocs).pinned(false)
     loadTextState(spark, dir) match {
       case None => initialText(spark, dir, newSurv, arrivals)
       case Some(m) =>
@@ -616,7 +617,7 @@ object IngestBump {
           .where(col("content_hash") === col("h2"))
           .select("doc_id")
         val retired = m("survhash").select("doc_id")
-          .join(validIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
+          .join(validIds, Seq("doc_id"), "left_anti").pinned(false)
         val batch = newSurv.join(validIds, Seq("doc_id"), "left_anti")
         // livelog delta/departures by (id, hash) comparison against the
         // carried log: corpus-hash-sized joins, delta-sized writes
@@ -626,7 +627,7 @@ object IngestBump {
           batchDocs = batch,
           retired = retired,
           departed = m("livelog").join(arrivals, logKey, "left_anti")
-            .select("doc_id").localCheckpoint(false),
+            .select("doc_id").pinned(false),
           batchSurvhash = batch.select("doc_id", "content_hash"),
           logDelta = arrivals.join(m("livelog"), logKey, "left_anti"),
           livelog = arrivals,
@@ -656,7 +657,7 @@ object IngestBump {
       case Some(m) =>
         val retired = m.members.select("vec_id")
           .join(vs.vecs.select("vec_id"), Seq("vec_id"), "left_anti")
-          .localCheckpoint(false)
+          .pinned(false)
         val (prior, reopened, rebuilt) =
           SemDedupStream.retire(m, retired, vs.maxCell, vs.threshold)
         val (st, sd) = SemDedupStream.refreshDelta(
@@ -670,7 +671,7 @@ object IngestBump {
             "edges" -> rebuilt.unionByName(sd.edgesIn)))
         st
     }
-    SemDedupStream.verdict(vs.vecs.select("vec_id"), st, vs.maxCell).localCheckpoint(false)
+    SemDedupStream.verdict(vs.vecs.select("vec_id"), st, vs.maxCell).pinned(false)
   }
 
   /** Index family: first bump builds; later bumps reconcile the index's
@@ -715,12 +716,12 @@ object IngestBump {
         // the store as the founding segment + mask (the root quantizer
         // files are layout-invariant and stay put), drop the flat copies,
         // then bump normally against the committed version.
-        val a = spark.read.parquet(s"$idx/ivf_assign.parquet").localCheckpoint(false)
-        val c = spark.read.parquet(s"$idx/pq_codes.parquet").localCheckpoint(false)
+        val a = spark.read.parquet(s"$idx/ivf_assign.parquet").pinned(false)
+        val c = spark.read.parquet(s"$idx/pq_codes.parquet").pinned(false)
         val tomb =
           if (ArtifactStore.exists(spark, s"$idx/tombstones.parquet"))
             spark.read.parquet(s"$idx/tombstones.parquet")
-              .select("vec_id").localCheckpoint(false)
+              .select("vec_id").pinned(false)
           else a.select(col("nbr_id").as("vec_id")).limit(0)
         AnnIndexStore.commit(spark, idx, tomb,
           segsOf = v => Seq(AnnIndexStore.segNameOf(v)),
@@ -729,7 +730,7 @@ object IngestBump {
           .foreach(f => ArtifactStore.delete(spark, s"$idx/$f"))
         bumpIndex(spark, idx, vecs)
       case None =>
-        val n = vecs.localCheckpoint(false)
+        val n = vecs.pinned(false)
         PipelineOps.writeAnnQuantizer(n, idx)
         val (assigned, codes) = PipelineOps.encodeAnnBatch(spark, n, idx)
         AnnIndexStore.commit(spark, idx, n.select("vec_id").limit(0),
@@ -737,11 +738,11 @@ object IngestBump {
           writeSeg = Some(writeSegFrom(assigned, codes)))
       case Some((_, segs)) =>
         val physical = AnnIndexStore.segAssigned(spark, idx, segs)
-          .select(col("nbr_id").as("vec_id")).localCheckpoint(false)
+          .select(col("nbr_id").as("vec_id")).pinned(false)
         val arrivals = vecs.join(physical, Seq("vec_id"), "left_anti")
-          .localCheckpoint(false)
+          .pinned(false)
         val tomb = physical.join(vecs.select("vec_id"), Seq("vec_id"), "left_anti")
-          .localCheckpoint(false)
+          .pinned(false)
         val (nTomb, nArrivals, nPhysical) =
           (tomb.count(), arrivals.count(), physical.count())
         val nLive = nPhysical - nTomb + nArrivals

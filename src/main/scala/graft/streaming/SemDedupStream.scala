@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.pipeline.PipelineOps
+import graft.pipeline.PipelineOps.PinnedFrame
 
 /** Incremental refresh of the p44 semantic-dedup verdict — the vector-side
   * twin of [[DedupStream.refreshVerdictIncremental]], for the production
@@ -58,7 +59,7 @@ object SemDedupStream {
     // this entry point carries state IN MEMORY across refreshes (the
     // multi-batch loops) — pin it; the delta path leaves state lazy
     // over the chain files
-    SemState(st.members.localCheckpoint(false), st.edges.localCheckpoint(false))
+    SemState(st.members.pinned(false), st.edges.pinned(false))
   }
 
   /** The per-refresh DELTA payload: the batch's assigned membership rows
@@ -81,7 +82,7 @@ object SemDedupStream {
     val assignedNew = PipelineOps.semAssign(fresh, cents)
       .join(fresh, "vec_id")
       .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
-      .localCheckpoint(false)
+      .pinned(false)
     val members = prev.map(_.members.unionByName(assignedNew)).getOrElse(assignedNew)
 
     // cells currently within the cap; the cell census is catalog-sized
@@ -103,7 +104,7 @@ object SemDedupStream {
       .select(col("cid"),
         least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"))
-      .distinct().localCheckpoint(false)
+      .distinct().pinned(false)
     // new edges are disjoint from carried ones (every new edge has a
     // batch endpoint; the batch is anti-joined against the membership),
     // so the union needs no re-distinct
@@ -128,7 +129,7 @@ object SemDedupStream {
       maxCell: Int, threshold: Double): SemState = {
     val v = validIds.select(col("vec_id"))
     val members = state.members.join(v, Seq("vec_id"), "left_semi")
-      .localCheckpoint(false)
+      .pinned(false)
     val kept = state.edges
       .join(v.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_semi")
       .join(v.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_semi")
@@ -150,7 +151,7 @@ object SemDedupStream {
     // a reopened cell's surviving carried edges are a SUBSET of its
     // rebuilt set — replace rather than union so the state stays canonical
     val edges = kept.join(broadcast(reopened), Seq("cid"), "left_anti")
-      .unionByName(rebuilt).distinct().localCheckpoint(false)
+      .unionByName(rebuilt).distinct().pinned(false)
     SemState(members, edges)
   }
 
@@ -176,7 +177,7 @@ object SemDedupStream {
     val reopened = state.members.groupBy("cid").agg(count(lit(1)).as("szb"))
       .join(lost, "cid")
       .where(col("szb") > maxCell && col("szb") - col("nlost") <= maxCell)
-      .select("cid").localCheckpoint(false)
+      .select("cid").pinned(false)
     val cellM = members.join(broadcast(reopened), "cid")
     val rebuilt = cellM
       .select(col("cid"), col("vec_id").as("va"), col("q").as("qa"), col("nrm").as("nrm_a"))
@@ -188,7 +189,7 @@ object SemDedupStream {
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
-      .localCheckpoint(false)
+      .pinned(false)
     val edges = kept.join(broadcast(reopened), Seq("cid"), "left_anti")
       .unionByName(rebuilt)
     (SemState(members, edges), reopened, rebuilt)
@@ -242,7 +243,7 @@ object SemDedupStream {
       trained: DataFrame, batch: DataFrame, prev: Option[TrainedState],
       maxCell: Int, threshold: Double): TrainedState = {
     val (st, _) = refreshTrainedDelta(trained, batch, prev, maxCell, threshold)
-    TrainedState(st.members.localCheckpoint(false), st.edges.localCheckpoint(false))
+    TrainedState(st.members.pinned(false), st.edges.pinned(false))
   }
 
   /** [[refreshTrained]], also returning the delta payload (the batch's
@@ -260,7 +261,7 @@ object SemDedupStream {
     val newMembers = PipelineOps.probeAssign(fresh, trained)
       .join(fresh, "vec_id")
       .select(col("vec_id"), col("cid"), col("rank"), col("q"), col("nrm"))
-      .localCheckpoint(false)
+      .pinned(false)
     val members = prev.map(_.members.unionByName(newMembers)).getOrElse(newMembers)
 
     val open = members.groupBy("cid").agg(count(lit(1)).as("csz"))
@@ -277,7 +278,7 @@ object SemDedupStream {
       .select(col("cid"),
         least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"))
-      .distinct().localCheckpoint(false)
+      .distinct().pinned(false)
     // new edges have a batch endpoint and the batch is anti-joined against
     // the carried membership — disjoint from carried edges, no re-distinct
     val edges = prev.map(_.edges.unionByName(newEdges)).getOrElse(newEdges)
@@ -305,7 +306,7 @@ object SemDedupStream {
     val reopened = state.members.groupBy("cid").agg(count(lit(1)).as("szb"))
       .join(lost, "cid")
       .where(col("szb") > maxCell && col("szb") - col("nlost") <= maxCell)
-      .select("cid").localCheckpoint(false)
+      .select("cid").pinned(false)
     val cellM = members.join(broadcast(reopened), "cid")
     val rebuilt = cellM
       .select(col("cid"), col("vec_id").as("va"), col("q").as("qa"), col("nrm").as("nrm_a"))
@@ -317,7 +318,7 @@ object SemDedupStream {
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
-      .localCheckpoint(false)
+      .pinned(false)
     val edges = kept.join(broadcast(reopened), Seq("cid"), "left_anti")
       .unionByName(rebuilt)
     (TrainedState(members, edges), reopened, rebuilt)

@@ -1,0 +1,60 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Caps the ESTIMATED statistics a checkpoint captures from its origin plan.
+  *
+  * `Dataset.checkpoint`/`localCheckpoint` wrap the materialized RDD in a
+  * [[LogicalRDD]] carrying `Some(originPlan.stats)` so downstream planning
+  * keeps broadcast decisions. Under ITERATED self-joins — the connected-
+  * components / spanning-forest loops, and maintained state folded through
+  * repeated ingest bumps — that capture compounds: the size-only estimator
+  * multiplies child sizes per join, so a checkpoint-fed-into-a-join-fed-into-
+  * a-checkpoint chain SQUARES the carried estimate every round. After ~25
+  * accumulated squarings the `BigInt` exceeds `BigInteger`'s supported range
+  * (2³¹−1 bits) and *planning itself* throws `ArithmeticException`.
+  *
+  * The fix is a saturation cap, not a reset: estimates at or below
+  * `Long.MaxValue` bytes pass through untouched (delta-sized frames keep
+  * their real sizes, so broadcast planning is unaffected), while anything
+  * beyond — already past physical meaning; no broadcast threshold is within
+  * ten orders of magnitude of it — saturates at `Long.MaxValue`. Re-capping
+  * at every lineage truncation bounds the between-truncation growth to a
+  * handful of multiplications of 64-bit values, which a `BigInt` absorbs
+  * forever.
+  *
+  * Zero-copy: the rebuilt [[LogicalRDD]] reuses the checkpointed RDD, output
+  * attributes, partitioning and ordering — only the captured statistics
+  * change. Compiled into the sql package namespace (the same sanctioned
+  * extension point as [[ColumnBridge]]) because the `LogicalRDD`
+  * constructor and `Dataset.ofRows` are `private[sql]`. */
+object CheckpointStats {
+  private val Cap = BigInt(Long.MaxValue)
+
+  def capEstimate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val st = lr.computeStats()
+        if (st.sizeInBytes <= Cap) df
+        else {
+          val capped = Statistics(
+            sizeInBytes = Cap,
+            rowCount = st.rowCount.map(_.min(Cap)),
+            attributeStats = st.attributeStats,
+            isRuntime = st.isRuntime)
+          // constraints are NOT carried over: they are a planning
+          // optimization, and the origin ExpressionSet is not reachable
+          // through any public accessor on the rebuilt node's fields
+          Dataset.ofRows(
+            ds.sparkSession,
+            new LogicalRDD(
+              lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+              lr.isStreaming, lr.getStream)(ds.sparkSession, Some(capped), None))
+        }
+      case _ => df
+    }
+  }
+}

@@ -124,4 +124,25 @@ class CcFuzzSpec extends AnyFunSuite {
       checkForest(edges, 0L, name)
     }
   }
+
+  test("ccWithForest on STRING ids: the driver tail can never take these — " +
+    "the distributed Borůvka path must still label canonically and span") {
+    import spark.implicits._
+    // two components + a reversed duplicate; lexicographic minima are the labels
+    val edges = Seq(
+      ("alpha", "beta"), ("beta", "gamma"), ("gamma", "alpha"), ("beta", "alpha"),
+      ("x1", "x2"), ("x2", "x3"))
+    val df = edges.toDF("doc_a", "doc_b")
+    val (labelsDf, forestDf) = PipelineOps.ccWithForest(df, Long.MaxValue)
+    val labels = labelsDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map(
+      "alpha" -> "alpha", "beta" -> "alpha", "gamma" -> "alpha",
+      "x1" -> "x1", "x2" -> "x1", "x3" -> "x1"))
+    val forest = forestDf.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(forest.forall(edges.toSet.contains))
+    assert(forest.distinct.size == forest.size)
+    val perComp = forest.groupBy(e => labels(e._1)).view.mapValues(_.size).toMap
+    assert(perComp == Map("alpha" -> 2, "x1" -> 2))
+    assert(forest.forall(e => labels(e._1) == labels(e._2)))
+  }
 }
