@@ -2066,14 +2066,21 @@ object PipelineOps {
       eager = true)
     var comp = truncateLineage(nodes.select(col("node"), col("node").as("comp")), eager = true)
     var forest = edges0.limit(0)
+    // the per-round scan set: an edge INTRA its components can never be
+    // picked again (components only merge), so each round carries only
+    // the surviving inter-component edges forward — the scan shrinks
+    // monotonically, and on dup-shaped graphs collapses after round one
+    // (a clique's |C|²/2 edges all go intra as soon as it contracts)
+    var edgesCur = edges0
     val MaxRounds = 64
     var round = 0
     var done = false
     while (!done && round < MaxRounds) {
-      val eP = truncateLineage(edges0
+      val eP = truncateLineage(edgesCur
         .join(comp.select(col("node").as("ea"), col("comp").as("ca")), "ea")
         .join(comp.select(col("node").as("eb"), col("comp").as("cb")), "eb")
         .where(col("ca") =!= col("cb")), eager = true)
+      edgesCur = eP.select(col("ea"), col("eb"))
       if (eP.isEmpty) done = true
       else {
         val cpair = eP.select(

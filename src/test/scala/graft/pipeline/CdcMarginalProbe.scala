@@ -40,6 +40,12 @@ object CdcMarginalProbe {
     // process lets block-manager/GC pressure from one inflate the next
     val fam = args.drop(1).headOption.getOrElse("all")
     def on(f: String) = fam == "all" || fam == f
+    // one SCALE per JVM when given (A|B): the lazy-checkpoint blocks a
+    // bump pins are never unpersisted, so running the decade back-to-back
+    // in one process lets sfA's accumulated block-manager population
+    // inflate sfB's measurement — the same isolation reasoning as
+    // one-family-per-JVM, applied to the scale axis
+    val tagFilter = args.drop(2).headOption.getOrElse("all")
     val spark = SparkSession.builder()
       .master("local[32]").appName("cdc-marginal-probe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,7 +61,8 @@ object CdcMarginalProbe {
     // fixed delta geometry, identical at both scales
     val REM = 200L; val CHG = 200L; val ADD = 200L
 
-    for (tag <- Seq("A", "B"); warm <- Seq(true, false)) {
+    for (tag <- Seq("A", "B") if tagFilter == "all" || tagFilter == tag;
+         warm <- Seq(true, false)) {
       val dir = s"$root/sf$tag"
       val d0 = spark.read.parquet(s"$dir/documents.parquet")
       val maxId = d0.agg(max("doc_id")).collect()(0).getLong(0)
@@ -74,12 +81,13 @@ object CdcMarginalProbe {
       // ---- text family: base ingest via the composed driver (untimed),
       // then ONE CDC-fed bump — the production marginal: delta-only
       // hashing, delta-only state writes (the LSM chain), verdict forced.
-      // Single-shot (not min-of-2): a bump ADVANCES the state, so a
-      // second application is a cheaper near-no-op; the warm pass on its
-      // own root covers JIT.
+      // MIN-OF-3, each rep on its own fresh root (a bump ADVANCES its
+      // state, so reps must not share a root): single-shot measurements
+      // of this call showed 2-4× whole-JVM slow stretches (GC/JIT
+      // weather — TextMarginalDecomp reproduced a 30 s and an 11 s
+      // production call from the same binary back-to-back), and min is
+      // the statistic that discards them.
       val tText = if (!on("text")) 0.0 else {
-        val broot = s"$tmp/bump_${tag}_$warm"
-        IngestBump.bump(spark, broot, d0)
         val cdc = IngestBump.CorpusDelta(
           removedIds = d0.where(col("doc_id") >= remLo && col("doc_id") < chgLo)
             .select("doc_id"),
@@ -93,10 +101,17 @@ object CdcMarginalProbe {
         // LSM delta write — all inside the call) vs VERDICT emission
         // (CC over the edge set + corpus-hash assembly — the full-table
         // output a publish pays; forced by count)
-        var v: DataFrame = null
-        val tMaint = time { v = IngestBump.bumpTextCdc(spark, broot, cdc, newDocs) }
-        val tVerdict = time(v.count())
-        if (!warm) println(f"TEXTSPLIT sf$tag maint=$tMaint%.3f verdict=$tVerdict%.3f")
+        val reps = (if (warm) Seq(0) else Seq(1, 2, 3)).map { rep =>
+          val broot = s"$tmp/bump_${tag}_${warm}_$rep"
+          IngestBump.bump(spark, broot, d0)
+          var v: DataFrame = null
+          val tMaint = time { v = IngestBump.bumpTextCdc(spark, broot, cdc, newDocs) }
+          val tVerdict = time(v.count())
+          (tMaint, tVerdict)
+        }
+        val (tMaint, tVerdict) = reps.minBy(r => r._1 + r._2)
+        if (!warm) println(f"TEXTSPLIT sf$tag maint=$tMaint%.3f verdict=$tVerdict%.3f " +
+          s"(maint reps ${reps.map(r => f"${r._1}%.1f").mkString("/")})")
         tMaint + tVerdict
       }
 
