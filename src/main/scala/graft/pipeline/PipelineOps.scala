@@ -1889,7 +1889,6 @@ object PipelineOps {
 
     var converged = false
     var iter = 0
-    var edgeCount = edges.count() // memoized across rounds: one count job each
 
     // Hybrid tail: at or below ~128k oriented edges (~2 MB of id pairs) a
     // driver-side union-find labels the graph in O(E α(E)) — the
@@ -1903,9 +1902,22 @@ object PipelineOps {
     // cast("long") would silently corrupt non-numeric ids, and narrower
     // integrals would come back widened to long — a silent output-schema
     // change vs the distributed path.
+    // Gate + collect in ONE capped job: a full count() would scan every
+    // edge just to pick the path (O(E) at 100 TB); limit(threshold+1)
+    // stops as soon as the threshold is exceeded, and when it isn't, the
+    // probed rows ARE the tail's input — no second scan.
     val int64Ids =
       pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (edgeCount <= localEdgeThreshold && int64Ids) {
+    val tailRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (!int64Ids) None
+      else if (localEdgeThreshold >= Int.MaxValue - 1) // forced-tail test seam
+        Some(edges.select(col("u").cast("long"), col("v").cast("long")).collect())
+      else {
+        val r = edges.select(col("u").cast("long"), col("v").cast("long"))
+          .limit(localEdgeThreshold.toInt + 1).collect()
+        if (r.length > localEdgeThreshold) None else Some(r)
+      }
+    if (tailRows.isDefined) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -1914,7 +1926,7 @@ object PipelineOps {
         while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      edges.select(col("u").cast("long"), col("v").cast("long")).collect().foreach { row =>
+      tailRows.get.foreach { row =>
         val (x, y) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
         val (rx, ry) = (find(x), find(y))
@@ -1935,6 +1947,7 @@ object PipelineOps {
     // with a wide margin, and a non-converged exit is made FATAL below —
     // a non-star edge set would silently yield conflicting labels
     val MaxRounds = 64
+    var edgeCount = edges.count() // memoized across rounds: one count job each
     while (!converged && iter < MaxRounds) {
       // large-star: every neighbor larger than u re-attaches to
       // m = min(Γ(u) ∪ {u}) — long paths halve here
@@ -2002,13 +2015,26 @@ object PipelineOps {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
     val int64Ids =
       pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (!int64Ids || pairs.count() > bound)
-      return distributedForest(pairs)
+    // gate + collect in ONE capped job: a full count() would scan every
+    // edge just to pick the path (O(E) at 100 TB); limit(bound+1) stops
+    // as soon as the bound is exceeded, and when it isn't, the probed
+    // rows ARE the driver tail's input — no second scan
+    val probed: Option[Array[org.apache.spark.sql.Row]] =
+      if (!int64Ids) None
+      else if (bound >= Int.MaxValue - 1) // forced-driver test seam: plain collect
+        Some(pairs.select(a.cast("long").as("a"), b.cast("long").as("b")).collect())
+      else {
+        val r = pairs.select(a.cast("long").as("a"), b.cast("long").as("b"))
+          .limit(bound.toInt + 1).collect()
+        if (r.length > bound) None else Some(r)
+      }
+    if (probed.isEmpty)
+      return distributedForest(pairs, bound)
     // walk edges ascending by (min, max): on clique-ish components every
     // (min, x) edge lands first, so the forest comes out STAR-shaped
     // around the component minimum — maximizing leaves, which maximizes
     // the deletions the certificate can declare safe
-    val rows = pairs.select(a.cast("long").as("a"), b.cast("long").as("b")).collect()
+    val rows = probed.get
       .sortBy(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1))))
     val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -2054,9 +2080,26 @@ object PipelineOps {
     * every forest row here is an input row, which is what makes the
     * result a usable deletion certificate. Type-agnostic (least/greatest
     * and min-struct work on any ordered id type), like the distributed
-    * labeler. */
-  private[graft] def distributedForest(pairs: DataFrame): (DataFrame, DataFrame) = {
+    * labeler.
+    *
+    * HYBRID FINISH (`hybridBound` ≥ 1, int64 ids): each round first
+    * probes whether the surviving inter-component residual fits the
+    * driver bound (a capped `limit(bound+1)` collect — early-stopping,
+    * smaller than the round's own scans); once it does, one driver
+    * union-find over the CONTRACTED residual replaces the remaining
+    * O(log n) rounds — the long-chain tail that otherwise drives most of
+    * the round count runs on data that stopped being distributed work
+    * rounds ago. The same small-side cutoff reasoning as
+    * [[connectedComponents]]'s driver tail, applied mid-loop. */
+  private[graft] def distributedForest(
+      pairs: DataFrame, hybridBound: Long = -1L): (DataFrame, DataFrame) = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
+    val int64Ids =
+      pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val hb =
+      if (hybridBound >= 0) hybridBound
+      else sys.props.get("graft.cc.forestEdgeBound").map(_.toLong).getOrElse(1L << 20)
+    val hybrid = int64Ids && hb >= 1 && hb < Int.MaxValue - 1
     val edges0 = truncateLineage(
       pairs.select(a.as("ea"), b.as("eb")).where(col("ea") =!= col("eb")).distinct(),
       eager = true)
@@ -2081,7 +2124,51 @@ object PipelineOps {
         .join(comp.select(col("node").as("eb"), col("comp").as("cb")), "eb")
         .where(col("ca") =!= col("cb")), eager = true)
       edgesCur = eP.select(col("ea"), col("eb"))
-      if (eP.isEmpty) done = true
+      // hybrid finish: residual fits the driver bound → one union-find
+      // over the contracted rows ends the loop
+      val resid: Option[Array[org.apache.spark.sql.Row]] =
+        if (!hybrid) None
+        else {
+          val r = eP.select(col("ea"), col("eb"), col("ca"), col("cb"))
+            .limit(hb.toInt + 1).collect()
+          if (r.length > hb) None else Some(r)
+        }
+      if (resid.isDefined) {
+        val rows = resid.get.map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(t => (math.min(t._3, t._4), math.max(t._3, t._4), t._1, t._2))
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        rows.foreach { case (ea, eb, ca, cb) =>
+          parent.getOrElseUpdate(ca, ca); parent.getOrElseUpdate(cb, cb)
+          val (ra, rb) = (find(ca), find(cb))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            picks += ((ea, eb))
+          }
+        }
+        val sess = pairs.sparkSession
+        import sess.implicits._
+        if (picks.nonEmpty)
+          forest = truncateLineage(
+            forest.unionByName(picks.toSeq.toDF("ea", "eb")), eager = true)
+        // comps outside the residual are already final and map to
+        // themselves through the left join's coalesce
+        val rootOf = parent.keys.toSeq.map(c => (c, find(c))).toDF("comp", "fr")
+        comp = truncateLineage(
+          comp.join(broadcast(rootOf), Seq("comp"), "left")
+            .select(col("node"), coalesce(col("fr"), col("comp")).as("comp")),
+          eager = true)
+        done = true
+      }
+      else if (eP.isEmpty) done = true
       else {
         val cpair = eP.select(
             least(col("ca"), col("cb")).as("x"), greatest(col("ca"), col("cb")).as("y"),

@@ -123,6 +123,13 @@ class CcFuzzSpec extends AnyFunSuite {
     test(s"ccWithForest distributed Borůvka on $name: labels + spanning forest") {
       checkForest(edges, 0L, name)
     }
+    test(s"ccWithForest HYBRID finish (bound 8) on $name: labels + spanning forest") {
+      // every shape exceeds 8 edges → distributed entry; Borůvka rounds
+      // run until the inter-component residual fits 8 rows, then the
+      // driver union-find finish takes over — the mid-loop transition
+      // is the thing under test
+      checkForest(edges, 8L, name)
+    }
   }
 
   test("ccWithForest on STRING ids: the driver tail can never take these — " +

@@ -55,12 +55,20 @@ object DistForestProbe {
       expr("id div 500").as("s"), (col("id") % 500).as("i"))
       .select((lit(starBase) + col("s") * 1000).as("doc_a"),
         (lit(starBase) + col("s") * 1000 + col("i") + 1).as("doc_b"))
-    val edges = cliques.unionByName(chains).unionByName(stars)
+    // one DEEP chain: 50k nodes — negligible edge mass, but it alone
+    // drives the Borůvka round count to ~log₂(50k) ≈ 16, which is what
+    // separates the hybrid finish (2 rounds + driver residual) from the
+    // pure path (every round a full scheduling barrier on a cluster)
+    val deepBase = starBase + blocks.toLong * 100
+    val deep = spark.range(0, 49999).select(
+      (lit(deepBase) + col("id")).as("doc_a"),
+      (lit(deepBase) + col("id") + 1).as("doc_b"))
+    val edges = cliques.unionByName(chains).unionByName(stars).unionByName(deep)
       .localCheckpoint(true)
     val nEdges = edges.count()
     val nNodes = edges.select(col("doc_a").as("n")).union(edges.select(col("doc_b").as("n")))
       .distinct().count()
-    val nComps = blocks + blocks / 100 + blocks / 200
+    val nComps = blocks + blocks / 100 + blocks / 200 + 1
     println(s"DFPROBE edges=$nEdges nodes=$nNodes comps=$nComps " +
       s"(driver bound=${1L << 20}; ${if (nEdges > (1L << 20)) "ABOVE" else "below"})")
 
@@ -77,7 +85,8 @@ object DistForestProbe {
       require(ok, s"$tag invariants")
     }
     run("driver-tail", Long.MaxValue)
-    run("distributed", 0L)
+    run("distributed", 0L) // bound 0 → pure Borůvka, hybrid finish off
+    run("dist-hybrid", 1L << 20) // production default: hybrid finish on
     spark.stop()
   }
 }

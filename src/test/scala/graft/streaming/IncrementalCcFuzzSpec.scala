@@ -76,6 +76,12 @@ class IncrementalCcFuzzSpec extends AnyFunSuite {
     finally sys.props.remove("graft.cc.forestEdgeBound")
   }
 
+  test("the same chains with a tiny driver bound (4): driver tail, Borůvka, and the HYBRID mid-loop finish all interleave") {
+    sys.props("graft.cc.forestEdgeBound") = "4"
+    try driveChains(Seq(7L))
+    finally sys.props.remove("graft.cc.forestEdgeBound")
+  }
+
   private def driveChains(seeds: Seq[Long]): Unit = {
     for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
