@@ -42,6 +42,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // bound driver-metadata growth by wall-clock, not heap pressure
+      // (SCALING.md ops note): long single-JVM runs otherwise accumulate
+      // weak-ref-cleanable RDD/shuffle state between rare full GCs
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -40,6 +40,10 @@ object LoadBench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
+      // bound driver-metadata growth by wall-clock, not heap pressure
+      // (SCALING.md ops note): long single-JVM runs otherwise accumulate
+      // weak-ref-cleanable RDD/shuffle state between rare full GCs
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

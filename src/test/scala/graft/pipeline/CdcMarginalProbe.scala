@@ -50,6 +50,10 @@ object CdcMarginalProbe {
       .master("local[32]").appName("cdc-marginal-probe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // bound driver-metadata growth by wall-clock, not heap pressure
+      // (SCALING.md ops note): long single-JVM runs otherwise accumulate
+      // weak-ref-cleanable RDD/shuffle state between rare full GCs
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(f: => Unit): Double = {

@@ -32,7 +32,11 @@ object DistForestProbe {
     val blocks = args.headOption.map(_.toInt).getOrElse(30000)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // bound driver-metadata growth by wall-clock, not heap pressure
+      // (SCALING.md ops note): long single-JVM runs otherwise accumulate
+      // weak-ref-cleanable RDD/shuffle state between rare full GCs
+      .config("spark.cleaner.periodicGC.interval", "5min").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // clique blocks: 10 nodes each, all 45 intra-edges — the dup-cluster

@@ -21,7 +21,11 @@ object TextMarginalDecomp {
     val dir = args.headOption.getOrElse("/tmp/ramp/sfB")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // bound driver-metadata growth by wall-clock, not heap pressure
+      // (SCALING.md ops note): long single-JVM runs otherwise accumulate
+      // weak-ref-cleanable RDD/shuffle state between rare full GCs
+      .config("spark.cleaner.periodicGC.interval", "5min").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f; println(f"PHASE $tag ${(System.nanoTime - t0) / 1e9}%.2f s")
