@@ -103,12 +103,14 @@ object IncrementalCc {
     // predicate so ONE edge-state scan feeds all three (the predicate is
     // a per-row hash probe — scan-shaped at any corpus size); a delta too
     // large to collect falls back to three broadcast semi-join scans.
+    // one collect serves both the emptiness check and the InSet values —
+    // the retired set is delta-sized by contract either way
+    val rVals = r.collect().map(_.get(0)).toSeq
     val (fdeg, adjacent, elabelHit) =
-      if (r.isEmpty) {
+      if (rVals.isEmpty) {
         val e = r.select(col("node"))
         (e.withColumn("fd", lit(1L)).limit(0), e.limit(0), e.limit(0))
       } else {
-        val rVals = r.collect().map(_.get(0)).toSeq
         if (rVals.length <= (1 << 16)) {
           def inR(c: org.apache.spark.sql.Column) = c.isin(rVals: _*)
           val touched = labeledPairs
