@@ -2008,10 +2008,17 @@ object PipelineOps {
       forestEdgeBound: Long = -1L): (DataFrame, DataFrame) = {
     // -1 = resolve the driver-tail bound per call: the default 2^20, or
     // the -Dgraft.cc.forestEdgeBound override (the test seam that forces
-    // the full maintenance stack over the distributed Borůvka path)
+    // the full maintenance stack over the distributed Borůvka path).
+    // The property is clamped below the plain-collect threshold: an
+    // operator-set bound can widen the driver tail but never disable the
+    // limit(bound+1) gate — the UNBOUNDED collect branch is reachable
+    // only through this private[graft] parameter (specs pass
+    // Long.MaxValue to pin driver-path semantics on known-small inputs).
     val bound =
       if (forestEdgeBound >= 0) forestEdgeBound
-      else sys.props.get("graft.cc.forestEdgeBound").map(_.toLong).getOrElse(1L << 20)
+      else math.min(
+        sys.props.get("graft.cc.forestEdgeBound").map(_.toLong).getOrElse(1L << 20),
+        (Int.MaxValue - 2).toLong)
     val Seq(a, b) = pairs.columns.toSeq.map(col)
     val int64Ids =
       pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
@@ -2084,8 +2091,9 @@ object PipelineOps {
     *
     * HYBRID FINISH (`hybridBound` ≥ 1, int64 ids): each round first
     * probes whether the surviving inter-component residual fits the
-    * driver bound (a capped `limit(bound+1)` collect — early-stopping,
-    * smaller than the round's own scans); once it does, one driver
+    * driver bound (a capped `limit(bound+1).count()` — early-stopping,
+    * one long to the driver; the residual ROWS are only collected on
+    * the single round that takes the finish); once it fits, one driver
     * union-find over the CONTRACTED residual replaces the remaining
     * O(log n) rounds — the long-chain tail that otherwise drives most of
     * the round count runs on data that stopped being distributed work
@@ -2098,7 +2106,9 @@ object PipelineOps {
       pairs.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
     val hb =
       if (hybridBound >= 0) hybridBound
-      else sys.props.get("graft.cc.forestEdgeBound").map(_.toLong).getOrElse(1L << 20)
+      else math.min( // same clamp as ccWithForest: prop never unbounds a collect
+        sys.props.get("graft.cc.forestEdgeBound").map(_.toLong).getOrElse(1L << 20),
+        (Int.MaxValue - 2).toLong)
     val hybrid = int64Ids && hb >= 1 && hb < Int.MaxValue - 1
     val edges0 = truncateLineage(
       pairs.select(a.as("ea"), b.as("eb")).where(col("ea") =!= col("eb")).distinct(),
@@ -2124,17 +2134,20 @@ object PipelineOps {
         .join(comp.select(col("node").as("eb"), col("comp").as("cb")), "eb")
         .where(col("ca") =!= col("cb")), eager = true)
       edgesCur = eP.select(col("ea"), col("eb"))
-      // hybrid finish: residual fits the driver bound → one union-find
-      // over the contracted rows ends the loop
-      val resid: Option[Array[org.apache.spark.sql.Row]] =
-        if (!hybrid) None
-        else {
-          val r = eP.select(col("ea"), col("eb"), col("ca"), col("cb"))
-            .limit(hb.toInt + 1).collect()
-          if (r.length > hb) None else Some(r)
-        }
-      if (resid.isDefined) {
-        val rows = resid.get.map(r =>
+      // ONE capped count probe per round serves both the hybrid-finish
+      // gate and the emptiness check: it scans at most bound+1 rows of
+      // the (already checkpoint-pinned) residual and ships a single long
+      // to the driver — the full residual row transfer happens only on
+      // the one round that actually takes the driver finish, never as
+      // per-round overhead on graphs whose residual stays over the bound
+      val probeCap = if (hybrid) hb else 0L
+      val nResid = eP.limit(probeCap.toInt + 1).count()
+      if (nResid == 0) done = true
+      else if (hybrid && nResid <= hb) {
+        // hybrid finish: residual fits the driver bound → one union-find
+        // over the contracted rows ends the loop
+        val rows = eP.select(col("ea"), col("eb"), col("ca"), col("cb"))
+          .collect().map(r =>
             (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
           .sortBy(t => (math.min(t._3, t._4), math.max(t._3, t._4), t._1, t._2))
         val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -2168,8 +2181,7 @@ object PipelineOps {
           eager = true)
         done = true
       }
-      else if (eP.isEmpty) done = true
-      else {
+      else { // nResid > probeCap: non-empty residual over the bound
         val cpair = eP.select(
             least(col("ca"), col("cb")).as("x"), greatest(col("ca"), col("cb")).as("y"),
             col("ea"), col("eb"))

@@ -32,6 +32,10 @@ import org.apache.spark.sql.execution.LogicalRDD
   * constructor and `Dataset.ofRows` are `private[sql]`. */
 object CheckpointStats {
   private val Cap = BigInt(Long.MaxValue)
+  // log the first cap per JVM: a fired cap means some loop's estimates
+  // had already left physical meaning, and the rebuilt node drops the
+  // origin's constraint set — operators should be able to see it happened
+  private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def capEstimate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
@@ -40,6 +44,12 @@ object CheckpointStats {
         val st = lr.computeStats()
         if (st.sizeInBytes <= Cap) df
         else {
+          if (warned.compareAndSet(false, true))
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"checkpoint size estimate ${st.sizeInBytes} exceeds " +
+                "Long.MaxValue; saturating (planning-only: compounded " +
+                "estimate, not data size). Capped frames lose inferred " +
+                "constraints. Logged once per JVM.")
           val capped = Statistics(
             sizeInBytes = Cap,
             rowCount = st.rowCount.map(_.min(Cap)),

@@ -161,9 +161,6 @@ object TextMarginalDecomp {
       }
       // the production call on its own fresh root, same JVM: the gap
       // between this and the phase sum above is what the replication
-      // misses (shared-subplan rework across the save jobs, etc.)
-      // the production call on its own fresh root, same JVM: the gap
-      // between this and the phase sum above is what the replication
       // misses — when healthy they MATCH (the phases above ARE the bump)
       val root2 = s"$tmp/bump2"
       IngestBump.bump(spark, root2, d0)
