@@ -77,15 +77,19 @@ object StateStore {
     * CREATE-EXCLUSIVE is HEAD-then-PUT and two RACING writers have a
     * small window to claim the same version. The protocol degrades
     * safely (see the class doc) but the single-writer deployment rule
-    * becomes load-bearing — say so once, loudly, at the first commit. */
-  private[graft] def probeAtomicCreate(fs: FileSystem, dir: String): Unit = {
+    * becomes load-bearing — say so once, loudly, at the first commit.
+    * Returns whether THIS call fired the degraded-mode warning (false on
+    * capable stores, non-S3 schemes, and every repeat probe of an
+    * already-seen filesystem) — the observable a spec pins without
+    * scraping log output. */
+  private[graft] def probeAtomicCreate(fs: FileSystem, dir: String): Boolean = {
     if (probedFs.add(fs.getUri.toString)) {
       val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
       val s3Family = Set("s3a", "s3", "s3n").contains(scheme)
       val conditional =
         try fs.hasPathCapability(new HPath(dir), ConditionalCreateCapability)
         catch { case _: IllegalArgumentException | _: UnsupportedOperationException => false }
-      if (s3Family && !conditional)
+      if (s3Family && !conditional) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"StateStore commit markers on ${fs.getUri} rely on create-exclusive, but this " +
           s"connector does not report '$ConditionalCreateCapability' (needs Hadoop " +
@@ -93,7 +97,9 @@ object StateStore {
           "degrades to HEAD-then-PUT: versions stay internally consistent and readers " +
           "can never observe a torn state, but two CONCURRENT writers racing the same " +
           "version number are no longer excluded — enforce one writer per state root.")
-    }
+        true
+      } else false
+    } else false
   }
 
   /** Version numbers allocated under `dir` (`v{N}` children), committed
