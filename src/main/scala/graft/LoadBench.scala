@@ -155,6 +155,12 @@ object LoadBench {
       f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"hit_ratio":$hitRatio%.2f,"n_repeats":$nHits,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"max":${ls.last / 1e9}%.3f,"wall":$wall%.3f,"rps":${ls.length / wall}%.2f,"probe_sec":$probeSec%.3f,"p50_norm":${pct(0.50) / probeSec}%.3f,"p95_norm":${pct(0.95) / probeSec}%.3f,"rps_x_probe":${ls.length / wall * probeSec}%.3f,"sf":"$sfDir","shapes":$shapes}"""
     println(line)
     Files.writeString(Paths.get("loadbench_out.json"), line + "\n")
+    // a SHORT line LAST, same contract as Bench's tail line: harness
+    // captures keep the END of stdout, and the full record above carries
+    // a per-shape table that can push it past the tail buffer — close
+    // stdout with one compact always-parseable record
+    println(
+      f"""{"metric":"load_p95","value":${pct(0.95)}%.3f,"unit":"sec","n":${ls.length},"concurrency":$conc,"p50":${pct(0.50)}%.3f,"p95":${pct(0.95)}%.3f,"rps":${ls.length / wall}%.2f,"probe_sec":$probeSec%.3f,"p50_norm":${pct(0.50) / probeSec}%.3f,"p95_norm":${pct(0.95) / probeSec}%.3f}""")
     spark.stop()
   }
 }
