@@ -456,7 +456,20 @@ object SparkEntry {
       planOn("Suppliers", Seq("Supplier Count", "Supplier Balance"))
         .join(planOn("Customers", Seq("Customer Count", "Customer Balance")),
           Seq("Region ID", "Region"))
-    })
+    }),
+    // round 16: the rca fan-out served by the fused single-plan rollup
+    // (CubePlanner.planFanOutFusedRca) — ONE __combo-tagged grouping-sets
+    // pass replaces the N member rollups; each combo gains a DIFFERENT
+    // added drilldown (Year vs Month), exercising the null-padded union
+    // grain under the rollup. Oracle = UNION ALL of the member rca
+    // computations (the q31 consolidation contract applied to rca).
+    "q53_rca_fanout" -> ((spark: SparkSession, sfDir: String) =>
+      new LogicLayer(TpchStar.planner(sfDir), namedSets, fusedFanOut = true)
+        .plan(spark, LogicLayerQuery(
+          drilldowns = Nil,
+          cuts = Seq(cut("Ship Date.Year.1996,1997"), cut("Ship Date.Month.3,4")),
+          measures = Seq(mea("Quantity")),
+          rca = Some(rcaQ("Geography.Nation,Part.Brand,Quantity")))))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -561,6 +574,8 @@ object SparkEntry {
       """WITH a AS (SELECT year(l_shipdate) AS "Year", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1) SELECT "Year", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (ORDER BY "Year") ORDER BY "Year"""",
     "q40_growth_month" ->
       """WITH a AS (SELECT l_returnflag AS "Return Flag", year(l_shipdate) AS "Year", month(l_shipdate) AS "Month", sum(l_quantity) AS "Quantity" FROM lineitem GROUP BY 1, 2, 3) SELECT "Return Flag", "Year", "Month", "Quantity", ("Quantity" - lag("Quantity") OVER w) / lag("Quantity") OVER w AS "Quantity Growth", "Quantity" - lag("Quantity") OVER w AS "Quantity Growth Value" FROM a WINDOW w AS (PARTITION BY "Return Flag" ORDER BY "Year", "Month") ORDER BY "Return Flag", "Year", "Month"""",
+    "q53_rca_fanout" ->
+      s"""WITH a1 AS (SELECT year(l_shipdate) AS yr, n_nationkey AS nid, n_name AS nname, p_brand AS brand, sum(l_quantity) AS av, sum(l_quantity) AS q FROM $GEO JOIN part ON l_partkey = p_partkey WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2, 3, 4), m1 AS (SELECT yr, nid, nname, brand, (av / sum(av) OVER (PARTITION BY yr, brand)) / (sum(av) OVER (PARTITION BY yr, nid) / sum(av) OVER (PARTITION BY yr)) AS rca, q FROM a1), a2 AS (SELECT month(l_shipdate) AS mo, n_nationkey AS nid, n_name AS nname, p_brand AS brand, sum(l_quantity) AS av, sum(l_quantity) AS q FROM $GEO JOIN part ON l_partkey = p_partkey WHERE month(l_shipdate) IN (3, 4) GROUP BY 1, 2, 3, 4), m2 AS (SELECT mo, nid, nname, brand, (av / sum(av) OVER (PARTITION BY mo, brand)) / (sum(av) OVER (PARTITION BY mo, nid) / sum(av) OVER (PARTITION BY mo)) AS rca, q FROM a2), u AS (SELECT yr AS "Year", nid AS "Nation ID", nname AS "Nation", brand AS "Brand", rca AS "Quantity RCA", q AS "Quantity" FROM m1 UNION ALL SELECT mo, nid, nname, brand, rca, q FROM m2) SELECT * FROM u ORDER BY 1, 2, 3, 4, 5, 6""",
     "q41_top_rca" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", (a / sum(a) OVER (PARTITION BY "Brand")) / (sum(a) OVER (PARTITION BY "Nation ID") / sum(a) OVER ()) AS "Quantity RCA", "Quantity" FROM a) SELECT * FROM g QUALIFY row_number() OVER (PARTITION BY "Brand" ORDER BY "Quantity RCA" DESC, "Nation ID" ASC, "Nation" ASC) <= 2 ORDER BY "Brand" ASC, "Quantity RCA" DESC""",
     "q44_preagg" ->

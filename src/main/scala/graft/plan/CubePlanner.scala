@@ -237,6 +237,9 @@ final class CubePlanner(
     require(queries.length > 1, "fusion needs a real fan-out")
     queries.foreach(validate)
     val q0 = queries.head
+    // rca fuses through its own grouping-sets shape (round 16) — same
+    // precedence as plan(): rca before rate
+    if (q0.rca.isDefined) return planFanOutFusedRca(spark, queries)
     val rate = q0.rate // identical across members (fanOut replicates it)
 
     // rate (round 14): the member path (planRate) excludes the rate level
@@ -482,6 +485,248 @@ final class CubePlanner(
     Some(agg.select(outCols ++ outMeas.map(cq): _*))
   }
 
+  /** Fused fan-out for RCA queries — the round-15 book-closer: the one
+    * member shape that still declined fusion. The member path ([[planRca]])
+    * is a 4-set grouping-sets rollup (a = full grain, b = ext+d2, c =
+    * ext+d1, d = ext) joined back on null-safe keys; N fan-out members
+    * therefore ran N rollups over N near-identical sources. Here ONE
+    * rollup runs, every grouping set prefixed with the `__combo` tag:
+    *
+    *   1. the shared source carries the UNION of the members' ext levels
+    *      plus drill1/drill2; cuts split per member into EXTERNAL
+    *      (not on a drill1 level — the common ones push into the source,
+    *      the varying ones become the combo tag predicates, exactly the
+    *      generic path) and INTERNAL (on a drill1 level — applied
+    *      POST-rollup so they never distort the b/d totals,
+    *      planRca's a-and-c-only rule, rca.rs:100-127 semantics);
+    *   2. out-of-combo ext columns null-pad per combo; grouping over a
+    *      null CONSTANT partitions identically to not grouping at all,
+    *      and every join/group is additionally keyed by `__combo`, so a
+    *      padded null never meets a genuine null key across combos;
+    *   3. the four frames join back on `__combo` + the member key sets
+    *      (null-safe), internal cuts filter per combo on the d1 key
+    *      headers (shared across combos by construction), and
+    *      top/top_where/filters/sparse/limit replicate as
+    *      combo-partitioned stages with the rca calc exposed, mirroring
+    *      [[applyOptions]] with calcs = rca.
+    *
+    * Declines (None → per-member fan-out) when a member's ext levels
+    * intersect drill1/drill2's (duplicate headers — the member path has
+    * the same collision), when member caption resolution disagrees on
+    * the rca drills, on a type-consolidation fallback under top/limit,
+    * and on top+limit without an explicit sort — the generic rules.
+    * Growth and rate are ignored under rca, the plan() precedence. */
+  private[plan] def planFanOutFusedRca(
+      spark: SparkSession, queries: Seq[CubeQuery]): Option[DataFrame] = {
+    val q0 = queries.head
+    val r = q0.rca.get
+    // rca drill outs must resolve identically for every member (captions
+    // ride the member's locale resolution; drill1/drill2 are shared)
+    val d1PerCombo = queries.map(q => outLevels(Seq(r.drill1), q.parents, Nil, q.captions))
+    val d2PerCombo = queries.map(q => outLevels(Seq(r.drill2), q.parents, Nil, q.captions))
+    if (d1PerCombo.distinct.length > 1 || d2PerCombo.distinct.length > 1) return None
+    val d1Outs = d1PerCombo.head
+    val d2Outs = d2PerCombo.head
+    def levelId(o: OutLevel) = (o.dim.name, o.hier.name, o.level.name)
+    val rcaLevels = (d1Outs ++ d2Outs).map(levelId).toSet
+
+    val comboExtOuts = queries.map(q =>
+      outLevels(q.drilldowns, q.parents, q.properties, q.captions))
+    // a member ext level duplicating an rca drill level would collide on
+    // headers in the member path too — decline, identical failure either way
+    if (comboExtOuts.exists(_.exists(o => rcaLevels.contains(levelId(o))))) return None
+    val comboAllOuts = comboExtOuts.map(_ ++ d1Outs ++ d2Outs)
+    val comboHeaders = comboAllOuts.map(drillHeaders)
+    val width = comboHeaders.head.length
+    comboHeaders.drop(1).foreach { h =>
+      if (h.length != width)
+        fail(s"fan-out result width mismatch: ${h.length} vs $width")
+    }
+
+    val unionDrills = queries.flatMap(_.drilldowns).distinct
+    val unionCaptions = queries.flatMap(_.captions).distinct
+    val unionExtOuts = outLevels(unionDrills, q0.parents, q0.properties, unionCaptions)
+    if (unionExtOuts.exists(o => rcaLevels.contains(levelId(o)))) return None
+    val unionAllOuts = unionExtOuts ++ d1Outs ++ d2Outs
+    // the three outLevels calls disambiguate independently (the member
+    // path's shape); a residual duplicate across the concatenation would
+    // alias two source columns — decline
+    val unionAllCols = groupHeaders(unionAllOuts)
+    if (unionAllCols.distinct.length != unionAllCols.length) return None
+
+    val rcaMea = cube.measure(r.mea.name).getOrElse(fail(s"rca measure '${r.mea.name}' not found"))
+    val meas = (rcaMea -> RcaA) +: q0.measures.map(m => cube.measure(m.name).get -> m.name)
+    if (meas.exists(_._1.aggregator.isInstanceOf[Aggregator.BasicGroupedMedian]))
+      fail("grouped-median measures cannot combine with RCA (no single-pass form)")
+
+    // internal/external cut split, per member (d1 levels are shared)
+    val d1Levels = d1Outs.map(levelId).toSet
+    def isInternal(c: CutSpec): Boolean = {
+      val (d, h, i) = resolveLevel(c.levelName)
+      d1Levels.contains((d.name, h.name, h.levels(i).name))
+    }
+    val comboInternal = queries.map(_.cuts.filter(isInternal))
+    val comboExternal = queries.map(_.cuts.filterNot(isInternal))
+    val commonExternal = comboExternal.map(_.toSet).reduce(_ intersect _)
+    val varExternal = comboExternal.map(_.filterNot(commonExternal.contains))
+
+    val wide = buildSource(spark, unionAllOuts, commonExternal.toSeq, q0, Nil)
+    val comboPreds = varExternal.map(
+      _.map(c => cutPredicate(wide, levelKeyHeader(unionAllOuts, c.levelName), c))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+    val tagArr = array(comboPreds.zipWithIndex.map { case (p, i) =>
+      when(p, lit(i)).otherwise(lit(null).cast("int"))
+    }: _*)
+    val tagged = wide
+      .where(comboPreds.reduce(_ || _))
+      .withColumn("__combo", explode(filter(tagArr, x => x.isNotNull)))
+
+    // null-pad out-of-combo ext columns (rca drill columns are in every
+    // combo and never pad)
+    def unionOf(o: OutLevel): OutLevel = unionAllOuts
+      .find(u => levelId(u) == levelId(o))
+      .getOrElse(fail(s"fan-out fusion lost level '${o.level.name}'"))
+    def headersOf(o: OutLevel): Seq[String] =
+      (o.keyHeader +: o.nameHeader.toSeq) ++ o.props.map(_._1)
+    val comboUnionCols: Seq[Seq[String]] =
+      comboAllOuts.map(_.flatMap(o => headersOf(unionOf(o))))
+    val padded = unionAllCols.foldLeft(tagged) { (d, h) =>
+      val in = comboUnionCols.zipWithIndex.collect { case (cols, i) if cols.contains(h) => i }
+      if (in.length == queries.length) d
+      else d.withColumn(h, when(cq("__combo").isin(in: _*), cq(h)))
+    }
+
+    // ONE rollup, every set tagged: __combo is a grouping column of all
+    // four sets, so its grouping_id bit is always 0 and the member gid
+    // arithmetic carries over on the union columns
+    val unionExtKeys = unionExtOuts.map(_.keyHeader)
+    val d1Keys = d1Outs.map(_.keyHeader)
+    val d2Keys = d2Outs.map(_.keyHeader)
+    val setA = unionAllCols
+    val setB = unionExtKeys ++ d2Keys
+    val setC = unionExtKeys ++ d1Keys
+    val setD = unionExtKeys
+    val sets = Seq(setA, setB, setC, setD)
+    def gid(set: Seq[String]): Long =
+      unionAllCols.zipWithIndex.collect {
+        case (c, i) if !set.contains(c) => 1L << (unionAllCols.length - 1 - i)
+      }.sum
+    val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) } :+
+      grouping_id().as("__gid")
+    val rolled = padded
+      .groupingSets(sets.map(s => ("__combo" +: s).map(cq)),
+        ("__combo" +: unionAllCols).map(cq): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    def frame(set: Seq[String], out: String): DataFrame =
+      rolled.where(cq("__gid") === gid(set))
+        .select((("__combo" +: set).map(cq) :+ cq(RcaA).as(out)): _*)
+    // joins add __combo to the member key sets; <=> groups NULL keys like
+    // the grouping sets do, and padded nulls only ever meet their own combo
+    def joinBack(l: DataFrame, rt: DataFrame, keys: Seq[String]): DataFrame = {
+      val jk = "__combo" +: keys
+      val rr = jk.foldLeft(rt)((d, k) => d.withColumnRenamed(k, s"__rj $k"))
+      val cond = jk.map(k => l(k) <=> rr(s"__rj $k")).reduce(_ && _)
+      l.join(rr, cond, "inner").drop(jk.map(k => s"__rj $k"): _*)
+    }
+    val aFrame = rolled.where(cq("__gid") === gid(setA)).drop("__gid")
+    var agg = joinBack(aFrame, frame(setB, RcaB), setB)
+    agg = joinBack(agg, frame(setD, RcaD), setD)
+    agg = joinBack(agg, frame(setC, RcaC), setC)
+
+    // internal cuts: a-grain row predicates per combo, applied after the
+    // joins — the d1 key headers are join keys of the c-join, so filtering
+    // the joined frame equals planRca's filter-both-sides-then-join
+    queries.indices.foreach { i =>
+      comboInternal(i).foreach { cut =>
+        val (cd, ch, ci) = resolveLevel(cut.levelName)
+        val header = unionAllOuts
+          .find(o => o.dim.name == cd.name && o.hier.name == ch.name &&
+            o.level.name == ch.levels(ci).name)
+          .map(_.keyHeader)
+          .getOrElse(fail(s"internal RCA cut level '${cut.levelName}' must be drill_1"))
+        agg = agg.where(cq("__combo") =!= i || cutPredicate(agg, header, cut))
+      }
+    }
+
+    val rcaName = s"${r.mea.name} RCA"
+    agg = agg.withColumn(rcaName, (cq(RcaA) / cq(RcaB)) / (cq(RcaC) / cq(RcaD)))
+    val calcs = Map("rca" -> rcaName)
+    val meaNames = rcaName +: q0.measures.map(_.name)
+
+    // positional consolidation + the applyOptions stages, replicated as
+    // combo-partitioned operations — the generic fused path's rules
+    val posTypes = (0 until width).map { j =>
+      comboUnionCols.map(c => agg.schema(c(j)).dataType).distinct
+    }
+    if ((q0.limit.isDefined || q0.top.isDefined) && posTypes.exists(_.length > 1))
+      return None
+    if (q0.top.isDefined && q0.limit.isDefined && q0.sort.isEmpty) return None
+    def pickCol(j: Int, cast: Boolean): Column = {
+      val srcCols = comboUnionCols.map(_(j))
+      val t = if (posTypes(j).length == 1) posTypes(j).head else StringType
+      def c(name: String) = if (cast) cq(name).cast(t) else cq(name)
+      if (srcCols.distinct.length == 1) c(srcCols.head)
+      else srcCols.zipWithIndex.tail.foldLeft(
+        when(cq("__combo") === 0, c(srcCols.head))) {
+          case (acc, (s, i)) => acc.when(cq("__combo") === i, c(s))
+        }
+    }
+
+    q0.top.foreach { top =>
+      q0.topWhere.foreach { tw =>
+        agg = agg.where(constraintPred(meaOrCalcCol(tw.byMeaOrCalc, calcs), tw.constraint))
+      }
+      val byHeader = levelKeyHeader(unionAllOuts, top.byDimension)
+      val sortCols = top.sortMeaOrCalc.map(meaOrCalcCol(_, calcs))
+      val ordered = top.sortDirection match {
+        case SortDirection.Asc  => sortCols.map(_.asc)
+        case SortDirection.Desc => sortCols.map(_.desc)
+      }
+      val tiebreak = (0 until width)
+        .filterNot(j => comboUnionCols.forall(_(j) == byHeader))
+        .map(j => pickCol(j, cast = false).asc)
+      val w = Window.partitionBy(cq("__combo"), cq(byHeader))
+        .orderBy(ordered ++ tiebreak: _*)
+      agg = agg.withColumn("__rn", row_number().over(w))
+        .where(cq("__rn") <= top.n).drop("__rn")
+    }
+
+    val filterPreds = q0.filters.map { f =>
+      val c = meaOrCalcCol(f.byMeaOrCalc, calcs)
+      val p1 = constraintPred(c, f.constraint)
+      (f.operator, f.constraint2) match {
+        case (Some(FilterOp.And), Some(c2)) => p1 && constraintPred(c, c2)
+        case (Some(FilterOp.Or), Some(c2))  => p1 || constraintPred(c, c2)
+        case _                              => p1
+      }
+    }
+    val sparsePreds = if (q0.sparse) meaNames.map(cq(_).isNotNull) else Nil
+    (filterPreds ++ sparsePreds).reduceOption(_ && _).foreach(p => agg = agg.where(p))
+
+    q0.limit.foreach { l =>
+      val tiebreak = (0 until width).map(j => pickCol(j, cast = false).asc)
+      val ordered: Seq[Column] = q0.sort match {
+        case Some(s) =>
+          val c = meaOrCalcCol(s.measure, calcs)
+          val head = s.direction match {
+            case SortDirection.Asc => c.asc
+            case SortDirection.Desc => c.desc
+          }
+          head +: tiebreak
+        case None => tiebreak
+      }
+      val w = Window.partitionBy(cq("__combo")).orderBy(ordered: _*)
+      val off = l.offset.getOrElse(0L)
+      agg = agg.withColumn("__rn", row_number().over(w))
+        .where(cq("__rn") > off && cq("__rn") <= off + l.n).drop("__rn")
+    }
+
+    val debugCols = if (q0.debug) Seq(RcaA, RcaB, RcaC, RcaD) else Nil
+    val outCols = (0 until width).map(j => pickCol(j, cast = true).as(comboHeaders.head(j)))
+    Some(agg.select(outCols ++ (debugCols ++ meaNames).map(cq): _*))
+  }
+
   // ---------------------------------------------------------------- growth
 
   /** Period-over-period growth via `lag` over a window partitioned by the
@@ -554,6 +799,14 @@ final class CubePlanner(
     val extOuts = outLevels(q.drilldowns, q.parents, q.properties, q.captions)
     val d1Outs  = outLevels(Seq(r.drill1), q.parents, Nil, q.captions)
     val d2Outs  = outLevels(Seq(r.drill2), q.parents, Nil, q.captions)
+    // a drilldown on an rca drill level would emit that level's headers
+    // TWICE (the three outLevels calls disambiguate independently) and
+    // every downstream reference would be ambiguous — fail as a plan
+    // error, not an analyzer artifact (reachable via a logic-layer cut
+    // fan-out on drill_1's level, which auto-drills the cut level)
+    val rcaIds = (d1Outs ++ d2Outs).map(o => (o.dim.name, o.hier.name, o.level.name)).toSet
+    extOuts.find(o => rcaIds.contains((o.dim.name, o.hier.name, o.level.name)))
+      .foreach(o => fail(s"drilldown '${o.level.name}' duplicates an rca drilldown level"))
     val allOuts = extOuts ++ d1Outs ++ d2Outs
 
     // internal = the cut level is one of drill_1's output levels (by resolved

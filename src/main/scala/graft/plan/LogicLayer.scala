@@ -278,9 +278,13 @@ final class LogicLayer(
     * returning None (a type-consolidation fallback under a row slice,
     * top+limit without an explicit sort — a tie-arbitrary slice in the
     * fan-out — and a varying cut on the growth time dimension, which
-    * would break the positional identity of the time columns). */
-  private def fusionEligible(q: LogicLayerQuery): Boolean =
-    q.rca.isEmpty
+    * would break the positional identity of the time columns). rca
+    * (round 16, the last member shape) fuses through
+    * [[CubePlanner.planFanOutFusedRca]]: ONE __combo-tagged grouping-sets
+    * rollup replaces the N member rollups, with its own declines (ext
+    * levels colliding with the rca drills, caption disagreement on the
+    * rca drills). */
+  private def fusionEligible(q: LogicLayerQuery): Boolean = true
 
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq

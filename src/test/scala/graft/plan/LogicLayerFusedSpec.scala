@@ -244,6 +244,78 @@ class LogicLayerFusedSpec extends AnyFunSuite {
     assert(exercised >= 5, s"only $exercised corpus cases carried rate")
   }
 
+  test("rca fuses as one __combo-tagged grouping-sets rollup (round 16)") {
+    val r = RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity)
+    // the fan-out dim (Ship Date: Year + Month cuts) is disjoint from both
+    // rca drills, and each combo gains a DIFFERENT added drilldown — the
+    // null-padding path under the rollup
+    val base = LogicLayerQuery(
+      drilldowns = Nil,
+      cuts = Seq(cut("Ship Date.Year.1996,1997"), cut("Ship Date.Month.3,4,5")),
+      measures = Seq(mea("Quantity")),
+      rca = Some(r))
+    bothAgree(base, mustFuse = true)
+    // internal cut (drill1's own level): post-rollup a/c-only semantics
+    bothAgree(base.copy(
+      cuts = base.cuts :+ cut("Geography.Nation.1,2,3,10,11")), mustFuse = true)
+    // external cut on another level of drill1's dimension: cuts the fact
+    bothAgree(base.copy(cuts = base.cuts :+ cut("Geography.Region.0,1,2")),
+      mustFuse = true)
+    // debug emits the four frame columns between drills and measures
+    bothAgree(base.copy(debug = true), mustFuse = true)
+    // extra measure rides the a-frame only
+    bothAgree(base.copy(measures = Seq(mea("Quantity"), mea("Revenue"))),
+      mustFuse = true)
+    // an extra shared drilldown widens every combo's ext grain
+    bothAgree(base.copy(drilldowns = Seq(drill("Customer.Segment"))),
+      mustFuse = true)
+    // applyOptions stages with the rca calc: filter, sort+limit, sparse, top
+    bothAgree(base.copy(
+      filters = Seq(FilterQuery(MeaOrCalc.RcaCalc,
+        Constraint(Comparison.Gt, 1.0), None, None))), mustFuse = true)
+    bothAgree(base.copy(
+      sort = Some(SortQuery(SortDirection.Desc, MeaOrCalc.RcaCalc)),
+      limit = Some(LimitQuery.parse("3").fold(die, identity))), mustFuse = true)
+    bothAgree(base.copy(sparse = true), mustFuse = true)
+    bothAgree(base.copy(
+      top = Some(TopQuery.parse("2,Geography.Nation,Quantity,desc").fold(die, identity))),
+      mustFuse = true)
+    // a fan-out cut ON drill1's level auto-drills it, duplicating the rca
+    // drill's headers — the fused path declines and BOTH paths reject the
+    // member with the same PlanError (planRca's duplicate-level check)
+    val collide = LogicLayerQuery(
+      drilldowns = Nil,
+      cuts = Seq(cut("Geography.Nation.1,2,3"), cut("Geography.Region.0,2")),
+      measures = Seq(mea("Quantity")),
+      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity)))
+    val ef = intercept[PlanError](fused.plan(spark, collide))
+    val eu = intercept[PlanError](fan.plan(spark, collide))
+    assert(ef.getMessage == eu.getMessage &&
+      ef.getMessage.contains("duplicates an rca drilldown level"))
+  }
+
+  test("rca-augmented LL fuzz slice: fused == fan-out with rca bolted onto " +
+       "every corpus case off the rca dims") {
+    val r = RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity)
+    var exercised = 0
+    val failures = QueryFuzzer.llCases(60).flatMap { fc =>
+      val q0 = graft.server.QueryParams.toLogicLayerQuery(fc.params, TpchStar.salesCube)
+      val q = q0.copy(rca = Some(r), rate = None, growth = None)
+      val a = try Right(fan.plan(spark, q)) catch { case e: PlanError => Left(e) }
+      val b = try Right(fused.plan(spark, q)) catch { case e: PlanError => Left(e) }
+      (a, b) match {
+        case (Right(x), Right(y)) =>
+          exercised += 1
+          if (image(x) == image(y)) None
+          else Some(s"${fc.name}: rca fused != fan-out\n  params=${fc.params}")
+        case (Left(_), Left(_)) => None
+        case _ => Some(s"${fc.name}: one path rejected, the other planned\n  params=${fc.params}")
+      }
+    }
+    assert(failures.isEmpty, s"${failures.length} mismatches:\n${failures.mkString("\n")}")
+    assert(exercised >= 5, s"only $exercised corpus cases carried rca")
+  }
+
   test("60-case LL fuzz corpus: the fused flag is result-invariant, and fusion engages") {
     var fusedCount = 0
     val failures = QueryFuzzer.llCases(60).flatMap { fc =>
