@@ -81,6 +81,18 @@ object IncrementalCc {
 
   private val PairCols = Seq("doc_a", "doc_b", "elabel", "in_forest")
 
+  /** Measurement seam: [[graft.pipeline.CcRefreshDecomp]] installs a
+    * forcing/timing wrapper here to split [[refresh]]'s internal pinned
+    * stages without replicating the production body (the lock-step
+    * discipline TextMarginalDecomp uses, applied via a hook instead of a
+    * copy). Production leaves the identity — stages stay lazily pinned
+    * and materialize under the caller's actions exactly as before. */
+  @volatile private[graft] var stagePin: (String, DataFrame) => DataFrame =
+    (_, df) => df
+  private implicit class StagePinned(private val df: DataFrame) {
+    def spinned(tag: String): DataFrame = stagePin(tag, df.pinned(false))
+  }
+
   /** Advance the maintained labels. `labels` (node, label) and
     * `labeledPairs` (doc_a, doc_b, elabel, in_forest) are the folded
     * state; `retiredIds` (doc_id) and `newPairs` (doc_a, doc_b) are
@@ -92,7 +104,7 @@ object IncrementalCc {
       labeledPairs: DataFrame,
       retiredIds: DataFrame,
       newPairs: DataFrame): LabelDelta = {
-    val r = retiredIds.select(col("doc_id").as("node")).distinct().pinned(false)
+    val r = retiredIds.select(col("doc_id").as("node")).distinct().spinned("retired")
     val rA = r.select(col("node").as("doc_a"))
     val rB = r.select(col("node").as("doc_b"))
 
@@ -103,9 +115,11 @@ object IncrementalCc {
     // predicate so ONE edge-state scan feeds all three (the predicate is
     // a per-row hash probe — scan-shaped at any corpus size); a delta too
     // large to collect falls back to three broadcast semi-join scans.
-    // one collect serves both the emptiness check and the InSet values —
-    // the retired set is delta-sized by contract either way
-    val rVals = r.collect().map(_.get(0)).toSeq
+    // The collect is itself bounded by the same limit(bound+1) gate the
+    // CC driver tails use: at most 2^16+1 rows ever reach the driver —
+    // emptiness, the bound check, and the InSet values all come from the
+    // one probe, and an over-bound retired set never materializes here.
+    val rVals = r.limit((1 << 16) + 1).collect().map(_.get(0)).toSeq
     val (fdeg, adjacent, elabelHit) =
       if (rVals.isEmpty) {
         val e = r.select(col("node"))
@@ -115,7 +129,7 @@ object IncrementalCc {
           def inR(c: org.apache.spark.sql.Column) = c.isin(rVals: _*)
           val touched = labeledPairs
             .where(inR(col("doc_a")) || inR(col("doc_b")) || inR(col("elabel")))
-            .pinned(false)
+            .spinned("touched")
           val f = touched.where(col("in_forest"))
           (f.where(inR(col("doc_a"))).select(col("doc_a").as("node"))
              .unionByName(f.where(inR(col("doc_b"))).select(col("doc_b").as("node")))
@@ -140,7 +154,7 @@ object IncrementalCc {
         }
       }
     val leaves = fdeg.where(col("fd") === 1).select("node")
-    val retiredInGraph = labels.join(r, Seq("node"), "left_semi").pinned(false)
+    val retiredInGraph = labels.join(r, Seq("node"), "left_semi").spinned("retired-in-graph")
     // unsafe = not a certified leaf (over-degree, no forest coverage),
     // forest-adjacent to another retired node (removing both could
     // orphan the subtree between them), or carried as an EPOCH STAMP on
@@ -179,18 +193,21 @@ object IncrementalCc {
     val cidOf = liveLabels
       .join(broadcast(endNodes), Seq("node"), "right_outer")
       .select(col("node"), coalesce(col("label"), col("node")).as("cid"))
-      .pinned(false)
+      .spinned("cid-of")
     val cEdges = newPairs
       .join(cidOf.select(col("node").as("doc_a"), col("cid").as("ca")), "doc_a")
       .join(cidOf.select(col("node").as("doc_b"), col("cid").as("cb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ca"), col("cb"))
-      .pinned(false)
+      .spinned("c-edges")
     // contracted component per cid (delta-sized CC; self-edges drop out),
     // plus a spanning forest of the contraction so each merge adds
     // exactly the connecting edges to the certificate
+    // not pinned: single consumer — ccWithForest's bounded probe collects
+    // it once (and the above-bound path truncates lineage itself), so a
+    // checkpoint here is one materialization job of pure overhead
     val cInter = cEdges.where(col("ca") =!= col("cb"))
       .select(least(col("ca"), col("cb")).as("ca"), greatest(col("ca"), col("cb")).as("cb"))
-      .distinct().pinned(false)
+      .distinct()
     val (cLabels, cForest) = PipelineOps.ccWithForest(cInter)
     // groupOf: cid -> merged group label (itself when untouched by merges).
     // Seeded with BOTH the new-edge endpoints' cids and every
@@ -201,16 +218,16 @@ object IncrementalCc {
       .distinct()
       .join(cLabels.select(col("node").as("cid"), col("label").as("glabel")), Seq("cid"), "left")
       .select(col("cid"), coalesce(col("glabel"), col("cid")).as("glabel"))
-      .pinned(false)
+      .spinned("group-of")
 
     // a contracted group REBUILDS (connectivity over real edges) iff it
     // contains a component already forced to rebuild by an unsafe
     // deletion; everything else relabels by contraction alone
     val rebuildGroups = groupOf
       .join(rebuildDelLabels.select(col("label").as("cid")), Seq("cid"), "left_semi")
-      .select(col("glabel")).distinct().pinned(false)
+      .select(col("glabel")).distinct().spinned("rebuild-groups")
     val rebuildCids = groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
-      .select(col("cid")).pinned(false)
+      .select(col("cid")).spinned("rebuild-cids")
     // old component labels whose MEMBERSHIP relabels by contraction alone
     // (merge groups of ≥2 cids, minus the rebuild groups) — their edges
     // are NOT touched: elabels go stale-but-covered (still member nodes)
@@ -220,17 +237,19 @@ object IncrementalCc {
       .select("cid")
       .join(rebuildCids, Seq("cid"), "left_anti")
       .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_semi")
-      .distinct().pinned(false)
+      // not pinned: mergeMembers is the single consumer, so the chain
+      // (including its one labels-fold scan) runs exactly once either way
+      .distinct()
 
     // ---- the three buckets -------------------------------------------
     // memberships: rebuilt components (full rewrite) and merged
     // components (labels-only relabel) — two labels scans
     val alRebuild = labels
       .join(rebuildCids.select(col("cid").as("label")), Seq("label"), "left_semi")
-      .select(col("node"), col("label")).pinned(false)
+      .select(col("node"), col("label")).spinned("al-rebuild")
     val mergeMembers = labels
       .join(relabelCids.select(col("cid").as("label")), Seq("label"), "left_semi")
-      .select(col("node"), col("label")).pinned(false)
+      .select(col("node"), col("label")).spinned("merge-members")
 
     // rebuild bucket: the groups' surviving old edges (selected by
     // MEMBERSHIP as the epoch key — elabels may be any member node) +
@@ -250,9 +269,9 @@ object IncrementalCc {
           .join(groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
             .select(col("cid").as("ca")), Seq("ca"), "left_semi")
           .select(col("doc_a"), col("doc_b"))
-        val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().pinned(false)
+        val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().spinned("rebuild-edges")
         val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
-        val rbl = rbLabels.pinned(false)
+        val rbl = rbLabels.spinned("rb-labels")
         val rbp = rebuildEdges
           .join(rbl.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
           .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
@@ -266,7 +285,7 @@ object IncrementalCc {
     // label by contraction alone — no connectivity over real edges, no
     // edge rewrite
     val mergeGroupOf = groupOf.join(rebuildGroups, Seq("glabel"), "left_anti")
-      .pinned(false)
+      .spinned("merge-group-of")
     // members relabel EXCLUDING retired ones: a changed doc is retired
     // from its old component AND re-enters as a fresh contracted node, so
     // without the anti-join it would earn two labels rows (one here, one
@@ -303,26 +322,28 @@ object IncrementalCc {
 
     val labelsIn = rbLabelsP.select(col("node"), col("label"))
       .unionByName(mgLabels).unionByName(mgFreshLabels)
-      .pinned(false)
+      .spinned("labels-in")
     val pairsIn = rbPairs.unionByName(mgNewPairs)
-      .select(PairCols.map(col): _*).pinned(false)
+      .select(PairCols.map(col): _*).spinned("pairs-in")
     // labelsOut: every retired node's membership row, plus the rebuilt
     // AND merged components' memberships (re-entering via labelsIn);
     // pairsOut: only the REBUILT memberships — merged components keep
     // their edge rows, stale elabels covered by the retained membership
     val labelsOut = r.unionByName(alRebuild.select("node"))
       .unionByName(mergeMembers.select("node"))
-      .distinct().pinned(false)
-    val pairsOut = alRebuild.select("node").pinned(false)
+      .distinct().spinned("labels-out")
+    // not pinned: a bare projection of the already-pinned alRebuild —
+    // every consumer re-reads the checkpoint, never the upstream plan
+    val pairsOut = alRebuild.select("node")
     LabelDelta(labelsOut, labelsIn, pairsIn, pairsOut)
   }
 
   /** From-scratch labels + epoch-stamped, forest-flagged edges (the first
     * bump / a snapshot rebuild): one global CC with forest extraction —
     * labels = component minima, every edge stamped with its component
-    * label, the driver-bounded spanning forest flagged (or none, above
-    * the bound — deletions then rebuild until touched components regrow
-    * theirs). */
+    * label, the spanning forest flagged at ANY scale (driver union-find
+    * within the tail bound, [[PipelineOps.distributedForest]] Borůvka
+    * above it — certificate coverage is total either way). */
   def initial(pairs: DataFrame): (DataFrame, DataFrame) = {
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val (labels, forest) = PipelineOps.ccWithForest(p)

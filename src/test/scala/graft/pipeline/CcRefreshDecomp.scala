@@ -66,9 +66,39 @@ object CcRefreshDecomp {
         pd.newPairs.count()
       }
       var ld: IncrementalCc.LabelDelta = null
-      p("cc-refresh") {
+      // round 16: split refresh's INTERNAL stages through the stagePin
+      // seam — each pinned stage is forced (count) as refresh builds it,
+      // so its cost lands on its own tag instead of wherever laziness
+      // puts it; the seam wraps the production body, no replication
+      val stageTimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int, Int)]
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+      var lastEnd = System.nanoTime()
+      var lastJobs = jobCount.get()
+      IncrementalCc.stagePin = (tag, df) => {
+        val t0 = System.nanoTime()
+        val gap = (t0 - lastEnd) / 1e9 // eager actions + plan building since the previous stage
+        val gapJobs = jobCount.get() - lastJobs
+        df.count()
+        lastEnd = System.nanoTime()
+        val forceJobs = jobCount.get() - lastJobs - gapJobs
+        lastJobs = jobCount.get()
+        val (g0, f0, gj, fj) = stageTimes.getOrElse(tag, (0.0, 0.0, 0, 0))
+        stageTimes(tag) = (g0 + gap, f0 + (lastEnd - t0) / 1e9, gj + gapJobs, fj + forceJobs)
+        df
+      }
+      lastEnd = System.nanoTime()
+      lastJobs = jobCount.get()
+      try p("cc-refresh") {
         ld = IncrementalCc.refresh(m("labels"), m("pairs"), retired, pd.newPairs)
         ld.labelsOut.count(); ld.labelsIn.count(); ld.pairsIn.count()
+      } finally IncrementalCc.stagePin = (_, df) => df
+      if (round == "measured") stageTimes.foreach { case (tag, (gap, force, gj, fj)) =>
+        println(f"CCSTAGE $tag gap=$gap%.2f ($gj jobs) force=$force%.2f ($fj jobs)")
       }
       if (round == "measured") {
         println(s"CCSIZE labelsOut=${ld.labelsOut.count()} labelsIn=${ld.labelsIn.count()} " +
