@@ -218,38 +218,42 @@ object IncrementalCc {
       .distinct()
       .join(cLabels.select(col("node").as("cid"), col("label").as("glabel")), Seq("cid"), "left")
       .select(col("cid"), coalesce(col("glabel"), col("cid")).as("glabel"))
-      .spinned("group-of")
 
-    // a contracted group REBUILDS (connectivity over real edges) iff it
-    // contains a component already forced to rebuild by an unsafe
-    // deletion; everything else relabels by contraction alone
-    val rebuildGroups = groupOf
-      .join(rebuildDelLabels.select(col("label").as("cid")), Seq("cid"), "left_semi")
-      .select(col("glabel")).distinct().spinned("rebuild-groups")
-    val rebuildCids = groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
-      .select(col("cid")).spinned("rebuild-cids")
-    // old component labels whose MEMBERSHIP relabels by contraction alone
-    // (merge groups of ≥2 cids, minus the rebuild groups) — their edges
-    // are NOT touched: elabels go stale-but-covered (still member nodes)
-    val relabelCids = groupOf.join(
-        groupOf.groupBy("glabel").agg(count(lit(1)).as("n")).where(col("n") > 1)
-          .select("glabel"), Seq("glabel"), "left_semi")
-      .select("cid")
-      .join(rebuildCids, Seq("cid"), "left_anti")
-      .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_semi")
-      // not pinned: mergeMembers is the single consumer, so the chain
-      // (including its one labels-fold scan) runs exactly once either way
-      .distinct()
+    // ONE classification frame replaces the round-15 groupOf/rebuildGroups
+    // /rebuildCids/relabelCids pin chain (four checkpoints, each its own
+    // SQL execution with its own broadcast builds — the round-16 job
+    // census showed those builds ARE the per-bump fixed floor):
+    // cid -> (glabel, n = group size, rb = group contains a component
+    // forced to rebuild by an unsafe deletion). Every bucket below is a
+    // FILTER of this checkpoint.
+    val cidU = groupOf
+      .join(rebuildDelLabels.select(col("label").as("cid"), lit(1).as("u"))
+        .distinct(), Seq("cid"), "left")
+      .select(col("cid"), col("glabel"), coalesce(col("u"), lit(0)).as("u"))
+    val cidFull = cidU
+      .join(cidU.groupBy("glabel").agg(count(lit(1)).as("n"), max(col("u")).as("rb")),
+        Seq("glabel"))
+      .select(col("cid"), col("glabel"), col("n"), col("rb"))
+      .spinned("cid-full")
+    // rebuild group/cid sets: groups containing an unsafe deletion.
+    // relabel set: merge groups of ≥2 cids minus the rebuild groups —
+    // their edges are NOT touched, elabels go stale-but-covered (still
+    // member nodes). No labels-existence filter here: a fresh cid simply
+    // matches no membership row in the inner join below, so the old
+    // corpus-wide labels.distinct() semi-join bought nothing.
+    val rebuildCids = cidFull.where(col("rb") === 1).select("cid")
 
     // ---- the three buckets -------------------------------------------
-    // memberships: rebuilt components (full rewrite) and merged
-    // components (labels-only relabel) — two labels scans
-    val alRebuild = labels
-      .join(rebuildCids.select(col("cid").as("label")), Seq("label"), "left_semi")
-      .select(col("node"), col("label")).spinned("al-rebuild")
-    val mergeMembers = labels
-      .join(relabelCids.select(col("cid").as("label")), Seq("label"), "left_semi")
-      .select(col("node"), col("label")).spinned("merge-members")
+    // memberships of every classified component in ONE labels scan (the
+    // round-15 shape scanned labels once per bucket): rebuilt components
+    // rewrite fully, merged components relabel by contraction alone
+    val memberCls = labels
+      .join(cidFull.select(col("cid").as("label"), col("n"), col("rb")), "label")
+      .select(col("node"), col("label"), col("n"), col("rb"))
+      .spinned("member-cls")
+    val alRebuild = memberCls.where(col("rb") === 1).select(col("node"), col("label"))
+    val mergeMembers = memberCls.where(col("rb") === 0 && col("n") > 1)
+      .select(col("node"), col("label"))
 
     // rebuild bucket: the groups' surviving old edges (selected by
     // MEMBERSHIP as the epoch key — elabels may be any member node) +
@@ -266,8 +270,7 @@ object IncrementalCc {
           .join(rB, Seq("doc_b"), "left_anti")
           .select(col("doc_a"), col("doc_b"))
         val rebuildNew = cEdges
-          .join(groupOf.join(rebuildGroups, Seq("glabel"), "left_semi")
-            .select(col("cid").as("ca")), Seq("ca"), "left_semi")
+          .join(rebuildCids.select(col("cid").as("ca")), Seq("ca"), "left_semi")
           .select(col("doc_a"), col("doc_b"))
         val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct().spinned("rebuild-edges")
         val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
@@ -283,9 +286,8 @@ object IncrementalCc {
 
     // merge bucket: relabel MEMBERSHIPS of merged components to the group
     // label by contraction alone — no connectivity over real edges, no
-    // edge rewrite
-    val mergeGroupOf = groupOf.join(rebuildGroups, Seq("glabel"), "left_anti")
-      .spinned("merge-group-of")
+    // edge rewrite. A filter of the pinned classification, not its own pin.
+    val mergeGroupOf = cidFull.where(col("rb") === 0).select(col("cid"), col("glabel"))
     // members relabel EXCLUDING retired ones: a changed doc is retired
     // from its old component AND re-enters as a fresh contracted node, so
     // without the anti-join it would earn two labels rows (one here, one
@@ -296,9 +298,12 @@ object IncrementalCc {
       .select(col("node"), col("glabel").as("label"))
     // fresh nodes (cids with no membership row) that actually CONNECTED
     // (appear in the contraction's labeling): label with their group;
-    // fresh singletons with only self-pairs never arise (doc_a != doc_b)
+    // fresh singletons with only self-pairs never arise (doc_a != doc_b).
+    // "Has a membership row" is answered by the classified-members
+    // checkpoint — every existing classified cid appears there — instead
+    // of the round-15 corpus-wide labels.distinct() shuffle.
     val mgFreshLabels = mergeGroupOf
-      .join(labels.select(col("label").as("cid")).distinct(), Seq("cid"), "left_anti")
+      .join(memberCls.select(col("label").as("cid")).distinct(), Seq("cid"), "left_anti")
       .join(cLabels.select(col("node").as("cid")), Seq("cid"), "left_semi")
       .select(col("cid").as("node"), col("glabel").as("label"))
     // the delta's non-rebuild new edges: stamped with the group label;

@@ -72,9 +72,12 @@ object CcRefreshDecomp {
       // puts it; the seam wraps the production body, no replication
       val stageTimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int, Int)]
       val jobCount = new java.util.concurrent.atomic.AtomicInteger
+      val jobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobCount.incrementAndGet(); ()
+          jobCount.incrementAndGet()
+          jobSites.add(j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+          ()
         }
       })
       var lastEnd = System.nanoTime()
@@ -97,8 +100,14 @@ object CcRefreshDecomp {
         ld = IncrementalCc.refresh(m("labels"), m("pairs"), retired, pd.newPairs)
         ld.labelsOut.count(); ld.labelsIn.count(); ld.pairsIn.count()
       } finally IncrementalCc.stagePin = (_, df) => df
-      if (round == "measured") stageTimes.foreach { case (tag, (gap, force, gj, fj)) =>
-        println(f"CCSTAGE $tag gap=$gap%.2f ($gj jobs) force=$force%.2f ($fj jobs)")
+      if (round == "measured") {
+        stageTimes.foreach { case (tag, (gap, force, gj, fj)) =>
+          println(f"CCSTAGE $tag gap=$gap%.2f ($gj jobs) force=$force%.2f ($fj jobs)")
+        }
+        val sites = jobSites.toArray(Array.empty[String])
+          .groupBy(identity).map { case (s, xs) => s -> xs.length }.toSeq
+          .sortBy(-_._2)
+        sites.take(12).foreach { case (s, n) => println(s"CCJOBS $n x $s") }
       }
       if (round == "measured") {
         println(s"CCSIZE labelsOut=${ld.labelsOut.count()} labelsIn=${ld.labelsIn.count()} " +
