@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core._
+import graft.pipeline.PipelineOps.PinnedFrame
 
 /** Resolves a schema table to a DataFrame (parquet path, registered view,
   * or anything else the engine knows how to read). */
@@ -486,36 +487,36 @@ final class CubePlanner(
   }
 
   /** Fused fan-out for RCA queries — the round-15 book-closer: the one
-    * member shape that still declined fusion. The member path ([[planRca]])
-    * is a 4-set grouping-sets rollup (a = full grain, b = ext+d2, c =
-    * ext+d1, d = ext) joined back on null-safe keys; N fan-out members
-    * therefore ran N rollups over N near-identical sources. Here ONE
-    * rollup runs, every grouping set prefixed with the `__combo` tag:
+    * member shape that still declined fusion. N fan-out members each ran
+    * [[planRca]] over near-identical sources; here ONE plan runs:
     *
     *   1. the shared source carries the UNION of the members' ext levels
     *      plus drill1/drill2; cuts split per member into EXTERNAL
     *      (not on a drill1 level — the common ones push into the source,
     *      the varying ones become the combo tag predicates, exactly the
     *      generic path) and INTERNAL (on a drill1 level — applied
-    *      POST-rollup so they never distort the b/d totals,
+    *      POST-aggregation so they never distort the b/d totals,
     *      planRca's a-and-c-only rule, rca.rs:100-127 semantics);
     *   2. out-of-combo ext columns null-pad per combo; grouping over a
     *      null CONSTANT partitions identically to not grouping at all,
-    *      and every join/group is additionally keyed by `__combo`, so a
-    *      padded null never meets a genuine null key across combos;
-    *   3. the four frames join back on `__combo` + the member key sets
-    *      (null-safe), internal cuts filter per combo on the d1 key
-    *      headers (shared across combos by construction), and
-    *      top/top_where/filters/sparse/limit replicate as
-    *      combo-partitioned stages with the rca calc exposed, mirroring
-    *      [[applyOptions]] with calcs = rca.
+    *      and every group/window is additionally keyed by `__combo`, so
+    *      a padded null never meets a genuine null key across combos;
+    *   3. ONE a-grain aggregate keyed by (__combo, union grain), with
+    *      b/c/d as __combo-keyed re-aggregations of the a column joined
+    *      back (planRca's one-scan re-aggregable form — one fact scan);
+    *      internal cuts filter per combo on the d1 key headers (shared
+    *      across combos by construction), and top/top_where/filters/
+    *      sparse/limit replicate as combo-partitioned stages with the
+    *      rca calc exposed, mirroring [[applyOptions]] with calcs = rca.
     *
-    * Declines (None → per-member fan-out) when a member's ext levels
-    * intersect drill1/drill2's (duplicate headers — the member path has
-    * the same collision), when member caption resolution disagrees on
-    * the rca drills, on a type-consolidation fallback under top/limit,
-    * and on top+limit without an explicit sort — the generic rules.
-    * Growth and rate are ignored under rca, the plan() precedence. */
+    * Declines (None → per-member fan-out) when the rca measure is not
+    * re-aggregable ([[rcaReaggregable]] — the members then run the
+    * raw-row grouping-sets form), when a member's ext levels intersect
+    * drill1/drill2's (duplicate headers — the member path has the same
+    * collision), when member caption resolution disagrees on the rca
+    * drills, on a type-consolidation fallback under top/limit, and on
+    * top+limit without an explicit sort — the generic rules. Growth and
+    * rate are ignored under rca, the plan() precedence. */
   private[plan] def planFanOutFusedRca(
       spark: SparkSession, queries: Seq[CubeQuery]): Option[DataFrame] = {
     val q0 = queries.head
@@ -555,6 +556,9 @@ final class CubePlanner(
     if (unionAllCols.distinct.length != unionAllCols.length) return None
 
     val rcaMea = cube.measure(r.mea.name).getOrElse(fail(s"rca measure '${r.mea.name}' not found"))
+    // a non-re-aggregable rca measure needs the raw-row grouping-sets
+    // form — decline to the per-member fan-out rather than replicate it
+    if (!rcaReaggregable(rcaMea.aggregator)) return None
     val meas = (rcaMea -> RcaA) +: q0.measures.map(m => cube.measure(m.name).get -> m.name)
     if (meas.exists(_._1.aggregator.isInstanceOf[Aggregator.BasicGroupedMedian]))
       fail("grouped-median measures cannot combine with RCA (no single-pass form)")
@@ -596,43 +600,39 @@ final class CubePlanner(
       else d.withColumn(h, when(cq("__combo").isin(in: _*), cq(h)))
     }
 
-    // ONE rollup, every set tagged: __combo is a grouping column of all
-    // four sets, so its grouping_id bit is always 0 and the member gid
-    // arithmetic carries over on the union columns
+    // ONE a-grain aggregate keyed by the combo tag, then b/c/d as
+    // __combo-keyed re-aggregations of the a column joined back — the
+    // same one-scan form as planRca's re-aggregable branch (the tagged
+    // grouping-sets rollup it replaces re-ran the Expand and fact scan
+    // once per gid frame; the four branches here share one exchange).
+    // The tag keys every group and join, so a padded null never meets a
+    // genuine null key across combos, and the d grain (union ext keys,
+    // which may be empty) still groups per combo.
     val unionExtKeys = unionExtOuts.map(_.keyHeader)
     val d1Keys = d1Outs.map(_.keyHeader)
     val d2Keys = d2Outs.map(_.keyHeader)
-    val setA = unionAllCols
     val setB = unionExtKeys ++ d2Keys
     val setC = unionExtKeys ++ d1Keys
     val setD = unionExtKeys
-    val sets = Seq(setA, setB, setC, setD)
-    def gid(set: Seq[String]): Long =
-      unionAllCols.zipWithIndex.collect {
-        case (c, i) if !set.contains(c) => 1L << (unionAllCols.length - 1 - i)
-      }.sum
-    val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) } :+
-      grouping_id().as("__gid")
-    val rolled = padded
-      .groupingSets(sets.map(s => ("__combo" +: s).map(cq)),
-        ("__combo" +: unionAllCols).map(cq): _*)
+    val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) }
+    // pinned for the same reason as planRca's re-aggregable branch:
+    // column pruning specializes each re-aggregation's copy of this
+    // subtree, so only the checkpoint barrier yields one fact scan
+    val aFrame = padded
+      .groupBy(("__combo" +: unionAllCols).map(cq): _*)
       .agg(aggs.head, aggs.tail: _*)
-
-    def frame(set: Seq[String], out: String): DataFrame =
-      rolled.where(cq("__gid") === gid(set))
-        .select((("__combo" +: set).map(cq) :+ cq(RcaA).as(out)): _*)
-    // joins add __combo to the member key sets; <=> groups NULL keys like
-    // the grouping sets do, and padded nulls only ever meet their own combo
+      .pinned(false)
+    def reagg(set: Seq[String], out: String): DataFrame =
+      aFrame.groupBy(("__combo" +: set).map(cq): _*).agg(sum(cq(RcaA)).as(out))
     def joinBack(l: DataFrame, rt: DataFrame, keys: Seq[String]): DataFrame = {
       val jk = "__combo" +: keys
       val rr = jk.foldLeft(rt)((d, k) => d.withColumnRenamed(k, s"__rj $k"))
       val cond = jk.map(k => l(k) <=> rr(s"__rj $k")).reduce(_ && _)
       l.join(rr, cond, "inner").drop(jk.map(k => s"__rj $k"): _*)
     }
-    val aFrame = rolled.where(cq("__gid") === gid(setA)).drop("__gid")
-    var agg = joinBack(aFrame, frame(setB, RcaB), setB)
-    agg = joinBack(agg, frame(setD, RcaD), setD)
-    agg = joinBack(agg, frame(setC, RcaC), setC)
+    var agg = joinBack(aFrame, reagg(setB, RcaB), setB)
+    agg = joinBack(agg, reagg(setD, RcaD), setD)
+    agg = joinBack(agg, reagg(setC, RcaC), setC)
 
     // internal cuts: a-grain row predicates per combo, applied after the
     // joins — the d1 key headers are join keys of the c-join, so filtering
@@ -774,20 +774,27 @@ final class CubePlanner(
 
   // ------------------------------------------------------------------- rca
 
-  /** RCA = (a/b)/(c/d) computed from one logical grouping-sets aggregate
-    * (replaces tesseract-clickhouse/src/sql/rca.rs:50-283's groupArray
-    * pivot).
+  /** RCA = (a/b)/(c/d) over the four aggregation grains — a=(ext,d1,d2),
+    * b=(ext,d2), c=(ext,d1), d=(ext) — (replaces tesseract-clickhouse/
+    * src/sql/rca.rs:50-283's groupArray pivot).
     *
-    * The four aggregation grains — a=(ext,d1,d2), b=(ext,d2), c=(ext,d1),
-    * d=(ext) — are grouping sets of one `groupingSets` aggregate; the
-    * per-grain frames then equi-join back on their own grain keys — never
-    * window sums, whose empty/low-key partitioning funnels the frame
-    * through one task at scale. Physically Catalyst currently prunes the
-    * Expand per `grouping_id` filter, yielding four independent partial-
-    * aggregated scans that run in parallel — a legitimate trade (more
-    * I/O, zero pinned memory, no shared-stage barrier); an I/O-bound
-    * deployment can persist the rolled frame instead. No executor memory
-    * is pinned across queries either way.
+    * Two physical forms, chosen by the rca measure's aggregator:
+    *
+    *   - RE-AGGREGABLE (sum/count/weighted-sum, [[rcaReaggregable]] —
+    *     the overwhelmingly common case): ONE a-grain aggregate off the
+    *     fact; b/c/d re-aggregate the a column (partial-agg groupBys —
+    *     map-side combining, never a window's low-key-partition funnel
+    *     over the a grain) and equi-join back null-safely. The four
+    *     branches share a byte-identical a-grain exchange, so exchange
+    *     reuse executes ONE fact scan.
+    *   - otherwise (avg/moe/min/max …): each grain must aggregate from
+    *     RAW rows — grouping sets of one `groupingSets` aggregate, the
+    *     per-grain frames gid-filtered and joined back. Catalyst pushes
+    *     each gid filter below the rollup's exchange, so this form runs
+    *     four partial-aggregated fact scans in parallel — a legitimate
+    *     trade for the corner (more I/O, zero pinned memory, no
+    *     shared-stage barrier). No executor memory is pinned across
+    *     queries in either form.
     *
     * Cuts whose level is drill_1 itself apply only to a and c (rca.rs:
     * 100-127): since those cuts filter on d1 *group keys*, they apply
@@ -829,31 +836,20 @@ final class CubePlanner(
     val d1Keys  = d1Outs.map(_.keyHeader)
     val d2Keys  = d2Outs.map(_.keyHeader)
 
-    val setA = allCols
     val setB = extKeys ++ d2Keys
     val setC = extKeys ++ d1Keys
     val setD = extKeys
-    val sets = Seq(setA, setB, setC, setD)
 
-    // grouping_id bit i (MSB-first over allCols) = 1 when the column is
-    // aggregated away in that grouping set
-    def gid(set: Seq[String]): Long =
-      allCols.zipWithIndex.collect {
-        case (c, i) if !set.contains(c) => 1L << (allCols.length - 1 - i)
-      }.sum
-
-    val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) } :+
-      grouping_id().as("__gid")
-    val rolled = src
-      .groupingSets(sets.map(_.map(cq)), allCols.map(cq): _*)
-      .agg(aggs.head, aggs.tail: _*)
-
-    def frame(set: Seq[String], out: String): DataFrame =
-      rolled.where(cq("__gid") === gid(set))
-        .select((set.map(cq) :+ cq(RcaA).as(out)): _*)
-
-    // null-safe equi-join back on the re-aggregation grain (<=> groups NULL
-    // keys together, matching the grouping-set semantics)
+    def internalHeader(cut: CutSpec): String = {
+      val (cd, ch, ci) = resolveLevel(cut.levelName)
+      allOuts
+        .find(o => o.dim.name == cd.name && o.hier.name == ch.name && o.level.name == ch.levels(ci).name)
+        .map(_.keyHeader)
+        .getOrElse(fail(s"internal RCA cut level '${cut.levelName}' must be drill_1"))
+    }
+    val aggsAll = meas.map { case (m, out) => AggExprs.single(m).as(out) }
+    // null-safe equi-join back on the re-aggregation grain (<=> groups
+    // NULL keys together, matching aggregate grouping semantics)
     def joinBack(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
       if (keys.isEmpty) l.crossJoin(broadcast(r))
       else {
@@ -862,22 +858,69 @@ final class CubePlanner(
         l.join(rr, cond, "inner").drop(keys.map(k => s"__rj $k"): _*)
       }
 
-    val aFrame = rolled.where(cq("__gid") === gid(setA)).drop("__gid")
-    var df = joinBack(aFrame, frame(setB, RcaB), setB)
-    df = joinBack(df, frame(setD, RcaD), setD)
-
-    var cFrame = frame(setC, RcaC)
-    internalCuts.foreach { cut =>
-      val (cd, ch, ci) = resolveLevel(cut.levelName)
-      val header = allOuts
-        .find(o => o.dim.name == cd.name && o.hier.name == ch.name && o.level.name == ch.levels(ci).name)
-        .map(_.keyHeader)
-        .getOrElse(fail(s"internal RCA cut level '${cut.levelName}' must be drill_1"))
-      df = df.where(cutPredicate(df, header, cut))
-      cFrame = cFrame.where(cutPredicate(cFrame, header, cut))
+    var df = if (rcaReaggregable(rcaMea.aggregator)) {
+      // Round 16: the grouping-sets rollup LOOKED like one pass, but the
+      // four gid-filtered frames pushed their filters below the rollup's
+      // exchange, defeating exchange reuse — the executed plan ran the
+      // Expand and the FACT SCAN four times. For re-aggregable rca
+      // measures (sum / count / weighted sum — the b/c/d grains are exact
+      // sums of the a values) the b/c/d frames instead RE-AGGREGATE the
+      // one a-grain aggregate and join back. The a frame is PINNED (lazy
+      // localCheckpoint): exchange reuse alone cannot share it — column
+      // pruning specializes each branch's copy of the aggregate, so the
+      // exchanges never canonicalize equal (measured: 4 fact scans, zero
+      // ReusedExchange) — while the checkpoint is a hard barrier that
+      // guarantees ONE fact scan, with the re-aggregations reading the
+      // RESULT-sized pinned rows. Every re-aggregation is a partial-agg
+      // groupBy (map-side combining, never a window's low-key-partition
+      // funnel over the a grain). Internal cuts still apply only to a
+      // and c (the b/d frames aggregate the UNFILTERED a frame), exactly
+      // the legacy branch's rule.
+      val aFrame = src.groupBy(allCols.map(cq): _*).agg(aggsAll.head, aggsAll.tail: _*)
+        .pinned(false)
+      def reagg(set: Seq[String], out: String): DataFrame =
+        if (set.isEmpty) aFrame.agg(sum(cq(RcaA)).as(out))
+        else aFrame.groupBy(set.map(cq): _*).agg(sum(cq(RcaA)).as(out))
+      var d0 = joinBack(aFrame, reagg(setB, RcaB), setB)
+      d0 = joinBack(d0, reagg(setD, RcaD), setD)
+      var cFrame = reagg(setC, RcaC)
+      internalCuts.foreach { cut =>
+        val header = internalHeader(cut)
+        d0 = d0.where(cutPredicate(d0, header, cut))
+        cFrame = cFrame.where(cutPredicate(cFrame, header, cut))
+      }
+      joinBack(d0, cFrame, setC)
+    } else {
+      // non-re-aggregable rca measure (avg / moe / min / max …): each
+      // grain must aggregate from RAW rows, which is exactly what the
+      // grouping-sets rollup does — keep it, accepting the multi-scan
+      // plan for this corner (the reference's semantics, rca.rs:50-283)
+      val setA = allCols
+      val sets = Seq(setA, setB, setC, setD)
+      // grouping_id bit i (MSB-first over allCols) = 1 when the column is
+      // aggregated away in that grouping set
+      def gid(set: Seq[String]): Long =
+        allCols.zipWithIndex.collect {
+          case (c, i) if !set.contains(c) => 1L << (allCols.length - 1 - i)
+        }.sum
+      val aggs = aggsAll :+ grouping_id().as("__gid")
+      val rolled = src
+        .groupingSets(sets.map(_.map(cq)), allCols.map(cq): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      def frame(set: Seq[String], out: String): DataFrame =
+        rolled.where(cq("__gid") === gid(set))
+          .select((set.map(cq) :+ cq(RcaA).as(out)): _*)
+      val aFrame = rolled.where(cq("__gid") === gid(setA)).drop("__gid")
+      var d0 = joinBack(aFrame, frame(setB, RcaB), setB)
+      d0 = joinBack(d0, frame(setD, RcaD), setD)
+      var cFrame = frame(setC, RcaC)
+      internalCuts.foreach { cut =>
+        val header = internalHeader(cut)
+        d0 = d0.where(cutPredicate(d0, header, cut))
+        cFrame = cFrame.where(cutPredicate(cFrame, header, cut))
+      }
+      joinBack(d0, cFrame, setC)
     }
-
-    df = joinBack(df, cFrame, setC)
 
     val rcaName = s"${r.mea.name} RCA"
     df = df.withColumn(rcaName, (cq(RcaA) / cq(RcaB)) / (cq(RcaC) / cq(RcaD)))
@@ -1349,6 +1392,16 @@ final class CubePlanner(
 }
 
 object CubePlanner {
+  /** rca measures whose coarser grains (b/c/d) are EXACT sums of the
+    * a-grain values — the precondition for the one-scan window form of
+    * [[planRca]]/[[planFanOutFusedRca]]. count re-aggregates as a sum of
+    * partial counts; weighted sum is a sum of products. */
+  private def rcaReaggregable(a: Aggregator): Boolean = a match {
+    case Aggregator.Sum | Aggregator.Count => true
+    case Aggregator.WeightedSum(_)         => true
+    case _                                 => false
+  }
+
   private val RcaA = "__rca_a"
   private val RcaB = "__rca_b"
   private val RcaC = "__rca_c"

@@ -32,8 +32,15 @@ class LogicLayerFusedSpec extends AnyFunSuite {
       val p = f.queryExecution.executedPlan.toString
       assert(!p.contains("Union"),
         "eligible fan-out must fuse to a single plan:\n" + p.take(1200))
-      assert(p.contains("Expand") || p.contains("Generate"),
-        "fused plan should carry the combo-tagging explode:\n" + p.take(1200))
+      if (q.rca.isEmpty)
+        assert(p.contains("Expand") || p.contains("Generate"),
+          "fused plan should carry the combo-tagging explode:\n" + p.take(1200))
+      else
+        // fused rca pins the tagged a grain (round 16): the explode lives
+        // inside the checkpoint; the visible plan consumes the pinned rows
+        // and must never re-scan the fact per member
+        assert(p.contains("ExistingRDD") && !p.contains("lineitem"),
+          "fused rca should consume the one pinned a grain:\n" + p.take(1200))
     }
   }
 

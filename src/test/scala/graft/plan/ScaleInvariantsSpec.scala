@@ -57,6 +57,35 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "RCA must not use window sums")
   }
 
+  test("rca (sum measure): one pinned a-grain, re-agg joins, no Expand, no raw re-scan") {
+    // member path, drilled (ext nonempty): the re-aggregable form — the
+    // visible plan consumes the checkpointed a grain (Scan ExistingRDD);
+    // the fact scan lives once inside the checkpoint, so a second
+    // lineitem scan in the consumer plan means the barrier regressed
+    val pm = plan(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity))))
+    assert(!pm.contains("Expand"), "sum-measure rca must not grouping-set:\n" + pm.take(1200))
+    assert(!pm.contains("lineitem"),
+      "b/c/d must re-aggregate the pinned a grain, not re-scan the fact:\n" + pm.take(1600))
+    assert(pm.contains("ExistingRDD"), "expected the pinned a-grain scans:\n" + pm.take(1200))
+  }
+
+  test("fused rca fan-out: single tagged plan — no Union, no Expand, no raw re-scan") {
+    val q = LogicLayerQuery(
+      drilldowns = Nil,
+      cuts = Seq(cut("Ship Date.Year.1996,1997"), cut("Ship Date.Month.3,4")),
+      measures = Seq(mea("Quantity")),
+      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity)))
+    val p = new LogicLayer(planner, fusedFanOut = true).plan(spark, q)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Union"), "fused rca must be a single plan:\n" + p.take(1200))
+    assert(!p.contains("Expand"), "fused rca must not grouping-set:\n" + p.take(1200))
+    assert(!p.contains("lineitem"),
+      "members must share the one pinned a grain:\n" + p.take(1600))
+  }
+
   test("minhash candidate generation never degenerates to a cross join") {
     val p = graft.pipeline.PipelineOps.minhashPairs(spark, SfDir)
       .queryExecution.executedPlan.toString
