@@ -89,6 +89,11 @@ object ServerMain {
         // concurrent requests share the cluster fairly, mirroring the
         // reference's 100-concurrent-request pool design
         .config("spark.scheduler.mode", "FAIR")
+        // a long-lived server reclaims per-query pinned frames (e.g. the
+        // rca a-grain checkpoint) and shuffle metadata on a wall-clock
+        // cadence, not heap pressure — the SCALING.md ops note; same
+        // setting as Bench/LoadBench
+        .config("spark.cleaner.periodicGC.interval", "5min")
       // serving workload = many small concurrent aggregates: Spark's
       // 200-partition default multiplies task-scheduling overhead by the
       // concurrency; 8 per job measured ~2x better p95 under 32-way load
