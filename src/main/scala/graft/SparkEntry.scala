@@ -457,12 +457,14 @@ object SparkEntry {
         .join(planOn("Customers", Seq("Customer Count", "Customer Balance")),
           Seq("Region ID", "Region"))
     }),
-    // round 16: the rca fan-out served by the fused single-plan rollup
-    // (CubePlanner.planFanOutFusedRca) — ONE __combo-tagged grouping-sets
-    // pass replaces the N member rollups; each combo gains a DIFFERENT
-    // added drilldown (Year vs Month), exercising the null-padded union
-    // grain under the rollup. Oracle = UNION ALL of the member rca
-    // computations (the q31 consolidation contract applied to rca).
+    // round 16: the rca fan-out served by the fused single plan
+    // (CubePlanner.planFanOutFusedRca) — ONE __combo-keyed a-grain
+    // aggregate, pinned and re-aggregated for b/c/d (one fact scan,
+    // no Expand; asserted by ScaleInvariantsSpec), replaces the N member
+    // plans; each combo gains a DIFFERENT added drilldown (Year vs
+    // Month), exercising the null-padded union grain under the shared
+    // aggregate. Oracle = UNION ALL of the member rca computations (the
+    // q31 consolidation contract applied to rca).
     "q53_rca_fanout" -> ((spark: SparkSession, sfDir: String) =>
       new LogicLayer(TpchStar.planner(sfDir), namedSets, fusedFanOut = true)
         .plan(spark, LogicLayerQuery(

@@ -217,9 +217,9 @@ final class CubePlanner(
     *      fan-out path (aggregate.rs:333-534), minus the N-way Union.
     *
     * Semantics are proven equal to the fan-out path on the q31 family and
-    * the logic-layer fuzz corpus (LogicLayerFusedSpec). Callers gate
-    * eligibility (rca only — its grouping-sets rollup + grain-join tree
-    * is a whole different plan per member); top/top_where/limit replicate
+    * the logic-layer fuzz corpus (LogicLayerFusedSpec). rca routes to
+    * [[planFanOutFusedRca]] instead — its pinned-a-grain + grain-join
+    * tree is a whole different plan shape; top/top_where/limit replicate
     * as combo-partitioned windows, growth as a combo-partitioned lag,
     * rate as the fused conditional aggregate itself; HAVING filters and
     * `sparse` are identical across combos,

@@ -53,9 +53,8 @@ final class LogicLayer(
     /** Property → unique display name (config.rs:108-127): the property
       * header (= the property's name) renames to the unique name. */
     uniquePropNames: Map[PropertyName, String] = Map.empty,
-    /** Flag-gated single-plan fan-out (SURVEY §7.4 risk 2): when a cut
-      * fan-out is eligible (anything except the rca rewrite; see
-      * [[fusionEligible]]), the N member plans
+    /** Flag-gated single-plan fan-out (SURVEY §7.4 risk 2): the N member
+      * plans of a cut fan-out
       * fuse into one scan + one tagged aggregate
       * ([[CubePlanner.planFanOutFused]]) instead of an N-way union of
       * near-identical plans. Default ON since round 13 (proven
@@ -262,38 +261,34 @@ final class LogicLayer(
     }
   }
 
-  /** Only the rca rewrite is structurally unfusable — its member plan is
-    * a grouping-sets rollup with grain joins, not a groupBy+options
-    * shape. Everything else fuses: filters and sparse apply identically
-    * per combo, top/top_where and limit become combo-partitioned windows,
-    * a sort without a limit selects no rows (the union is
-    * deterministically re-sorted below either way), growth (round 13) is
-    * a combo-partitioned lag over the fused aggregate — the member
-    * window's non-time partition keys are per-combo null-padded constants
-    * in the fused frame, so one window replicates every member's — and
-    * rate (round 14) is already ONE conditional-aggregate pass in the
-    * member plan, which replicates verbatim as the fused (combo, grain)
-    * aggregate with the rate level riding the shared source.
-    * planFanOutFused itself still declines data-dependent cases by
-    * returning None (a type-consolidation fallback under a row slice,
-    * top+limit without an explicit sort — a tie-arbitrary slice in the
-    * fan-out — and a varying cut on the growth time dimension, which
-    * would break the positional identity of the time columns). rca
-    * (round 16, the last member shape) fuses through
-    * [[CubePlanner.planFanOutFusedRca]]: ONE __combo-tagged grouping-sets
-    * rollup replaces the N member rollups, with its own declines (ext
-    * levels colliding with the rca drills, caption disagreement on the
-    * rca drills). */
-  private def fusionEligible(q: LogicLayerQuery): Boolean = true
-
   def plan(spark: SparkSession, q: LogicLayerQuery): DataFrame = {
     val timeCut = q.time.map(resolveTime(spark, _)).toSeq
     val cuts = resolveCutOps(spark, substituteSets(q.cuts)) ++ timeCut
     val queries = fanOut(q, cuts)
     val merged = {
+      // Every member shape is fusable; declines are per-plan (None →
+      // per-member fan-out): filters and sparse apply identically per
+      // combo, top/top_where and limit become combo-partitioned windows,
+      // a sort without a limit selects no rows (the union is
+      // deterministically re-sorted below either way), growth (round 13)
+      // is a combo-partitioned lag over the fused aggregate — the member
+      // window's non-time partition keys are per-combo null-padded
+      // constants in the fused frame, so one window replicates every
+      // member's — rate (round 14) is already ONE conditional-aggregate
+      // pass in the member plan, which replicates verbatim as the fused
+      // (combo, grain) aggregate with the rate level riding the shared
+      // source, and rca (round 16, the last member shape) fuses through
+      // [[CubePlanner.planFanOutFusedRca]]: ONE __combo-keyed a-grain
+      // aggregate pinned and re-aggregated for b/c/d (one fact scan),
+      // with its own declines (non-re-aggregable rca measure, ext levels
+      // colliding with the rca drills, caption disagreement on the rca
+      // drills). planFanOutFused itself declines data-dependent cases
+      // (a type-consolidation fallback under a row slice, top+limit
+      // without an explicit sort — a tie-arbitrary slice in the fan-out —
+      // and a varying cut on the growth time dimension, which would break
+      // the positional identity of the time columns).
       val fused =
-        if (fusedFanOut && queries.length > 1 && fusionEligible(q))
-          routeFused(spark, queries)
+        if (fusedFanOut && queries.length > 1) routeFused(spark, queries)
         else None
       fused.getOrElse(consolidate(queries.map(route(spark, _))))
     }

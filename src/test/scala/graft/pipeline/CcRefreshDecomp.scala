@@ -73,13 +73,14 @@ object CcRefreshDecomp {
       val stageTimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int, Int)]
       val jobCount = new java.util.concurrent.atomic.AtomicInteger
       val jobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val jobListener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobCount.incrementAndGet()
           jobSites.add(j.stageInfos.lastOption.map(_.name).getOrElse("?"))
           ()
         }
-      })
+      }
+      spark.sparkContext.addSparkListener(jobListener)
       var lastEnd = System.nanoTime()
       var lastJobs = jobCount.get()
       IncrementalCc.stagePin = (tag, df) => {
@@ -99,7 +100,12 @@ object CcRefreshDecomp {
       try p("cc-refresh") {
         ld = IncrementalCc.refresh(m("labels"), m("pairs"), retired, pd.newPairs)
         ld.labelsOut.count(); ld.labelsIn.count(); ld.pairsIn.count()
-      } finally IncrementalCc.stagePin = (_, df) => df
+      } finally {
+        IncrementalCc.stagePin = (_, df) => df
+        // shared SparkContext: an orphaned listener would accumulate
+        // across harness invocations and absorb unrelated jobs' counts
+        spark.sparkContext.removeSparkListener(jobListener)
+      }
       if (round == "measured") {
         stageTimes.foreach { case (tag, (gap, force, gj, fj)) =>
           println(f"CCSTAGE $tag gap=$gap%.2f ($gj jobs) force=$force%.2f ($fj jobs)")

@@ -251,7 +251,7 @@ class LogicLayerFusedSpec extends AnyFunSuite {
     assert(exercised >= 5, s"only $exercised corpus cases carried rate")
   }
 
-  test("rca fuses as one __combo-tagged grouping-sets rollup (round 16)") {
+  test("rca fuses as one __combo-keyed pinned a-grain re-aggregation (round 16)") {
     val r = RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity)
     // the fan-out dim (Ship Date: Year + Month cuts) is disjoint from both
     // rca drills, and each combo gains a DIFFERENT added drilldown — the
