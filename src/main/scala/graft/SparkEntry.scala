@@ -471,7 +471,22 @@ object SparkEntry {
           drilldowns = Nil,
           cuts = Seq(cut("Ship Date.Year.1996,1997"), cut("Ship Date.Month.3,4")),
           measures = Seq(mea("Quantity")),
-          rca = Some(rcaQ("Geography.Nation,Part.Brand,Quantity")))))
+          rca = Some(rcaQ("Geography.Nation,Part.Brand,Quantity"))))),
+    // round 17: rca over a NON-re-aggregable (avg-class) measure — the
+    // grouping-sets branch of planRca, where every grain must aggregate
+    // from raw rows (round 16's one-scan split left this branch otherwise
+    // ungated). Oracle = four grouped-from-raw subqueries joined on their
+    // grains (rca.rs:50-283 semantics).
+    "q54_rca_avg" -> run(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(rcaQ("Geography.Nation,Part.Brand,Avg Discount")))),
+    // round 17: rca over a DECIMAL weighted sum — the re-aggregable
+    // one-scan branch with the a grain kept in its native decimal type
+    // (b/c/d sums stay exact; doubles only at the grain boundary). The
+    // oracle's per-grain decimal sums match EXACTLY only because of that.
+    "q55_rca_wsum" -> run(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(rcaQ("Geography.Nation,Part.Brand,Weighted Discount"))))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -580,6 +595,16 @@ object SparkEntry {
       s"""WITH a1 AS (SELECT year(l_shipdate) AS yr, n_nationkey AS nid, n_name AS nname, p_brand AS brand, sum(l_quantity) AS av, sum(l_quantity) AS q FROM $GEO JOIN part ON l_partkey = p_partkey WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2, 3, 4), m1 AS (SELECT yr, nid, nname, brand, (av / sum(av) OVER (PARTITION BY yr, brand)) / (sum(av) OVER (PARTITION BY yr, nid) / sum(av) OVER (PARTITION BY yr)) AS rca, q FROM a1), a2 AS (SELECT month(l_shipdate) AS mo, n_nationkey AS nid, n_name AS nname, p_brand AS brand, sum(l_quantity) AS av, sum(l_quantity) AS q FROM $GEO JOIN part ON l_partkey = p_partkey WHERE month(l_shipdate) IN (3, 4) GROUP BY 1, 2, 3, 4), m2 AS (SELECT mo, nid, nname, brand, (av / sum(av) OVER (PARTITION BY mo, brand)) / (sum(av) OVER (PARTITION BY mo, nid) / sum(av) OVER (PARTITION BY mo)) AS rca, q FROM a2), u AS (SELECT yr AS "Year", nid AS "Nation ID", nname AS "Nation", brand AS "Brand", rca AS "Quantity RCA", q AS "Quantity" FROM m1 UNION ALL SELECT mo, nid, nname, brand, rca, q FROM m2) SELECT * FROM u ORDER BY 1, 2, 3, 4, 5, 6""",
     "q41_top_rca" ->
       s"""WITH a AS (SELECT n_nationkey AS "Nation ID", n_name AS "Nation", p_brand AS "Brand", sum(l_quantity) AS a, sum(l_quantity) AS "Quantity" FROM $GEO JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3), g AS (SELECT "Nation ID", "Nation", "Brand", (a / sum(a) OVER (PARTITION BY "Brand")) / (sum(a) OVER (PARTITION BY "Nation ID") / sum(a) OVER ()) AS "Quantity RCA", "Quantity" FROM a) SELECT * FROM g QUALIFY row_number() OVER (PARTITION BY "Brand" ORDER BY "Quantity RCA" DESC, "Nation ID" ASC, "Nation" ASC) <= 2 ORDER BY "Brand" ASC, "Quantity RCA" DESC""",
+    "q54_rca_avg" -> {
+      val from = s"$GEO JOIN part ON l_partkey = p_partkey"
+      val avgd = s"${d2d("sum(CAST(l_discount AS DECIMAL(18,9)))")} / count(l_discount)"
+      s"""WITH a AS (SELECT n_nationkey AS nid, n_name AS nname, p_brand AS brand, $avgd AS av, sum(l_quantity) AS q FROM $from GROUP BY 1, 2, 3), bfr AS (SELECT p_brand AS brand, $avgd AS bv FROM $from GROUP BY 1), cfr AS (SELECT n_nationkey AS nid, $avgd AS cv FROM $from GROUP BY 1), dfr AS (SELECT $avgd AS dv FROM $from) SELECT a.nid AS "Nation ID", a.nname AS "Nation", a.brand AS "Brand", (av / bv) / (cv / dv) AS "Avg Discount RCA", q AS "Quantity" FROM a JOIN bfr ON a.brand = bfr.brand JOIN cfr ON a.nid = cfr.nid CROSS JOIN dfr ORDER BY 1, 2, 3"""
+    },
+    "q55_rca_wsum" -> {
+      val from = s"$GEO JOIN part ON l_partkey = p_partkey"
+      val ws = d2d(s"sum($DD * $QD)")
+      s"""WITH a AS (SELECT n_nationkey AS nid, n_name AS nname, p_brand AS brand, $ws AS av, sum(l_quantity) AS q FROM $from GROUP BY 1, 2, 3), bfr AS (SELECT p_brand AS brand, $ws AS bv FROM $from GROUP BY 1), cfr AS (SELECT n_nationkey AS nid, $ws AS cv FROM $from GROUP BY 1), dfr AS (SELECT $ws AS dv FROM $from) SELECT a.nid AS "Nation ID", a.nname AS "Nation", a.brand AS "Brand", (av / bv) / (cv / dv) AS "Weighted Discount RCA", q AS "Quantity" FROM a JOIN bfr ON a.brand = bfr.brand JOIN cfr ON a.nid = cfr.nid CROSS JOIN dfr ORDER BY 1, 2, 3"""
+    },
     "q44_preagg" ->
       s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity", count(l_orderkey) AS "Row Count" FROM $GEO WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q43_median_custom" ->

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional trailing names restrict the dump (local iteration);
+    // oracle_sql.json is always written in full for compare.py
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +22,9 @@ object Verify {
     // a failed query is skipped (the rest of the gate still runs) but must
     // not VANISH: the round-9 events.ts type flip surfaced only as absent
     // keys in the correctness report — record failures as an artifact too
-    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    val failures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name"); None }
       catch { case e: Throwable =>

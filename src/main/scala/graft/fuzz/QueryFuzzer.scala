@@ -226,10 +226,13 @@ object QueryFuzzer {
 
   // ------------------------------------------------------ rca generator
 
-  /** RCA compositions: the planner runs a grouping-sets rollup + grain
-    * equi-joins (CubePlanner.planRca), the oracle renders the SAME algebra
-    * as three window sums over one aggregate — a structurally independent
-    * second derivation of (a/b)/(c/d). Exercises the internal-vs-external
+  /** RCA compositions: the planner runs one of planRca's two physical
+    * branches (pinned a-grain re-aggregation for sum-class measures, a
+    * grouping-sets rollup + grain equi-joins otherwise); the oracle
+    * renders the same algebra structurally independently — window sums
+    * over one aggregate for integer-sum measures, per-grain grouped-from-
+    * raw subqueries for the rest — a second derivation of (a/b)/(c/d)
+    * either way. Exercises the internal-vs-external
     * cut split (rca.rs:100-127: cuts on drill_1 itself filter a and c ONLY,
     * after the full denominators are formed), external drilldowns, extra
     * display measures, and top / filter / sort / limit over the calc. */
@@ -241,6 +244,15 @@ object QueryFuzzer {
   /** Order-immune measures only (see the class doc's determinism rules). */
   private val immuneNames = Set("Quantity", "Row Count", "Max Price", "Min Price")
 
+  /** rca measure pool (see [[oneRcaCase]]): window-sum oracles are valid
+    * only for Quantity / Row Count (integer-valued — reordering-exact);
+    * the other three render per-grain grouped-from-raw subqueries. */
+  private val rcaMeasures =
+    measures.filter(m => Set("Quantity", "Row Count", "Max Price", "Weighted Discount")(m.name)) :+
+      MeaInfo("Avg Discount",
+        s"${d2d("sum(CAST(l_discount AS DECIMAL(18,9)))")} / count(l_discount)", Seq("0"))
+  private val rcaWindowOracleOk = Set("Quantity", "Row Count")
+
   private def oneRcaCase(name: String, rng: Random): FuzzCase = {
     val pool = levels.filterNot(_.spelling == "Part.Part")
     // drill_1, drill_2: two levels of distinct dimensions
@@ -249,8 +261,13 @@ object QueryFuzzer {
     // optional external drilldown from a third dimension
     val extPool = pool.filterNot(l => dimOf(l) == dimOf(d1) || dimOf(l) == dimOf(d2))
     val ext = if (rng.nextInt(2) == 0) Some(pick(rng, extPool)) else None
-    // the rca measure must sum/count exactly; display measures order-immune
-    val rcaMea = pick(rng, measures.filter(m => m.name == "Quantity" || m.name == "Row Count"))
+    // the rca measure pool spans BOTH physical branches of planRca:
+    // Quantity / Row Count / Weighted Discount are re-aggregable (one
+    // pinned a-grain, b/c/d re-aggregate it), Max Price / Avg Discount are
+    // not (the grouping-sets raw-row form). Every member is exact and
+    // order-immune: integer-valued double sums, counts, max, and exact
+    // decimal sums cast to double at the grain boundary.
+    val rcaMea = pick(rng, rcaMeasures)
     val display = pickN(rng, measures.filter(m => immuneNames(m.name)), 1 + rng.nextInt(2))
     val rcaName = s"${rcaMea.name} RCA"
     // parents: ancestor chains prepend to ext/d1/d2 alike (planRca expands
@@ -387,20 +404,52 @@ object QueryFuzzer {
     val base = s"SELECT ${baseSel.mkString(", ")} FROM $from$where" +
       s" GROUP BY ${drillCols.indices.map(_ + 1).mkString(", ")}"
 
-    // (a/b)/(c/d) as window sums: b over ext+d2 keys, c over ext+d1 keys,
-    // d over ext keys (full CHAINS under parents — planRca's setB/C/D are
-    // the chains' key headers) — full denominators, formed BEFORE any
-    // internal cut
+    // (a/b)/(c/d): b over ext+d2 keys, c over ext+d1 keys, d over ext keys
+    // (full CHAINS under parents — planRca's setB/C/D are the chains' key
+    // headers) — full denominators, formed BEFORE any internal cut.
+    // Two renderings: window sums over the a-grain __a are exact only for
+    // integer-sum measures (reordering-exact); everything else aggregates
+    // each grain FROM RAW ROWS in its own grouped subquery — the same
+    // algebra as the planner's grouping-sets branch, and for exact-decimal
+    // measures (Weighted Discount) the only form whose per-grain sums
+    // match the planner's native-decimal re-aggregation bit-for-bit.
     val extKeys = extChain.map(_.keyHeader)
-    def win(keys: Seq[String]): String =
-      if (keys.isEmpty) "sum(__a) OVER ()"
-      else s"sum(__a) OVER (PARTITION BY ${keys.map(qt).mkString(", ")})"
-    val rcaExpr = s"(__a / ${win(extKeys ++ d2Chain.map(_.keyHeader))}) / " +
-      s"(${win(extKeys ++ d1Chain.map(_.keyHeader))} / ${win(extKeys)})"
-    val calcSel = (headers.map(qt) :+ s"$rcaExpr AS ${qt(rcaName)}") ++
-      display.map(m => qt(m.name))
-
-    var sql = s"WITH base AS ($base), calc AS (SELECT ${calcSel.mkString(", ")} FROM base)"
+    val bKeys = extKeys ++ d2Chain.map(_.keyHeader)
+    val cKeys = extKeys ++ d1Chain.map(_.keyHeader)
+    var sql =
+      if (rcaWindowOracleOk(rcaMea.name)) {
+        def win(keys: Seq[String]): String =
+          if (keys.isEmpty) "sum(__a) OVER ()"
+          else s"sum(__a) OVER (PARTITION BY ${keys.map(qt).mkString(", ")})"
+        val rcaExpr = s"(__a / ${win(bKeys)}) / (${win(cKeys)} / ${win(extKeys)})"
+        val calcSel = (headers.map(qt) :+ s"$rcaExpr AS ${qt(rcaName)}") ++
+          display.map(m => qt(m.name))
+        s"WITH base AS ($base), calc AS (SELECT ${calcSel.mkString(", ")} FROM base)"
+      } else {
+        val exprOf = drillCols.map { case (e, h) => h -> e }.toMap
+        def grain(keys: Seq[String], out: String): String =
+          if (keys.isEmpty) s"SELECT ${rcaMea.sqlExpr} AS $out FROM $from$where"
+          else s"SELECT ${keys.map(k => s"${exprOf(k)} AS ${qt(k)}").mkString(", ")}, " +
+            s"${rcaMea.sqlExpr} AS $out FROM $from$where " +
+            s"GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}"
+        def joinOn(t: String, keys: Seq[String]): String =
+          if (keys.isEmpty) s"CROSS JOIN $t"
+          else "JOIN " + t + " ON " + keys.map(k =>
+            s"base.${qt(k)} IS NOT DISTINCT FROM $t.${qt(k)}").mkString(" AND ")
+        // NULL-on-zero division, portable across spark.sql-under-ANSI and
+        // DuckDB (the planner's try_divide semantics); the nested CASE
+        // short-circuits so no branch ever divides by zero
+        val rcaExpr = "CASE WHEN __b = 0 OR __d = 0 THEN NULL " +
+          "WHEN __c / __d = 0 THEN NULL " +
+          "ELSE (__a / __b) / (__c / __d) END"
+        val calcSel = (headers.map(h => s"base.${qt(h)}") :+
+          s"$rcaExpr AS ${qt(rcaName)}") ++
+          display.map(m => s"base.${qt(m.name)}")
+        s"WITH base AS ($base), bfr AS (${grain(bKeys, "__b")}), " +
+          s"cfr AS (${grain(cKeys, "__c")}), dfr AS (${grain(extKeys, "__d")}), " +
+          s"calc AS (SELECT ${calcSel.mkString(", ")} FROM base " +
+          s"${joinOn("bfr", bKeys)} ${joinOn("cfr", cKeys)} ${joinOn("dfr", extKeys)})"
+      }
     var cur = "calc"
     internal.foreach { case (lvl, op, ms) =>
       val neg = if (op == "~") "NOT " else ""

@@ -339,7 +339,7 @@ final class CubePlanner(
         padded.groupBy(("__combo" +: unionGroupHeaders).map(cq): _*)
           .agg(totalAgg.as(meaName), partAgg.as("__part"))
           .where(cq("__part").isNotNull)
-          .withColumn("Rate", cq("__part") / cq(meaName))
+          .withColumn("Rate", try_divide(cq("__part"), cq(meaName)))
           .drop("__part")
       case None =>
         aggregate(padded, "__combo" +: unionGroupHeaders, meas, hidden.map(_.keyHeader))
@@ -386,7 +386,7 @@ final class CubePlanner(
       val mDiff = m - prev
       agg = agg
         .withColumn(s"${g.mea.name} Growth",
-          when(prev > lit(0), mDiff / prev).otherwise(mDiff / lit(0.0)))
+          when(prev > lit(0), mDiff / prev))
         .withColumn(s"${g.mea.name} Growth Value", mDiff)
     }
 
@@ -614,7 +614,10 @@ final class CubePlanner(
     val setB = unionExtKeys ++ d2Keys
     val setC = unionExtKeys ++ d1Keys
     val setD = unionExtKeys
-    val aggs = meas.map { case (m, out) => AggExprs.single(m).as(out) }
+    // rca a-grain column in its native type (see [[rcaAGrainAgg]])
+    val aggs = meas.map { case (m, out) =>
+      (if (out == RcaA) rcaAGrainAgg(m) else AggExprs.single(m)).as(out)
+    }
     // pinned for the same reason as planRca's re-aggregable branch:
     // column pruning specializes each re-aggregation's copy of this
     // subtree, so only the checkpoint barrier yields one fact scan
@@ -633,6 +636,7 @@ final class CubePlanner(
     var agg = joinBack(aFrame, reagg(setB, RcaB), setB)
     agg = joinBack(agg, reagg(setD, RcaD), setD)
     agg = joinBack(agg, reagg(setC, RcaC), setC)
+    agg = rcaCastGrains(agg, rcaMea.aggregator)
 
     // internal cuts: a-grain row predicates per combo, applied after the
     // joins — the d1 key headers are join keys of the c-join, so filtering
@@ -650,7 +654,9 @@ final class CubePlanner(
     }
 
     val rcaName = s"${r.mea.name} RCA"
-    agg = agg.withColumn(rcaName, (cq(RcaA) / cq(RcaB)) / (cq(RcaC) / cq(RcaD)))
+    // try_divide: NULL on zero denominators, session-ANSI-independent
+    agg = agg.withColumn(rcaName,
+      try_divide(try_divide(cq(RcaA), cq(RcaB)), try_divide(cq(RcaC), cq(RcaD))))
     val calcs = Map("rca" -> rcaName)
     val meaNames = rcaName +: q0.measures.map(_.name)
 
@@ -733,8 +739,8 @@ final class CubePlanner(
     * non-time drills (replaces the reference's groupArray/arrayMap/ARRAY JOIN
     * pivot — tesseract-clickhouse/src/sql/growth.rs:14-157).
     * growth = m_diff / (m - m_diff) with NULL for the first period; the
-    * reference emits `m_diff/0` when the previous value is <= 0, which maps
-    * to NULL under Spark's non-ANSI division. */
+    * reference emits `m_diff/0` when the previous value is <= 0, which this
+    * engine maps to NULL (emitted directly, session-ANSI-independent). */
   private def applyGrowth(
       df: DataFrame, q: CubeQuery, g: GrowthQuery,
       outs: Seq[OutLevel], meaNames: Seq[String])
@@ -758,7 +764,11 @@ final class CubePlanner(
     val m     = cq(g.mea.name)
     val prev  = lag(m, 1).over(w)
     val mDiff = m - prev
-    val growthCol = when(prev > lit(0), mDiff / prev).otherwise(mDiff / lit(0.0))
+    // the reference emits `m_diff/0` when the previous value is <= 0 —
+    // NULL in its engines; when() without otherwise yields that NULL
+    // directly, independent of the session ANSI mode (prev > 0 guards the
+    // real division, so it can never divide by zero)
+    val growthCol = when(prev > lit(0), mDiff / prev)
 
     val gdf = df
       .withColumn(s"${g.mea.name} Growth", growthCol)
@@ -847,7 +857,11 @@ final class CubePlanner(
         .map(_.keyHeader)
         .getOrElse(fail(s"internal RCA cut level '${cut.levelName}' must be drill_1"))
     }
-    val aggsAll = meas.map { case (m, out) => AggExprs.single(m).as(out) }
+    // the rca measure's a-grain column keeps its native type (the b/c/d
+    // re-aggregations sum it exactly; double casts come after, per grain)
+    val aggsAll = meas.map { case (m, out) =>
+      (if (out == RcaA) rcaAGrainAgg(m) else AggExprs.single(m)).as(out)
+    }
     // null-safe equi-join back on the re-aggregation grain (<=> groups
     // NULL keys together, matching aggregate grouping semantics)
     def joinBack(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
@@ -889,7 +903,7 @@ final class CubePlanner(
         d0 = d0.where(cutPredicate(d0, header, cut))
         cFrame = cFrame.where(cutPredicate(cFrame, header, cut))
       }
-      joinBack(d0, cFrame, setC)
+      rcaCastGrains(joinBack(d0, cFrame, setC), rcaMea.aggregator)
     } else {
       // non-re-aggregable rca measure (avg / moe / min / max …): each
       // grain must aggregate from RAW rows, which is exactly what the
@@ -923,7 +937,12 @@ final class CubePlanner(
     }
 
     val rcaName = s"${r.mea.name} RCA"
-    df = df.withColumn(rcaName, (cq(RcaA) / cq(RcaB)) / (cq(RcaC) / cq(RcaD)))
+    // try_divide: a zero denominator (possible for avg/max/min-class rca
+    // measures) yields NULL — the DuckDB oracle's division semantics —
+    // independent of the session's spark.sql.ansi.enabled; on nonzero
+    // denominators it is bit-identical to Divide
+    df = df.withColumn(rcaName,
+      try_divide(try_divide(cq(RcaA), cq(RcaB)), try_divide(cq(RcaC), cq(RcaD))))
 
     val drillHeads = drillHeaders(extOuts) ++ drillHeaders(d1Outs) ++ drillHeaders(d2Outs)
     val debugCols  = if (q.debug) Seq(RcaA, RcaB, RcaC, RcaD) else Nil
@@ -986,7 +1005,7 @@ final class CubePlanner(
         (a.keyHeader +: a.nameHeader.toSeq) ++ a.props.map(_._1) }.map(cq): _*)
       .agg(totalAgg.as(meaName), partAgg.as("__part"))
       .where(cq("__part").isNotNull)
-      .withColumn("Rate", cq("__part") / cq(meaName))
+      .withColumn("Rate", try_divide(cq("__part"), cq(meaName)))
     twins.foreach { case (o, a) =>
       if (a.keyHeader != o.keyHeader) df = df.withColumnRenamed(a.keyHeader, o.keyHeader)
       for (n <- o.nameHeader; an <- a.nameHeader; if n != an)
@@ -1400,6 +1419,26 @@ object CubePlanner {
     case Aggregator.Sum | Aggregator.Count => true
     case Aggregator.WeightedSum(_)         => true
     case _                                 => false
+  }
+
+  /** a-grain aggregate for the rca measure in the re-aggregable form:
+    * [[AggExprs.single]] except a weighted sum stays in its NATIVE type —
+    * single() casts to double, and re-summing doubles for b/c/d would
+    * break the exact-decimal, partition-order-independent sum invariant
+    * over DECIMAL measure/weight columns. The double cast happens once
+    * per grain AFTER the re-aggregations ([[rcaCastGrains]]), matching
+    * the legacy grouping-sets branch's per-grain single() output type
+    * (exact sum, then one correctly-rounded conversion). Over double
+    * columns both are no-ops. */
+  private def rcaAGrainAgg(m: Measure): Column = m.aggregator match {
+    case Aggregator.WeightedSum(w) => sum(cq(m.column) * cq(w))
+    case _                         => AggExprs.single(m)
+  }
+
+  private def rcaCastGrains(df: DataFrame, a: Aggregator): DataFrame = a match {
+    case Aggregator.WeightedSum(_) =>
+      Seq(RcaA, RcaB, RcaC, RcaD).foldLeft(df)((d, n) => d.withColumn(n, cq(n).cast("double")))
+    case _ => df
   }
 
   private val RcaA = "__rca_a"

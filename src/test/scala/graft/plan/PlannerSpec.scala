@@ -122,6 +122,35 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted-sum rca: b/c/d re-aggregate in exact decimal (no double drift)") {
+    // the rca measure is a weighted sum over DECIMAL columns; the a grain
+    // must stay decimal through the b/c/d re-aggregations — an exact driver
+    // BigDecimal fold over the raw rows must equal the planner's debug
+    // grain EXACTLY (==), not at epsilon. A double-summed b would drift.
+    val rcaQ = RcaQuery.parse(
+      "Return Flag.Return Flag,Line Status.Line Status,Weighted Discount").fold(die, identity)
+    val df = planner.plan(spark, CubeQuery(
+      measures = Seq(mea("Quantity")), rca = Some(rcaQ), debug = true))
+    assert(df.schema("__rca_b").dataType.typeName == "double",
+      "debug grains surface as double (the legacy branch's per-grain type)")
+    val rows = df.collect()
+    // exact oracle: per-linestatus Σ round(disc,6)*round(qty,6) in BigDecimal
+    val want = li.select("l_linestatus", "l_discount", "l_quantity").collect()
+      .groupBy(_.getString(0))
+      .map { case (ls, rs) =>
+        ls -> rs.map { r =>
+          BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+            BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }
+    // b = Σ over ext(∅)+d2(Line Status): one value per linestatus
+    rows.foreach { r =>
+      val ls = r.getString(r.fieldIndex("Line Status"))
+      assert(r.getDouble(r.fieldIndex("__rca_b")) == want(ls),
+        s"b grain drifted for linestatus $ls")
+    }
+  }
+
   test("rate: member share plus total") {
     val df = planner.plan(spark, CubeQuery(
       drilldowns = Seq(drill("Return Flag.Return Flag")),

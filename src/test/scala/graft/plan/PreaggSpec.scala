@@ -126,7 +126,8 @@ class PreaggSpec extends AnyFunSuite {
         q.rca.toSeq.flatMap(r => Seq(r.drill1.levelName, r.drill2.levelName)) ++
         q.rate.map(_.levelName)
       lvls.forall(ln => okLevels((ln.dimension, ln.level))) &&
-        q.properties.isEmpty && q.measures.forall(m => okMeas(m.name))
+        q.properties.isEmpty && q.measures.forall(m => okMeas(m.name)) &&
+        q.rca.forall(r => okMeas(r.mea.name)) // the rca measure must ride the summary too
     }
     val (summaryQs, factQs) = all.map(_.query).partition(covered)
     assert(summaryQs.length >= 10, s"only ${summaryQs.length} corpus cases are summary-covered")
@@ -180,7 +181,8 @@ class PreaggSpec extends AnyFunSuite {
           q.rca.toSeq.flatMap(r => Seq(r.drill1.levelName, r.drill2.levelName)) ++
           q.rate.map(_.levelName)
         lvls.forall(ln => okLevels((ln.dimension, ln.hierarchy, ln.level))) &&
-          q.properties.isEmpty && q.measures.forall(m => okMeas(m.name))
+          q.properties.isEmpty && q.measures.forall(m => okMeas(m.name)) &&
+          q.rca.forall(r => okMeas(r.mea.name)) // the rca measure must ride the summary too
       }
 
       val tmp = Files.createTempDirectory("graft_preagg_fz").toString
