@@ -918,9 +918,17 @@ final class CubePlanner(
           case (c, i) if !set.contains(c) => 1L << (allCols.length - 1 - i)
         }.sum
       val aggs = aggsAll :+ grouping_id().as("__gid")
-      val rolled = src
+      // the rollup LOOKS like one pass, but each gid filter pushes below
+      // the rollup's exchange, so the UNPINNED plan runs the Expand and
+      // the fact scan once per grain frame (4x). Pinning the rollup
+      // (localCheckpoint barrier, same as the re-aggregable branch's a
+      // grain) buys ONE fact scan + one Expand for a result-sized x4
+      // pinned frame — the dominant-term trade at fact scale.
+      // -Dgraft.rca.pinRollup=false restores the multi-scan shape.
+      val rolledRaw = src
         .groupingSets(sets.map(_.map(cq)), allCols.map(cq): _*)
         .agg(aggs.head, aggs.tail: _*)
+      val rolled = if (pinRollup) rolledRaw.pinned(false) else rolledRaw
       def frame(set: Seq[String], out: String): DataFrame =
         rolled.where(cq("__gid") === gid(set))
           .select((set.map(cq) :+ cq(RcaA).as(out)): _*)
@@ -1440,6 +1448,20 @@ object CubePlanner {
       Seq(RcaA, RcaB, RcaC, RcaD).foldLeft(df)((d, n) => d.withColumn(n, cq(n).cast("double")))
     case _ => df
   }
+
+  /** Pin the non-re-aggregable rca rollup (one fact scan + one Expand;
+    * see planRca). Default ON: the barrier costs a fixed ~1 s at ANY
+    * scale (checkpoint job + stage serialization over a result-sized x4
+    * frame) and saves three fact scans + three Expands — linear in the
+    * fact. At sf0.1 the fixture fits RAM and the multi-scan form is the
+    * faster one (measured, SCALING.md round 17); deployments living at
+    * that scale can flip -Dgraft.rca.pinRollup=false. A persist()-based
+    * shared-cache shape was measured and rejected: the join analyzer's
+    * relation dedup re-aliases three of the four rollup subtrees, cache
+    * lookup replaces only one, and the executed plan still scans the
+    * fact four times. */
+  private def pinRollup: Boolean =
+    sys.props.get("graft.rca.pinRollup").forall(_.toBoolean)
 
   private val RcaA = "__rca_a"
   private val RcaB = "__rca_b"

@@ -120,13 +120,33 @@ object IncrementalCc {
     // emptiness, the bound check, and the InSet values all come from the
     // one probe, and an over-bound retired set never materializes here.
     val rVals = r.limit((1 << 16) + 1).collect().map(_.get(0)).toSeq
+    // Retired-set membership as driver-side predicates (round 17): when
+    // the delta fits the driver bound (the common case — the same rows
+    // the classifier already collected), every semi/anti join against the
+    // tiny pinned r becomes an InSet probe — a per-row hash test with NO
+    // broadcast exchange. The joins it replaces each rebuilt their
+    // broadcast in EVERY consuming checkpoint's execution (exchange reuse
+    // does not span SQL executions; the round-16 job census showed those
+    // async builds are the refresh's fixed per-bump floor). The empty
+    // delta short-circuits to limit(0)/identity, and an over-bound delta
+    // keeps the broadcast-join form. Node ids are non-null by the state
+    // contract (a NULL would survive an anti-join but not NOT-IN).
+    val rSmall = rVals.length <= (1 << 16)
+    def inR(c: org.apache.spark.sql.Column) = c.isin(rVals: _*)
+    def semiR(df: DataFrame, c: String): DataFrame =
+      if (rVals.isEmpty) df.limit(0)
+      else if (rSmall) df.where(inR(col(c)))
+      else df.join(r.select(col("node").as(c)), Seq(c), "left_semi")
+    def antiR(df: DataFrame, c: String): DataFrame =
+      if (rVals.isEmpty) df
+      else if (rSmall) df.where(!inR(col(c)))
+      else df.join(r.select(col("node").as(c)), Seq(c), "left_anti")
     val (fdeg, adjacent, elabelHit) =
       if (rVals.isEmpty) {
         val e = r.select(col("node"))
         (e.withColumn("fd", lit(1L)).limit(0), e.limit(0), e.limit(0))
       } else {
-        if (rVals.length <= (1 << 16)) {
-          def inR(c: org.apache.spark.sql.Column) = c.isin(rVals: _*)
+        if (rSmall) {
           val touched = labeledPairs
             .where(inR(col("doc_a")) || inR(col("doc_b")) || inR(col("elabel")))
             .spinned("touched")
@@ -154,7 +174,7 @@ object IncrementalCc {
         }
       }
     val leaves = fdeg.where(col("fd") === 1).select("node")
-    val retiredInGraph = labels.join(r, Seq("node"), "left_semi").spinned("retired-in-graph")
+    val retiredInGraph = semiR(labels, "node").spinned("retired-in-graph")
     // unsafe = not a certified leaf (over-degree, no forest coverage),
     // forest-adjacent to another retired node (removing both could
     // orphan the subtree between them), or carried as an EPOCH STAMP on
@@ -171,8 +191,7 @@ object IncrementalCc {
     // any isolated node (labels ≡ CC-over-edges is the state contract) —
     // only the rebuild path drops memberships, so route it there
     val delLabels = retiredInGraph.select("label").distinct()
-    val keptBig = labels.join(delLabels, Seq("label"), "left_semi")
-      .join(r, Seq("node"), "left_anti")
+    val keptBig = antiR(labels.join(delLabels, Seq("label"), "left_semi"), "node")
       .groupBy("label").agg(count(lit(1)).as("nrem"))
       .where(col("nrem") > 1).select("label")
     val collapsed = delLabels.join(keptBig, Seq("label"), "left_anti")
@@ -185,7 +204,7 @@ object IncrementalCc {
     // a retired node re-entering through new pairs is a FRESH node (its
     // old membership is dead), so the contraction maps through the
     // retired-free labels view
-    val liveLabels = labels.join(r, Seq("node"), "left_anti")
+    val liveLabels = antiR(labels, "node")
     val endNodes = newPairs.select(col("doc_a").as("node"))
       .unionByName(newPairs.select(col("doc_b").as("node"))).distinct()
     // right-outer with the DELTA side broadcast: a left-outer from
@@ -264,10 +283,9 @@ object IncrementalCc {
       if (rebuildCids.isEmpty)
         (labels.limit(0), labeledPairs.select(PairCols.map(col): _*).limit(0))
       else {
-        val rebuildOld = labeledPairs
-          .join(alRebuild.select(col("node").as("elabel")), Seq("elabel"), "left_semi")
-          .join(rA, Seq("doc_a"), "left_anti")
-          .join(rB, Seq("doc_b"), "left_anti")
+        val rebuildOld = antiR(antiR(labeledPairs
+          .join(alRebuild.select(col("node").as("elabel")), Seq("elabel"), "left_semi"),
+          "doc_a"), "doc_b")
           .select(col("doc_a"), col("doc_b"))
         val rebuildNew = cEdges
           .join(rebuildCids.select(col("cid").as("ca")), Seq("ca"), "left_semi")
@@ -292,8 +310,7 @@ object IncrementalCc {
     // from its old component AND re-enters as a fresh contracted node, so
     // without the anti-join it would earn two labels rows (one here, one
     // from the fresh bucket)
-    val mgLabels = mergeMembers
-      .join(r, Seq("node"), "left_anti")
+    val mgLabels = antiR(mergeMembers, "node")
       .join(mergeGroupOf.select(col("cid").as("label"), col("glabel")), "label")
       .select(col("node"), col("glabel").as("label"))
     // fresh nodes (cids with no membership row) that actually CONNECTED

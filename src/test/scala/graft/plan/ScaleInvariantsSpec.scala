@@ -72,6 +72,21 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     assert(pm.contains("ExistingRDD"), "expected the pinned a-grain scans:\n" + pm.take(1200))
   }
 
+  test("rca (avg measure): pinned rollup — one Expand inside the barrier, no raw re-scan") {
+    // the non-re-aggregable branch: each grain aggregates from raw rows
+    // via ONE grouping-sets rollup, pinned so the four gid frames read
+    // the checkpoint instead of pushing their filters below the exchange
+    // and re-running Expand + fact scan per grain (the pre-pin shape)
+    val pm = plan(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Avg Discount").fold(die, identity))))
+    assert(!pm.contains("Expand"),
+      "the Expand must live inside the pinned rollup, not the consumer plan:\n" + pm.take(1200))
+    assert(!pm.contains("lineitem"),
+      "grain frames must read the pinned rollup, not re-scan the fact:\n" + pm.take(1600))
+    assert(pm.contains("ExistingRDD"), "expected the pinned rollup scans:\n" + pm.take(1200))
+  }
+
   test("fused rca fan-out: single tagged plan — no Union, no Expand, no raw re-scan") {
     val q = LogicLayerQuery(
       drilldowns = Nil,
