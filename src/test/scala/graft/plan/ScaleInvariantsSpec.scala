@@ -50,7 +50,7 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       assert(!read.contains(c), s"unpruned column $c in: $read")
   }
 
-  test("RCA plan has no Window operator (grouping-sets shape, no single-partition funnel)") {
+  test("RCA plan has no Window operator (re-agg/rollup shapes, no single-partition funnel)") {
     val p = plan(CubeQuery(
       measures = Seq(mea("Quantity")),
       rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Quantity").fold(die, identity))))
