@@ -920,15 +920,25 @@ final class CubePlanner(
       val aggs = aggsAll :+ grouping_id().as("__gid")
       // the rollup LOOKS like one pass, but each gid filter pushes below
       // the rollup's exchange, so the UNPINNED plan runs the Expand and
-      // the fact scan once per grain frame (4x). Pinning the rollup
-      // (localCheckpoint barrier, same as the re-aggregable branch's a
-      // grain) buys ONE fact scan + one Expand for a result-sized x4
-      // pinned frame — the dominant-term trade at fact scale.
-      // -Dgraft.rca.pinRollup=false restores the multi-scan shape.
+      // the fact scan once per grain frame (4x the scan WORK). Pinning
+      // the rollup (localCheckpoint barrier, same as the re-aggregable
+      // branch's a grain) buys ONE fact scan + one Expand at the cost of
+      // losing the scans' overlap with the join stages (measured ramp,
+      // SCALING.md round 17: the pin penalty tracks one scan-time and the
+      // 4x work is latency-invisible while the fact is RAM-resident).
+      // The default is therefore SIZE-AWARE: pin when the bare fact's
+      // estimated bytes exceed the threshold (scan work is the dominant
+      // term there), keep the overlapped multi-scan below it.
+      // -Dgraft.rca.pinRollup=true|false forces a shape.
       val rolledRaw = src
         .groupingSets(sets.map(_.map(cq)), allCols.map(cq): _*)
         .agg(aggs.head, aggs.tail: _*)
-      val rolled = if (pinRollup) rolledRaw.pinned(false) else rolledRaw
+      val pin = pinRollupForced.getOrElse {
+        val factBytes = resolver.resolve(spark, cube.table)
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        factBytes > pinRollupBytes
+      }
+      val rolled = if (pin) rolledRaw.pinned(false) else rolledRaw
       def frame(set: Seq[String], out: String): DataFrame =
         rolled.where(cq("__gid") === gid(set))
           .select((set.map(cq) :+ cq(RcaA).as(out)): _*)
@@ -1449,19 +1459,21 @@ object CubePlanner {
     case _ => df
   }
 
-  /** Pin the non-re-aggregable rca rollup (one fact scan + one Expand;
-    * see planRca). Default ON: the barrier costs a fixed ~1 s at ANY
-    * scale (checkpoint job + stage serialization over a result-sized x4
-    * frame) and saves three fact scans + three Expands — linear in the
-    * fact. At sf0.1 the fixture fits RAM and the multi-scan form is the
-    * faster one (measured, SCALING.md round 17); deployments living at
-    * that scale can flip -Dgraft.rca.pinRollup=false. A persist()-based
-    * shared-cache shape was measured and rejected: the join analyzer's
-    * relation dedup re-aliases three of the four rollup subtrees, cache
-    * lookup replaces only one, and the executed plan still scans the
-    * fact four times. */
-  private def pinRollup: Boolean =
-    sys.props.get("graft.rca.pinRollup").forall(_.toBoolean)
+  /** Force the non-re-aggregable rca rollup shape (see planRca):
+    * Some(true) = pinned one-scan, Some(false) = overlapped multi-scan,
+    * None = size-aware auto (pin above [[pinRollupBytes]]). A
+    * persist()-based shared-cache shape was measured and rejected: the
+    * join analyzer's relation dedup re-aliases three of the four rollup
+    * subtrees, cache lookup replaces only one, and the executed plan
+    * still scans the fact four times (SCALING.md round 17). */
+  private def pinRollupForced: Option[Boolean] =
+    sys.props.get("graft.rca.pinRollup").map(_.toBoolean)
+
+  /** Auto threshold: above this estimated bare-fact size, scan work
+    * dominates the lost overlap and the rollup pins (default 8 GiB;
+    * -Dgraft.rca.pinRollupBytes overrides). */
+  private def pinRollupBytes: BigInt =
+    BigInt(sys.props.getOrElse("graft.rca.pinRollupBytes", "8589934592"))
 
   private val RcaA = "__rca_a"
   private val RcaB = "__rca_b"

@@ -73,18 +73,29 @@ class ScaleInvariantsSpec extends AnyFunSuite {
   }
 
   test("rca (avg measure): pinned rollup — one Expand inside the barrier, no raw re-scan") {
-    // the non-re-aggregable branch: each grain aggregates from raw rows
-    // via ONE grouping-sets rollup, pinned so the four gid frames read
-    // the checkpoint instead of pushing their filters below the exchange
-    // and re-running Expand + fact scan per grain (the pre-pin shape)
-    val pm = plan(CubeQuery(
+    // the non-re-aggregable branch above the size threshold: each grain
+    // aggregates from raw rows via ONE grouping-sets rollup, pinned so
+    // the four gid frames read the checkpoint instead of pushing their
+    // filters below the exchange and re-running Expand + fact scan per
+    // grain (the small-fact shape, asserted below)
+    val avgRca = CubeQuery(
       measures = Seq(mea("Quantity")),
-      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Avg Discount").fold(die, identity))))
-    assert(!pm.contains("Expand"),
-      "the Expand must live inside the pinned rollup, not the consumer plan:\n" + pm.take(1200))
-    assert(!pm.contains("lineitem"),
-      "grain frames must read the pinned rollup, not re-scan the fact:\n" + pm.take(1600))
-    assert(pm.contains("ExistingRDD"), "expected the pinned rollup scans:\n" + pm.take(1200))
+      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Avg Discount").fold(die, identity)))
+    sys.props("graft.rca.pinRollup") = "true"
+    try {
+      val pm = plan(avgRca)
+      assert(!pm.contains("Expand"),
+        "the Expand must live inside the pinned rollup, not the consumer plan:\n" + pm.take(1200))
+      assert(!pm.contains("lineitem"),
+        "grain frames must read the pinned rollup, not re-scan the fact:\n" + pm.take(1600))
+      assert(pm.contains("ExistingRDD"), "expected the pinned rollup scans:\n" + pm.take(1200))
+    } finally sys.props.remove("graft.rca.pinRollup")
+    // size-aware auto at the tiny fixture: the fact is far below the pin
+    // threshold, so auto keeps the overlapped multi-scan shape (the 4x
+    // scan WORK is latency-invisible while the fact is RAM-resident)
+    val pa = plan(avgRca)
+    assert(pa.contains("Expand") && pa.contains("lineitem"),
+      "auto must keep the multi-scan shape below the size threshold:\n" + pa.take(1200))
   }
 
   test("fused rca fan-out: single tagged plan — no Union, no Expand, no raw re-scan") {
