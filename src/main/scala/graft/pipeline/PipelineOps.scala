@@ -146,7 +146,7 @@ object PipelineOps {
         sum("n_tokens").as("sum_tokens"),
         sum("n_stop").as("sum_stop"),
         sum(when(col("n_tokens") < 40, 1L).otherwise(0L)).as("n_short_docs"))
-      .withColumn("stop_ratio", col("sum_stop").cast("double") / col("sum_tokens").cast("double"))
+      .withColumn("stop_ratio", try_divide(col("sum_stop").cast("double"), col("sum_tokens").cast("double")))
       .orderBy("source")
 
   /** p10: language-ID by marker-token voting (fixed public stopword lists per
@@ -213,7 +213,7 @@ object PipelineOps {
         count(lit(1)).as("n_tokens"),
         sum(when(col("freq") < RareTokenThreshold, 1L).otherwise(0L)).as("n_rare"),
         countDistinct(when(col("freq") < RareTokenThreshold, col("tok"))).as("n_rare_types"))
-      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("rare_ratio", try_divide(col("n_rare").cast("double"), col("n_tokens").cast("double")))
       .orderBy("source")
   }
 
@@ -332,7 +332,9 @@ object PipelineOps {
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), col("source"),
         explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+          // see shingled(): slice-based total window (ANSI-safe under the
+          // optimizer's inferred generate filter)
+          "transform(slice(toks, 2, greatest(size(toks) - 1, 0)), (t, i) -> struct(toks[i] AS w1, t AS w2))"))
           .as("g"))
       .select(col("doc_id"), col("source"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -584,13 +586,13 @@ object PipelineOps {
     * minhashPairs' nondeterministic double-hash trap (:271-275) there is
     * no correctness exposure. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val mk = (0 until SpanLen).map(k => s"toks[i+$k]").mkString(", ")
+    val mkT = ((0 until SpanLen - 1).map(k => s"toks[i+$k]") :+ "t").mkString(", ")
     val spans = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(toks) - $SpanLen), i -> concat_ws(' ', $mk))")).as("span"))
+        explode(expr( // slice-based total window (see shingled())
+          s"transform(slice(toks, $SpanLen, greatest(size(toks) - ${SpanLen - 1}, 0)), (t, i) -> concat_ws(' ', $mkT))")).as("span"))
       .withColumn("h", expr(hex63("span")))
     val counts = spans.groupBy("h")
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
@@ -628,13 +630,13 @@ object PipelineOps {
     * self-repeats inside one doc count toward it, matching the
     * substring-dedup semantics. */
   def spanScrub(spark: SparkSession, dir: String): DataFrame = {
-    val mk = (0 until SpanLen).map(k => s"toks[i+$k]").mkString(", ")
+    val mkT = ((0 until SpanLen - 1).map(k => s"toks[i+$k]") :+ "t").mkString(", ")
     val spans = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          s"transform(sequence(0, size(toks) - $SpanLen), i -> struct(i AS s, concat_ws(' ', $mk) AS span))")).as("w"))
+        explode(expr( // slice-based total window (see shingled())
+          s"transform(slice(toks, $SpanLen, greatest(size(toks) - ${SpanLen - 1}, 0)), (t, i) -> struct(i AS s, concat_ws(' ', $mkT) AS span))")).as("w"))
       .select(col("doc_id"), col("source"), col("w.s").as("s"), col("w.span").as("span"))
       .withColumn("h", expr(hex63("span"))).drop("span")
     val dup = spans.groupBy("h").agg(count(lit(1)).as("freq"))
@@ -682,8 +684,14 @@ object PipelineOps {
     docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 2)
+      // TOTAL by construction (slice-based window, no index lambda over a
+      // possibly-descending sequence): Catalyst's inferred generate filter
+      // (size(derived) > 0) pushes BELOW the explicit token-count guard and
+      // evaluates the expression on unfiltered rows — under the ANSI
+      // default, sequence(1, 0) is the DESCENDING [1, 0] and toks[1] on a
+      // one-token doc is a query-killing INVALID_ARRAY_INDEX, not a NULL.
       .withColumn("shingles",
-        expr("array_distinct(transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])))"))
+        expr("array_distinct(transform(slice(toks, 2, greatest(size(toks) - 1, 0)), (t, i) -> concat(toks[i], ' ', t)))"))
       // sorted so minhash verification intersects via the native merge walk
       .withColumn("hashes", array_sort(array_distinct(StringHashes(col("shingles"), BaseHashMod))))
 
@@ -1230,7 +1238,8 @@ object PipelineOps {
     docs(spark, dir)
       .where(length(col("text")) >= 11) // 8-gram + window of 4 needs ≥ 11 chars
       .withColumn("kh", SubstringHashes(col("text"), 8, BaseHashMod))
-      .withColumn("fps", expr("array_distinct(transform(sequence(1, size(kh) - 3), i -> array_min(slice(kh, i, 4))))"))
+      .withColumn("fps", // slice-based total window (see shingled())
+        expr("array_distinct(transform(slice(kh, 4, greatest(size(kh) - 3, 0)), (t, i) -> array_min(slice(kh, i + 1, 4))))"))
       .where(col("doc_id") < 100)
       .select(
         col("doc_id"),
@@ -1284,7 +1293,7 @@ object PipelineOps {
         max("n_toks").as("max_doc_tokens"))
       .withColumn("n_windows", expr(s"(sum_tokens + ${CtxLen - 1}) DIV $CtxLen"))
       .withColumn("fill_ratio",
-        col("sum_tokens").cast("double") / (col("n_windows") * CtxLen).cast("double"))
+        try_divide(col("sum_tokens").cast("double"), (col("n_windows") * CtxLen).cast("double")))
       .select(col("source"), col("n_docs"), col("sum_tokens"), col("n_windows"),
         col("n_split_docs"), col("max_doc_tokens"), col("fill_ratio"))
       .orderBy("source")
@@ -2259,7 +2268,7 @@ object PipelineOps {
         .crossJoin(broadcast(cents))
         .withColumn("cdot", dotCol)
         .withColumn("ccos",
-          col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+          try_divide(col("cdot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
         .groupBy("vec_id")
         .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"))
@@ -2326,7 +2335,7 @@ object PipelineOps {
       .groupBy("doc_id", "n_grams")
       .agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") * ContaminationDen >= col("n_grams") * ContaminationNum)
-      .withColumn("overlap", col("n_hits").cast("double") / col("n_grams").cast("double"))
+      .withColumn("overlap", try_divide(col("n_hits").cast("double"), col("n_grams").cast("double")))
       .select(col("doc_id"), col("n_hits"), col("n_grams"), col("overlap"))
       .orderBy("doc_id")
   }
@@ -2439,7 +2448,7 @@ object PipelineOps {
           .otherwise(0L)).as("n_high"),
         sum("n_hits").as("sum_hits"),
         sum("n_grams").as("sum_grams"))
-      .withColumn("overlap", col("sum_hits").cast("double") / col("sum_grams").cast("double"))
+      .withColumn("overlap", try_divide(col("sum_hits").cast("double"), col("sum_grams").cast("double")))
       .orderBy("source")
   }
 
@@ -2455,8 +2464,8 @@ object PipelineOps {
       .where(size(col("toks")) >= 2)
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_utoks", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("grams",
-        expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+      .withColumn("grams", // slice-based total window (see shingled())
+        expr("transform(slice(toks, 2, greatest(size(toks) - 1, 0)), (t, i) -> concat(toks[i], ' ', t))"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .withColumn("n_ugrams", size(array_distinct(col("grams"))).cast("long"))
       .groupBy("source")
@@ -2468,8 +2477,8 @@ object PipelineOps {
         sum(col("n_grams") - col("n_ugrams")).as("dup_grams"),
         sum(when((col("n_grams") - col("n_ugrams")) * 5 > col("n_grams"), 1L).otherwise(0L))
           .as("n_flagged"))
-      .withColumn("dup_tok_ratio", col("dup_toks").cast("double") / col("sum_toks").cast("double"))
-      .withColumn("dup_gram_ratio", col("dup_grams").cast("double") / col("sum_grams").cast("double"))
+      .withColumn("dup_tok_ratio", try_divide(col("dup_toks").cast("double"), col("sum_toks").cast("double")))
+      .withColumn("dup_gram_ratio", try_divide(col("dup_grams").cast("double"), col("sum_grams").cast("double")))
       .orderBy("source")
 
   // ==================================================== similarity search
@@ -2505,7 +2514,7 @@ object PipelineOps {
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("dot", dotCol)
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nbr_id"), col("cosine"))
@@ -2542,7 +2551,7 @@ object PipelineOps {
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("dot", dotCol)
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nbr_id"), col("bucket"), col("cosine"))
@@ -2584,7 +2593,7 @@ object PipelineOps {
         .crossJoin(broadcast(cents))
         .withColumn("cdot", dotCol)
         .withColumn("ccos",
-          col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+          try_divide(col("cdot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
 
     // corpus assignment: argmax cosine (ties → lowest cid) as
     // min(struct(-ccos, cid)) — map-side partial min, no window state
@@ -2610,7 +2619,7 @@ object PipelineOps {
       .join(qa, "query_id").join(qb, "nbr_id")
       .withColumn("dot", dotCol)
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nbr_id"), col("cosine"))
@@ -2712,7 +2721,7 @@ object PipelineOps {
         .crossJoin(broadcast(cents))
         .withColumn("cdot", dotCol)
         .withColumn("ccos",
-          col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+          try_divide(col("cdot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
     val assigned = centScores(n)
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("ccos")).as("neg_ccos"), col("ccid"))).as("best"))
@@ -2910,7 +2919,7 @@ object PipelineOps {
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dotCol)
       .withColumn("ccos",
-        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("cdot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .withColumn("crn", row_number().over(pw)).where(col("crn") <= probes)
       .select(col("vec_id").as("query_id"), col("ccid"))
     val d = EmbDim / PqSubspaces
@@ -2955,7 +2964,7 @@ object PipelineOps {
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dotCol)
       .withColumn("ccos",
-        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("cdot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("ccos")).as("neg_ccos"), col("ccid"))).as("best"))
       .select(col("vec_id").as("nbr_id"), col("best.ccid").as("ccid"))
@@ -3204,7 +3213,7 @@ object PipelineOps {
     cand.join(qa, "vec_a").join(qb, "vec_b")
       .withColumn("dot", dotCol)
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
@@ -3263,7 +3272,7 @@ object PipelineOps {
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dotCol)
       .withColumn("ccos",
-        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("cdot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .groupBy("vec_id")
       .agg(min(struct((-col("ccos")).as("neg_ccos"), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"))
@@ -3296,7 +3305,7 @@ object PipelineOps {
     val dups = l.join(r, "cid").where(col("vec_a") < col("vec_b"))
       .withColumn("dot", dotCol)
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("dup_of"))
@@ -3387,7 +3396,7 @@ object PipelineOps {
       .crossJoin(broadcast(trained))
       .withColumn("cdot", dotCol)
       .withColumn("ccos",
-        col("cdot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("cdot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .groupBy("vec_id")
       .agg(graft.functions.Bottom2(-col("ccos"), col("cid")).as("cids"))
       .select(col("vec_id"), posexplode(col("cids")))
@@ -3422,7 +3431,7 @@ object PipelineOps {
     val dups = l.join(r, "cid").where(col("vec_a") < col("vec_b"))
       .withColumn("dot", dotCol)
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       // a pair sharing both probe cells scores twice; min absorbs the dup
       .groupBy(col("vec_b").as("vec_id"))

@@ -51,7 +51,7 @@ object AggExprs {
       // columns the casts are no-ops.
       case Aggregator.WeightedSum(w) => sum(v * c(w)).cast("double")
       case Aggregator.WeightedAvg(w) =>
-        sum(v * c(w)).cast("double") / sum(c(w)).cast("double")
+        try_divide(sum(v * c(w)).cast("double"), sum(c(w)).cast("double"))
       // cv*sqrt(Σ(v/cv)²) ≡ cv*sqrt(Σv² / cv²): summing squares before the
       // cv division keeps the sum exact for integer/decimal-valued columns
       case Aggregator.Moe(cv) =>
@@ -64,9 +64,9 @@ object AggExprs {
         }.reduce(_ + _)
         lit(cv) * sqrt(lit(df / secs.length) * terms)
       case Aggregator.WeightedAverageMoe(cv, df, pw, sws) =>
-        val pAvg = sum(v * c(pw)).cast("double") / sum(c(pw)).cast("double")
+        val pAvg = try_divide(sum(v * c(pw)).cast("double"), sum(c(pw)).cast("double"))
         val terms = sws.map { s =>
-          val d = pAvg - sum(v * c(s)).cast("double") / sum(c(s)).cast("double"); d * d
+          val d = pAvg - try_divide(sum(v * c(s)).cast("double"), sum(c(s)).cast("double")); d * d
         }.reduce(_ + _)
         lit(cv) * sqrt(lit(df / sws.length) * terms)
       case Aggregator.Custom(t) => customExpr(t, m.column)
@@ -139,7 +139,7 @@ object AggExprs {
     case Aggregator.BasicGroupedMedian(_, _) => expr(s"median(`__m$i`)")
     case Aggregator.WeightedSum(_) => sum(c(s"__m$i")).cast("double")
     case Aggregator.WeightedAvg(_) =>
-      sum(c(s"__m${i}_num")).cast("double") / sum(c(s"__m${i}_den")).cast("double")
+      try_divide(sum(c(s"__m${i}_num")).cast("double"), sum(c(s"__m${i}_den")).cast("double"))
     case Aggregator.Moe(cv) =>
       lit(cv) * sqrt(sum(c(s"__m$i")).cast("double") / lit(cv * cv))
     case Aggregator.ReplicateWeightMoe(cv, df, secs) =>
@@ -148,9 +148,9 @@ object AggExprs {
       }.reduce(_ + _)
       lit(cv) * sqrt(lit(df / secs.length) * terms)
     case Aggregator.WeightedAverageMoe(cv, df, _, sws) =>
-      val pAvg = sum(c(s"__m${i}_pnum")).cast("double") / sum(c(s"__m${i}_pden")).cast("double")
+      val pAvg = try_divide(sum(c(s"__m${i}_pnum")).cast("double"), sum(c(s"__m${i}_pden")).cast("double"))
       val terms = sws.indices.map { n =>
-        val d = pAvg - sum(c(s"__m${i}_snum$n")).cast("double") / sum(c(s"__m${i}_sden$n")).cast("double"); d * d
+        val d = pAvg - try_divide(sum(c(s"__m${i}_snum$n")).cast("double"), sum(c(s"__m${i}_sden$n")).cast("double")); d * d
       }.reduce(_ + _)
       lit(cv) * sqrt(lit(df / sws.length) * terms)
     case Aggregator.Custom(t) => customExpr(t, s"__m$i")

@@ -99,7 +99,7 @@ object SemDedupStream {
     val newEdges = all.join(nw, "cid").where(col("va") =!= col("vb"))
       .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("cid"),
         least(col("va"), col("vb")).as("vec_a"),
@@ -145,7 +145,7 @@ object SemDedupStream {
       .where(col("va") < col("vb"))
       .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
     // a reopened cell's surviving carried edges are a SUBSET of its
@@ -186,7 +186,7 @@ object SemDedupStream {
       .where(col("va") < col("vb"))
       .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
       .pinned(false)
@@ -273,7 +273,7 @@ object SemDedupStream {
     val newEdges = all.join(nw, "cid").where(col("va") =!= col("vb"))
       .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("cid"),
         least(col("va"), col("vb")).as("vec_a"),
@@ -315,7 +315,7 @@ object SemDedupStream {
       .where(col("va") < col("vb"))
       .withColumn("dot", graft.functions.QuantizedDot(col("qa"), col("qb")))
       .withColumn("cosine",
-        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+        try_divide(col("dot").cast("double"), sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("cid"), col("va").as("vec_a"), col("vb").as("vec_b"))
       .pinned(false)
