@@ -486,7 +486,15 @@ object SparkEntry {
     // oracle's per-grain decimal sums match EXACTLY only because of that.
     "q55_rca_wsum" -> run(CubeQuery(
       measures = Seq(mea("Quantity")),
-      rca = Some(rcaQ("Geography.Nation,Part.Brand,Weighted Discount"))))
+      rca = Some(rcaQ("Geography.Nation,Part.Brand,Weighted Discount")))),
+    // round 18: rca over a MAX measure — newly routed through the
+    // one-scan re-aggregation branch (max of per-grain maxes is the raw
+    // max, so b/c/d roll up losslessly from the pinned a grain; asserted
+    // plan-shape in ScaleInvariantsSpec). Oracle = four grouped-from-raw
+    // max subqueries joined on their grains, the q54 pattern.
+    "q56_rca_max" -> run(CubeQuery(
+      measures = Seq(mea("Quantity")),
+      rca = Some(rcaQ("Geography.Nation,Part.Brand,Max Price"))))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -604,6 +612,11 @@ object SparkEntry {
       val from = s"$GEO JOIN part ON l_partkey = p_partkey"
       val ws = d2d(s"sum($DD * $QD)")
       s"""WITH a AS (SELECT n_nationkey AS nid, n_name AS nname, p_brand AS brand, $ws AS av, sum(l_quantity) AS q FROM $from GROUP BY 1, 2, 3), bfr AS (SELECT p_brand AS brand, $ws AS bv FROM $from GROUP BY 1), cfr AS (SELECT n_nationkey AS nid, $ws AS cv FROM $from GROUP BY 1), dfr AS (SELECT $ws AS dv FROM $from) SELECT a.nid AS "Nation ID", a.nname AS "Nation", a.brand AS "Brand", (av / bv) / (cv / dv) AS "Weighted Discount RCA", q AS "Quantity" FROM a JOIN bfr ON a.brand = bfr.brand JOIN cfr ON a.nid = cfr.nid CROSS JOIN dfr ORDER BY 1, 2, 3"""
+    },
+    "q56_rca_max" -> {
+      val from = s"$GEO JOIN part ON l_partkey = p_partkey"
+      val mx = "max(l_extendedprice)"
+      s"""WITH a AS (SELECT n_nationkey AS nid, n_name AS nname, p_brand AS brand, $mx AS av, sum(l_quantity) AS q FROM $from GROUP BY 1, 2, 3), bfr AS (SELECT p_brand AS brand, $mx AS bv FROM $from GROUP BY 1), cfr AS (SELECT n_nationkey AS nid, $mx AS cv FROM $from GROUP BY 1), dfr AS (SELECT $mx AS dv FROM $from) SELECT a.nid AS "Nation ID", a.nname AS "Nation", a.brand AS "Brand", (av / bv) / (cv / dv) AS "Max Price RCA", q AS "Quantity" FROM a JOIN bfr ON a.brand = bfr.brand JOIN cfr ON a.nid = cfr.nid CROSS JOIN dfr ORDER BY 1, 2, 3"""
     },
     "q44_preagg" ->
       s"""SELECT r_regionkey AS "Region ID", r_name AS "Region", sum(l_quantity) AS "Quantity", count(l_orderkey) AS "Row Count" FROM $GEO WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2 ORDER BY 1, 2""",

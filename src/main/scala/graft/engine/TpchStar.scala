@@ -140,8 +140,12 @@ object TpchStar {
       "cast(sum(cast({} as decimal(18,6))) as double)")),
     Measure("Revenue", "l_extendedprice", Aggregator.Custom(
       "cast(sum(cast({} as decimal(18,6)) * (1 - cast(l_discount as decimal(8,6)))) as double)")),
+    // nullif guard: a grain whose values are all NULL has count=0, and a
+    // bare division would throw under Spark's ANSI default (reachable via
+    // the rca grouping-sets grains over degenerate/custom cubes; TPC-H
+    // data never hits it). NULL-on-zero is the DuckDB oracle's semantics.
     Measure("Avg Discount", "l_discount", Aggregator.Custom(
-      "cast(sum(cast({} as decimal(18,9))) as double) / count({})")),
+      "cast(sum(cast({} as decimal(18,9))) as double) / nullif(count({}), 0)")),
     Measure("Row Count", "l_orderkey", Aggregator.Count),
     Measure("Max Price", "l_extendedprice", Aggregator.Max),
     Measure("Min Price", "l_extendedprice", Aggregator.Min),

@@ -227,8 +227,9 @@ object QueryFuzzer {
   // ------------------------------------------------------ rca generator
 
   /** RCA compositions: the planner runs one of planRca's two physical
-    * branches (pinned a-grain re-aggregation for sum-class measures, a
-    * grouping-sets rollup + grain equi-joins otherwise); the oracle
+    * branches (pinned a-grain re-aggregation for sum-class and max/min
+    * measures, a grouping-sets rollup + grain equi-joins otherwise); the
+    * oracle
     * renders the same algebra structurally independently — window sums
     * over one aggregate for integer-sum measures, per-grain grouped-from-
     * raw subqueries for the rest — a second derivation of (a/b)/(c/d)
@@ -246,9 +247,13 @@ object QueryFuzzer {
 
   /** rca measure pool (see [[oneRcaCase]]): window-sum oracles are valid
     * only for Quantity / Row Count (integer-valued — reordering-exact);
-    * the other three render per-grain grouped-from-raw subqueries. */
+    * the rest render per-grain grouped-from-raw subqueries. Branch
+    * routing (round 18): Quantity / Row Count / Weighted Discount /
+    * Max Price / Min Price take planRca's one-scan re-aggregation form,
+    * Avg Discount gates the legacy grouping-sets rollup. */
   private val rcaMeasures =
-    measures.filter(m => Set("Quantity", "Row Count", "Max Price", "Weighted Discount")(m.name)) :+
+    measures.filter(m =>
+      Set("Quantity", "Row Count", "Max Price", "Min Price", "Weighted Discount")(m.name)) :+
       MeaInfo("Avg Discount",
         s"${d2d("sum(CAST(l_discount AS DECIMAL(18,9)))")} / count(l_discount)", Seq("0"))
   private val rcaWindowOracleOk = Set("Quantity", "Row Count")

@@ -1340,7 +1340,12 @@ object PipelineOps {
 
   def mixture(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("sidx", regexp_extract(col("source"), "src([0-9]+)", 1).cast("long"))
+      // a source label outside the src<N> family extracts '', whose cast
+      // throws under the ANSI default — nullif makes it NULL sidx → NULL
+      // rate → the unknown domain samples nothing instead of killing the
+      // job (found by the round-18 DegenerateSweep)
+      .withColumn("sidx",
+        nullif(regexp_extract(col("source"), "src([0-9]+)", 1), lit("")).cast("long"))
       .withColumn("rate_pct", lit(MixBase) + lit(MixStep) * (col("sidx") % MixMod))
       .withColumn("bucket",
         expr(s"${hex12("concat(source, ':', CAST(doc_id AS STRING))")} % 100"))

@@ -42,6 +42,16 @@ final class CubePlanner(
   /** Same resolver, different cube view (Preagg plans storage variants). */
   def withCube(c: Cube): CubePlanner = new CubePlanner(c, resolver, geoService)
 
+  /** Plan-time size estimate of the bare fact, cached per session — the
+    * rca rollup pin heuristic reads it on every non-re-aggregable plan,
+    * and re-resolving re-runs analysis for a number that doesn't change
+    * within a planner instance's lifetime. */
+  private val factBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, BigInt]()
+  private def factBytes(spark: SparkSession): BigInt =
+    factBytesCache.computeIfAbsent(spark, s =>
+      resolver.resolve(s, cube.table).queryExecution.optimizedPlan.stats.sizeInBytes)
+
   // ---------------------------------------------------------------- public
 
   def plan(spark: SparkSession, q: CubeQuery): DataFrame = {
@@ -626,7 +636,8 @@ final class CubePlanner(
       .agg(aggs.head, aggs.tail: _*)
       .pinned(false)
     def reagg(set: Seq[String], out: String): DataFrame =
-      aFrame.groupBy(("__combo" +: set).map(cq): _*).agg(sum(cq(RcaA)).as(out))
+      aFrame.groupBy(("__combo" +: set).map(cq): _*)
+        .agg(rcaReagg(rcaMea.aggregator, cq(RcaA)).as(out))
     def joinBack(l: DataFrame, rt: DataFrame, keys: Seq[String]): DataFrame = {
       val jk = "__combo" +: keys
       val rr = jk.foldLeft(rt)((d, k) => d.withColumnRenamed(k, s"__rj $k"))
@@ -790,14 +801,15 @@ final class CubePlanner(
     *
     * Two physical forms, chosen by the rca measure's aggregator:
     *
-    *   - RE-AGGREGABLE (sum/count/weighted-sum, [[rcaReaggregable]] —
-    *     the overwhelmingly common case): ONE a-grain aggregate off the
-    *     fact; b/c/d re-aggregate the a column (partial-agg groupBys —
-    *     map-side combining, never a window's low-key-partition funnel
-    *     over the a grain) and equi-join back null-safely. The four
-    *     branches share a byte-identical a-grain exchange, so exchange
-    *     reuse executes ONE fact scan.
-    *   - otherwise (avg/moe/min/max …): each grain must aggregate from
+    *   - RE-AGGREGABLE (sum/count/weighted-sum/max/min,
+    *     [[rcaReaggregable]] — the overwhelmingly common case): ONE
+    *     a-grain aggregate off the fact; b/c/d re-aggregate the a column
+    *     with the measure's own lossless combiner ([[rcaReagg]]:
+    *     partial-agg groupBys — map-side combining, never a window's
+    *     low-key-partition funnel over the a grain) and equi-join back
+    *     null-safely. The four branches share a byte-identical a-grain
+    *     exchange, so exchange reuse executes ONE fact scan.
+    *   - otherwise (avg/moe-class …): each grain must aggregate from
     *     RAW rows — grouping sets of one `groupingSets` aggregate, the
     *     per-grain frames gid-filtered and joined back. Catalyst pushes
     *     each gid filter below the rollup's exchange, so this form runs
@@ -877,9 +889,10 @@ final class CubePlanner(
       // four gid-filtered frames pushed their filters below the rollup's
       // exchange, defeating exchange reuse — the executed plan ran the
       // Expand and the FACT SCAN four times. For re-aggregable rca
-      // measures (sum / count / weighted sum — the b/c/d grains are exact
-      // sums of the a values) the b/c/d frames instead RE-AGGREGATE the
-      // one a-grain aggregate and join back. The a frame is PINNED (lazy
+      // measures (sum/count/weighted-sum/max/min — the b/c/d grains
+      // re-aggregate exactly from the a values via the measure's own
+      // combiner) the b/c/d frames instead RE-AGGREGATE the one a-grain
+      // aggregate and join back. The a frame is PINNED (lazy
       // localCheckpoint): exchange reuse alone cannot share it — column
       // pruning specializes each branch's copy of the aggregate, so the
       // exchanges never canonicalize equal (measured: 4 fact scans, zero
@@ -893,8 +906,9 @@ final class CubePlanner(
       val aFrame = src.groupBy(allCols.map(cq): _*).agg(aggsAll.head, aggsAll.tail: _*)
         .pinned(false)
       def reagg(set: Seq[String], out: String): DataFrame =
-        if (set.isEmpty) aFrame.agg(sum(cq(RcaA)).as(out))
-        else aFrame.groupBy(set.map(cq): _*).agg(sum(cq(RcaA)).as(out))
+        if (set.isEmpty) aFrame.agg(rcaReagg(rcaMea.aggregator, cq(RcaA)).as(out))
+        else aFrame.groupBy(set.map(cq): _*)
+          .agg(rcaReagg(rcaMea.aggregator, cq(RcaA)).as(out))
       var d0 = joinBack(aFrame, reagg(setB, RcaB), setB)
       d0 = joinBack(d0, reagg(setD, RcaD), setD)
       var cFrame = reagg(setC, RcaC)
@@ -905,7 +919,7 @@ final class CubePlanner(
       }
       rcaCastGrains(joinBack(d0, cFrame, setC), rcaMea.aggregator)
     } else {
-      // non-re-aggregable rca measure (avg / moe / min / max …): each
+      // non-re-aggregable rca measure (avg / moe-class …): each
       // grain must aggregate from RAW rows, which is exactly what the
       // grouping-sets rollup does — keep it, accepting the multi-scan
       // plan for this corner (the reference's semantics, rca.rs:50-283)
@@ -933,11 +947,8 @@ final class CubePlanner(
       val rolledRaw = src
         .groupingSets(sets.map(_.map(cq)), allCols.map(cq): _*)
         .agg(aggs.head, aggs.tail: _*)
-      val pin = pinRollupForced.getOrElse {
-        val factBytes = resolver.resolve(spark, cube.table)
-          .queryExecution.optimizedPlan.stats.sizeInBytes
-        factBytes > pinRollupBytes
-      }
+      val pin = pinRollupForced(spark)
+        .getOrElse(factBytes(spark) > pinRollupBytes(spark))
       val rolled = if (pin) rolledRaw.pinned(false) else rolledRaw
       def frame(set: Seq[String], out: String): DataFrame =
         rolled.where(cq("__gid") === gid(set))
@@ -1429,14 +1440,25 @@ final class CubePlanner(
 }
 
 object CubePlanner {
-  /** rca measures whose coarser grains (b/c/d) are EXACT sums of the
-    * a-grain values — the precondition for the one-scan window form of
+  /** rca measures whose coarser grains (b/c/d) re-aggregate EXACTLY from
+    * the a-grain values — the precondition for the one-scan form of
     * [[planRca]]/[[planFanOutFusedRca]]. count re-aggregates as a sum of
-    * partial counts; weighted sum is a sum of products. */
+    * partial counts; weighted sum is a sum of products; max/min are
+    * idempotent-associative (max of per-grain maxes IS the raw max). */
   private def rcaReaggregable(a: Aggregator): Boolean = a match {
     case Aggregator.Sum | Aggregator.Count => true
     case Aggregator.WeightedSum(_)         => true
+    case Aggregator.Max | Aggregator.Min   => true
     case _                                 => false
+  }
+
+  /** The lossless combiner that rolls the a-grain rca column up to a
+    * coarser grain (the [[rcaReaggregable]] contract): sums re-sum,
+    * max/min take their own aggregator again. */
+  private def rcaReagg(a: Aggregator, c: Column): Column = a match {
+    case Aggregator.Max => max(c)
+    case Aggregator.Min => min(c)
+    case _              => sum(c)
   }
 
   /** a-grain aggregate for the rca measure in the re-aggregable form:
@@ -1461,19 +1483,25 @@ object CubePlanner {
 
   /** Force the non-re-aggregable rca rollup shape (see planRca):
     * Some(true) = pinned one-scan, Some(false) = overlapped multi-scan,
-    * None = size-aware auto (pin above [[pinRollupBytes]]). A
+    * None = size-aware auto (pin above [[pinRollupBytes]]). Overrides are
+    * SESSION-scoped first (`spark.conf.set("graft.rca.pinRollup", …)` —
+    * parallel tests and concurrent sessions don't leak forced shapes into
+    * each other's plans), with the JVM-wide -D as the CLI fallback. A
     * persist()-based shared-cache shape was measured and rejected: the
     * join analyzer's relation dedup re-aliases three of the four rollup
     * subtrees, cache lookup replaces only one, and the executed plan
     * still scans the fact four times (SCALING.md round 17). */
-  private def pinRollupForced: Option[Boolean] =
-    sys.props.get("graft.rca.pinRollup").map(_.toBoolean)
+  private def pinRollupForced(spark: SparkSession): Option[Boolean] =
+    spark.conf.getOption("graft.rca.pinRollup")
+      .orElse(sys.props.get("graft.rca.pinRollup")).map(_.toBoolean)
 
   /** Auto threshold: above this estimated bare-fact size, scan work
     * dominates the lost overlap and the rollup pins (default 8 GiB;
-    * -Dgraft.rca.pinRollupBytes overrides). */
-  private def pinRollupBytes: BigInt =
-    BigInt(sys.props.getOrElse("graft.rca.pinRollupBytes", "8589934592"))
+    * session conf `graft.rca.pinRollupBytes`, then -D, overrides). */
+  private def pinRollupBytes(spark: SparkSession): BigInt =
+    BigInt(spark.conf.getOption("graft.rca.pinRollupBytes")
+      .orElse(sys.props.get("graft.rca.pinRollupBytes"))
+      .getOrElse("8589934592"))
 
   private val RcaA = "__rca_a"
   private val RcaB = "__rca_b"

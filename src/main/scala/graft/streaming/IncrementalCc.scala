@@ -120,6 +120,13 @@ object IncrementalCc {
     // emptiness, the bound check, and the InSet values all come from the
     // one probe, and an over-bound retired set never materializes here.
     val rVals = r.limit((1 << 16) + 1).collect().map(_.get(0)).toSeq
+    // The state contract (non-null node ids) is enforced here, where it is
+    // free — the rows are already on the driver. A NULL in the IN-list
+    // poisons every membership probe below (three-valued logic turns each
+    // non-match into NULL), so a contract violation must be a loud refresh
+    // failure, not silent label-state divergence.
+    require(!rVals.contains(null),
+      "IncrementalCc state contract violated: NULL doc_id in the retired set")
     // Retired-set membership as driver-side predicates (round 17): when
     // the delta fits the driver bound (the common case — the same rows
     // the classifier already collected), every semi/anti join against the
@@ -129,8 +136,11 @@ object IncrementalCc {
     // does not span SQL executions; the round-16 job census showed those
     // async builds are the refresh's fixed per-bump floor). The empty
     // delta short-circuits to limit(0)/identity, and an over-bound delta
-    // keeps the broadcast-join form. Node ids are non-null by the state
-    // contract (a NULL would survive an anti-join but not NOT-IN).
+    // keeps the broadcast-join form. The predicates are EXACT join
+    // equivalents even off-contract: a NULL probe never matches a semi
+    // build side (IN yields NULL → dropped, same as left_semi) and is
+    // KEPT by left_anti — antiR spells that out (`isNull ||`) so NOT-IN's
+    // three-valued logic can never silently drop a NULL-keyed row.
     val rSmall = rVals.length <= (1 << 16)
     def inR(c: org.apache.spark.sql.Column) = c.isin(rVals: _*)
     def semiR(df: DataFrame, c: String): DataFrame =
@@ -139,7 +149,7 @@ object IncrementalCc {
       else df.join(r.select(col("node").as(c)), Seq(c), "left_semi")
     def antiR(df: DataFrame, c: String): DataFrame =
       if (rVals.isEmpty) df
-      else if (rSmall) df.where(!inR(col(c)))
+      else if (rSmall) df.where(col(c).isNull || !inR(col(c)))
       else df.join(r.select(col("node").as(c)), Seq(c), "left_anti")
     val (fdeg, adjacent, elabelHit) =
       if (rVals.isEmpty) {

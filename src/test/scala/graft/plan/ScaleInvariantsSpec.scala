@@ -81,7 +81,9 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     val avgRca = CubeQuery(
       measures = Seq(mea("Quantity")),
       rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Avg Discount").fold(die, identity)))
-    sys.props("graft.rca.pinRollup") = "true"
+    // session-scoped force (round 18): a sys.props force would leak the
+    // shape into concurrently-planning suites sharing this JVM
+    spark.conf.set("graft.rca.pinRollup", "true")
     try {
       val pm = plan(avgRca)
       assert(!pm.contains("Expand"),
@@ -89,13 +91,27 @@ class ScaleInvariantsSpec extends AnyFunSuite {
       assert(!pm.contains("lineitem"),
         "grain frames must read the pinned rollup, not re-scan the fact:\n" + pm.take(1600))
       assert(pm.contains("ExistingRDD"), "expected the pinned rollup scans:\n" + pm.take(1200))
-    } finally sys.props.remove("graft.rca.pinRollup")
+    } finally spark.conf.unset("graft.rca.pinRollup")
     // size-aware auto at the tiny fixture: the fact is far below the pin
     // threshold, so auto keeps the overlapped multi-scan shape (the 4x
     // scan WORK is latency-invisible while the fact is RAM-resident)
     val pa = plan(avgRca)
     assert(pa.contains("Expand") && pa.contains("lineitem"),
       "auto must keep the multi-scan shape below the size threshold:\n" + pa.take(1200))
+  }
+
+  test("rca (max measure): re-agg branch — pinned a-grain, max-of-max joins, no Expand") {
+    // round 18: max/min re-aggregate losslessly (max of per-grain maxes),
+    // so a max-measure rca takes the ONE-scan form, not the multi-scan
+    // grouping-sets rollup it paid before
+    val pm = plan(CubeQuery(
+      drilldowns = Seq(drill("Ship Date.Year")),
+      measures = Seq(mea("Quantity")),
+      rca = Some(RcaQuery.parse("Geography.Nation,Part.Brand,Max Price").fold(die, identity))))
+    assert(!pm.contains("Expand"), "max-measure rca must not grouping-set:\n" + pm.take(1200))
+    assert(!pm.contains("lineitem"),
+      "b/c/d must re-aggregate the pinned a grain, not re-scan the fact:\n" + pm.take(1600))
+    assert(pm.contains("ExistingRDD"), "expected the pinned a-grain scans:\n" + pm.take(1200))
   }
 
   test("fused rca fan-out: single tagged plan — no Union, no Expand, no raw re-scan") {
