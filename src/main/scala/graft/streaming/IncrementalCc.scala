@@ -91,15 +91,342 @@ object IncrementalCc {
     (_, df) => df
   private implicit class StagePinned(private val df: DataFrame) {
     def spinned(tag: String): DataFrame = stagePin(tag, df.pinned(false))
+    /** [[spinned]] dropping the checkpoint's stashed origin constraints —
+      * the driver-composed path's pin. Its InSet/alias-heavy plans can
+      * stash a constraint referencing a non-output attribute, which kills
+      * Spark 4's Union constraint rewrite in the consuming maintained-state
+      * folds (see [[org.apache.spark.sql.graft.CheckpointStats
+      * .dropConstraints]]); constraints are planning-only, so the
+      * truncation boundary sheds them. */
+    def spinnedNC(tag: String): DataFrame = stagePin(tag,
+      org.apache.spark.sql.graft.CheckpointStats.dropConstraints(df.pinned(false)))
   }
+
+  /** Bounded-collect gate shared by the driver-composed path's probes:
+    * at most this many retired ids / new-pair rows may reach the driver;
+    * past it the distributed body runs. Same bound as the classifier's
+    * round-17 InSet probe. */
+  private[graft] val DriverBound: Int = 1 << 16
 
   /** Advance the maintained labels. `labels` (node, label) and
     * `labeledPairs` (doc_a, doc_b, elabel, in_forest) are the folded
     * state; `retiredIds` (doc_id) and `newPairs` (doc_a, doc_b) are
     * delta-sized. All outputs are localCheckpoint-pinned (they are
     * rewrite-size, and each feeds both the state write and the
-    * verdict). */
+    * verdict).
+    *
+    * Round 18: when BOTH delta sides fit the driver bound (the common
+    * case — the same limit(bound+1) gate the CC driver tails use) and
+    * ids are int64, the whole contraction/classification — cid lookup,
+    * contracted CC + forest, group classification, forest-edge picks —
+    * runs AS DRIVER CODE over the collected delta, and only the
+    * corpus-shaped scans (the touched-edge classifier, two labels scans,
+    * the classified-membership checkpoint) stay distributed. The
+    * round-16 job census showed the refresh floor was ~80 async
+    * broadcast-exchange builds per bump (~65 ms of driver scheduling
+    * each, scale-INDEPENDENT): every delta×delta join and every
+    * delta-frame checkpoint was its own SQL execution rebuilding its
+    * broadcasts. The driver-composed path deletes that class outright —
+    * delta-sized frames never exist as plans, so there is nothing to
+    * broadcast — while every surviving distributed operation is a single
+    * InSet-filtered scan. An over-bound delta (or non-int64 ids, or
+    * `spark.conf` `graft.cc.driverRefresh=never` — the test seam) keeps
+    * the distributed body verbatim. */
   def refresh(
+      labels: DataFrame,
+      labeledPairs: DataFrame,
+      retiredIds: DataFrame,
+      newPairs: DataFrame): LabelDelta = {
+    import org.apache.spark.sql.types.LongType
+    val spark = labels.sparkSession
+    // bounded probe of the retired set (one job): emptiness, the bound
+    // check, the InSet values, and the driver-path gate all come from it
+    val rProbe = retiredIds.select(col("doc_id").as("node")).distinct()
+      .limit(DriverBound + 1).collect().map(_.get(0)).toSeq
+    // The state contract (non-null node ids) is enforced here, where it is
+    // free — the rows are already on the driver. A NULL in the IN-list
+    // poisons every membership probe below (three-valued logic turns each
+    // non-match into NULL), so a contract violation must be a loud refresh
+    // failure, not silent label-state divergence.
+    require(!rProbe.contains(null),
+      "IncrementalCc state contract violated: NULL doc_id in the retired set")
+    val mode = spark.conf.get("graft.cc.driverRefresh", "auto")
+    val longIds =
+      Seq("node", "label").forall(c => labels.schema(c).dataType == LongType) &&
+      Seq("doc_a", "doc_b", "elabel")
+        .forall(c => labeledPairs.schema(c).dataType == LongType) &&
+      Seq("doc_a", "doc_b").forall(c => newPairs.schema(c).dataType == LongType)
+    val npProbe: Option[Array[(Long, Long)]] =
+      if (mode == "never" || !longIds || rProbe.length > DriverBound) None
+      else {
+        val rows = newPairs.select(col("doc_a"), col("doc_b"))
+          .limit(DriverBound + 1).collect()
+        // null-keyed pairs (off-contract) keep the distributed body's
+        // join semantics rather than guessing a driver equivalent
+        if (rows.length > DriverBound || rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+      }
+    npProbe match {
+      case Some(np) =>
+        refreshDriver(labels, labeledPairs,
+          rProbe.map(_.asInstanceOf[Long]).toArray, np)
+      case None => refreshDistributed(labels, labeledPairs, retiredIds, newPairs)
+    }
+  }
+
+  /** The driver-composed refresh: delta-sized algebra as plain Scala over
+    * the collected delta, corpus-shaped work as three InSet-filtered scans
+    * + the classified-membership checkpoint. Exactly [[refreshDistributed]]'s
+    * outputs (IncrementalCcFuzzSpec pins row-for-row parity across the
+    * fuzz chains). */
+  private def refreshDriver(
+      labels: DataFrame,
+      labeledPairs: DataFrame,
+      rVals: Array[Long],
+      np: Array[(Long, Long)]): LabelDelta = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val rSet = rVals.toSet
+    def inLongs(c: org.apache.spark.sql.Column, vs: Seq[Long]) =
+      if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+    def inR(c: org.apache.spark.sql.Column) = inLongs(c, rVals.toSeq)
+    // the distributed antiR's NULL-keeps spelled the same way (doc ids are
+    // non-null by contract; the isNull arm keeps off-contract rows rather
+    // than silently dropping them through NOT-IN three-valued logic)
+    def antiR(df: DataFrame, c: String): DataFrame =
+      if (rVals.isEmpty) df else df.where(col(c).isNull || !inR(col(c)))
+
+    // ---- classify deletion-touched components (ONE edge-state scan) --
+    // forest-degree, retired-retired forest adjacency, and elabel stamps
+    // as driver maps: a tagged explode computes all three views in one
+    // pass where the distributed form kept a checkpoint + three filter
+    // subtrees (output is ≤ 3|retired| aggregated rows)
+    val fdeg = scala.collection.mutable.LongMap.empty[Long]
+    val adjacent = scala.collection.mutable.Set.empty[Long]
+    val elabelHit = scala.collection.mutable.Set.empty[Long]
+    if (rVals.nonEmpty) {
+      labeledPairs
+        .where(inR(col("doc_a")) || inR(col("doc_b")) || inR(col("elabel")))
+        .select(explode(array(
+          struct(when(col("in_forest") && inR(col("doc_a")), col("doc_a")).as("node"),
+            lit(1).as("tag")),
+          struct(when(col("in_forest") && inR(col("doc_b")), col("doc_b")).as("node"),
+            lit(1).as("tag")),
+          struct(when(col("in_forest") && inR(col("doc_a")) && inR(col("doc_b")),
+            col("doc_a")).as("node"), lit(2).as("tag")),
+          struct(when(inR(col("elabel")), col("elabel")).as("node"),
+            lit(3).as("tag")))).as("x"))
+        .where(col("x.node").isNotNull)
+        .groupBy(col("x.node").as("node"), col("x.tag").as("tag"))
+        .agg(count(lit(1)).as("c"))
+        .collect().foreach { row =>
+          val n = row.getLong(0)
+          row.getInt(1) match {
+            case 1 => fdeg(n) = fdeg.getOrElse(n, 0L) + row.getLong(2)
+            case 2 => adjacent += n
+            case _ => elabelHit += n
+          }
+        }
+    }
+
+    // ---- memberships of retired + endpoint nodes (ONE labels scan) ---
+    // retiredInGraph and the contraction's cid lookup come from the same
+    // probe; a retired endpoint re-enters as a FRESH node (no live label)
+    val endNodes: Array[Long] = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      np.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val retLabel = scala.collection.mutable.LongMap.empty[Long]
+    val liveLabel = scala.collection.mutable.LongMap.empty[Long]
+    val lookup: Array[Long] = (rVals ++ endNodes).distinct
+    if (lookup.nonEmpty)
+      labels.where(inLongs(col("node"), lookup.toSeq))
+        .select(col("node"), col("label"))
+        .collect().foreach { row =>
+          val n = row.getLong(0)
+          if (rSet(n)) retLabel(n) = row.getLong(1) else liveLabel(n) = row.getLong(1)
+        }
+    def cidOf(n: Long): Long = liveLabel.getOrElse(n, n)
+
+    // ---- contract the delta's new edges over current components ------
+    val cEdges: Array[(Long, Long, Long, Long)] =
+      np.map { case (a, b) => (a, b, cidOf(a), cidOf(b)) }
+    val cInter: Array[(Long, Long)] = cEdges.iterator
+      .filter(e => e._3 != e._4)
+      .map(e => (math.min(e._3, e._4), math.max(e._3, e._4)))
+      .toArray.distinct.sorted
+    // min-hooked union-find over ascending canonical edges — the exact
+    // ccWithForest driver-tail shape (star forests around minima), so the
+    // contracted labels/forest match what the distributed body's
+    // ccWithForest(cInter) would produce
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val cForest = scala.collection.mutable.Set.empty[(Long, Long)]
+    cInter.foreach { case (x, y) =>
+      parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) {
+        if (rx < ry) parent(ry) = rx else parent(rx) = ry
+        cForest += ((x, y))
+      }
+    }
+    def glabelOf(c: Long): Long = if (parent.contains(c)) find(c) else c
+
+    // ---- seed classification (groupOf/cidU/cidFull as driver maps) ---
+    val seeds: Array[Long] = (endNodes.map(cidOf) ++ retLabel.values).distinct
+    val delLabels: Array[Long] = retLabel.values.toArray.distinct
+    // a seed WITNESSED as an existing label by the rows just collected
+    // provably has membership rows; only fallback cids (endpoints with no
+    // live membership) need the scan below to decide "has membership
+    // rows" — the freshness test the distributed body answered through
+    // memberCls' distinct labels
+    val witnessed: Set[Long] = (liveLabel.values ++ retLabel.values).toSet
+    val fallbackSeeds: Array[Long] = seeds.filterNot(witnessed)
+    // keptBig counts + fallback label-presence in ONE labels scan
+    val nrem = scala.collection.mutable.LongMap.empty[Long]
+    val ntot = scala.collection.mutable.LongMap.empty[Long]
+    val scanKeys: Array[Long] = (delLabels ++ fallbackSeeds).distinct
+    if (scanKeys.nonEmpty)
+      labels.where(inLongs(col("label"), scanKeys.toSeq))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("ntot"),
+          count(when(
+            if (rVals.isEmpty) lit(true) else col("node").isNull || !inR(col("node")),
+            lit(1))).as("nrem"))
+        .collect().foreach { row =>
+          ntot(row.getLong(0)) = row.getLong(1)
+          nrem(row.getLong(0)) = row.getLong(2)
+        }
+    val leaves: Set[Long] = fdeg.iterator.collect { case (n, 1L) => n }.toSet
+    // unsafe = not a certified leaf / forest-adjacent to another retired
+    // node / carried as an epoch stamp — the same three-way test
+    val unsafeNodes: Set[Long] =
+      retLabel.keysIterator.filterNot(leaves).toSet ++ adjacent ++ elabelHit
+    val keptBig: Set[Long] =
+      delLabels.iterator.filter(l => nrem.getOrElse(l, 0L) > 1).toSet
+    val collapsed: Array[Long] = delLabels.filterNot(keptBig)
+    val rebuildDelLabels: Set[Long] =
+      unsafeNodes.iterator.flatMap(retLabel.get).toSet ++ collapsed
+    val glabelOfSeed: Map[Long, Long] = seeds.iterator.map(c => c -> glabelOf(c)).toMap
+    val groupsByG = seeds.groupBy(glabelOfSeed)
+    val rbOfG: Map[Long, Boolean] =
+      groupsByG.map { case (g, cs) => g -> cs.exists(rebuildDelLabels) }
+    val nOfG: Map[Long, Int] = groupsByG.map { case (g, cs) => g -> cs.length }
+    val rebuildCids: Array[Long] = seeds.filter(c => rbOfG(glabelOfSeed(c)))
+    val rebuildCidSet: Set[Long] = rebuildCids.toSet
+    val mergeSeeds: Array[Long] = seeds.filterNot(rebuildCidSet) // mergeGroupOf
+    val mergeSeedSet: Set[Long] = mergeSeeds.toSet
+    val mergeLabels: Array[Long] = mergeSeeds.filter(c => nOfG(glabelOfSeed(c)) > 1)
+
+    // ---- memberships of every classified component (ONE labels scan;
+    // the rb/mg flags are InSet predicates of the driver-computed
+    // classification — no join, no broadcast build)
+    // empty branches below are FRESH local relations, never plan-derived
+    // `.limit(0)` frames: a limit-0 of `labels` carries labels' attribute
+    // ids into unions whose other children reference the same relation,
+    // and Union's constraint rewrite trips over the duplicate ids
+    // (reproduced on the p71 chain; a LocalRelation has no constraints)
+    val memberCls =
+      if (seeds.isEmpty)
+        Seq.empty[(Long, Long, Int, Int)].toDF("node", "label", "rb", "mg")
+      else labels.where(inLongs(col("label"), seeds.toSeq))
+        .select(col("node"), col("label"),
+          when(inLongs(col("label"), rebuildCids.toSeq), lit(1)).otherwise(lit(0)).as("rb"),
+          when(inLongs(col("label"), mergeLabels.toSeq), lit(1)).otherwise(lit(0)).as("mg"))
+        .spinnedNC("member-cls")
+    val alRebuild = memberCls.where(col("rb") === 1).select(col("node"), col("label"))
+    val mergeMembers = memberCls.where(col("mg") === 1).select(col("node"), col("label"))
+
+    // ---- rebuild bucket (short-circuits driver-side: no probe job) ----
+    val (rbLabelsP, rbPairs) =
+      if (rebuildCids.isEmpty)
+        (Seq.empty[(Long, Long)].toDF("node", "label"),
+          Seq.empty[(Long, Long, Long, Boolean)].toDF(PairCols: _*))
+      else {
+        val rebuildOld = antiR(antiR(labeledPairs
+          .join(alRebuild.select(col("node").as("elabel")), Seq("elabel"), "left_semi"),
+          "doc_a"), "doc_b")
+          .select(col("doc_a"), col("doc_b"))
+        val rebuildNew = cEdges.iterator.filter(e => rebuildCidSet(e._3))
+          .map(e => (e._1, e._2)).toSeq.toDF("doc_a", "doc_b")
+        val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct()
+          .spinnedNC("rebuild-edges")
+        val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
+        val rbl = rbLabels.spinnedNC("rb-labels")
+        val rbp = rebuildEdges
+          .join(rbl.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
+          .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
+            Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"), col("elabel"),
+            coalesce(col("in_forest"), lit(false)).as("in_forest"))
+        (rbl, rbp)
+      }
+
+    // ---- merge bucket -------------------------------------------------
+    // membership relabels join the (delta-sized) cid→glabel map — the one
+    // local-relation broadcast the path keeps; everything else about the
+    // merge bucket is driver rows
+    val mgLabels =
+      if (mergeLabels.isEmpty) Seq.empty[(Long, Long)].toDF("node", "label")
+      else antiR(mergeMembers, "node")
+        .join(broadcast(mergeLabels.map(c => (c, glabelOfSeed(c))).toSeq
+          .toDF("label", "glabel")), "label")
+        .select(col("node"), col("glabel").as("label"))
+    // fresh nodes that actually connected: no membership row (not
+    // witnessed as a label AND absent from the presence scan) + appears
+    // in the contraction's labeling
+    val mgFreshRows: Seq[(Long, Long)] = mergeSeeds.iterator
+      .filter(c => !witnessed(c) && ntot.getOrElse(c, 0L) == 0L && parent.contains(c))
+      .map(c => (c, glabelOfSeed(c))).toSeq
+    // forest-edge pick per contracted pair: the lexicographically first
+    // (doc_a, doc_b) — the rk=1 row of the distributed window — flagged
+    // once even under duplicate delta rows
+    val repOf = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    cEdges.foreach { e =>
+      val k = (math.min(e._3, e._4), math.max(e._3, e._4))
+      val v = (e._1, e._2)
+      repOf.get(k) match {
+        case Some(p) if p._1 < v._1 || (p._1 == v._1 && p._2 <= v._2) => ()
+        case _ => repOf(k) = v
+      }
+    }
+    val flagged = scala.collection.mutable.Set.empty[(Long, Long)]
+    val mgNewRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    cEdges.foreach { e =>
+      if (mergeSeedSet(e._3)) {
+        val k = (math.min(e._3, e._4), math.max(e._3, e._4))
+        val isF = e._3 != e._4 && cForest(k) &&
+          repOf(k) == ((e._1, e._2)) && flagged.add(k)
+        mgNewRows += ((e._1, e._2, glabelOfSeed(e._3), isF))
+      }
+    }
+
+    val labelsIn = rbLabelsP.select(col("node"), col("label"))
+      .unionByName(mgLabels)
+      .unionByName(mgFreshRows.toDF("node", "label"))
+      .spinnedNC("labels-in")
+    val pairsIn = rbPairs
+      .unionByName(mgNewRows.toSeq.toDF("doc_a", "doc_b", "elabel", "in_forest"))
+      .select(PairCols.map(col): _*).spinnedNC("pairs-in")
+    val labelsOut = rVals.toSeq.toDF("node")
+      .unionByName(alRebuild.select("node"))
+      .unionByName(mergeMembers.select("node"))
+      .distinct().spinnedNC("labels-out")
+    // not pinned: a bare projection of the already-pinned memberCls
+    val pairsOut = alRebuild.select("node")
+    LabelDelta(labelsOut, labelsIn, pairsIn, pairsOut)
+  }
+
+  /** The distributed refresh body — the over-bound / non-int64 /
+    * forced-off path, verbatim the round-17 shape. */
+  private def refreshDistributed(
       labels: DataFrame,
       labeledPairs: DataFrame,
       retiredIds: DataFrame,
@@ -120,11 +447,6 @@ object IncrementalCc {
     // emptiness, the bound check, and the InSet values all come from the
     // one probe, and an over-bound retired set never materializes here.
     val rVals = r.limit((1 << 16) + 1).collect().map(_.get(0)).toSeq
-    // The state contract (non-null node ids) is enforced here, where it is
-    // free — the rows are already on the driver. A NULL in the IN-list
-    // poisons every membership probe below (three-valued logic turns each
-    // non-match into NULL), so a contract violation must be a loud refresh
-    // failure, not silent label-state divergence.
     require(!rVals.contains(null),
       "IncrementalCc state contract violated: NULL doc_id in the retired set")
     // Retired-set membership as driver-side predicates (round 17): when

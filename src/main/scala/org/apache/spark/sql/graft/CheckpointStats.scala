@@ -67,4 +67,38 @@ object CheckpointStats {
       case _ => df
     }
   }
+
+  /** Rebuild a checkpointed frame's [[LogicalRDD]] with NO origin
+    * constraints (statistics kept, capped as [[capEstimate]]).
+    *
+    * Why it exists: `Dataset.localCheckpoint` stashes the ORIGIN plan's
+    * constraint set on the rebuilt node, and Spark 4's `Union` constraint
+    * rewrite (`UnionBase.rewriteConstraints`) looks every constraint
+    * attribute up in a child-output map — a stashed constraint that
+    * references an attribute outside the checkpoint's output (observed on
+    * the driver-composed refresh's InSet/alias-heavy plans composing with
+    * the maintained-state unions: `key not found: node#NNN`) kills
+    * planning of any union the checkpoint later joins into. Constraints
+    * are a planning optimization, never semantics, so the refresh output
+    * pins drop them at the truncation boundary. */
+  def dropConstraints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val st = lr.computeStats()
+        val capped =
+          if (st.sizeInBytes <= Cap) st
+          else Statistics(
+            sizeInBytes = Cap,
+            rowCount = st.rowCount.map(_.min(Cap)),
+            attributeStats = st.attributeStats,
+            isRuntime = st.isRuntime)
+        Dataset.ofRows(
+          ds.sparkSession,
+          new LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.getStream)(ds.sparkSession, Some(capped), None))
+      case _ => df
+    }
+  }
 }

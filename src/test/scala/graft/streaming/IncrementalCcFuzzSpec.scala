@@ -68,6 +68,16 @@ class IncrementalCcFuzzSpec extends AnyFunSuite {
     driveChains(Seq(7L, 23L, 91L))
   }
 
+  test("the same chains through the DISTRIBUTED refresh body (driver-composed path forced off)") {
+    spark.conf.set("graft.cc.driverRefresh", "never")
+    try driveChains(Seq(7L, 23L))
+    finally spark.conf.unset("graft.cc.driverRefresh")
+  }
+
+  test("driver-composed refresh ≡ distributed refresh: delta parity row-for-row across the chains") {
+    driveChains(Seq(7L, 23L, 91L), parity = true)
+  }
+
   test("the same chains over the DISTRIBUTED Borůvka forest path (driver tail forced off)") {
     // every ccWithForest call inside refresh/initial takes the
     // distributed path — the shape a 100 TB initial build runs
@@ -82,7 +92,12 @@ class IncrementalCcFuzzSpec extends AnyFunSuite {
     finally sys.props.remove("graft.cc.forestEdgeBound")
   }
 
-  private def driveChains(seeds: Seq[Long]): Unit = {
+  /** With `parity`, every step ALSO computes the distributed body's delta
+    * on identical inputs and asserts all four LabelDelta components match
+    * the driver-composed ones row-for-row (duplicates included — the state
+    * fold is multiset-sensitive). The chain itself advances on the
+    * driver-composed outputs, so the invariants keep gating those. */
+  private def driveChains(seeds: Seq[Long], parity: Boolean = false): Unit = {
     for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       var nextId = 1000L
@@ -146,6 +161,17 @@ class IncrementalCcFuzzSpec extends AnyFunSuite {
         val retired = retiredIds.toDF("doc_id").localCheckpoint(true)
         val np = newEdges.result().distinct.toDF("doc_a", "doc_b").localCheckpoint(true)
         val d = IncrementalCc.refresh(labels, pairs, retired, np)
+        if (parity) {
+          spark.conf.set("graft.cc.driverRefresh", "never")
+          val d2 = try IncrementalCc.refresh(labels, pairs, retired, np)
+            finally spark.conf.unset("graft.cc.driverRefresh")
+          val ctx = s"seed $seed step $step (retired ${retiredIds.mkString(",")};" +
+            s" new ${newEdges.result().mkString(",")})"
+          assert(rowImage(d.labelsOut) == rowImage(d2.labelsOut), s"labelsOut diverged at $ctx")
+          assert(rowImage(d.labelsIn) == rowImage(d2.labelsIn), s"labelsIn diverged at $ctx")
+          assert(rowImage(d.pairsIn) == rowImage(d2.pairsIn), s"pairsIn diverged at $ctx")
+          assert(rowImage(d.pairsOut) == rowImage(d2.pairsOut), s"pairsOut diverged at $ctx")
+        }
         val (nl, nps) = fold(labels, pairs, retired, d)
         labels = nl; pairs = nps
         assertInvariants(labels, pairs, s"seed $seed step $step " +
