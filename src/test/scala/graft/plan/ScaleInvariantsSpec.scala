@@ -400,15 +400,21 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     }
   }
 
-  test("span scrub: per-doc windows only, hash-keyed dup join, no cartesian") {
-    val p = graft.pipeline.PipelineOps.spanScrub(spark, SfDir)
-      .queryExecution.executedPlan.toString
+  test("span scrub: keyed windows only (h freq, doc_id islands), one explode, no cartesian") {
+    val df = graft.pipeline.PipelineOps.spanScrub(spark, SfDir)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(800))
-    // the islands merge windows ONLY per doc — a global (empty-partition)
-    // window would funnel the corpus-wide marked set through one task
+    // every window must be KEYED — the freq count partitions by the span
+    // hash, the islands merge by doc_id; an empty-partition window would
+    // funnel the corpus-wide set through one task
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
-      "islands windows must partition by doc_id:\n" + windows.mkString("\n"))
+    assert(windows.nonEmpty &&
+      windows.forall(w => w.contains("doc_id") || w.contains("h#")),
+      "p64 windows must partition by doc_id or the span hash:\n" + windows.mkString("\n"))
+    // round 18: the dup marking is a count window over h, not a join-back
+    // — the text explode (Generate) must appear exactly ONCE in the plan
+    assert("Generate".r.findAllIn(p).length == 1,
+      "p64 must explode spans exactly once:\n" + p.take(1200))
   }
 
   test("tombstoned ann index: the query phase masks via anti-join and stays corpus-scan-free") {
