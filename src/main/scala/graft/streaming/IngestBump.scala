@@ -358,6 +358,11 @@ object IngestBump {
         Seq("doc_id", "content_hash"), "left_anti")
       .pinned(false)
     val livelog = retainedLog.unionByName(deltaLog)
+    // trust-but-verify stays SEQUENTIAL: its frames share the bump's lazy
+    // delta pins (deltaLog, livelog), and overlapping it from a future
+    // races their first materialization against the main derivation —
+    // measured 2.5× slower end-to-end, not faster (same lesson as the
+    // refresh probes; see IncrementalCc.refresh)
     if (auditSampleMod > 0) auditFeed(livelog, corpus, auditSampleMod)
     // touched-hash survivor re-selection: survivor(h) can only change
     // when h's MEMBERSHIP changed — h lost a row (a departed doc's old
