@@ -1804,10 +1804,17 @@ object PipelineOps {
     * content hash, with the hash carried (the DedupStream refresh input
     * shape). */
   private[graft] def survivorsOf(d: DataFrame): DataFrame = {
-    val ew = Window.partitionBy(md5(col("text")))
-    d.withColumn("canon_exact", min(col("doc_id")).over(ew))
-      .where(col("doc_id") === col("canon_exact")).drop("canon_exact")
-      .withColumn("content_hash", md5(col("text")))
+    // min_by aggregate, not a min-over-window: the window form shuffled
+    // EVERY text row by hash and buffered whole hash partitions in the
+    // window frame; the aggregate partial-aggregates map-side (one
+    // candidate row per hash per input partition crosses the exchange —
+    // on a duplicate-heavy corpus strictly fewer text bytes) and needs no
+    // sort. Identical output (doc ids are unique per snapshot, so the
+    // min is unique); measured neutral at sf0.1 where the stage is tiny.
+    val cols = d.columns
+    d.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("r"))
+      .select((cols.map(c => col(s"r.$c")) :+ col("content_hash")): _*)
   }
 
   def dedupVerdictIncremental(spark: SparkSession, dir: String): DataFrame = {
