@@ -177,7 +177,7 @@ object IncrementalCc {
       case Some(np) =>
         refreshDriver(labels, labeledPairs,
           rProbe.map(_.asInstanceOf[Long]).toArray, np)
-      case None => refreshDistributed(labels, labeledPairs, retiredIds, newPairs)
+      case None => refreshDistributed(labels, labeledPairs, retiredIds, newPairs, rProbe)
     }
   }
 
@@ -249,9 +249,15 @@ object IncrementalCc {
           .select(col("node"), col("label")).collect()
       }
 
+    // Drain discipline: await BOTH futures to completion before
+    // propagating either failure — awaiting lookupF directly would orphan
+    // clsF's in-flight Spark job on an exception, and an orphaned job
+    // racing SparkContext teardown is the task-rejected flake.
+    val lookupT = Await.result(lookupF.transform(scala.util.Success(_)), Duration.Inf)
+    val clsT = Await.result(clsF.transform(scala.util.Success(_)), Duration.Inf)
     val retLabel = scala.collection.mutable.LongMap.empty[Long]
     val liveLabel = scala.collection.mutable.LongMap.empty[Long]
-    Await.result(lookupF, Duration.Inf).foreach { row =>
+    lookupT.get.foreach { row =>
       val n = row.getLong(0)
       if (rSet(n)) retLabel(n) = row.getLong(1) else liveLabel(n) = row.getLong(1)
     }
@@ -260,7 +266,7 @@ object IncrementalCc {
     val fdeg = scala.collection.mutable.LongMap.empty[Long]
     val adjacent = scala.collection.mutable.Set.empty[Long]
     val elabelHit = scala.collection.mutable.Set.empty[Long]
-    Await.result(clsF, Duration.Inf).foreach { row =>
+    clsT.get.foreach { row =>
       val n = row.getLong(0)
       row.getInt(1) match {
         case 1 => fdeg(n) = fdeg.getOrElse(n, 0L) + row.getLong(2)
@@ -450,7 +456,8 @@ object IncrementalCc {
       labels: DataFrame,
       labeledPairs: DataFrame,
       retiredIds: DataFrame,
-      newPairs: DataFrame): LabelDelta = {
+      newPairs: DataFrame,
+      rProbe: Seq[Any]): LabelDelta = {
     val r = retiredIds.select(col("doc_id").as("node")).distinct().spinned("retired")
     val rA = r.select(col("node").as("doc_a"))
     val rB = r.select(col("node").as("doc_b"))
@@ -462,13 +469,14 @@ object IncrementalCc {
     // predicate so ONE edge-state scan feeds all three (the predicate is
     // a per-row hash probe — scan-shaped at any corpus size); a delta too
     // large to collect falls back to three broadcast semi-join scans.
-    // The collect is itself bounded by the same limit(bound+1) gate the
-    // CC driver tails use: at most 2^16+1 rows ever reach the driver —
+    // The collect is bounded by the same limit(bound+1) gate the CC
+    // driver tails use: at most 2^16+1 rows ever reach the driver —
     // emptiness, the bound check, and the InSet values all come from the
     // one probe, and an over-bound retired set never materializes here.
-    val rVals = r.limit((1 << 16) + 1).collect().map(_.get(0)).toSeq
-    require(!rVals.contains(null),
-      "IncrementalCc state contract violated: NULL doc_id in the retired set")
+    // [[refresh]]'s gate probe already ran that exact collect (and its
+    // NULL contract check) — reuse it instead of re-scanning the delta
+    // on precisely the path chosen for being expensive.
+    val rVals = rProbe
     // Retired-set membership as driver-side predicates (round 17): when
     // the delta fits the driver bound (the common case — the same rows
     // the classifier already collected), every semi/anti join against the

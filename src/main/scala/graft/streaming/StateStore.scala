@@ -219,6 +219,22 @@ object StateStore {
     }
   }
 
+  /** One shared pool for the overlapped commit writes — per-commit pool
+    * churn created 9+ executors per CDC chain entry, and a shared pool is
+    * also what makes the drain discipline below (await EVERY write before
+    * propagating a failure) straightforward. Daemon threads: the pool
+    * must never hold the JVM open past SparkContext teardown. */
+  private lazy val writePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"statestore-commit-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   private def commit(
       dir: String,
       tables: Map[String, DataFrame],
@@ -257,34 +273,46 @@ object StateStore {
     // EVERY write completes, so the crash contract is unchanged.
     {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(tables.size, 4))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val writes = tables.toSeq.map { case (name, df) =>
-        Future {
+      import scala.util.{Success, Try}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(writePool)
+      val writes: Seq[(String, Future[Try[Unit]])] = tables.toSeq.map { case (name, df) =>
+        name -> Future {
           val path = s"$dir/v$next/$name.parquet"
           partitions.getOrElse(name, Seq.empty) match {
             case Seq() => df.write.mode("overwrite").parquet(path)
             case cols =>
-              // a hive-partitioned write of an EMPTY frame emits no data
-              // files at all, so the read-back cannot infer a schema —
-              // fall back to a plain (metadata-only) parquet file; the
-              // read side sees the same columns either way, the partition
-              // column just rides as a data column in the empty file.
-              // isEmpty is a head(1) — cheap next to the write it guards.
               // Cluster on the partition key first: without it every
               // write task fans out one file into every partition
               // directory (tasks × partitions small files, and the scan
               // overhead eats the pruning win).
-              if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-              else df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+              df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
                 .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+              // a hive-partitioned write of an EMPTY frame emits no data
+              // files at all, so the read-back cannot infer a schema —
+              // detect that from the written directory (data lands in
+              // `col=value/` subdirectories; an empty write leaves only
+              // _SUCCESS) and fall back to a plain (metadata-only)
+              // parquet file. One FS listing instead of the old isEmpty
+              // pre-probe, which was an extra Spark job per partitioned
+              // table on the hot CDC path.
+              if (!fs.listStatus(new HPath(path)).exists(_.isDirectory))
+                df.write.mode("overwrite").parquet(path)
           }
-        }
+        }.transform(Success(_))
       }
-      try Await.result(Future.sequence(writes),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      // Drain discipline: await EVERY write to completion before
+      // propagating the first failure. `Future.sequence` returned at the
+      // FIRST failed write while sibling write jobs kept running —
+      // orphaned jobs racing SparkContext teardown are exactly the
+      // "Task rejected from ThreadPoolExecutor[Terminated]" flake.
+      val results = writes.map { case (name, f) =>
+        name -> Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }
+      results.foreach { case (name, r) =>
+        r.recover { case e =>
+          throw new RuntimeException(s"state write of '$name' failed", e)
+        }.get
+      }
     }
     if (delta) {
       val out = fs.create(new HPath(s"$dir/v$next/_DELTA"), true)

@@ -285,4 +285,50 @@ class StreamStateSpec extends AnyFunSuite {
     StateStore.save(dir, Map("t" -> Seq(9L).toDF("id")))             // v5 snapshot
     assert(vdirs() == Seq("v4", "v5"), s"got ${vdirs()}")
   }
+
+  test("a failed table write drains its sibling writes before the commit throws, " +
+       "and the version never commits") {
+    import spark.implicits._
+    val dir = tmpDir("drain")
+    // one table whose evaluation throws on the executor next to one whose
+    // task sleeps: the commit must surface the failure only AFTER the
+    // sibling write finished — an abandoned in-flight write job racing
+    // SparkContext teardown is the round-18 task-rejected flake
+    val boom = udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("boom"); x
+    })
+    val slowly = udf((x: Long) => { Thread.sleep(2000); x })
+    val failing = Seq(1L).toDF("id").withColumn("v", boom(col("id")))
+    val slow = Seq(2L).toDF("id").withColumn("v", slowly(col("id")))
+    val ex = intercept[Exception] {
+      StateStore.save(dir, Map("failing" -> failing, "slow" -> slow))
+    }
+    assert(ex.getMessage.contains("failing"), s"failure must name the table: $ex")
+    // drain contract: by the time the commit throws, the slow sibling's
+    // write has COMPLETED (its _SUCCESS exists) — it was not left running
+    assert(new java.io.File(s"$dir/v1/slow.parquet/_SUCCESS").exists(),
+      "sibling write must be drained to completion before the commit throws")
+    // and the torn version is invisible: no _COMMITTED, nothing to load
+    assert(!new java.io.File(s"$dir/v1/_COMMITTED").exists())
+    assert(StateStore.load(spark, dir, Seq("slow")).isEmpty)
+  }
+
+  test("an empty hive-partitioned table falls back to a plain file and reads " +
+       "back with its schema") {
+    import spark.implicits._
+    val dir = tmpDir("emptypart")
+    val empty = Seq.empty[(Long, String)].toDF("id", "g")
+    StateStore.save(dir, Map("t" -> empty), partitions = Map("t" -> Seq("g")))
+    val t = StateStore.load(spark, dir, Seq("t")).get("t")
+    assert(t.columns.sorted.toSeq == Seq("g", "id"))
+    assert(t.count() == 0)
+    // and a non-empty partitioned save on the same store still lays out
+    // hive-style (the partition column becomes a directory)
+    StateStore.save(dir, Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "g")),
+      partitions = Map("t" -> Seq("g")))
+    val v2 = new java.io.File(s"$dir/v2/t.parquet")
+    assert(v2.listFiles().exists(f => f.isDirectory && f.getName.startsWith("g=")),
+      s"expected hive layout under $v2")
+    assert(StateStore.load(spark, dir, Seq("t")).get("t").count() == 2)
+  }
 }
