@@ -371,6 +371,18 @@ object IncrementalCc {
     val mergeMembers = memberCls.where(col("mg") === 1).select(col("node"), col("label"))
 
     // ---- rebuild bucket (short-circuits driver-side: no probe job) ----
+    // The rebuild is delta-CLASSIFIED but component-sized; when its edge
+    // set fits the CC driver-tail bound (the common case) the whole
+    // bucket composes on the driver too: ONE bounded probe collects the
+    // surviving old edges (the only corpus-shaped input — the same
+    // limit(bound+1) gate ccWithForest's driver tail would run against
+    // the same rows), the tail's min-hooked union-find labels them, and
+    // labels/edges re-enter as LOCAL relations — no rebuild-edges /
+    // rb-labels checkpoints, no rbl/rbForest broadcast builds, and the
+    // probe's semi-join materializes the member-cls pin before the
+    // commit's parallel writes can race it. An over-bound rebuild (or
+    // graft.cc.forestEdgeBound=0, the distributed-forest seam) keeps the
+    // round-18 distributed bucket verbatim.
     val (rbLabelsP, rbPairs) =
       if (rebuildCids.isEmpty)
         (Seq.empty[(Long, Long)].toDF("node", "label"),
@@ -380,19 +392,68 @@ object IncrementalCc {
           .join(alRebuild.select(col("node").as("elabel")), Seq("elabel"), "left_semi"),
           "doc_a"), "doc_b")
           .select(col("doc_a"), col("doc_b"))
-        val rebuildNew = cEdges.iterator.filter(e => rebuildCidSet(e._3))
-          .map(e => (e._1, e._2)).toSeq.toDF("doc_a", "doc_b")
-        val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct()
-          .spinnedNC("rebuild-edges")
-        val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
-        val rbl = rbLabels.spinnedNC("rb-labels")
-        val rbp = rebuildEdges
-          .join(rbl.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
-          .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
-            Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"), col("elabel"),
-            coalesce(col("in_forest"), lit(false)).as("in_forest"))
-        (rbl, rbp)
+        val rebuildNewRows: Array[(Long, Long)] = cEdges.iterator
+          .filter(e => rebuildCidSet(e._3)).map(e => (e._1, e._2)).toArray
+        val bound = math.min(
+          sys.props.get("graft.cc.forestEdgeBound").map(_.toLong).getOrElse(1L << 20),
+          (Int.MaxValue - 2).toLong)
+        val oldProbe: Option[Array[org.apache.spark.sql.Row]] =
+          if (bound <= 0) None
+          else {
+            val rows = rebuildOld.distinct().limit(bound.toInt + 1).collect()
+            if (rows.length > bound) None else Some(rows)
+          }
+        oldProbe match {
+          case Some(oldRows) =>
+            val allEdges: Array[(Long, Long)] =
+              (oldRows.iterator.map(r => (r.getLong(0), r.getLong(1))) ++
+                rebuildNewRows.iterator).toArray.distinct
+            // ccWithForest's driver tail verbatim: walk edges ascending by
+            // (min, max) — clique-ish components come out STAR-shaped
+            // around their minimum — through a min-hooked union-find
+            val sorted = allEdges.sortBy(e =>
+              (math.min(e._1, e._2), math.max(e._1, e._2)))
+            val rparent = scala.collection.mutable.LongMap.empty[Long]
+            def rfind(x: Long): Long = {
+              var r = x
+              while (rparent(r) != r) r = rparent(r)
+              var c = x
+              while (rparent(c) != c) { val nx = rparent(c); rparent(c) = r; c = nx }
+              r
+            }
+            val forest = scala.collection.mutable.Set.empty[(Long, Long)]
+            sorted.foreach { case (x, y) =>
+              rparent.getOrElseUpdate(x, x); rparent.getOrElseUpdate(y, y)
+              if (x != y) {
+                val (rx, ry) = (rfind(x), rfind(y))
+                if (rx != ry) {
+                  if (rx < ry) rparent(ry) = rx else rparent(rx) = ry
+                  forest += ((x, y))
+                }
+              }
+            }
+            // rbp ≡ rebuildEdges ⋈ labels-on-doc_a ⋈ forest-membership:
+            // every node is labeled, so the inner join keeps every edge
+            val rblRows = rparent.keys.toArray.sorted.map(n => (n, rfind(n))).toSeq
+            val rbpRows = allEdges.toSeq.map { case (a, b) =>
+              (a, b, rfind(a), forest((a, b)))
+            }
+            (rblRows.toDF("node", "label"),
+              rbpRows.toDF("doc_a", "doc_b", "elabel", "in_forest"))
+          case None =>
+            val rebuildNew = rebuildNewRows.toSeq.toDF("doc_a", "doc_b")
+            val rebuildEdges = rebuildOld.unionByName(rebuildNew).distinct()
+              .spinnedNC("rebuild-edges")
+            val (rbLabels, rbForest) = PipelineOps.ccWithForest(rebuildEdges)
+            val rbl = rbLabels.spinnedNC("rb-labels")
+            val rbp = rebuildEdges
+              .join(rbl.select(col("node").as("doc_a"), col("label").as("elabel")), "doc_a")
+              .join(rbForest.select(col("doc_a"), col("doc_b"), lit(true).as("in_forest")),
+                Seq("doc_a", "doc_b"), "left")
+              .select(col("doc_a"), col("doc_b"), col("elabel"),
+                coalesce(col("in_forest"), lit(false)).as("in_forest"))
+            (rbl, rbp)
+        }
       }
 
     // ---- merge bucket -------------------------------------------------
