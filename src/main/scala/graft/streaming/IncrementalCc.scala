@@ -98,8 +98,8 @@ object IncrementalCc {
       * folds (see [[org.apache.spark.sql.graft.CheckpointStats
       * .dropConstraints]]); constraints are planning-only, so the
       * truncation boundary sheds them. */
-    def spinnedNC(tag: String): DataFrame = stagePin(tag,
-      org.apache.spark.sql.graft.CheckpointStats.dropConstraints(df.pinned(false)))
+    def spinnedNC(tag: String, eager: Boolean = false): DataFrame = stagePin(tag,
+      org.apache.spark.sql.graft.CheckpointStats.dropConstraints(df.pinned(eager)))
   }
 
   /** Bounded-collect gate shared by the driver-composed path's probes:
@@ -194,8 +194,20 @@ object IncrementalCc {
     val spark = labels.sparkSession
     import spark.implicits._
     val rSet = rVals.toSet
+    // InSet DIRECTLY, not `isin(vs: _*)`: the In expression carries one
+    // Literal child per value, so a bound-sized id list built a 65k-node
+    // tree PER PREDICATE and the refresh plans a dozen such predicates —
+    // measured 6.6 s of pure analyzer/optimizer time per query at the
+    // bound (21 ms as an InSet literal, which the optimizer's OptimizeIn
+    // would eventually produce anyway — after paying the tree walks).
+    // Execution is identical; ids here are gated int64 so the set is
+    // exactly the Catalyst-internal value set.
     def inLongs(c: org.apache.spark.sql.Column, vs: Seq[Long]) =
-      if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+      if (vs.isEmpty) lit(false)
+      else org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c),
+          vs.iterator.map(x => x: Any).toSet))
     def inR(c: org.apache.spark.sql.Column) = inLongs(c, rVals.toSeq)
     // the distributed antiR's NULL-keeps spelled the same way (doc ids are
     // non-null by contract; the isNull arm keeps off-contract rows rather
@@ -366,7 +378,13 @@ object IncrementalCc {
         .select(col("node"), col("label"),
           when(inLongs(col("label"), rebuildCids.toSeq), lit(1)).otherwise(lit(0)).as("rb"),
           when(inLongs(col("label"), mergeLabels.toSeq), lit(1)).otherwise(lit(0)).as("mg"))
-        .spinnedNC("member-cls")
+        // EAGER: three of the commit's overlapped state writes (labelsOut,
+        // labelsIn via mgLabels, the pairsOut projection) read this pin;
+        // left lazy, the parallel writes race its first materialization
+        // and each recomputes the labels scan (the overlapped-actions-
+        // over-shared-lazy-pins trap measured at 2.5× on the delta
+        // probes). One eager job here makes every consumer a cache read.
+        .spinnedNC("member-cls", eager = true)
     val alRebuild = memberCls.where(col("rb") === 1).select(col("node"), col("label"))
     val mergeMembers = memberCls.where(col("mg") === 1).select(col("node"), col("label"))
 

@@ -37,32 +37,44 @@ object CheckpointStats {
   // origin's constraint set — operators should be able to see it happened
   private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** The saturated statistics, or None when `st` is already within range. */
+  private def cappedStats(st: Statistics): Option[Statistics] =
+    if (st.sizeInBytes <= Cap) None
+    else Some(Statistics(
+      sizeInBytes = Cap,
+      rowCount = st.rowCount.map(_.min(Cap)),
+      attributeStats = st.attributeStats,
+      isRuntime = st.isRuntime))
+
+  /** Zero-copy [[LogicalRDD]] rebuild carrying `stats` and NO origin
+    * constraints — they are a planning optimization, and the origin
+    * ExpressionSet is not reachable through any public accessor on the
+    * rebuilt node's fields. The single copy of the reconstruction both
+    * public entry points share. */
+  private def rebuilt(
+      ds: Dataset[org.apache.spark.sql.Row],
+      lr: LogicalRDD,
+      stats: Statistics): org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(
+      ds.sparkSession,
+      new LogicalRDD(
+        lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+        lr.isStreaming, lr.getStream)(ds.sparkSession, Some(stats), None))
+
   def capEstimate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
     ds.queryExecution.logical match {
       case lr: LogicalRDD =>
-        val st = lr.computeStats()
-        if (st.sizeInBytes <= Cap) df
-        else {
-          if (warned.compareAndSet(false, true))
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"checkpoint size estimate ${st.sizeInBytes} exceeds " +
-                "Long.MaxValue; saturating (planning-only: compounded " +
-                "estimate, not data size). Capped frames lose inferred " +
-                "constraints. Logged once per JVM.")
-          val capped = Statistics(
-            sizeInBytes = Cap,
-            rowCount = st.rowCount.map(_.min(Cap)),
-            attributeStats = st.attributeStats,
-            isRuntime = st.isRuntime)
-          // constraints are NOT carried over: they are a planning
-          // optimization, and the origin ExpressionSet is not reachable
-          // through any public accessor on the rebuilt node's fields
-          Dataset.ofRows(
-            ds.sparkSession,
-            new LogicalRDD(
-              lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-              lr.isStreaming, lr.getStream)(ds.sparkSession, Some(capped), None))
+        cappedStats(lr.computeStats()) match {
+          case None => df
+          case Some(capped) =>
+            if (warned.compareAndSet(false, true))
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"checkpoint size estimate exceeds Long.MaxValue; " +
+                  "saturating (planning-only: compounded estimate, not data " +
+                  "size). Capped frames lose inferred constraints. Logged " +
+                  "once per JVM.")
+            rebuilt(ds, lr, capped)
         }
       case _ => df
     }
@@ -86,18 +98,7 @@ object CheckpointStats {
     ds.queryExecution.logical match {
       case lr: LogicalRDD =>
         val st = lr.computeStats()
-        val capped =
-          if (st.sizeInBytes <= Cap) st
-          else Statistics(
-            sizeInBytes = Cap,
-            rowCount = st.rowCount.map(_.min(Cap)),
-            attributeStats = st.attributeStats,
-            isRuntime = st.isRuntime)
-        Dataset.ofRows(
-          ds.sparkSession,
-          new LogicalRDD(
-            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-            lr.isStreaming, lr.getStream)(ds.sparkSession, Some(capped), None))
+        rebuilt(ds, lr, cappedStats(st).getOrElse(st))
       case _ => df
     }
   }

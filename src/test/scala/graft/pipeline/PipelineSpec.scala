@@ -997,4 +997,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     // routing/ADC break craters it to ~0 — that is what this catches
     assert(corpus.head >= 150000L, s"corpus recall ${corpus.head} ppm — routing/ADC regressed")
   }
+
+  test("survivorsOf: exactly one survivor per content hash, the min doc_id, " +
+       "its own row carried — on a duplicate-heavy frame") {
+    // pins the min_by-aggregate rewrite's contract at its boundary: doc_id
+    // is unique per snapshot (the documented input contract), so the min
+    // is unique and the window form and the aggregate form agree; this
+    // asserts the invariant every consumer (DedupStream refresh inputs,
+    // the ingest-bump chains) actually relies on
+    import spark.implicits._
+    val d = Seq(
+      (10L, "alpha beta", "en", "s1", 10L),
+      (3L,  "alpha beta", "de", "s2", 10L),   // same text, lower id wins
+      (7L,  "alpha beta", "fr", "s3", 10L),
+      (5L,  "gamma", "en", "s1", 5L),
+      (1L,  "delta", "en", "s9", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s = PipelineOps.survivorsOf(d).collect()
+    assert(s.length == 3, "one survivor per distinct text")
+    val byText = s.map(r => r.getString(1) -> r).toMap
+    val dup = byText("alpha beta")
+    assert(dup.getLong(0) == 3L, "min doc_id wins")
+    assert(dup.getString(2) == "de" && dup.getString(3) == "s2",
+      "the surviving row carries ITS OWN columns, not another tied row's")
+    assert(s.map(_.getString(5)).distinct.length == 3, "content_hash carried")
+  }
 }
